@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Inventory, Oracles}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator from SURVEY.md §2 has a `queries` entry;
+  * SQL-expressible ones have a DuckDB oracle twin in `oracleSql`.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Inventory.q02_two_hop_fuse(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_one_hop" -> (Inventory.q01_one_hop _),
+    "q02_two_hop_fuse" -> (Inventory.q02_two_hop_fuse _),
+    "q03_intersect" -> (Inventory.q03_intersect _),
+    "q04_subtract" -> (Inventory.q04_subtract _),
+    "q05_edge_filter" -> (Inventory.q05_edge_filter _),
+    "q06_hydrate" -> (Inventory.q06_hydrate _),
+    "q07_distinct_reach" -> (Inventory.q07_distinct_reach _),
+    "q08_degree" -> (Inventory.q08_degree _),
+    "q09_topk" -> (Inventory.q09_topk _),
+    "q10_point_lookup" -> (Inventory.q10_point_lookup _),
+    "q11_both_direction" -> (Inventory.q11_both_direction _),
+    "q12_multi_label" -> (Inventory.q12_multi_label _),
+    "q13_path_multiplicity" -> (Inventory.q13_path_multiplicity _),
+    "q14_bulk_load" -> (Inventory.q14_bulk_load _),
+    "q15_pricing_summary" -> (Inventory.q15_pricing_summary _))
+
+  /** DuckDB oracle SQL per query (same columns, same total order). */
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level helper functions for the graft engine.
+  *
+  * All helpers compose built-in, codegen-friendly Catalyst expressions —
+  * no Scala UDFs on hot paths (SURVEY.md §7.3).
+  */
+package object functions {
+
+  /** 128-bit unsigned id as `struct<hi: bigint, lo: bigint>`.
+    * Orderable: Spark struct ordering compares fields in sequence, which
+    * matches unsigned order as long as both halves are non-negative (true
+    * for all ids we mint: hi = label-space id, lo = natural key).
+    * Reference semantics: UInt128.java:34-41.
+    */
+  def uint128(hi: Column, lo: Column): Column =
+    struct(hi.cast("bigint").as("hi"), lo.cast("bigint").as("lo"))
+
+  /** 16-byte big-endian binary form of a (hi, lo) pair. Lexicographic
+    * binary comparison == unsigned 128-bit numeric order, which is the
+    * same trick the reference uses for RAMCloud keys
+    * (UInt128.java toBytes / big-endian layout). */
+  def uint128Bytes(hi: Column, lo: Column): Column = {
+    // to_binary(hex) would allocate strings; concat of two 8-byte
+    // big-endian longs stays in binary domain.
+    concat(longBytes(hi), longBytes(lo))
+  }
+
+  /** Big-endian 8-byte encoding of a long column (no UDF: shift+cast). */
+  private def longBytes(c: Column): Column = {
+    val l = c.cast("bigint")
+    // Build 8 single-byte binaries and concat. shiftrightunsigned keeps
+    // this purely in codegen'd integer ops.
+    val bytes = (7 to 0 by -1).map { i =>
+      // cast to tinyint wraps to the low 8 bits, then to 1-byte binary
+      shiftrightunsigned(l, i * 8).cast("tinyint").cast("binary")
+    }
+    concat(bytes: _*)
+  }
+
+  /** Lower-case hex display of a uint128 struct column, matching the
+    * reference's "%x" formatting (UInt128.java:285-292). */
+  def uint128Hex(id: Column): Column =
+    lower(concat(hex(id.getField("hi")), lpad(hex(id.getField("lo")), 16, "0")))
+
+  /** Cosine similarity between two float-array columns, computed as a
+    * sequential left fold in double precision (deterministic order).
+    * Uses built-in higher-order functions => whole-stage codegen, no UDF.
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Dot product of two float-array columns in double precision. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+import graft.model.{Direction, GraphColumns => GC}
+import graft.sources.GraphLoader
+
+/** The declared query inventory (SURVEY.md §2.3, Q1–Q14 + flagship agg):
+  * concrete, deterministic queries exercising every mapped reference
+  * operator, each with a DuckDB-oracle SQL twin in
+  * [[graft.queries.Oracles]]. All end with a total ORDER BY for stable
+  * hashing; all output columns are aliased/cast to match the oracle
+  * exactly (the driver compares schema + value hashes).
+  */
+object Inventory {
+  import Direction._
+
+  private def g(spark: SparkSession, dir: String): PropertyGraph =
+    GraphLoader.tpch(spark, dir)
+
+  /** Q1 one-hop traverse (O6/O7): customers per nation. */
+  def q01_one_hop(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val r = G.traverse(G.frontier("Nation"), "Nation", "IN_NATION", In,
+      fillEdge = false, Seq("Customer"))
+    r.df.select(col(GC.Src).cast("int").as("n_nationkey"),
+        col(GC.Dst).as("c_custkey"))
+      .orderBy("n_nationkey", "c_custkey")
+  }
+
+  /** Q2 two-hop fuse (O26): customers in region ASIA. */
+  def q02_two_hop_fuse(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val asia = G.vertices("Region").where(col("r_name") === "ASIA")
+    val hopA = G.traverse(asia, "Region", "IN_REGION", In, fillEdge = false, Seq("Nation"))
+    val hopB = G.traverse(hopA.vSetIds, "Nation", "IN_NATION", In, fillEdge = false, Seq("Customer"))
+    val fused = hopA.fuse(hopB, dedup = true)
+    G.hydrate(fused.df, GC.Src, "Region", Seq("r_name"))
+      .select(col("r_name"), col(GC.Dst).as("c_custkey"))
+      .orderBy("r_name", "c_custkey")
+  }
+
+  /** Q3 semi-join intersect (O27): suppliers in nations with >=1 customer. */
+  def q03_intersect(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val custNations = G.traverse(G.frontier("Customer"), "Customer", "IN_NATION", Out,
+      fillEdge = false, Seq("Nation")).vSetIds
+    val suppNations = G.traverse(G.frontier("Supplier"), "Supplier", "IN_NATION", Out,
+      fillEdge = false, Seq("Nation"))
+    suppNations.intersect(custNations)
+      .df.select(col(GC.Src).as("s_suppkey")).orderBy("s_suppkey")
+  }
+
+  /** Q4 anti-join subtract (O28): customers with no URGENT order. */
+  def q04_subtract(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val urgentOrders = G.vertices("Order").where(col("o_orderpriority") === "1-URGENT")
+    val reached = G.traverse(urgentOrders, "Order", "PLACED_BY", Out,
+      fillEdge = false, Seq("Customer")).vSetIds
+    val allCustomers = G.traverse(G.frontier("Nation"), "Nation", "IN_NATION", In,
+      fillEdge = false, Seq("Customer"))
+    allCustomers.subtract(reached)
+      .df.select(col(GC.Dst).as("c_custkey")).orderBy("c_custkey")
+  }
+
+  /** Q5 edge-property filter (O29, fillEdge in O6): lineitem edges with
+    * quantity > 45. */
+  def q05_edge_filter(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val r = G.traverse(G.frontier("Order"), "Order", "CONTAINS", Out,
+      fillEdge = true, Seq("Part"))
+    r.removeEdgeIf(col("l_quantity") <= 45)
+      .df.select(col(GC.Src).as("o_orderkey"), col(GC.Dst).as("p_partkey"),
+        col("l_linenumber"))
+      .orderBy("o_orderkey", "p_partkey", "l_linenumber")
+  }
+
+  /** Q6 property hydration (O11): customers in nation 0, projected. */
+  def q06_hydrate(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val n0 = G.verticesById("Nation", Seq(0L))
+    val custs = G.traverse(n0, "Nation", "IN_NATION", In,
+      fillEdge = false, Seq("Customer")).vSetIds
+    G.hydrate(custs, GC.Id, "Customer", Seq("c_custkey", "c_name", "c_acctbal"))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Q7 neighbor dedup / vSet (O33): distinct parts reachable from orders
+    * of BUILDING-segment customers. */
+  def q07_distinct_reach(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val bldg = G.vertices("Customer").where(col("c_mktsegment") === "BUILDING")
+    val orders = G.traverse(bldg, "Customer", "PLACED_BY", In,
+      fillEdge = false, Seq("Order")).vSetIds
+    val parts = G.traverse(orders, "Order", "CONTAINS", Out,
+      fillEdge = false, Seq("Part")).vSetIds
+    parts.select(col(GC.Id).as("p_partkey")).orderBy("p_partkey")
+  }
+
+  /** Q8 degree / group-count (vMap grouping): orders per customer. */
+  def q08_degree(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val r = G.traverse(G.frontier("Customer"), "Customer", "PLACED_BY", In,
+      fillEdge = false, Seq("Order"))
+    r.degrees.select(col(GC.Id).as("c_custkey"), col("degree").as("order_count"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q9 top-k over traversal: top 10 nations by customer count
+    * (deterministic tie-break on n_name). */
+  def q09_topk(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val r = G.traverse(G.frontier("Customer"), "Customer", "IN_NATION", Out,
+      fillEdge = false, Seq("Nation"))
+    val counts = r.df.groupBy(col(GC.Dst)).agg(count(lit(1)).as("cnt"))
+    G.hydrate(counts, GC.Dst, "Nation", Seq("n_name"))
+      .select(col("n_name"), col("cnt"))
+      .orderBy(desc("cnt"), asc("n_name"))
+      .limit(10)
+  }
+
+  /** Q10 point lookup (O4): 60 ids, 10 of them misses — misses absent. */
+  val q10Ids: Seq[Long] = (0L until 50L) ++ (100000L until 100010L)
+  def q10_point_lookup(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    G.verticesById("Customer", q10Ids)
+      .select(col("c_custkey")).orderBy("c_custkey")
+  }
+
+  /** Q11 BOTH-direction expansion (O7): neighbors of Nation 5 over
+    * IN_NATION in both directions. */
+  def q11_both_direction(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val n5 = G.verticesById("Nation", Seq(5L))
+    val r = G.traverse(n5, "Nation", "IN_NATION", Both,
+      fillEdge = false, Seq("Customer", "Supplier"))
+    r.df.select(col(GC.DstLabel).as("neighbor_label"), col(GC.Dst).as("neighbor_id"))
+      .orderBy("neighbor_label", "neighbor_id")
+  }
+
+  /** Q12 multi-label expansion (O6 varargs): nations to {Customer,Supplier}. */
+  def q12_multi_label(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val r = G.traverse(G.frontier("Nation"), "Nation", "IN_NATION", In,
+      fillEdge = false, Seq("Customer", "Supplier"))
+    r.df.select(col(GC.Src).cast("int").as("n_nationkey"),
+        col(GC.DstLabel).as("label"), col(GC.Dst).as("id"))
+      .orderBy("n_nationkey", "label", "id")
+  }
+
+  /** Q13 path multiplicity (O26 dedup=false): customer->nation->region,
+    * row per path, counts preserved. */
+  def q13_path_multiplicity(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val hopA = G.traverse(G.frontier("Customer"), "Customer", "IN_NATION", Out,
+      fillEdge = false, Seq("Nation"))
+    val hopB = G.traverse(G.frontier("Nation"), "Nation", "IN_REGION", Out,
+      fillEdge = false, Seq("Region"))
+    val fused = hopA.fuse(hopB, dedup = false)
+    fused.df.groupBy(col(GC.Src), col(GC.Dst))
+      .agg(count(lit(1)).as("path_count"))
+      .select(col(GC.Src).as("c_custkey"), col(GC.Dst).cast("int").as("r_regionkey"),
+        col("path_count"))
+      .orderBy("c_custkey", "r_regionkey")
+  }
+
+  /** Q14 bulk load round-trip (O18/O19): persist the graph as partitioned
+    * Parquet, re-open it, count per vertex label and edge spec. */
+  def q14_bulk_load(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bulk_${math.abs(dir.hashCode)}"
+    GraphLoader.persist(G, tmp)
+    val reopened = GraphLoader.open(s, tmp)
+    val vCounts = reopened.vertexLabels.map { label =>
+      reopened.vertices(label).agg(count(lit(1)).as("cnt"))
+        .select(lit(label).as("label"), col("cnt"))
+    }
+    val eCounts = reopened.edgeSpecs.map { spec =>
+      reopened.edgeFrames(spec).agg(count(lit(1)).as("cnt"))
+        .select(lit(s"E:${spec.label}:${spec.srcLabel}:${spec.dstLabel}").as("label"), col("cnt"))
+    }
+    (vCounts ++ eCounts).reduce(_.unionByName(_)).orderBy("label")
+  }
+
+  /** Q15 flagship aggregation over CONTAINS edge properties (pricing
+    * summary in the TPC-H Q1 shape). Decimal sums are exact and
+    * order-independent — no FP drift vs the oracle. */
+  def q15_pricing_summary(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val li = G.traverse(G.frontier("Order"), "Order", "CONTAINS", Out,
+      fillEdge = true, Seq("Part"))
+    li.filter(col("l_shipdate") < to_timestamp(lit("1998-09-02")))
+      .df.groupBy("l_returnflag", "l_linestatus")
+      // Sums accumulate in DECIMAL (exact, order-independent across any
+      // partitioning) and only the final value is cast to DOUBLE — so the
+      // result is bit-identical no matter how the cluster partitions.
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+/** DuckDB oracle SQL twins for [[Inventory]]. Column names, types and a
+  * total ORDER BY match the Spark side exactly (the driver's compare
+  * sorts columns by name before hashing values). Tables are the driver's
+  * fixture parquet tables registered under their bare names.
+  */
+object Oracles {
+
+  val q01_one_hop: String =
+    """SELECT n_nationkey, c_custkey
+      |FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |ORDER BY n_nationkey, c_custkey""".stripMargin
+
+  val q02_two_hop_fuse: String =
+    """SELECT r_name, c_custkey
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |WHERE r_name = 'ASIA'
+      |ORDER BY r_name, c_custkey""".stripMargin
+
+  val q03_intersect: String =
+    """SELECT s_suppkey FROM supplier
+      |WHERE s_nationkey IN (SELECT c_nationkey FROM customer)
+      |ORDER BY s_suppkey""".stripMargin
+
+  val q04_subtract: String =
+    """SELECT c_custkey FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  val q05_edge_filter: String =
+    """SELECT l_orderkey AS o_orderkey, l_partkey AS p_partkey, l_linenumber
+      |FROM lineitem WHERE l_quantity > 45
+      |ORDER BY o_orderkey, p_partkey, l_linenumber""".stripMargin
+
+  val q06_hydrate: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer WHERE c_nationkey = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  val q07_distinct_reach: String =
+    """SELECT DISTINCT l_partkey AS p_partkey
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY p_partkey""".stripMargin
+
+  val q08_degree: String =
+    """SELECT o_custkey AS c_custkey, count(*) AS order_count
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  val q09_topk: String =
+    """SELECT n_name, count(*) AS cnt
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY cnt DESC, n_name
+      |LIMIT 10""".stripMargin
+
+  val q10_point_lookup: String = {
+    val ids = Inventory.q10Ids.mkString(", ")
+    s"""SELECT c_custkey FROM customer
+       |WHERE c_custkey IN ($ids)
+       |ORDER BY c_custkey""".stripMargin
+  }
+
+  val q11_both_direction: String =
+    """SELECT 'Customer' AS neighbor_label, c_custkey AS neighbor_id
+      |FROM customer WHERE c_nationkey = 5
+      |UNION ALL
+      |SELECT 'Supplier' AS neighbor_label, s_suppkey AS neighbor_id
+      |FROM supplier WHERE s_nationkey = 5
+      |ORDER BY neighbor_label, neighbor_id""".stripMargin
+
+  val q12_multi_label: String =
+    """SELECT n_nationkey, 'Customer' AS label, c_custkey AS id
+      |FROM nation JOIN customer ON c_nationkey = n_nationkey
+      |UNION ALL
+      |SELECT n_nationkey, 'Supplier' AS label, s_suppkey AS id
+      |FROM nation JOIN supplier ON s_nationkey = n_nationkey
+      |ORDER BY n_nationkey, label, id""".stripMargin
+
+  val q13_path_multiplicity: String =
+    """SELECT c_custkey, r_regionkey, count(*) AS path_count
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY c_custkey, r_regionkey
+      |ORDER BY c_custkey, r_regionkey""".stripMargin
+
+  val q14_bulk_load: String =
+    """SELECT * FROM (
+      |  SELECT 'Customer' AS label, count(*) AS cnt FROM customer
+      |  UNION ALL SELECT 'Nation', count(*) FROM nation
+      |  UNION ALL SELECT 'Order', count(*) FROM orders
+      |  UNION ALL SELECT 'Part', count(*) FROM part
+      |  UNION ALL SELECT 'Region', count(*) FROM region
+      |  UNION ALL SELECT 'Supplier', count(*) FROM supplier
+      |  UNION ALL SELECT 'E:CONTAINS:Order:Part', count(*) FROM lineitem
+      |  UNION ALL SELECT 'E:IN_NATION:Customer:Nation', count(*) FROM customer
+      |  UNION ALL SELECT 'E:IN_NATION:Supplier:Nation', count(*) FROM supplier
+      |  UNION ALL SELECT 'E:IN_REGION:Nation:Region', count(*) FROM nation
+      |  UNION ALL SELECT 'E:PLACED_BY:Order:Customer', count(*) FROM orders
+      |  UNION ALL SELECT 'E:SUPPLIED_BY:Order:Supplier', count(*) FROM lineitem
+      |) ORDER BY label""".stripMargin
+
+  val q15_pricing_summary: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q01_one_hop" -> q01_one_hop,
+    "q02_two_hop_fuse" -> q02_two_hop_fuse,
+    "q03_intersect" -> q03_intersect,
+    "q04_subtract" -> q04_subtract,
+    "q05_edge_filter" -> q05_edge_filter,
+    "q06_hydrate" -> q06_hydrate,
+    "q07_distinct_reach" -> q07_distinct_reach,
+    "q08_degree" -> q08_degree,
+    "q09_topk" -> q09_topk,
+    "q10_point_lookup" -> q10_point_lookup,
+    "q11_both_direction" -> q11_both_direction,
+    "q12_multi_label" -> q12_multi_label,
+    "q13_path_multiplicity" -> q13_path_multiplicity,
+    "q14_bulk_load" -> q14_bulk_load,
+    "q15_pricing_summary" -> q15_pricing_summary)
+}

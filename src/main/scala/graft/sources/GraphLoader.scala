@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+import graft.model.{EdgeSpec, GraphColumns => GC}
+
+/** Bulk load: source tables -> property graph.
+  *
+  * Plays the role of the reference's image-file bulk loader
+  * (`loadVertex`/`loadEdges`, TorcGraph.java:756-820, and the
+  * segment-packing writer TorcEdgeList.java:487-675): here it is a pure
+  * DataFrame projection — lazy, columnar, and partition-prunable — plus an
+  * optional Parquet persist partitioned the same way the reference keys
+  * its adjacency lists (SURVEY.md §1.3).
+  */
+object GraphLoader {
+
+  /** Graph projection of the driver's TPC-H-ish fixture tables
+    * (TESTDATA.md). Vertex labels: Region, Nation, Customer, Supplier,
+    * Part, Order. Edge specs:
+    *   Nation   -[IN_REGION]->  Region
+    *   Customer -[IN_NATION]->  Nation
+    *   Supplier -[IN_NATION]->  Nation
+    *   Order    -[PLACED_BY]->  Customer
+    *   Order    -[CONTAINS]->   Part      (props from lineitem)
+    *   Order    -[SUPPLIED_BY]-> Supplier (props from lineitem)
+    *
+    * Note: the reference enforces at most one edge per (v1, v2, label)
+    * (TorcGraph.java:75-80); lineitem can contain repeated
+    * (order, part) pairs, which we keep distinguishable via the
+    * `l_linenumber` property rather than collapsing — the inventory
+    * queries treat line number as part of the edge identity.
+    */
+  def tpch(spark: SparkSession, dir: String): PropertyGraph = {
+    def tbl(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+    def vertex(df: DataFrame, key: String): DataFrame =
+      df.withColumn(GC.Id, col(key).cast("bigint"))
+
+    def edge(df: DataFrame, src: String, dst: String, props: Seq[String] = Nil): DataFrame =
+      df.select(
+        (col(src).cast("bigint").as(GC.Src) ::
+         col(dst).cast("bigint").as(GC.Dst) ::
+         props.map(col).toList): _*)
+
+    val nation = tbl("nation")
+    val customer = tbl("customer")
+    val supplier = tbl("supplier")
+    val orders = tbl("orders")
+    val lineitem = tbl("lineitem")
+
+    val vertices = Map(
+      "Region"   -> vertex(tbl("region"), "r_regionkey"),
+      "Nation"   -> vertex(nation, "n_nationkey"),
+      "Customer" -> vertex(customer, "c_custkey"),
+      "Supplier" -> vertex(supplier, "s_suppkey"),
+      "Part"     -> vertex(tbl("part"), "p_partkey"),
+      "Order"    -> vertex(orders, "o_orderkey"))
+
+    val lineitemProps = Seq("l_linenumber", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+
+    val edges = Map(
+      EdgeSpec("IN_REGION", "Nation", "Region") -> edge(nation, "n_nationkey", "n_regionkey"),
+      EdgeSpec("IN_NATION", "Customer", "Nation") -> edge(customer, "c_custkey", "c_nationkey"),
+      EdgeSpec("IN_NATION", "Supplier", "Nation") -> edge(supplier, "s_suppkey", "s_nationkey"),
+      EdgeSpec("PLACED_BY", "Order", "Customer") -> edge(orders, "o_orderkey", "o_custkey"),
+      EdgeSpec("CONTAINS", "Order", "Part") -> edge(lineitem, "l_orderkey", "l_partkey", lineitemProps),
+      EdgeSpec("SUPPLIED_BY", "Order", "Supplier") -> edge(lineitem, "l_orderkey", "l_suppkey",
+        Seq("l_linenumber", "l_quantity")))
+
+    new PropertyGraph(spark, vertices, edges)
+  }
+
+  /** Persist a graph as partitioned Parquet: one directory per vertex
+    * label, edges under `(label, src_label, dst_label)` partition columns
+    * so scans prune exactly the adjacency partitions a traversal names —
+    * the physical analogue of the reference's adjacency keying
+    * (TorcHelper.java:352-370). At cluster scale, additionally bucketing
+    * edges by `_src`/`_dst` would co-locate repeated hop joins
+    * (SURVEY.md §4). */
+  def persist(g: PropertyGraph, path: String): Unit = {
+    g.vertexFrames.foreach { case (label, df) =>
+      df.write.mode("overwrite").parquet(s"$path/vertices/label=$label")
+    }
+    g.edgeFrames.foreach { case (spec, df) =>
+      df.write.mode("overwrite").parquet(
+        s"$path/edges/label=${spec.label}/src_label=${spec.srcLabel}/dst_label=${spec.dstLabel}")
+    }
+  }
+
+  /** Re-open a graph persisted by [[persist]] (bulk-load round trip). */
+  def open(spark: SparkSession, path: String): PropertyGraph = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def children(p: String): Seq[String] = {
+      val qualified = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(qualified)) Nil
+      else fs.listStatus(qualified).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    }
+    val vertices = children(s"$path/vertices").map { d =>
+      val label = d.stripPrefix("label=")
+      label -> spark.read.parquet(s"$path/vertices/$d")
+    }.toMap
+    val edges = (for {
+      ld <- children(s"$path/edges")
+      label = ld.stripPrefix("label=")
+      sd <- children(s"$path/edges/$ld")
+      srcLabel = sd.stripPrefix("src_label=")
+      dd <- children(s"$path/edges/$ld/$sd")
+      dstLabel = dd.stripPrefix("dst_label=")
+    } yield EdgeSpec(label, srcLabel, dstLabel) ->
+        spark.read.parquet(s"$path/edges/$ld/$sd/$dd")).toMap
+    new PropertyGraph(spark, vertices, edges)
+  }
+}
