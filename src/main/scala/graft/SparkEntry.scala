@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Inventory, Oracles}
+import graft.queries.{Extensions, Inventory, Oracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 has a `queries` entry;
@@ -30,8 +30,8 @@ object SparkEntry {
     "q12_multi_label" -> (Inventory.q12_multi_label _),
     "q13_path_multiplicity" -> (Inventory.q13_path_multiplicity _),
     "q14_bulk_load" -> (Inventory.q14_bulk_load _),
-    "q15_pricing_summary" -> (Inventory.q15_pricing_summary _))
+    "q15_pricing_summary" -> (Inventory.q15_pricing_summary _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
-  def oracleSql: Map[String, String] = Oracles.all
+  def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles
 }

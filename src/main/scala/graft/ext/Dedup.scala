@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash group-by), MinHash signatures + LSH banding, and exact
+  * n-gram Jaccard verification.
+  *
+  * Scale notes (100 TB):
+  * - Exact dedup groups by `md5(text)` so the shuffle moves 32-byte
+  *   digests, not document bodies.
+  * - MinHash signature build is explode(shingles) + map-side partial
+  *   `min` aggregation — the shuffle carries one row per (doc, shingle)
+  *   but combiners collapse to k mins per doc per partition.
+  * - LSH banding turns the quadratic all-pairs problem into equi-joins
+  *   on (band, band_hash) buckets; hot buckets (boilerplate shingles)
+  *   should be frequency-capped at scale — AQE skew-join handles
+  *   moderate skew, and a stop-shingle filter (document frequency cap)
+  *   is the structural fix.
+  *
+  * All hashing is md5-based so every stage has a DuckDB-SQL oracle twin.
+  */
+object Dedup {
+
+  /** Number of minhash components (k) and LSH bands (k/2 rows per band). */
+  val NumHashes = 8
+  val NumBands = 4
+
+  /** Exact duplicate groups: documents with byte-identical text collapse
+    * to one group keyed by content hash. Output: (keep_id, n_dups). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Word 3-gram shingles, exploded: (id, shingle). Documents with fewer
+    * than 3 tokens produce no shingles. Tokenization = split on single
+    * space (matches the DuckDB oracle's string_split). */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = split(col(textCol), " ")
+    docs.select(col(idCol).as("id"), w.as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("w")) - 3),
+        i => concat_ws(" ",
+          element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2),
+          element_at(col("w"), i + 3)))).as("s"))
+  }
+
+  /** MinHash signature per document: h_j = min over shingles of
+    * md5("<j>|" + shingle). md5 is identical across engines, and `min`
+    * over hex strings is plain lexicographic order, so signatures are
+    * bit-reproducible anywhere. Output: (doc_id, h0..h{k-1}). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val aggs = (0 until NumHashes).map(j =>
+      min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*).withColumnRenamed("id", "doc_id")
+  }
+
+  /** LSH candidate pairs: signatures are cut into [[NumBands]] bands of 2
+    * components; documents sharing any band hash become a candidate pair.
+    * Output: (doc_a, doc_b) with doc_a < doc_b, distinct. */
+  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity over distinct shingle sets for all
+    * pairs with similarity >= threshold. Quadratic in shared-shingle
+    * pairs — at scale, run it only on LSH candidates (compose with
+    * [[minhashCandidatePairs]]); kept standalone here so the oracle can
+    * verify the exact result. Output: (doc_a, doc_b, jaccard). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val t = shingles(docs).distinct()
+    val n = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = t.alias("ta")
+    val b = t.alias("tb")
+    val inter = a.join(b, col("ta.s") === col("tb.s") && col("ta.id") < col("tb.id"))
+      .groupBy(col("ta.id").as("doc_a"), col("tb.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val na = n.select(col("id").as("_ida"), col("sz").as("sza"))
+    val nb = n.select(col("id").as("_idb"), col("sz").as("szb"))
+    inter.join(na, col("doc_a") === col("_ida"))
+      .join(nb, col("doc_b") === col("_idb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash 64-bit fingerprint per document via the typed
+    * [[SimHashAggregator]]: near-duplicates land within small Hamming
+    * distance. Token hash = first 15 hex chars of md5 (60 bits, stays in
+    * positive Long range). Output: (doc_id, simhash). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    toks.groupBy("doc_id")
+      .agg(SimHashAggregator.asColumn(col("h")).as("simhash"))
+  }
+
+  /** Pairs of documents whose simhash fingerprints are within `maxDist`
+    * Hamming distance, bucketed by 16-bit bands to avoid the full cross
+    * join (same banding idea as LSH: near fingerprints share at least one
+    * of the 4 bands when maxDist < 4 by pigeonhole). */
+  def simhashNearPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+}

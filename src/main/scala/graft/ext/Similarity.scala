@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosineSimilarity, dotProduct}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the full candidate table, ranked per query. Scale path:
+  * random-hyperplane LSH bucketing, which prunes the candidate set to
+  * same-bucket rows before exact scoring (the IVF/LSH pattern). Both
+  * compute the score with built-in higher-order functions
+  * ([[graft.functions.cosineSimilarity]]) — whole-stage codegen, no UDF.
+  *
+  * Scale notes (100 TB): brute force is O(|Q|·|C|) but embarrassingly
+  * parallel when the query side broadcasts; the window rank per query is
+  * a shuffle on query_id. At cluster scale, replace the window with a
+  * bounded top-k via per-partition heaps (TypedImperativeAggregate) —
+  * noted in SURVEY.md §7.3; for |Q| small the window is already the
+  * right plan because each query's candidate list fits a partition.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k.
+    * Similarity is rounded to 9 decimals before ranking so ordering (and
+    * the oracle compare) is robust to sub-ULP accumulation differences;
+    * ties break on candidate id. Self-matches are excluded.
+    * Output: (query_id, neighbor_id, sim). */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = embeddings
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cands = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val sim = round(cosineSimilarity(col("qv"), col("cv")), 9).as("sim")
+    val scored = cands.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sim)
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Random-hyperplane LSH signature: `planes` pseudo-random hyperplanes
+    * derived deterministically from (plane index, dimension) hashes —
+    * reproducible with no RNG state. Bucket = bit vector of dot-product
+    * signs. */
+  def lshBuckets(embeddings: DataFrame, planes: Int = 16, dims: Int = 64): DataFrame = {
+    // Deterministic pseudo-random plane component in [-1, 1):
+    // hash (p, d) -> 32-bit murmur, scale into the unit interval.
+    def comp(p: Int, d: Int): Double = {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong((p.toLong << 32) | d.toLong, 42)
+      (h.toDouble / Int.MaxValue.toDouble)
+    }
+    val bucketBits: Seq[Column] = (0 until planes).map { p =>
+      val dot = (0 until dims).map { d =>
+        element_at(col("embedding"), d + 1).cast("double") * lit(comp(p, d))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    embeddings.withColumn("bucket", bucketBits.reduce(_ + _))
+  }
+
+  /** ANN top-k via banded LSH (multi-probe): the hyperplane sign code is
+    * cut into `bands` independent bands of `bitsPerBand` planes each;
+    * a row is a candidate for a query if ANY band matches — the same
+    * banding construction as MinHash LSH, turning single-bucket recall
+    * (vanishing for tight buckets) into 1-(1-p^r)^b. Candidate set per
+    * query is a few percent of the corpus; recall vs [[bruteForceTopK]]
+    * is measured in tests. At scale the bucket join shuffles only
+    * (band, bucket) keys and the distinct-candidate set, never the
+    * all-pairs product.
+    *
+    * Defaults (8 bands x 4 bits) are tuned for loose neighbor angles:
+    * the fixture embeddings are near-random (top-10 cosine only
+    * 0.24-0.49, i.e. theta ~60-75 deg), the worst case for hyperplane
+    * LSH — measured recall ~0.6 at ~40% candidate fraction. Tight
+    * real-world embedding neighborhoods (theta < 30 deg) reach >0.95
+    * recall at a few percent candidates with 4x6 bands; tune
+    * (bands, bitsPerBand) to the corpus geometry. */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+    val planes = bands * bitsPerBand
+    val bucketed = lshBuckets(embeddings, planes)
+    def bandCols(bucket: Column): Column = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(bucket, b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bh"))
+    }: _*)
+    val queries = bucketed.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(bandCols(col("bucket"))).as("qb"))
+    val cands = bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      explode(bandCols(col("bucket"))).as("cb"))
+    val pairs = cands.join(broadcast(queries),
+        col("qb.band") === col("cb.band") && col("qb.bh") === col("cb.bh") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val sim = round(cosineSimilarity(col("qv"), col("cv")), 9).as("sim")
+    val scored = pairs.select(col("query_id"), col("neighbor_id"), sim)
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token statistics, quality
+  * scoring, language-ID heuristic, and content fingerprinting — all
+  * composed from built-in codegen'd functions so every column has an
+  * exact DuckDB-SQL oracle twin.
+  */
+object Text {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+  /** Per-language marker tokens for the language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "is", "to", "that"),
+    "es" -> Seq("el", "los", "las", "es", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "que"))
+
+  private def tokens: Column = split(col("text"), " ")
+
+  private def countIn(words: Seq[String]): Column =
+    size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Token statistics: (doc_id, text_len, n_tokens, n_stopwords,
+    * n_punct). Token = single-space split (matches string_split);
+    * punctuation = the class [.,!?;:]. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("text_len"),
+      size(tokens).as("n_tokens"),
+      countIn(Stopwords).as("n_stopwords"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+        .as("n_punct"))
+
+  /** Quality score in [0,1]: rewards stopword density (natural prose) and
+    * penalizes punctuation density and extreme lengths. All terms are
+    * exact int/int divisions in double — bit-reproducible across engines
+    * when written in the same expression order. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stats = tokenStats(docs)
+    val stopRatio = col("n_stopwords").cast("double") / col("n_tokens").cast("double")
+    val punctRatio = col("n_punct").cast("double") / col("text_len").cast("double")
+    val lenOk = when(col("n_tokens") >= 10 && col("n_tokens") <= 100000, lit(1.0)).otherwise(lit(0.0))
+    stats.select(
+      col("doc_id"),
+      (lit(0.5) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.2) * lenOk)
+        .as("quality_score"))
+  }
+
+  /** Language-ID heuristic: count marker-token hits per language, predict
+    * the argmax (ties and all-zero scores resolve deterministically:
+    * first language in [[LangMarkers]] order wins a tie; no hits at all
+    * predicts "und"). N-gram profiles would be the production upgrade;
+    * marker counting is the SQL-expressible baseline. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = LangMarkers.map { case (lang, markers) => lang -> countIn(markers) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight gives priority to the FIRST matching language in
+    // LangMarkers order (earlier entries overwrite later in the chain).
+    docs.select(col("doc_id"), pred.as("lang_pred"))
+  }
+
+  /** Content fingerprint: md5 of the full text (exact-dup key), plus a
+    * prefix fingerprint of the first 64 chars (clustering key for
+    * boilerplate-prefix detection). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("fp"),
+      md5(substring(col("text"), 1, 64)).as("fp_prefix"))
+}

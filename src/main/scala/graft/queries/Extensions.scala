@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, Text}
+import graft.streaming.Streams
+
+/** Extension queries (SURVEY.md §2.3 E1–E4): the LLM-training-pipeline
+  * operators layered over the `documents`/`embeddings`/`events` fixture
+  * tables, each with a DuckDB oracle where SQL can express it (simhash is
+  * rows-only: 60-bit integer hashing is not sanely SQL-expressible).
+  */
+object Extensions {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  /** The events fixture stores TIMESTAMP(NANOS), which Spark's vectorized
+    * Parquet reader rejects; read nanos as long and floor-divide to
+    * microseconds (exactly DuckDB's nanos->micros truncation). Integer
+    * `div`, not `/`: epoch nanos (~1.7e18) overflow double precision. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val knnQueryIds: Seq[Long] = 0L until 20L
+  val KnnK = 10
+
+  // ---- E1: deduplication ----
+
+  def e01_exact_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir))
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy("keep_id")
+
+  def e02_minhash_signature(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(docs(s, dir)).orderBy("doc_id")
+
+  def e03_minhash_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(docs(s, dir)).orderBy("doc_a", "doc_b")
+
+  def e04_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  def e05_simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir)).orderBy("doc_id")
+
+  // ---- E2: similarity search ----
+
+  def e06_knn_cosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, dir), knnQueryIds, KnnK)
+      .orderBy("query_id", "neighbor_id")
+
+  def e07_knn_lsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(emb(s, dir), knnQueryIds, KnnK)
+      .orderBy("query_id", "neighbor_id")
+
+  // ---- E3: text analysis ----
+
+  def e08_token_stats(s: SparkSession, dir: String): DataFrame =
+    Text.tokenStats(docs(s, dir)).orderBy("doc_id")
+
+  def e09_quality_score(s: SparkSession, dir: String): DataFrame =
+    Text.qualityScore(docs(s, dir)).orderBy("doc_id")
+
+  def e10_langid(s: SparkSession, dir: String): DataFrame =
+    Text.langId(docs(s, dir)).orderBy("doc_id")
+
+  def e11_fingerprint(s: SparkSession, dir: String): DataFrame =
+    Text.fingerprints(docs(s, dir)).orderBy("doc_id")
+
+  // ---- E4: event-stream windows (batch twins of the streaming ops) ----
+
+  def e12_window_tumbling(s: SparkSession, dir: String): DataFrame =
+    Streams.tumblingCounts(events(s, dir)).orderBy("window_start", "event_type")
+
+  def e13_window_sliding(s: SparkSession, dir: String): DataFrame =
+    Streams.slidingCounts(events(s, dir)).orderBy("window_start", "event_type")
+
+  def e14_sessionize(s: SparkSession, dir: String): DataFrame =
+    Streams.sessionize(events(s, dir)).orderBy("user_id", "session_start")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_exact_dedup" -> (e01_exact_dedup _),
+    "e02_minhash_signature" -> (e02_minhash_signature _),
+    "e03_minhash_pairs" -> (e03_minhash_pairs _),
+    "e04_ngram_jaccard" -> (e04_ngram_jaccard _),
+    "e05_simhash" -> (e05_simhash _),
+    "e06_knn_cosine" -> (e06_knn_cosine _),
+    "e07_knn_lsh" -> (e07_knn_lsh _),
+    "e08_token_stats" -> (e08_token_stats _),
+    "e09_quality_score" -> (e09_quality_score _),
+    "e10_langid" -> (e10_langid _),
+    "e11_fingerprint" -> (e11_fingerprint _),
+    "e12_window_tumbling" -> (e12_window_tumbling _),
+    "e13_window_sliding" -> (e13_window_sliding _),
+    "e14_sessionize" -> (e14_sessionize _))
+
+  // ---- DuckDB oracle twins ----
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i))""".stripMargin
+
+  private val sigCte = {
+    val mins = (0 until Dedup.NumHashes)
+      .map(j => s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "e01_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "e02_minhash_signature" ->
+      s"""WITH $sigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+    "e03_minhash_pairs" -> {
+      val bands = (0 until Dedup.NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $sigCte,
+         |bands AS (
+         |  $bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "e04_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |d AS (SELECT DISTINCT doc_id, s FROM sh),
+         |n AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+         |c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |      FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) AS jaccard
+         |FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "e06_knn_cosine" -> {
+      val ids = knnQueryIds.mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id IN ($ids)),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id,
+         |        round(list_dot_product(qv, cv) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS sim
+         |      FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, sim FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $KnnK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+
+    "e08_token_stats" ->
+      """SELECT doc_id, length(text) AS text_len,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','to','and','in','is','on','for','with'))) AS n_stopwords,
+        |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e09_quality_score" ->
+      """WITH stats AS (
+        |  SELECT doc_id, length(text) AS text_len,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','to','and','in','is','on','for','with'))) AS n_stopwords,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id,
+        |  0.5 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |  + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(text_len AS DOUBLE))
+        |  + 0.2 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+        |  AS quality_score
+        |FROM stats ORDER BY doc_id""".stripMargin,
+
+    "e10_langid" -> {
+      def cnt(ws: Seq[String]) =
+        s"len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+      val scores = Text.LangMarkers.map { case (l, ws) => l -> cnt(ws) }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (l, e) =>
+        s"WHEN $e = best AND best > 0 THEN '$l'" }.mkString("\n  ")
+      s"""WITH scored AS (SELECT doc_id, text, $best AS best FROM documents)
+         |SELECT doc_id, CASE
+         |  $cases
+         |  ELSE 'und' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "e11_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 64)) AS fp_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e12_window_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e13_window_sliding" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL (j * 15) MINUTE AS window_start,
+        |  event_type, count(*) AS cnt
+        |FROM events, UNNEST(generate_series(0, 3)) AS t(j)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e14_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
+}
