@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different text with no shared phrasing at all"),
+    (5L, "ab")                                             // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts") {
+    val grp = Dedup.exactGroups(docs).select("keep_id", "n_dups")
+      .as[(Long, Long)].collect().toMap
+    assert(grp(1L) == 2L) // docs 1,2
+    assert(grp(3L) == 1L)
+    assert(grp.size == 4)
+  }
+
+  test("shingles are word 3-grams; short docs drop out") {
+    val sh = Dedup.shingles(docs.where($"doc_id".isin(1L, 5L)))
+      .as[(Long, String)].collect()
+    assert(sh.forall(_._1 == 1L))
+    assert(sh.length == 7) // 9 tokens -> 7 shingles
+    assert(sh.map(_._2).contains("the quick brown"))
+  }
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val sig = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("LSH candidate pairs find exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, different low") {
+    val j = Dedup.ngramJaccardPairs(docs, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.4 && j((1L, 3L)) < 1.0)
+    assert(!j.contains((1L, 4L)))
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val hamNear = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val hamFar = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hamNear < hamFar, s"near=$hamNear far=$hamFar")
+  }
+
+  test("simhashNearPairs buckets catch the identical pair") {
+    val pairs = Dedup.simhashNearPairs(docs, maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.cosineSimilarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineSimilarity matches hand computation") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 1f, 0f), Array(1f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val sims = df.select(cosineSimilarity(col("a"), col("b"))).as[Double].collect()
+    assert(sims(0) == 0.0)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(sims(2) - expected) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k nearest excluding self, deterministic order") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.8f, 0.3f)), (4L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val top2 = Similarity.bruteForceTopK(vecs, Seq(0L), 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(top2 == Seq(1L, 3L))
+  }
+
+  test("lsh recall on fixture embeddings is usable and candidates are pruned") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qids = (0L until 10L).toSeq
+    val bf = Similarity.bruteForceTopK(emb, qids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(emb, qids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    // near-random fixture vectors: worst case for hyperplane LSH
+    assert(recall > 0.4, s"recall=$recall")
+  }
+}
