@@ -56,10 +56,12 @@ object Similarity {
         .hashLong((p.toLong << 32) | d.toLong, 42)
       (h.toDouble / Int.MaxValue.toDouble)
     }
+    // One literal plane array + zip_with/aggregate per plane keeps the
+    // expression tree small (planes nodes, not planes*dims): a flat
+    // element_at sum at 32x64 made analysis+codegen the bottleneck.
     val bucketBits: Seq[Column] = (0 until planes).map { p =>
-      val dot = (0 until dims).map { d =>
-        element_at(col("embedding"), d + 1).cast("double") * lit(comp(p, d))
-      }.reduce(_ + _)
+      val plane = typedLit((0 until dims).map(d => comp(p, d)))
+      val dot = dotProduct(col("embedding"), plane)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     embeddings.withColumn("bucket", bucketBits.reduce(_ + _))
