@@ -30,7 +30,8 @@ object SparkEntry {
     "q12_multi_label" -> (Inventory.q12_multi_label _),
     "q13_path_multiplicity" -> (Inventory.q13_path_multiplicity _),
     "q14_bulk_load" -> (Inventory.q14_bulk_load _),
-    "q15_pricing_summary" -> (Inventory.q15_pricing_summary _)) ++ Extensions.all
+    "q15_pricing_summary" -> (Inventory.q15_pricing_summary _),
+    "q16_dsl_chain" -> (Inventory.q16_dsl_chain _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

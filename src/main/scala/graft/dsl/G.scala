@@ -1,0 +1,171 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+import graft.model.{Direction, GraphColumns => GC}
+
+/** Chainable traversal DSL over a [[PropertyGraph]] — the public verb
+  * surface a user of the reference's Gremlin API writes against
+  * (`g.V().has(...).out(...).values(...)`; the reference inherits the
+  * whole step library from gremlin-core, SURVEY.md §2.1, and adds only
+  * the bulk vertex step O24/O25 — which is this engine's native
+  * execution model anyway). Each verb composes a lazy DataFrame; nothing
+  * executes until an action. Torc-native set verbs (traverse/fuse/
+  * intersect/subtract, TorcHelper.java:416-646) remain available on
+  * [[graft.operators.TraversalResult]]; this layer covers the standard
+  * filter/expand/group/count/order/limit surface.
+  *
+  * Each Step tracks the set of labels its frontier can hold, so label
+  * pruning is structural (only matching per-label frames are unioned) —
+  * the same effect as the reference's hasLabel pushdown strategy
+  * (TorcGraphProviderOptimizationStrategy.java:74-103), obtained by
+  * construction rather than by a rewrite rule.
+  *
+  * Multiplicity follows join semantics, matching the reference's
+  * traverser fan-out (TorcVertexStep.java:123-130); use `dedup()` for
+  * set semantics.
+  */
+final case class G(graph: PropertyGraph) {
+
+  /** All vertices: `g.V()`. */
+  def V(): Step = {
+    val frames = graph.vertexLabels.map { l =>
+      graph.vertices(l).select(col(GC.Id), lit(l).as(GC.Label))
+    }
+    Step(graph, frames.reduce(_.unionByName(_)), graph.vertexLabels)
+  }
+
+  /** All vertices of one label: `g.V("Customer")`. */
+  def V(label: String): Step =
+    Step(graph,
+      graph.vertices(label).select(col(GC.Id), lit(label).as(GC.Label)),
+      Seq(label))
+
+  /** Point lookup: `g.V("Customer", 1, 2, 3)` (O4 semantics: misses are
+    * simply absent). */
+  def V(label: String, ids: Long*): Step =
+    Step(graph,
+      graph.verticesById(label, ids).select(col(GC.Id), lit(label).as(GC.Label)),
+      Seq(label))
+}
+
+final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) {
+
+  /** Filter on a vertex property — Gremlin `has(key, value)`. */
+  def has(key: String, value: Any): Step = has(col(key) === lit(value))
+
+  /** Filter on vertex properties — Gremlin `has(predicate)`. Each label's
+    * branch joins its full vertex frame (Catalyst prunes to the columns
+    * the predicate touches); a label whose schema cannot resolve the
+    * predicate contributes no rows, matching `has()` on a property the
+    * vertex lacks. */
+  def has(cond: Column): Step = {
+    val attempts = labels.map { l =>
+      val v = graph.vertices(l)
+      val proj = v.withColumnRenamed(GC.Id, "_hid")
+      val sub = df.select(col(GC.Id), col(GC.Label)).where(col(GC.Label) === l)
+      val joined = sub.join(proj, sub(GC.Id) === proj("_hid")).where(cond)
+        .select(sub(GC.Id), sub(GC.Label))
+      // Analysis check: does this label's schema resolve the predicate?
+      val ok = scala.util.Try(joined.schema).isSuccess
+      (l, joined, ok)
+    }
+    val kept = attempts.filter(_._3)
+    copy(df = nonEmptyUnion(kept.map(_._2)), labels = kept.map(_._1))
+  }
+
+  /** hasLabel step — structural pruning, not a runtime filter. */
+  def hasLabel(ls: String*): Step = {
+    val kept = labels.filter(ls.contains)
+    copy(df = df.where(col(GC.Label).isin(ls: _*)), labels = kept)
+  }
+
+  /** One-hop expansion — Gremlin `out/in/both(label)`. */
+  def out(edgeLabel: String, neighborLabels: String*): Step =
+    expand(edgeLabel, Direction.Out, fillEdge = false, neighborLabels)
+  def in(edgeLabel: String, neighborLabels: String*): Step =
+    expand(edgeLabel, Direction.In, fillEdge = false, neighborLabels)
+  def both(edgeLabel: String, neighborLabels: String*): Step =
+    expand(edgeLabel, Direction.Both, fillEdge = false, neighborLabels)
+
+  /** Expansion keeping edge property columns — Gremlin `outE`/`inE`;
+    * follow with `where` for edge-property predicates (removeEdgeIf). */
+  def outE(edgeLabel: String, neighborLabels: String*): Step =
+    expand(edgeLabel, Direction.Out, fillEdge = true, neighborLabels)
+  def inE(edgeLabel: String, neighborLabels: String*): Step =
+    expand(edgeLabel, Direction.In, fillEdge = true, neighborLabels)
+
+  private def expand(edgeLabel: String, dir: Direction, fillEdge: Boolean,
+      neighborLabels: Seq[String]): Step = {
+    val parts = labels.flatMap { l =>
+      val matching = graph.edgeFrames.keys.exists { s =>
+        s.label == edgeLabel && (dir match {
+          case Direction.Out  => s.srcLabel == l
+          case Direction.In   => s.dstLabel == l
+          case Direction.Both => s.srcLabel == l || s.dstLabel == l
+        })
+      }
+      if (!matching) None
+      else {
+        val frontier = df.where(col(GC.Label) === l).select(col(GC.Id))
+        val r = graph.traverse(frontier, l, edgeLabel, dir, fillEdge, neighborLabels)
+        val keep = Seq(col(GC.Dst).as(GC.Id), col(GC.DstLabel).as(GC.Label)) ++
+          r.edgePropCols.map(col)
+        Some((r.df.select(keep: _*), r))
+      }
+    }
+    require(parts.nonEmpty,
+      s"no adjacency for ($edgeLabel, $dir) from labels $labels")
+    val outDf = parts.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true))
+    val newLabels = graph.vertexLabels.filter { nl =>
+      graph.edgeFrames.keys.exists { s =>
+        s.label == edgeLabel &&
+        (neighborLabels.isEmpty ||
+          neighborLabels.contains(nl)) && (dir match {
+          case Direction.Out  => labels.contains(s.srcLabel) && s.dstLabel == nl
+          case Direction.In   => labels.contains(s.dstLabel) && s.srcLabel == nl
+          case Direction.Both => (labels.contains(s.srcLabel) && s.dstLabel == nl) ||
+            (labels.contains(s.dstLabel) && s.srcLabel == nl)
+        })
+      }
+    }
+    copy(df = outDf, labels = newLabels)
+  }
+
+  /** Arbitrary predicate over current columns (edge props after outE/inE). */
+  def where(cond: Column): Step = copy(df = df.filter(cond))
+
+  /** Gremlin `dedup()`. */
+  def dedup(): Step = copy(df = df.dropDuplicates(GC.Id, GC.Label))
+
+  /** Deterministic `order().by(label, id).limit(n)`. */
+  def limit(n: Int): Step = copy(df = df.orderBy(GC.Label, GC.Id).limit(n))
+
+  /** Project property values — Gremlin `values(keys...)`. */
+  def values(keys: String*): DataFrame = {
+    val parts = labels
+      .filter(l => keys.toSet.subsetOf(graph.vertices(l).columns.toSet))
+      .map { l =>
+        graph.hydrate(df.where(col(GC.Label) === l), GC.Id, l, keys)
+          .select(keys.map(col): _*)
+      }
+    nonEmptyUnion(parts)
+  }
+
+  /** Gremlin `count()`. */
+  def count(): Long = df.count()
+
+  /** Gremlin `groupCount()` by (label, id) over the frontier. */
+  def groupCount(): DataFrame =
+    df.groupBy(col(GC.Label), col(GC.Id))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+
+  /** Current frontier as (id, label[, eprops]) DataFrame. */
+  def toDF: DataFrame = df
+
+  private def nonEmptyUnion(parts: Seq[DataFrame]): DataFrame =
+    if (parts.isEmpty) df.where(lit(false)) // empty result, same schema
+    else parts.reduce(_.unionByName(_))
+}

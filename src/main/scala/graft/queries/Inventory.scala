@@ -206,4 +206,18 @@ object Inventory {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  /** Q16: the chainable DSL end-to-end (Gremlin-surface parity,
+    * SURVEY.md §2.1 inherited step library): has -> in -> outE -> where ->
+    * groupCount, composed purely from [[graft.dsl.G]] verbs. */
+  def q16_dsl_chain(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Customer").has("c_mktsegment", "BUILDING")
+      .in("PLACED_BY", "Order")
+      .outE("CONTAINS", "Part")
+      .where(col("l_quantity") > 45)
+      .groupCount()
+      .select(col(graft.model.GraphColumns.Id).as("p_partkey"), col("cnt"))
+      .orderBy("p_partkey")
+  }
 }

@@ -121,7 +121,17 @@ object Oracles {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  val q16_dsl_chain: String =
+    """SELECT l_partkey AS p_partkey, count(*) AS cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND l_quantity > 45
+      |GROUP BY l_partkey
+      |ORDER BY p_partkey""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q16_dsl_chain" -> q16_dsl_chain,
     "q01_one_hop" -> q01_one_hop,
     "q02_two_hop_fuse" -> q02_two_hop_fuse,
     "q03_intersect" -> q03_intersect,

@@ -1,0 +1,74 @@
+package graft.dsl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.GraphLoader
+
+/** DSL behavior against the sf0.001 fixture graph, cross-checked with
+  * direct DataFrame queries over the source tables. */
+class GSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val g = G(GraphLoader.tpch(spark, sf0001))
+  private def tbl(n: String) = spark.read.parquet(s"$sf0001/$n.parquet")
+
+  test("V() unions all labels; V(label) scans one") {
+    val total = Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .map(tbl(_).count()).sum
+    assert(g.V().count() == total)
+    assert(g.V("Customer").count() == tbl("customer").count())
+  }
+
+  test("V(label, ids) point lookup with misses absent") {
+    assert(g.V("Nation", 0L, 1L, 999L).count() == 2)
+  }
+
+  test("has + out chain: customers in a segment, their nations") {
+    val seg = g.V("Customer").has("c_mktsegment", "BUILDING")
+    val want = tbl("customer").where($"c_mktsegment" === "BUILDING")
+    assert(seg.count() == want.count())
+
+    val nations = seg.out("IN_NATION").dedup()
+    val wantN = want.select("c_nationkey").distinct()
+    assert(nations.count() == wantN.count())
+  }
+
+  test("in expansion fans out with multiplicity; dedup collapses") {
+    val custs = g.V("Nation").in("IN_NATION", "Customer")
+    assert(custs.count() == tbl("customer").count())
+    assert(custs.dedup().count() == tbl("customer").count())
+  }
+
+  test("outE + where filters on edge properties") {
+    val bigLines = g.V("Order").outE("CONTAINS", "Part").where($"l_quantity" > 45)
+    val want = tbl("lineitem").where($"l_quantity" > 45)
+    assert(bigLines.count() == want.count())
+  }
+
+  test("hasLabel prunes branches structurally") {
+    val s = g.V("Nation").in("IN_NATION").hasLabel("Supplier")
+    assert(s.labels == Seq("Supplier"))
+    assert(s.count() == tbl("supplier").count())
+  }
+
+  test("values hydrates properties") {
+    val names = g.V("Region").values("r_name").as[String].collect().toSet
+    assert(names == Set("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+  }
+
+  test("groupCount over two-hop frontier matches SQL") {
+    val gc = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .in("PLACED_BY", "Order")
+      .groupCount() // orders per... frontier is orders; all count 1
+    val want = tbl("orders").join(tbl("customer").where($"c_mktsegment" === "BUILDING"),
+      $"o_custkey" === $"c_custkey").count()
+    assert(gc.agg(sum("cnt")).as[Long].head() == want)
+  }
+
+  test("limit is deterministic") {
+    val a = g.V("Customer").limit(5).toDF.select(graft.model.GraphColumns.Id).as[Long].collect().toSeq
+    val b = g.V("Customer").limit(5).toDF.select(graft.model.GraphColumns.Id).as[Long].collect().toSeq
+    assert(a == b && a.size == 5)
+  }
+}
