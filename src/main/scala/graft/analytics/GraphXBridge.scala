@@ -1,0 +1,73 @@
+package graft.analytics
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+import graft.model.{GraphColumns => GC}
+
+/** GraphX view of a [[PropertyGraph]] for iterative analytics
+  * (connected components, PageRank, Pregel) — the "graph analytics could
+  * use GraphX" half of the port posture (SURVEY.md §7.0): the reference
+  * explicitly has no OLAP/GraphComputer (`compute()` throws,
+  * TorcGraph.java:315-323), so iterative algorithms are an extension
+  * surface, not parity.
+  *
+  * GraphX vertex ids are Longs: the 128-bit (labelSpace, naturalKey) id
+  * packs as `labelId << 48 | key` — 16 bits of label space and 48 bits of
+  * key, enough for fixture-scale keys; at full scale use a dense id
+  * relabeling pass (zipWithUniqueId) instead, the standard GraphX
+  * pattern.
+  */
+object GraphXBridge {
+
+  val LabelShift = 48
+  private val KeyMask = (1L << LabelShift) - 1
+
+  def pack(labelId: Long, key: Long): VertexId = {
+    require((key & ~KeyMask) == 0, s"vertex key $key exceeds 48 bits")
+    (labelId << LabelShift) | key
+  }
+  def unpackLabel(v: VertexId): Long = v >>> LabelShift
+  def unpackKey(v: VertexId): Long = v & KeyMask
+
+  /** Build the GraphX graph: VD = (label, naturalKey), ED = edge label. */
+  def toGraphX(g: PropertyGraph): Graph[(String, Long), String] = {
+    val ids = g.labelIds
+    val vertices = g.vertexLabels.map { l =>
+      val lid = ids(l)
+      g.vertices(l).select(col(GC.Id)).rdd.map { (r: Row) =>
+        val key = r.getLong(0)
+        (pack(lid, key), (l, key))
+      }
+    }.reduce(_ union _)
+    val edges = g.edgeSpecs.map { spec =>
+      val (slid, dlid) = (ids(spec.srcLabel), ids(spec.dstLabel))
+      g.edgeFrames(spec).select(col(GC.Src), col(GC.Dst)).rdd.map { (r: Row) =>
+        Edge(pack(slid, r.getLong(0)), pack(dlid, r.getLong(1)), spec.label)
+      }
+    }.reduce(_ union _)
+    Graph(vertices, edges)
+  }
+
+  /** Connected components over the whole property graph, back as a
+    * DataFrame `(label, _vid, component)`. */
+  def connectedComponents(g: PropertyGraph): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    toGraphX(g).connectedComponents().vertices
+      .map { case (vid, comp) => (unpackLabel(vid), unpackKey(vid), comp) }
+      .toDF("label_id", GC.Id, "component")
+  }
+
+  /** PageRank (graph-wide, damping 0.85), back as
+    * `(label_id, _vid, rank)`. */
+  def pageRank(g: PropertyGraph, tol: Double = 1e-4): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    toGraphX(g).pageRank(tol).vertices
+      .map { case (vid, rank) => (unpackLabel(vid), unpackKey(vid), rank) }
+      .toDF("label_id", GC.Id, "rank")
+  }
+}

@@ -76,4 +76,26 @@ object Text {
       col("doc_id"),
       md5(col("text")).as("fp"),
       md5(substring(col("text"), 1, 64)).as("fp_prefix"))
+
+  /** BPE-ish subword token count: alpha runs, digit runs, and single
+    * non-alphanumeric symbols — the pre-merge tokenization a byte-pair
+    * tokenizer starts from. Whitespace token count alongside for the
+    * compression-ratio signal (subword/word ratio ~ language density). */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_words"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
+
+  /** Winnowing-style document fingerprint: the minimum 64-bit rolling
+    * hash over the document's word 3-gram shingles (the codegen'd
+    * [[graft.functions.RollingHash64Expr]] on each shingle). Documents
+    * sharing any lowest-hash shingle collide — a cheap near-dup
+    * clustering key that, unlike md5, survives local edits. */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    graft.ext.Dedup.shingles(docs)
+      .groupBy(col("id"))
+      .agg(min(graft.functions.rollingHash64(col("s"))).as("winnow_fp"))
+      .withColumnRenamed("id", "doc_id")
 }

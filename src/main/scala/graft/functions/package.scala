@@ -62,4 +62,10 @@ package object functions {
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** 64-bit polynomial rolling hash of a string column — a native
+    * codegen'd Catalyst expression ([[RollingHash64Expr]]). */
+  def rollingHash64(c: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      RollingHash64Expr(org.apache.spark.sql.GraftSqlShims.expression(c)))
 }

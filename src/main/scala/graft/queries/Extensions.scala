@@ -85,6 +85,12 @@ object Extensions {
   def e14_sessionize(s: SparkSession, dir: String): DataFrame =
     Streams.sessionize(events(s, dir)).orderBy("user_id", "session_start")
 
+  def e15_bpe_tokens(s: SparkSession, dir: String): DataFrame =
+    Text.bpeTokenCounts(docs(s, dir)).orderBy("doc_id")
+
+  def e16_winnow_fingerprint(s: SparkSession, dir: String): DataFrame =
+    Text.winnowFingerprints(docs(s, dir)).orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_exact_dedup" -> (e01_exact_dedup _),
     "e02_minhash_signature" -> (e02_minhash_signature _),
@@ -99,7 +105,9 @@ object Extensions {
     "e11_fingerprint" -> (e11_fingerprint _),
     "e12_window_tumbling" -> (e12_window_tumbling _),
     "e13_window_sliding" -> (e13_window_sliding _),
-    "e14_sessionize" -> (e14_sessionize _))
+    "e14_sessionize" -> (e14_sessionize _),
+    "e15_bpe_tokens" -> (e15_bpe_tokens _),
+    "e16_winnow_fingerprint" -> (e16_winnow_fingerprint _))
 
   // ---- DuckDB oracle twins ----
 
@@ -204,6 +212,11 @@ object Extensions {
     "e11_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 64)) AS fp_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e15_bpe_tokens" ->
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+         |  len(regexp_extract_all(text, '${Text.BpePattern}')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "e12_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

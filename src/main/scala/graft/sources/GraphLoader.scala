@@ -91,6 +91,53 @@ object GraphLoader {
     }
   }
 
+  /** Persist as CSV (the reference bulk-loads from LDBC CSVs,
+    * README.md:83-117) with a DDL schema sidecar per frame — CSV carries
+    * no types, so the sidecar makes the round trip lossless. */
+  def persistCsv(g: PropertyGraph, path: String): Unit = {
+    def writeOne(df: DataFrame, dir: String): Unit = {
+      df.write.mode("overwrite").option("header", "true").csv(dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), g.spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_schema.ddl"), true)
+      out.write(df.schema.toDDL.getBytes("UTF-8")); out.close()
+    }
+    g.vertexFrames.foreach { case (label, df) =>
+      writeOne(df, s"$path/vertices/label=$label") }
+    g.edgeFrames.foreach { case (spec, df) =>
+      writeOne(df,
+        s"$path/edges/label=${spec.label}/src_label=${spec.srcLabel}/dst_label=${spec.dstLabel}") }
+  }
+
+  /** Re-open a CSV graph persisted by [[persistCsv]]. */
+  def openCsv(spark: SparkSession, path: String): PropertyGraph = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def readOne(dir: String): DataFrame = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, "_schema.ddl"))
+      val ddl = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      in.close()
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .option("header", "true").csv(dir)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    def children(p: String): Seq[String] = {
+      val qp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(qp)) Nil
+      else fs.listStatus(qp).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    }
+    val vertices = children(s"$path/vertices").map { d =>
+      d.stripPrefix("label=") -> readOne(s"$path/vertices/$d")
+    }.toMap
+    val edges = (for {
+      ld <- children(s"$path/edges"); label = ld.stripPrefix("label=")
+      sd <- children(s"$path/edges/$ld"); srcLabel = sd.stripPrefix("src_label=")
+      dd <- children(s"$path/edges/$ld/$sd"); dstLabel = dd.stripPrefix("dst_label=")
+    } yield EdgeSpec(label, srcLabel, dstLabel) ->
+        readOne(s"$path/edges/$ld/$sd/$dd")).toMap
+    new PropertyGraph(spark, vertices, edges)
+  }
+
   /** Re-open a graph persisted by [[persist]] (bulk-load round trip). */
   def open(spark: SparkSession, path: String): PropertyGraph = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Event-stream transforms written once and usable in both batch and
   * Structured Streaming mode (the transforms are plain logical-plan
@@ -47,4 +48,30 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  /** Arbitrary per-key streaming state via `mapGroupsWithState`: a
+    * running (events, value-sum) accumulator per user that survives
+    * across triggers — the custom-state surface Structured Streaming
+    * exposes beyond windowed aggregation. Update output mode; state
+    * never expires (attach a timeout for production eviction). */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state) =>
+          val (n0, sum0) =
+            if (state.exists) (state.get.n_events, state.get.value_sum)
+            else (0L, 0.0)
+          var n = n0
+          var sum = sum0
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          val updated = UserTotal(userId, n, sum)
+          state.update(updated)
+          updated
+      }
+  }
+
+  final case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
 }

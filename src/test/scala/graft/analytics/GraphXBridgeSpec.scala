@@ -1,0 +1,40 @@
+package graft.analytics
+
+import graft.SparkSpec
+import graft.sources.GraphLoader
+
+class GraphXBridgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val g = GraphLoader.tpch(spark, sf0001)
+
+  test("id packing round-trips") {
+    val vid = GraphXBridge.pack(3L, 123456789L)
+    assert(GraphXBridge.unpackLabel(vid) == 3L)
+    assert(GraphXBridge.unpackKey(vid) == 123456789L)
+  }
+
+  test("toGraphX carries every vertex and edge") {
+    val gx = GraphXBridge.toGraphX(g)
+    val vTotal = g.vertexLabels.map(g.vertices(_).count()).sum
+    val eTotal = g.edgeSpecs.map(g.edgeFrames(_).count()).sum
+    assert(gx.vertices.count() == vTotal)
+    assert(gx.edges.count() == eTotal)
+  }
+
+  test("connected components: the TPC-H graph is one component") {
+    // region<-nation<-customer<-order->part/supplier chains connect
+    // everything through shared parts/suppliers at this scale
+    val cc = GraphXBridge.connectedComponents(g)
+    assert(cc.select("component").distinct().count() == 1)
+  }
+
+  test("pageRank ranks nations above their customers (in-degree mass)") {
+    val pr = GraphXBridge.pageRank(g)
+    val byLabel = pr.groupBy("label_id")
+      .avg("rank").as[(Long, Double)].collect().toMap
+    val nationId = g.labelIds("Nation")
+    val customerId = g.labelIds("Customer")
+    assert(byLabel(nationId) > byLabel(customerId))
+  }
+}

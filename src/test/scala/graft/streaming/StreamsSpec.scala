@@ -44,6 +44,28 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq((7L, 2L), (7L, 1L), (7L, 1L), (8L, 1L)))
   }
 
+  test("mapGroupsWithState accumulates per-user state across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.runningUserTotals(stream).writeStream
+      .format("memory").queryName("state_test").outputMode("update").start()
+    try {
+      mem.addData(eventRows.take(3): _*) // user 7: 2 events, user 8: 1
+      q.processAllAvailable()
+      mem.addData(eventRows.drop(3): _*) // user 7: 2 more events
+      q.processAllAvailable()
+      // update mode emits one row per key per trigger; the LAST row per
+      // key carries the accumulated state
+      val rows = spark.table("state_test").collect()
+      val last7 = rows.filter(_.getLong(0) == 7L).map(r => (r.getLong(1), r.getDouble(2))).last
+      assert(last7 == ((4L, 12.0))) // 4 events, values 1+2+4+5
+      val last8 = rows.filter(_.getLong(0) == 8L).map(r => (r.getLong(1), r.getDouble(2))).last
+      assert(last8 == ((1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming tumblingCounts over MemoryStream matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
