@@ -31,7 +31,8 @@ object SparkEntry {
     "q13_path_multiplicity" -> (Inventory.q13_path_multiplicity _),
     "q14_bulk_load" -> (Inventory.q14_bulk_load _),
     "q15_pricing_summary" -> (Inventory.q15_pricing_summary _),
-    "q16_dsl_chain" -> (Inventory.q16_dsl_chain _)) ++ Extensions.all
+    "q16_dsl_chain" -> (Inventory.q16_dsl_chain _),
+    "q17_rollup" -> (Inventory.q17_rollup _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -102,6 +102,32 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** The scale-path near-dup pipeline: LSH banding proposes candidate
+    * pairs (sub-quadratic), then exact n-gram Jaccard verifies ONLY those
+    * candidates — the shingle intersection is routed through the
+    * candidate list, so unlike [[ngramJaccardPairs]] no all-shared-
+    * shingle self-join ever materializes. Output = pairs that are both
+    * LSH candidates and >= threshold (exactly SQL-checkable; with the
+    * fixture's measured LSH recall of 1.0 it equals the exhaustive
+    * result). */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val cands = minhashCandidatePairs(docs)
+    val t = shingles(docs).distinct()
+    val n = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val ta = t.select(col("id").as("doc_a"), col("s"))
+    val tb = t.select(col("id").as("doc_b"), col("s"))
+    val inter = cands.join(ta, "doc_a").join(tb, Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val na = n.select(col("id").as("_ida"), col("sz").as("sza"))
+    val nb = n.select(col("id").as("_idb"), col("sz").as("szb"))
+    inter.join(na, col("doc_a") === col("_ida"))
+      .join(nb, col("doc_b") === col("_idb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** SimHash 64-bit fingerprint per document via the typed
     * [[SimHashAggregator]]: near-duplicates land within small Hamming
     * distance. Token hash = first 15 hex chars of md5 (60 bits, stays in

@@ -103,7 +103,10 @@ final class PropertyGraph(
           lit(frontierLabel).as(GC.SrcLabel),
           dstId.as(GC.Dst),
           lit(dstLab).as(GC.DstLabel))
-        val props = if (fillEdge) propColumns(spec).map(e(_)) else Nil
+        // plain col(), not e(col): dataset-tagged refs survive into the
+        // projected output and trip DetectAmbiguousSelfJoin when callers
+        // later re-reference the prop columns by name (e.g. rollup)
+        val props = if (fillEdge) propColumns(spec).map(col) else Nil
         joined.select(base ++ props: _*)
       }
     }

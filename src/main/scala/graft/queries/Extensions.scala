@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, Text}
+import graft.ext.{Dedup, Similarity, Sketches, Text}
 import graft.streaming.Streams
 
 /** Extension queries (SURVEY.md §2.3 E1–E4): the LLM-training-pipeline
@@ -91,6 +91,13 @@ object Extensions {
   def e16_winnow_fingerprint(s: SparkSession, dir: String): DataFrame =
     Text.winnowFingerprints(docs(s, dir)).orderBy("doc_id")
 
+  /** The composed scale path: LSH candidates -> exact Jaccard verify. */
+  def e17_near_dup_pipeline(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(docs(s, dir), threshold = 0.5).orderBy("doc_a", "doc_b")
+
+  def e18_distinct_users(s: SparkSession, dir: String): DataFrame =
+    Sketches.distinctUsersExact(events(s, dir)).orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_exact_dedup" -> (e01_exact_dedup _),
     "e02_minhash_signature" -> (e02_minhash_signature _),
@@ -107,7 +114,9 @@ object Extensions {
     "e13_window_sliding" -> (e13_window_sliding _),
     "e14_sessionize" -> (e14_sessionize _),
     "e15_bpe_tokens" -> (e15_bpe_tokens _),
-    "e16_winnow_fingerprint" -> (e16_winnow_fingerprint _))
+    "e16_winnow_fingerprint" -> (e16_winnow_fingerprint _),
+    "e17_near_dup_pipeline" -> (e17_near_dup_pipeline _),
+    "e18_distinct_users" -> (e18_distinct_users _))
 
   // ---- DuckDB oracle twins ----
 
@@ -217,6 +226,34 @@ object Extensions {
       s"""SELECT doc_id, len(string_split(text, ' ')) AS n_words,
          |  len(regexp_extract_all(text, '${Text.BpePattern}')) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e17_near_dup_pipeline" -> {
+      val bands = (0 until Dedup.NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $sigCte,
+         |bands AS (
+         |  $bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |d AS (SELECT DISTINCT doc_id, s FROM sh),
+         |n AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+         |c AS (SELECT doc_a, doc_b, count(*) AS inter
+         |      FROM cand
+         |      JOIN d da ON da.doc_id = doc_a
+         |      JOIN d db ON db.doc_id = doc_b AND db.s = da.s
+         |      GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) AS jaccard
+         |FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "e18_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e12_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -220,4 +220,21 @@ object Inventory {
       .select(col(graft.model.GraphColumns.Id).as("p_partkey"), col("cnt"))
       .orderBy("p_partkey")
   }
+
+  /** Q17: grouping-set coverage (SURVEY §2.2 "cube/rollup if we expose
+    * them"): ROLLUP over (returnflag, linestatus) with subtotal rows.
+    * Null subtotal markers sort NULLS FIRST on both sides. */
+  def q17_rollup(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val li = G.traverse(G.frontier("Order"), "Order", "CONTAINS", Out,
+      fillEdge = true, Seq("Part"))
+    // rollup with Column refs, not names: the string overload trips
+    // DetectAmbiguousSelfJoin after any join in Spark 4.1
+    li.df.select("l_returnflag", "l_linestatus", "l_quantity")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
 }

@@ -130,8 +130,17 @@ object Oracles {
       |GROUP BY l_partkey
       |ORDER BY p_partkey""".stripMargin
 
+  val q17_rollup: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val all: Map[String, String] = Map(
     "q16_dsl_chain" -> q16_dsl_chain,
+    "q17_rollup" -> q17_rollup,
     "q01_one_hop" -> q01_one_hop,
     "q02_two_hop_fuse" -> q02_two_hop_fuse,
     "q03_intersect" -> q03_intersect,
