@@ -134,6 +134,14 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
     copy(df = outDf, labels = newLabels)
   }
 
+  /** Bounded multi-hop — Gremlin `repeat(step).times(n)`: applies the
+    * hop function n times (each application is one more join in the
+    * plan; there is no iterative driver loop). Unbounded `until()` would
+    * need an iterative fixpoint — that's GraphX/Pregel territory
+    * ([[graft.analytics.GraphXBridge]]). */
+  def repeat(n: Int)(hop: Step => Step): Step =
+    (1 to n).foldLeft(this)((s, _) => hop(s))
+
   /** Arbitrary predicate over current columns (edge props after outE/inE). */
   def where(cond: Column): Step = copy(df = df.filter(cond))
 

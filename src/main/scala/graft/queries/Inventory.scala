@@ -237,4 +237,15 @@ object Inventory {
         count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
+
+  /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
+    * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
+    * oracle re-derives the label-space ids from the same sorted-label
+    * rule, proving the id scheme is reproducible outside the engine. */
+  def q18_unified_ids(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    G.unifiedVertices
+      .select(col("id.hi").as("hi"), col("id.lo").as("lo"), col("label"))
+      .orderBy("hi", "lo")
+  }
 }

@@ -138,9 +138,22 @@ object Oracles {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Label-space ids = 1-based index of the sorted label set:
+    * Customer=1, Nation=2, Order=3, Part=4, Region=5, Supplier=6. */
+  val q18_unified_ids: String =
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS hi, CAST(c_custkey AS BIGINT) AS lo, 'Customer' AS label FROM customer
+      |  UNION ALL SELECT 2, n_nationkey, 'Nation' FROM nation
+      |  UNION ALL SELECT 3, o_orderkey, 'Order' FROM orders
+      |  UNION ALL SELECT 4, p_partkey, 'Part' FROM part
+      |  UNION ALL SELECT 5, r_regionkey, 'Region' FROM region
+      |  UNION ALL SELECT 6, s_suppkey, 'Supplier' FROM supplier
+      |) ORDER BY hi, lo""".stripMargin
+
   val all: Map[String, String] = Map(
     "q16_dsl_chain" -> q16_dsl_chain,
     "q17_rollup" -> q17_rollup,
+    "q18_unified_ids" -> q18_unified_ids,
     "q01_one_hop" -> q01_one_hop,
     "q02_two_hop_fuse" -> q02_two_hop_fuse,
     "q03_intersect" -> q03_intersect,

@@ -66,6 +66,14 @@ class GSpec extends SparkSpec {
     assert(gc.agg(sum("cnt")).as[Long].head() == want)
   }
 
+  test("repeat composes n hops") {
+    // Customer -[IN_NATION]-> Nation -[IN_REGION]-> Region via repeat
+    val viaRepeat = g.V("Customer")
+      .repeat(1)(_.out("IN_NATION")).repeat(1)(_.out("IN_REGION"))
+      .dedup().count()
+    assert(viaRepeat == 5) // all regions reached
+  }
+
   test("limit is deterministic") {
     val a = g.V("Customer").limit(5).toDF.select(graft.model.GraphColumns.Id).as[Long].collect().toSeq
     val b = g.V("Customer").limit(5).toDF.select(graft.model.GraphColumns.Id).as[Long].collect().toSeq

@@ -44,6 +44,44 @@ class StreamsSpec extends SparkSpec {
     assert(out == Seq((7L, 2L), (7L, 1L), (7L, 1L), (8L, 1L)))
   }
 
+  test("session_window works in streaming append mode with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.sessionize(Streams.withWatermark(stream, "1 minute"))
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to close every session
+      mem.addData((99L, ts("2024-01-02 10:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("session_stream")
+        .select(col("user_id"), col("n_events"))
+        .orderBy("user_id", "session_start")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == Seq((7L, 2L), (7L, 1L), (7L, 1L), (8L, 1L)))
+    } finally q.stop()
+  }
+
+  test("file streaming source: same transform over a parquet directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    assert(stream.isStreaming)
+    val q = Streams.tumblingCounts(Streams.withWatermark(stream, "1 minute"))
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream").agg(sum("cnt"))
+        .as[Long].head()
+      assert(got == eventRows.size)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
