@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scaling probe. Replicates fixture tables k times with
+  * shifted keys (so join/group cardinality grows with data, not just row
+  * count) and times the core operator shapes at k = 1, 2, 4, 8. A
+  * near-linear curve is the evidence that the plans (broadcast sides,
+  * partial aggregation, banding) hold as data grows; a super-linear jump
+  * flags an operator that would not survive 1000x.
+  *
+  * `sbt "runMain graft.ScaleProbe [sfDir]"` — prints one JSON line per
+  * (op, k).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rep(df: DataFrame, keyCols: Seq[String], k: Int, shift: Long): DataFrame =
+      (0 until k).map { i =>
+        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
+      }.reduce(_.unionByName(_))
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warm-up
+    noop(li.groupBy("l_returnflag").count())
+
+    for (k <- Seq(1, 2, 4, 8)) {
+      val liK = rep(li, Seq("l_orderkey"), k, 100000000L)
+      val ordK = rep(orders, Seq("o_orderkey", "o_custkey"), k, 100000000L)
+      val docsK = rep(docs, Seq("doc_id"), k, 100000000L)
+
+      val tJoin = time(noop(
+        liK.join(ordK, liK("l_orderkey") === ordK("o_orderkey"))
+          .groupBy("o_custkey").agg(count(lit(1)), sum("l_quantity"))))
+      val tAgg = time(noop(
+        liK.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")), count(lit(1)))))
+      val tMinhash = time(noop(graft.ext.Dedup.minhashSignatures(docsK)))
+
+      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash}""")
+    }
+    spark.stop()
+  }
+}

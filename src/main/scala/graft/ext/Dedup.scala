@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   *   is the structural fix.
   *
   * All hashing is md5-based so every stage has a DuckDB-SQL oracle twin.
+  *
+  * Algorithms (public literature): MinHash resemblance sketching —
+  * Broder, "On the resemblance and containment of documents" (1997);
+  * LSH banding — Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+  * ch. 3; SimHash — Charikar, "Similarity estimation techniques from
+  * rounding algorithms" (STOC 2002).
   */
 object Dedup {
 

@@ -44,7 +44,9 @@ object Similarity {
       .drop("rn")
   }
 
-  /** Random-hyperplane LSH signature: `planes` pseudo-random hyperplanes
+  /** Random-hyperplane LSH signature (Charikar, STOC 2002: sign of the
+    * dot product with random hyperplanes estimates angular similarity):
+    * `planes` pseudo-random hyperplanes
     * derived deterministically from (plane index, dimension) hashes —
     * reproducible with no RNG state. Bucket = bit vector of dot-product
     * signs. */

@@ -88,8 +88,10 @@ object Text {
       size(split(col("text"), " ")).as("n_words"),
       size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
 
-  /** Winnowing-style document fingerprint: the minimum 64-bit rolling
-    * hash over the document's word 3-gram shingles (the codegen'd
+  /** Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — min-hash-of-window variant): the minimum 64-bit rolling hash
+    * over the document's word 3-gram shingles (the codegen'd
     * [[graft.functions.RollingHash64Expr]] on each shingle). Documents
     * sharing any lowest-hash shingle collide — a cheap near-dup
     * clustering key that, unlike md5, survives local edits. */

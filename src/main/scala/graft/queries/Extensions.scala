@@ -98,6 +98,16 @@ object Extensions {
   def e18_distinct_users(s: SparkSession, dir: String): DataFrame =
     Sketches.distinctUsersExact(events(s, dir)).orderBy("event_type")
 
+  /** Multimodal plumbing end-to-end: binary payload column ->
+    * mapPartitions feature extraction. Only the SQL-derivable columns
+    * are exposed here (the decode stub's fake dims are library-only). */
+  def e19_media_features(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.ext.Multimodal.mediaFromDocuments(docs(s, dir))
+    graft.ext.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("byte_len"))
+      .orderBy("media_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_exact_dedup" -> (e01_exact_dedup _),
     "e02_minhash_signature" -> (e02_minhash_signature _),
@@ -116,7 +126,8 @@ object Extensions {
     "e15_bpe_tokens" -> (e15_bpe_tokens _),
     "e16_winnow_fingerprint" -> (e16_winnow_fingerprint _),
     "e17_near_dup_pipeline" -> (e17_near_dup_pipeline _),
-    "e18_distinct_users" -> (e18_distinct_users _))
+    "e18_distinct_users" -> (e18_distinct_users _),
+    "e19_media_features" -> (e19_media_features _))
 
   // ---- DuckDB oracle twins ----
 
@@ -254,6 +265,14 @@ object Extensions {
     "e18_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e19_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "e12_window_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
