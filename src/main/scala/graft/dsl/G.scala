@@ -37,10 +37,12 @@ final case class G(graph: PropertyGraph) {
     Step(graph, frames.reduce(_.unionByName(_)), graph.vertexLabels)
   }
 
-  /** All vertices of one label: `g.V("Customer")`. */
+  /** All vertices of one label: `g.V("Customer")`. Keeps the label's
+    * property columns in the step so an immediately following `has()`
+    * is a plain pushed-down filter, not a self-join. */
   def V(label: String): Step =
     Step(graph,
-      graph.vertices(label).select(col(GC.Id), lit(label).as(GC.Label)),
+      graph.vertices(label).withColumn(GC.Label, lit(label)),
       Seq(label))
 
   /** Point lookup: `g.V("Customer", 1, 2, 3)` (O4 semantics: misses are
@@ -62,18 +64,25 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
     * predicate contributes no rows, matching `has()` on a property the
     * vertex lacks. */
   def has(cond: Column): Step = {
-    val attempts = labels.map { l =>
-      val v = graph.vertices(l)
-      val proj = v.withColumnRenamed(GC.Id, "_hid")
-      val sub = df.select(col(GC.Id), col(GC.Label)).where(col(GC.Label) === l)
-      val joined = sub.join(proj, sub(GC.Id) === proj("_hid")).where(cond)
-        .select(sub(GC.Id), sub(GC.Label))
-      // Analysis check: does this label's schema resolve the predicate?
-      val ok = scala.util.Try(joined.schema).isSuccess
-      (l, joined, ok)
+    // Fast path: the step still carries the property columns (fresh
+    // V(label) scan) — filter in place, no join; Catalyst pushes the
+    // predicate into the scan.
+    val direct = scala.util.Try(df.filter(cond).schema).toOption
+      .map(_ => copy(df = df.filter(cond)))
+    direct.getOrElse {
+      val attempts = labels.map { l =>
+        val v = graph.vertices(l)
+        val proj = v.withColumnRenamed(GC.Id, "_hid")
+        val sub = df.select(col(GC.Id), col(GC.Label)).where(col(GC.Label) === l)
+        val joined = sub.join(proj, sub(GC.Id) === proj("_hid")).where(cond)
+          .select(sub(GC.Id), sub(GC.Label))
+        // Analysis check: does this label's schema resolve the predicate?
+        val ok = scala.util.Try(joined.schema).isSuccess
+        (l, joined, ok)
+      }
+      val kept = attempts.filter(_._3)
+      copy(df = nonEmptyUnion(kept.map(_._2)), labels = kept.map(_._1))
     }
-    val kept = attempts.filter(_._3)
-    copy(df = nonEmptyUnion(kept.map(_._2)), labels = kept.map(_._1))
   }
 
   /** hasLabel step — structural pruning, not a runtime filter. */
@@ -153,13 +162,16 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
 
   /** Project property values — Gremlin `values(keys...)`. */
   def values(keys: String*): DataFrame = {
-    val parts = labels
-      .filter(l => keys.toSet.subsetOf(graph.vertices(l).columns.toSet))
-      .map { l =>
-        graph.hydrate(df.where(col(GC.Label) === l), GC.Id, l, keys)
-          .select(keys.map(col): _*)
-      }
-    nonEmptyUnion(parts)
+    if (keys.toSet.subsetOf(df.columns.toSet)) df.select(keys.map(col): _*)
+    else {
+      val parts = labels
+        .filter(l => keys.toSet.subsetOf(graph.vertices(l).columns.toSet))
+        .map { l =>
+          graph.hydrate(df.where(col(GC.Label) === l).select(col(GC.Id), col(GC.Label)),
+            GC.Id, l, keys).select(keys.map(col): _*)
+        }
+      nonEmptyUnion(parts)
+    }
   }
 
   /** Gremlin `count()`. */
