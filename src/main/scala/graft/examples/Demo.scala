@@ -42,7 +42,29 @@ object Demo {
     val back = GraphLoader.openCsv(spark, tmp)
     println(s"DEMO csv_roundtrip_customers=${back.vertices("Customer").count()}")
 
-    // 4. Salted join vs plain join parity
+    // 4. Bucketed persist: co-located hop join with zero shuffle
+    val bdir = java.nio.file.Files.createTempDirectory("graft_demo_bucketed").toString
+    GraphLoader.persistBucketed(g, bdir, prefix = "demo", buckets = 8)
+    val bg = GraphLoader.openBucketed(spark, g, "demo")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val spec1 = graft.model.EdgeSpec("CONTAINS", "Order", "Part")
+    val spec2 = graft.model.EdgeSpec("SUPPLIED_BY", "Order", "Supplier")
+    val hopJoin = bg.edgeFrames(spec1).select(col("_src"), col("_dst"))
+      .join(bg.edgeFrames(spec2).select(col("_src").as("_s2"), col("_dst").as("_d2")),
+        col("_src") === col("_s2"))
+    val shuffles = hopJoin.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Exchange hashpartitioning"))
+    println(s"DEMO bucketed_hop_join_shuffles=$shuffles rows=${hopJoin.count()}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    // 5. Bounded-heap top-k == window-rank top-k
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val viaAgg = graft.ext.Similarity.bruteForceTopKAgg(emb, Seq(0L, 1L), 5)
+    val viaWin = graft.ext.Similarity.bruteForceTopK(emb, Seq(0L, 1L), 5)
+    val same = viaAgg.exceptAll(viaWin).isEmpty && viaWin.exceptAll(viaAgg).isEmpty
+    println(s"DEMO topk_agg_equals_window=$same")
+
+    // 6. Salted join vs plain join parity
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val parts = spark.read.parquet(s"$sfDir/part.parquet")
     val plain = li.join(parts, li("l_partkey") === parts("p_partkey")).count()

@@ -44,6 +44,24 @@ object Similarity {
       .drop("rn")
   }
 
+  /** [[bruteForceTopK]] with the bounded-heap [[TopKAggregator]] instead
+    * of a window rank: identical output (same score, same tie-break),
+    * but only k candidates per partition per query cross the shuffle —
+    * the plan that survives a 100 TB candidate side. */
+  def bruteForceTopKAgg(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = embeddings
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cands = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val sim = round(cosineSimilarity(col("qv"), col("cv")), 9).as("sim")
+    val scored = cands.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sim)
+    scored.groupBy("query_id")
+      .agg(TopKAggregator.asColumn(k, col("sim"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("s"))
+      .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"), col("s.sim").as("sim"))
+  }
+
   /** Random-hyperplane LSH signature (Charikar, STOC 2002: sign of the
     * dot product with random hyperplanes estimates angular similarity):
     * `planes` pseudo-random hyperplanes

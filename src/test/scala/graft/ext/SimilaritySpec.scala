@@ -28,6 +28,18 @@ class SimilaritySpec extends SparkSpec {
     assert(top2 == Seq(1L, 3L))
   }
 
+  test("bounded-heap top-k aggregator returns exactly the window-rank rows") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qids = (0L until 10L).toSeq
+    val viaWindow = Similarity.bruteForceTopK(emb, qids, 10)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaAgg = Similarity.bruteForceTopKAgg(emb, qids, 10)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("lsh recall on fixture embeddings is usable and candidates are pruned") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qids = (0L until 10L).toSeq
