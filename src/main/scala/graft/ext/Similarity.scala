@@ -62,6 +62,32 @@ object Similarity {
       .select(col("query_id"), col("s.neighbor_id").as("neighbor_id"), col("s.sim").as("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    * cosine >= threshold — the embedding leg of the dedup family
+    * (alongside MinHash/SimHash in [[Dedup]]). Exact O(n^2) form for
+    * oracle checking; at corpus scale, generate candidates with
+    * [[lshBuckets]] band equality first and verify only those (the e17
+    * composition), accepting the measured recall. */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    // Hoist each vector's norm to a column computed ONCE (n folds), so
+    // the per-pair work is a single dot fold — the arithmetic
+    // dot / (sqrt(na) * sqrt(nb)) is expression-identical to
+    // cosineSimilarity, keeping oracle parity bitwise. Higher-order
+    // array functions are interpreted (not codegen'd), so per-pair folds
+    // dominate this operator: 3 folds/pair -> 1 fold/pair is 3x.
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    val sim = round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("sim")
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sim)
+      .where(col("sim") >= threshold)
+  }
+
   /** Random-hyperplane LSH signature (Charikar, STOC 2002: sign of the
     * dot product with random hyperplanes estimates angular similarity):
     * `planes` pseudo-random hyperplanes

@@ -98,6 +98,10 @@ object Extensions {
   def e18_distinct_users(s: SparkSession, dir: String): DataFrame =
     Sketches.distinctUsersExact(events(s, dir)).orderBy("event_type")
 
+  def e20_embedding_neardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
   /** Multimodal plumbing end-to-end: binary payload column ->
     * mapPartitions feature extraction. Only the SQL-derivable columns
     * are exposed here (the decode stub's fake dims are library-only). */
@@ -127,7 +131,8 @@ object Extensions {
     "e16_winnow_fingerprint" -> (e16_winnow_fingerprint _),
     "e17_near_dup_pipeline" -> (e17_near_dup_pipeline _),
     "e18_distinct_users" -> (e18_distinct_users _),
-    "e19_media_features" -> (e19_media_features _))
+    "e19_media_features" -> (e19_media_features _),
+    "e20_embedding_neardup" -> (e20_embedding_neardup _))
 
   // ---- DuckDB oracle twins ----
 
@@ -265,6 +270,16 @@ object Extensions {
     "e18_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e20_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "e19_media_features" ->
       """SELECT doc_id AS media_id,
