@@ -25,10 +25,11 @@ object Bench {
     // Warm-up: a tiny end-to-end job (scan + shuffle) before any timing.
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
 
-    // SPARK_GRAFT_REPS > 1: per-query median of N timed runs after one
-    // untimed warm-up run (the BASELINE.md recording protocol). Driver
-    // default stays 1 rep (plus the session warm-up above).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // Per-query median of N timed runs after one untimed warm-up run —
+    // the BASELINE.md recording protocol. Default 3 reps keeps the
+    // driver's run warm (codegen + shuffle-service startup otherwise
+    // lands in whichever query runs first) while staying under ~3 min.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
