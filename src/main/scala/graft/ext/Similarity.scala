@@ -88,6 +88,54 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into cells keyed by nearest centroid; a query scores exactly only
+    * the vectors in its `nprobe` nearest cells. This is the IVF-Flat
+    * construction (Sivic/Zisserman "Video Google" inverted files; the
+    * FAISS IVF family) with deterministic centroid picks so every stage
+    * has a SQL oracle twin — swap in k-means centroids at corpus scale,
+    * the dataflow is unchanged.
+    *
+    * Scale shape: assignment is a broadcast of k centroids against the
+    * corpus followed by ONE map-side-combinable argmax agg (`max` of a
+    * (sim, -centroid) struct — no per-vector window shuffle); the probe
+    * join shuffles only cell keys; exact scoring touches
+    * ~`nprobe/k` of the corpus per query.
+    */
+  def ivfTopK(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long],
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = embeddings.where(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // Cell assignment: argmax centroid by (rounded sim desc, cid asc).
+    // max(struct(sim, -cid)) is that argmax as a partial-aggregable agg.
+    val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
+    val assigned = embeddings.join(broadcast(centroids))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best"),
+        first(col("embedding")).as("cv2"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cell"), col("cv2"))
+    val queries = assigned.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("cv2").as("qv"))
+    // Probe list: each query's nprobe nearest centroids (the query's own
+    // cell is its rank-1 probe by construction).
+    val qsim = round(cosineSimilarity(col("qv"), col("cv")), 9).as("psim")
+    val probeW = Window.partitionBy("query_id").orderBy(desc("psim"), asc("cid"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("cid"), qsim)
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    // Exact scoring inside probed cells only.
+    val sim = round(cosineSimilarity(col("qv"), col("cv2")), 9).as("sim")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim)
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Random-hyperplane LSH signature (Charikar, STOC 2002: sign of the
     * dot product with random hyperplanes estimates angular similarity):
     * `planes` pseudo-random hyperplanes

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Similarity, Sketches, Text}
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.Streams
 
 /** Extension queries (SURVEY.md §2.3 E1–E4): the LLM-training-pipeline
@@ -21,7 +22,7 @@ object Extensions {
     * Parquet reader rejects; read nanos as long and floor-divide to
     * microseconds (exactly DuckDB's nanos->micros truncation). Integer
     * `div`, not `/`: epoch nanos (~1.7e18) overflow double precision. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -112,6 +113,63 @@ object Extensions {
       .orderBy("media_id")
   }
 
+  /** As-of join (the operator Spark lacks natively): each purchase joined
+    * to the user's most recent click at or before it. The right side is
+    * pre-aggregated to one row per (user, ts) — the as-of contract. */
+  def e21_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "purchase_ts", "ts",
+        Seq("click_value"), matchedTs = "click_ts")
+      // epoch-micros for the nullable matched ts: pandas compares nullable
+      // datetime columns of differing storage units raw, so a NULLABLE
+      // timestamp column would false-FAIL the oracle gate
+      .withColumn("click_ts_us", unix_micros(col("click_ts"))).drop("click_ts")
+      .orderBy("user_id", "purchase_ts", "purchase_id")
+  }
+
+  /** Banded range join: clicks in the 30 minutes before each purchase,
+    * counted per purchase (zero-match purchases kept at 0). */
+  def e22_range_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val pairs = RangeJoin.bandedIntervalJoin(purchases, clicks, Seq("user_id"),
+      "purchase_ts", "click_ts", loMicros = -30L * 60 * 1000000, hiMicros = 0L)
+    val counts = pairs.groupBy("user_id", "purchase_id", "purchase_ts")
+      .agg(count(lit(1)).as("cnt"))
+    purchases.join(counts, Seq("user_id", "purchase_id", "purchase_ts"), "left")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        coalesce(col("cnt"), lit(0L)).as("n_clicks"))
+      .orderBy("user_id", "purchase_ts", "purchase_id")
+  }
+
+  /** Deterministic IVF centroid picks: 8 vectors spread across the id
+    * space (swap for k-means at corpus scale; the dataflow is unchanged). */
+  val IvfCentroidIds: Seq[Long] = (0 until 8).map(_ * 63L)
+  val IvfNProbe = 2
+
+  def e23_knn_ivf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(s, dir), IvfCentroidIds, knnQueryIds, KnnK, IvfNProbe)
+      .orderBy("query_id", "neighbor_id")
+
+  /** Exact quantiles per event type (interpolated, matching DuckDB's
+    * quantile_cont definition), rounded to 6 decimals on both sides. */
+  def e24_quantiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      .orderBy("event_type")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_exact_dedup" -> (e01_exact_dedup _),
     "e02_minhash_signature" -> (e02_minhash_signature _),
@@ -132,7 +190,11 @@ object Extensions {
     "e17_near_dup_pipeline" -> (e17_near_dup_pipeline _),
     "e18_distinct_users" -> (e18_distinct_users _),
     "e19_media_features" -> (e19_media_features _),
-    "e20_embedding_neardup" -> (e20_embedding_neardup _))
+    "e20_embedding_neardup" -> (e20_embedding_neardup _),
+    "e21_asof_join" -> (e21_asof_join _),
+    "e22_range_join" -> (e22_range_join _),
+    "e23_knn_ivf" -> (e23_knn_ivf _),
+    "e24_quantiles" -> (e24_quantiles _))
 
   // ---- DuckDB oracle twins ----
 
@@ -149,6 +211,77 @@ object Extensions {
   }
 
   val oracles: Map[String, String] = Map(
+    "e05_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, UNNEST(generate_series(0, 59)) AS t(j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(bit_or(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+        |                   ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "e21_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(value) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.purchase_id, p.purchase_ts,
+        |  epoch_us(c.ts) AS click_ts_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_ts >= c.ts
+        |ORDER BY p.user_id, purchase_ts, purchase_id""".stripMargin,
+
+    "e22_range_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.purchase_id, p.purchase_ts, count(c.ts) AS n_clicks
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.ts >= p.purchase_ts - INTERVAL '30 minutes'
+        |  AND c.ts < p.purchase_ts
+        |GROUP BY 1, 2, 3
+        |ORDER BY p.user_id, purchase_ts, purchase_id""".stripMargin,
+
+    "e23_knn_ivf" -> {
+      val cids = IvfCentroidIds.mkString(", ")
+      val qids = knnQueryIds.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN ($cids)),
+         |sims AS (SELECT e.vec_id, cid,
+         |    round(list_dot_product(v, cv) /
+         |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) AS sim
+         |  FROM e CROSS JOIN cen),
+         |asg AS (SELECT vec_id, cid AS cell FROM sims
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM sims
+         |  WHERE vec_id IN ($qids)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) <= $IvfNProbe),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |    round(list_dot_product(q.v, c.v) /
+         |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
+         |  FROM cand JOIN e q ON q.vec_id = query_id JOIN e c ON c.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, sim FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $KnnK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+
+    "e24_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "e01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

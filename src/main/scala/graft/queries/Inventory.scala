@@ -238,6 +238,29 @@ object Inventory {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
+  /** Q19: connected components over the geography subgraph
+    * (Customer/Supplier —IN_NATION→ Nation —IN_REGION→ Region) via the
+    * GraphX bridge's Pregel CC — the iterative-fixpoint operator class.
+    * Component representative = min packed (labelId << 48 | key) vertex
+    * id in the component, which the oracle re-derives relationally (each
+    * component is exactly one region's tree). */
+  def q19_connected_components(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val labels = Set("Customer", "Nation", "Region", "Supplier")
+    val sub = new graft.graph.PropertyGraph(s,
+      G.vertexFrames.filter { case (l, _) => labels(l) },
+      G.edgeFrames.filter { case (spec, _) =>
+        spec.label == "IN_NATION" || spec.label == "IN_REGION" })
+    val cc = graft.analytics.GraphXBridge.connectedComponents(sub)
+    val names = sub.labelIds.map(_.swap) // labelId -> label name
+    val labelName = names.foldLeft(lit(null).cast("string")) {
+      case (acc, (id, name)) => when(col("label_id") === id, lit(name)).otherwise(acc)
+    }
+    cc.select(labelName.as("label"), col(GC.Id).cast("bigint").as("id"),
+        col("component"))
+      .orderBy("label", "id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -150,7 +150,32 @@ object Oracles {
       |  UNION ALL SELECT 6, s_suppkey, 'Supplier' FROM supplier
       |) ORDER BY hi, lo""".stripMargin
 
+  /** Components of the geography subgraph are exactly the region trees;
+    * the representative is the min packed id (labelId << 48 | key) with
+    * subgraph label ids Customer=1, Nation=2, Region=3, Supplier=4. */
+  val q19_connected_components: String =
+    """WITH v AS (
+      |  SELECT 'Customer' AS label, CAST(c_custkey AS BIGINT) AS id,
+      |         (CAST(1 AS BIGINT) << 48) + c_custkey AS packed,
+      |         n_regionkey AS rk
+      |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  UNION ALL
+      |  SELECT 'Nation', CAST(n_nationkey AS BIGINT),
+      |         (CAST(2 AS BIGINT) << 48) + n_nationkey, n_regionkey
+      |    FROM nation
+      |  UNION ALL
+      |  SELECT 'Region', CAST(r_regionkey AS BIGINT),
+      |         (CAST(3 AS BIGINT) << 48) + r_regionkey, r_regionkey
+      |    FROM region
+      |  UNION ALL
+      |  SELECT 'Supplier', CAST(s_suppkey AS BIGINT),
+      |         (CAST(4 AS BIGINT) << 48) + s_suppkey, n_regionkey
+      |    FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT label, id, min(packed) OVER (PARTITION BY rk) AS component
+      |FROM v ORDER BY label, id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q19_connected_components" -> q19_connected_components,
     "q16_dsl_chain" -> q16_dsl_chain,
     "q17_rollup" -> q17_rollup,
     "q18_unified_ids" -> q18_unified_ids,
