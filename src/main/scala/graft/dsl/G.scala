@@ -108,6 +108,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
 
   private def expand(edgeLabel: String, dir: Direction, fillEdge: Boolean,
       neighborLabels: Seq[String]): Step = {
+    val hasPath = df.columns.contains(PathCol)
     val parts = labels.flatMap { l =>
       val matching = graph.edgeFrames.keys.exists { s =>
         s.label == edgeLabel && (dir match {
@@ -118,11 +119,27 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
       }
       if (!matching) None
       else {
-        val frontier = df.where(col(GC.Label) === l).select(col(GC.Id))
-        val r = graph.traverse(frontier, l, edgeLabel, dir, fillEdge, neighborLabels)
-        val keep = Seq(col(GC.Dst).as(GC.Id), col(GC.DstLabel).as(GC.Label)) ++
-          r.edgePropCols.map(col)
-        Some((r.df.select(keep: _*), r))
+        val sub = df.where(col(GC.Label) === l)
+        if (!hasPath) {
+          val r = graph.traverse(sub.select(col(GC.Id)), l, edgeLabel, dir,
+            fillEdge, neighborLabels)
+          val keep = Seq(col(GC.Dst).as(GC.Id), col(GC.DstLabel).as(GC.Label)) ++
+            r.edgePropCols.map(col)
+          Some((r.df.select(keep: _*), r))
+        } else {
+          // Path mode: traverse a distinct frontier, then fan the edge
+          // rows back onto the per-row paths (multiplicity = input rows x
+          // edges, same as the non-path join semantics).
+          val r = graph.traverse(sub.select(col(GC.Id)).distinct(), l, edgeLabel,
+            dir, fillEdge, neighborLabels)
+          val rows = sub.select(col(GC.Id).as("_pid"), col(PathCol))
+          val joined = r.df.join(rows, r.df(GC.Src) === rows("_pid"))
+          val newPath = concat(col(PathCol),
+            array(struct(col(GC.DstLabel).as("label"), col(GC.Dst).cast("bigint").as("id"))))
+          val keep = Seq(col(GC.Dst).as(GC.Id), col(GC.DstLabel).as(GC.Label)) ++
+            r.edgePropCols.map(col) :+ newPath.as(PathCol)
+          Some((joined.select(keep: _*), r))
+        }
       }
     }
     require(parts.nonEmpty,
@@ -145,11 +162,44 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
 
   /** Bounded multi-hop — Gremlin `repeat(step).times(n)`: applies the
     * hop function n times (each application is one more join in the
-    * plan; there is no iterative driver loop). Unbounded `until()` would
-    * need an iterative fixpoint — that's GraphX/Pregel territory
-    * ([[graft.analytics.GraphXBridge]]). */
+    * plan; there is no iterative driver loop). */
   def repeat(n: Int)(hop: Step => Step): Step =
     (1 to n).foldLeft(this)((s, _) => hop(s))
+
+  /** Iterative fixpoint — Gremlin `repeat(step).until(no new results)`:
+    * expands level by level, accumulating the visited (label, id) set and
+    * stopping when a level adds nothing new (or at `maxIter`). Returns
+    * the visited set as the new frontier.
+    *
+    * This is a driver-coordinated superstep loop (the DataFrame analogue
+    * of Pregel): each level is one distributed join, `localCheckpoint`
+    * cuts the plan after every level so lineage stays linear instead of
+    * exponential, and the anti-join against the visited set is what
+    * guarantees termination on cyclic graphs. For whole-graph iterative
+    * analytics prefer [[graft.analytics.GraphXBridge]]. */
+  def untilFixpoint(maxIter: Int = 20)(hop: Step => Step): Step = {
+    var visited = df.select(col(GC.Id), col(GC.Label))
+      .dropDuplicates(GC.Id, GC.Label).localCheckpoint()
+    var frontier = copy(df = visited)
+    var seenLabels = labels.toSet
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val next = hop(frontier)
+      val fresh = next.df.select(col(GC.Id), col(GC.Label))
+        .dropDuplicates(GC.Id, GC.Label)
+        .join(visited, Seq(GC.Id, GC.Label), "left_anti")
+        .localCheckpoint()
+      if (fresh.isEmpty) done = true
+      else {
+        visited = visited.unionByName(fresh).localCheckpoint()
+        seenLabels ++= next.labels
+        frontier = next.copy(df = fresh)
+        iter += 1
+      }
+    }
+    copy(df = visited, labels = seenLabels.toSeq.sorted)
+  }
 
   /** Arbitrary predicate over current columns (edge props after outE/inE). */
   def where(cond: Column): Step = copy(df = df.filter(cond))
@@ -159,6 +209,24 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
 
   /** Deterministic `order().by(label, id).limit(n)`. */
   def limit(n: Int): Step = copy(df = df.orderBy(GC.Label, GC.Id).limit(n))
+
+  /** Gremlin `order().by(key)`: sort the frontier by a property value
+    * (hydrated per label if the step no longer carries it), with a
+    * (label, id) tie-break for determinism. Labels whose schema lacks
+    * the key contribute no rows — the `has()` convention. */
+  def orderBy(key: String, ascending: Boolean = true): Step = {
+    val withKey =
+      if (df.columns.contains(key)) df
+      else {
+        val kept = labels.filter(l => graph.vertices(l).columns.contains(key))
+        nonEmptyUnion(kept.map { l =>
+          graph.hydrate(df.where(col(GC.Label) === l).select(col(GC.Id), col(GC.Label)),
+            GC.Id, l, Seq(key))
+        })
+      }
+    val k = if (ascending) col(key).asc else col(key).desc
+    copy(df = withKey.orderBy(k, col(GC.Label).asc, col(GC.Id).asc))
+  }
 
   /** Project property values — Gremlin `values(keys...)`. */
   def values(keys: String*): DataFrame = {
@@ -182,8 +250,23 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
     df.groupBy(col(GC.Label), col(GC.Id))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
 
+  /** Start recording traversal paths — Gremlin `path()` needs every step
+    * from here on to carry its history. The path is a
+    * `array<struct<label, id>>` column maintained by each expansion. */
+  def withPath(): Step = copy(df = df.withColumn(PathCol,
+    array(struct(col(GC.Label).as("label"), col(GC.Id).cast("bigint").as("id")))))
+
+  /** The recorded paths (call after `withPath()` + expansions):
+    * one row per traverser, `path` = the visited (label, id) chain. */
+  def paths(): DataFrame = {
+    require(df.columns.contains(PathCol), "call withPath() before paths()")
+    df.select(col(PathCol).as("path"))
+  }
+
   /** Current frontier as (id, label[, eprops]) DataFrame. */
   def toDF: DataFrame = df
+
+  private val PathCol = "_path"
 
   private def nonEmptyUnion(parts: Seq[DataFrame]): DataFrame =
     if (parts.isEmpty) df.where(lit(false)) // empty result, same schema

@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Event-stream transforms written once and usable in both batch and
   * Structured Streaming mode (the transforms are plain logical-plan
@@ -74,4 +76,94 @@ object Streams {
   }
 
   final case class UserTotal(user_id: Long, n_events: Long, value_sum: Double)
+
+  final case class Session(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+  /** State buffer for [[sessionizeWithState]] — public because the
+    * encoder's generated code instantiates it reflectively. */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Custom sessionization via `flatMapGroupsWithState` with EVENT-TIME
+    * TIMEOUT — the full custom-state surface: sessions are held open in
+    * state, split when a gap exceeds `gapMs`, and EVICTED (emitted +
+    * state removed) when the watermark passes last-event + gap, so state
+    * size tracks only the open sessions, never history. Semantics match
+    * [[sessionize]] (session_end = last event + gap); in batch mode
+    * Spark runs the same function with no timeouts, emitting every
+    * session in one pass.
+    *
+    * This exists alongside the `session_window` form to cover session
+    * logic the built-in window can't express (per-key gap rules, session
+    * caps, enrichment on close); swap the state transition inside,
+    * keep the eviction machinery. */
+  def sessionizeWithState(events: DataFrame, gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def close(userId: Long, s: OpenSession): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.last + gapMs), s.n)
+
+    events.select(col("user_id").as[Long], col("ts").as[Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed last + gap with no new events: evict.
+            val out = state.getOption.map(close(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            // Batches are unordered: sort this trigger's events, then run
+            // the gap-split transition from the open session (if any).
+            val ts = rows.map(_._2.getTime).toSeq.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            ts.foreach { t =>
+              open = open match {
+                case Some(s) if t - s.last < gapMs =>
+                  Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              if (eventTimeTimeoutSupported(state)) {
+                state.update(s)
+                // must exceed the current watermark or Spark rejects it
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
+              } else {
+                // batch mode: no later trigger will fire the timeout —
+                // end of input closes every open session
+                closed += close(userId, s)
+              }
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Timeout registration requires a watermark; in batch mode (or an
+    * unwatermarked stream) setting one throws — probe instead of
+    * crashing so the same function runs in both modes. */
+  private def eventTimeTimeoutSupported(state: GroupState[_]): Boolean =
+    scala.util.Try(state.getCurrentWatermarkMs()).isSuccess
+
+  /** `foreachBatch` sink helper: write each micro-batch to
+    * `<path>/batch_id=<id>` with overwrite — a replayed batch (after
+    * failure/restart) overwrites its own directory instead of appending
+    * duplicates, making the sink idempotent and the pipeline
+    * effectively exactly-once end-to-end. */
+  def startForeachBatchParquet(df: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
 }

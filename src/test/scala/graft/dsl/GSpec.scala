@@ -79,4 +79,67 @@ class GSpec extends SparkSpec {
     val b = g.V("Customer").limit(5).toDF.select(graft.model.GraphColumns.Id).as[Long].collect().toSeq
     assert(a == b && a.size == 5)
   }
+
+  test("orderBy sorts by a hydrated property after an expansion") {
+    val names = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .out("IN_NATION").dedup()
+      .orderBy("n_name")
+      .toDF.select("n_name").as[String].collect().toSeq
+    assert(names.nonEmpty && names == names.sorted)
+    val desc = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .out("IN_NATION").dedup()
+      .orderBy("n_name", ascending = false)
+      .toDF.select("n_name").as[String].collect().toSeq
+    assert(desc == names.reverse)
+  }
+
+  test("orderBy on a still-carried property needs no hydration join") {
+    val bal = g.V("Customer").orderBy("c_acctbal")
+      .toDF.select("c_acctbal").as[Double].collect().toSeq
+    assert(bal == bal.sorted)
+  }
+
+  test("withPath records the full hop chain with fan-out multiplicity") {
+    val paths = g.V("Region", 1L).withPath()
+      .in("IN_REGION", "Nation")
+      .in("IN_NATION", "Customer")
+      .paths()
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // every path is Region(1) -> some Nation -> some Customer
+    assert(paths.nonEmpty)
+    assert(paths.forall(p => p.length == 3 &&
+      p.head == ("Region", 1L) && p(1)._1 == "Nation" && p(2)._1 == "Customer"))
+    // multiplicity: one path per customer in region 1
+    val want = tbl("customer").join(tbl("nation"), $"c_nationkey" === $"n_nationkey")
+      .where($"n_regionkey" === 1).count()
+    assert(paths.length.toLong == want)
+    // the nation on each path is the customer's actual nation
+    val nations = tbl("nation").select($"n_nationkey", $"n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    val custNation = tbl("customer").select($"c_custkey", $"c_nationkey")
+      .as[(Long, Long)].collect().toMap
+    assert(paths.forall(p => custNation(p(2)._2) == p(1)._2))
+  }
+
+  test("untilFixpoint reaches the closed geography neighborhood and terminates") {
+    // Region 2 <-> its nations over IN_REGION in both directions: the
+    // fixpoint is {region 2} + nations of region 2, found in one level
+    // and terminated by the empty-frontier check (cycle-safe via the
+    // visited anti-join: Nation -> Region -> Nation would loop forever
+    // otherwise).
+    val reached = g.V("Region", 2L).untilFixpoint()(_.both("IN_REGION"))
+    val ids = reached.toDF
+      .select(graft.model.GraphColumns.Label, graft.model.GraphColumns.Id)
+      .as[(String, Long)].collect().toSet
+    val wantNations = tbl("nation").where($"n_regionkey" === 2)
+      .select($"n_nationkey").as[Long].collect().toSet
+    assert(ids == wantNations.map(("Nation", _)) + (("Region", 2L)))
+  }
+
+  test("untilFixpoint respects maxIter") {
+    val one = g.V("Region", 2L).untilFixpoint(maxIter = 0)(_.both("IN_REGION"))
+    assert(one.toDF.count() == 1) // no hops: just the start vertex
+  }
 }
