@@ -33,6 +33,7 @@ object ScaleProbe {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val events = graft.queries.Extensions.events(spark, sfDir)
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -56,7 +57,22 @@ object ScaleProbe {
           .agg(sum(col("l_quantity").cast("decimal(18,2)")), count(lit(1)))))
       val tMinhash = time(noop(graft.ext.Dedup.minhashSignatures(docsK)))
 
-      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash}""")
+      // user-key replication: as-of/range joins grow in keys AND rows,
+      // the realistic way an event stream scales out
+      val evK = rep(events, Seq("user_id", "event_id"), k, 100000000L)
+      val purch = evK.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+      val clicks = evK.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max("value").as("v"))
+      val tAsof = time(noop(graft.operators.AsOfJoin.backward(
+        purch, clicks, Seq("user_id"), "pts", "ts", Seq("v"))))
+      val clicks2 = evK.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val tRange = time(noop(graft.operators.RangeJoin.bandedIntervalJoin(
+        purch, clicks2, Seq("user_id"), "pts", "cts",
+        -30L * 60 * 1000000, 0L)))
+
+      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange}""")
     }
     spark.stop()
   }
