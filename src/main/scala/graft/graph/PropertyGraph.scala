@@ -55,6 +55,24 @@ final class PropertyGraph(
   def frontier(label: String): DataFrame =
     vertexFrames(label).select(col(GC.Id))
 
+  /** [[traverse]] from EVERY vertex of a label — the full-frontier fast
+    * path. Joining an edge frame against the complete vertex-id list is
+    * a no-op under referential integrity but costs a full shuffle (or a
+    * giant broadcast) of the fact-side edge table at scale; expanding
+    * from "all vertices" reads the adjacency partitions directly
+    * instead. Results are identical to
+    * `traverse(frontier(label), label, ...)` whenever every edge
+    * endpoint exists in the vertex frame (which [[GraphLoader]] layouts
+    * guarantee); the oracle-checked inventory queries prove the
+    * equivalence on the fixtures. */
+  def traverseAll(
+      frontierLabel: String,
+      edgeLabel: String,
+      dir: Direction,
+      fillEdge: Boolean = false,
+      neighborLabels: Seq[String] = Nil): TraversalResult =
+    traverse(null, frontierLabel, edgeLabel, dir, fillEdge, neighborLabels)
+
   /** Core operator: batched 1-hop expansion of a vertex set along
     * (edgeLabel, direction, neighborLabels) — the reference's `traverse`
     * (TorcGraph.java:479-585). The frontier-edges equi join IS the
@@ -82,7 +100,8 @@ final class PropertyGraph(
       fillEdge: Boolean = false,
       neighborLabels: Seq[String] = Nil): TraversalResult = {
 
-    val f = frontier.select(col(GC.Id).as("_fid"))
+    // null frontier = the traverseAll fast path: no frontier join at all
+    val f = Option(frontier).map(_.select(col(GC.Id).as("_fid"))).orNull
 
     def expand(outbound: Boolean): Seq[DataFrame] = {
       val specs = edgeFrames.keys.toSeq
@@ -94,7 +113,7 @@ final class PropertyGraph(
       specs.map { spec =>
         val e = edgeFrames(spec)
         val joinCol = if (outbound) GC.Src else GC.Dst
-        val joined = e.join(f, e(joinCol) === f("_fid"))
+        val joined = if (f == null) e else e.join(f, e(joinCol) === f("_fid"))
         val (srcId, dstId, dstLab) =
           if (outbound) (e(GC.Src), e(GC.Dst), spec.dstLabel)
           else (e(GC.Dst), e(GC.Src), spec.srcLabel)

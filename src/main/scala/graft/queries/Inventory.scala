@@ -23,7 +23,7 @@ object Inventory {
   /** Q1 one-hop traverse (O6/O7): customers per nation. */
   def q01_one_hop(s: SparkSession, dir: String): DataFrame = {
     val G = g(s, dir)
-    val r = G.traverse(G.frontier("Nation"), "Nation", "IN_NATION", In,
+    val r = G.traverseAll("Nation", "IN_NATION", In,
       fillEdge = false, Seq("Customer"))
     r.df.select(col(GC.Src).cast("int").as("n_nationkey"),
         col(GC.Dst).as("c_custkey"))
@@ -45,9 +45,9 @@ object Inventory {
   /** Q3 semi-join intersect (O27): suppliers in nations with >=1 customer. */
   def q03_intersect(s: SparkSession, dir: String): DataFrame = {
     val G = g(s, dir)
-    val custNations = G.traverse(G.frontier("Customer"), "Customer", "IN_NATION", Out,
+    val custNations = G.traverseAll("Customer", "IN_NATION", Out,
       fillEdge = false, Seq("Nation")).vSetIds
-    val suppNations = G.traverse(G.frontier("Supplier"), "Supplier", "IN_NATION", Out,
+    val suppNations = G.traverseAll("Supplier", "IN_NATION", Out,
       fillEdge = false, Seq("Nation"))
     suppNations.intersect(custNations)
       .df.select(col(GC.Src).as("s_suppkey")).orderBy("s_suppkey")
@@ -59,7 +59,7 @@ object Inventory {
     val urgentOrders = G.vertices("Order").where(col("o_orderpriority") === "1-URGENT")
     val reached = G.traverse(urgentOrders, "Order", "PLACED_BY", Out,
       fillEdge = false, Seq("Customer")).vSetIds
-    val allCustomers = G.traverse(G.frontier("Nation"), "Nation", "IN_NATION", In,
+    val allCustomers = G.traverseAll("Nation", "IN_NATION", In,
       fillEdge = false, Seq("Customer"))
     allCustomers.subtract(reached)
       .df.select(col(GC.Dst).as("c_custkey")).orderBy("c_custkey")
@@ -69,7 +69,7 @@ object Inventory {
     * quantity > 45. */
   def q05_edge_filter(s: SparkSession, dir: String): DataFrame = {
     val G = g(s, dir)
-    val r = G.traverse(G.frontier("Order"), "Order", "CONTAINS", Out,
+    val r = G.traverseAll("Order", "CONTAINS", Out,
       fillEdge = true, Seq("Part"))
     r.removeEdgeIf(col("l_quantity") <= 45)
       .df.select(col(GC.Src).as("o_orderkey"), col(GC.Dst).as("p_partkey"),
@@ -103,7 +103,7 @@ object Inventory {
   /** Q8 degree / group-count (vMap grouping): orders per customer. */
   def q08_degree(s: SparkSession, dir: String): DataFrame = {
     val G = g(s, dir)
-    val r = G.traverse(G.frontier("Customer"), "Customer", "PLACED_BY", In,
+    val r = G.traverseAll("Customer", "PLACED_BY", In,
       fillEdge = false, Seq("Order"))
     r.degrees.select(col(GC.Id).as("c_custkey"), col("degree").as("order_count"))
       .orderBy("c_custkey")
@@ -113,7 +113,7 @@ object Inventory {
     * (deterministic tie-break on n_name). */
   def q09_topk(s: SparkSession, dir: String): DataFrame = {
     val G = g(s, dir)
-    val r = G.traverse(G.frontier("Customer"), "Customer", "IN_NATION", Out,
+    val r = G.traverseAll("Customer", "IN_NATION", Out,
       fillEdge = false, Seq("Nation"))
     val counts = r.df.groupBy(col(GC.Dst)).agg(count(lit(1)).as("cnt"))
     G.hydrate(counts, GC.Dst, "Nation", Seq("n_name"))
@@ -144,7 +144,7 @@ object Inventory {
   /** Q12 multi-label expansion (O6 varargs): nations to {Customer,Supplier}. */
   def q12_multi_label(s: SparkSession, dir: String): DataFrame = {
     val G = g(s, dir)
-    val r = G.traverse(G.frontier("Nation"), "Nation", "IN_NATION", In,
+    val r = G.traverseAll("Nation", "IN_NATION", In,
       fillEdge = false, Seq("Customer", "Supplier"))
     r.df.select(col(GC.Src).cast("int").as("n_nationkey"),
         col(GC.DstLabel).as("label"), col(GC.Dst).as("id"))
@@ -155,9 +155,9 @@ object Inventory {
     * row per path, counts preserved. */
   def q13_path_multiplicity(s: SparkSession, dir: String): DataFrame = {
     val G = g(s, dir)
-    val hopA = G.traverse(G.frontier("Customer"), "Customer", "IN_NATION", Out,
+    val hopA = G.traverseAll("Customer", "IN_NATION", Out,
       fillEdge = false, Seq("Nation"))
-    val hopB = G.traverse(G.frontier("Nation"), "Nation", "IN_REGION", Out,
+    val hopB = G.traverseAll("Nation", "IN_REGION", Out,
       fillEdge = false, Seq("Region"))
     val fused = hopA.fuse(hopB, dedup = false)
     fused.df.groupBy(col(GC.Src), col(GC.Dst))
@@ -190,7 +190,7 @@ object Inventory {
     * order-independent — no FP drift vs the oracle. */
   def q15_pricing_summary(s: SparkSession, dir: String): DataFrame = {
     val G = g(s, dir)
-    val li = G.traverse(G.frontier("Order"), "Order", "CONTAINS", Out,
+    val li = G.traverseAll("Order", "CONTAINS", Out,
       fillEdge = true, Seq("Part"))
     li.filter(col("l_shipdate") < to_timestamp(lit("1998-09-02")))
       .df.groupBy("l_returnflag", "l_linestatus")
@@ -226,7 +226,7 @@ object Inventory {
     * Null subtotal markers sort NULLS FIRST on both sides. */
   def q17_rollup(s: SparkSession, dir: String): DataFrame = {
     val G = g(s, dir)
-    val li = G.traverse(G.frontier("Order"), "Order", "CONTAINS", Out,
+    val li = G.traverseAll("Order", "CONTAINS", Out,
       fillEdge = true, Seq("Part"))
     // rollup with Column refs, not names: the string overload trips
     // DetectAmbiguousSelfJoin after any join in Spark 4.1
