@@ -142,14 +142,17 @@ object Similarity {
     * derived deterministically from (plane index, dimension) hashes —
     * reproducible with no RNG state. Bucket = bit vector of dot-product
     * signs. */
+  /** Deterministic pseudo-random plane component in [-1, 1): hash
+    * (p, d) -> 32-bit murmur, scale into the unit interval. Public so
+    * the SQL oracle can inline the identical constants as literals. */
+  def planeComponent(p: Int, d: Int): Double = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashLong((p.toLong << 32) | d.toLong, 42)
+    h.toDouble / Int.MaxValue.toDouble
+  }
+
   def lshBuckets(embeddings: DataFrame, planes: Int = 16, dims: Int = 64): DataFrame = {
-    // Deterministic pseudo-random plane component in [-1, 1):
-    // hash (p, d) -> 32-bit murmur, scale into the unit interval.
-    def comp(p: Int, d: Int): Double = {
-      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-        .hashLong((p.toLong << 32) | d.toLong, 42)
-      (h.toDouble / Int.MaxValue.toDouble)
-    }
+    def comp(p: Int, d: Int): Double = planeComponent(p, d)
     // One literal plane array + zip_with/aggregate per plane keeps the
     // expression tree small (planes nodes, not planes*dims): a flat
     // element_at sum at 32x64 made analysis+codegen the bottleneck.

@@ -226,6 +226,77 @@ object Extensions {
         |                   ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "e16_winnow_fingerprint" -> {
+      // FNV-style rolling hash (RollingHash64Expr): h = h*P + byte with
+      // 64-bit wraparound. Closed form: h = SEED*P^n + sum(c_i * P^(n-i))
+      // (mod 2^64), computed in HUGEINT with explicit mod steps — the
+      // SEED*P^n product needs a 32-bit-split mulmod to stay inside
+      // HUGEINT. ASCII-only fixture text makes ord() == byte.
+      val P = graft.functions.RollingHash64Expr.Prime
+      val Seed = graft.functions.RollingHash64Expr.Seed
+      val M = "18446744073709551616" // 2^64
+      val half = "9223372036854775808" // 2^63
+      val sHi = java.lang.Long.toUnsignedString(Seed >>> 32)
+      val sLo = java.lang.Long.toUnsignedString(Seed & 0xffffffffL)
+      s"""WITH RECURSIVE
+         |$shingleCte,
+         |u AS (SELECT DISTINCT s FROM sh),
+         |chars AS (SELECT s, i, ord(substr(s, i, 1))::HUGEINT AS c
+         |          FROM u, UNNEST(generate_series(1, length(s))) AS t(i)),
+         |maxn AS (SELECT max(length(s)) AS mx FROM u),
+         |powers(k, pk) AS (
+         |  SELECT 0, 1::HUGEINT
+         |  UNION ALL
+         |  SELECT k + 1, (pk * $P::HUGEINT) % $M::HUGEINT
+         |  FROM powers WHERE k < (SELECT mx FROM maxn)),
+         |hashes AS (
+         |  SELECT s,
+         |    CASE WHEN hu >= $half::HUGEINT THEN (hu - $M::HUGEINT)::BIGINT
+         |         ELSE hu::BIGINT END AS h
+         |  FROM (
+         |    SELECT c.s,
+         |      ( ((($sHi::HUGEINT * pn.pk) % $M::HUGEINT) * 4294967296::HUGEINT) % $M::HUGEINT
+         |        + ($sLo::HUGEINT * pn.pk) % $M::HUGEINT
+         |        + sum((c.c * p.pk) % $M::HUGEINT)
+         |      ) % $M::HUGEINT AS hu
+         |    FROM chars c
+         |    JOIN powers p ON p.k = length(c.s) - c.i
+         |    JOIN powers pn ON pn.k = length(c.s)
+         |    GROUP BY c.s, pn.pk))
+         |SELECT sh.doc_id, min(h.h) AS winnow_fp
+         |FROM sh JOIN hashes h ON h.s = sh.s
+         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+    },
+
+    "e07_knn_lsh" -> {
+      // The hyperplanes are deterministic Murmur3 constants
+      // (Similarity.planeComponent), so the full banded-LSH pipeline —
+      // sign buckets, 8x4 banding, candidate join, exact rescoring — is
+      // SQL-expressible by inlining the identical plane literals.
+      val planes = 8 * 4
+      val dims = 64
+      val bucketExpr = (0 until planes).map { p =>
+        val lits = (0 until dims).map(d => Similarity.planeComponent(p, d).toString)
+          .mkString(", ")
+        s"(CASE WHEN list_dot_product(v, [$lits]) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n  + ")
+      val qids = knnQueryIds.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, $bucketExpr AS bucket FROM e),
+         |bands AS (SELECT vec_id, j AS band, (bucket >> (j * 4)) & 15 AS bh
+         |          FROM bk, UNNEST(generate_series(0, 7)) AS t(j)),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM bands q JOIN bands c ON q.band = c.band AND q.bh = c.bh
+         |         WHERE q.vec_id IN ($qids) AND q.vec_id <> c.vec_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |        round(list_dot_product(a.v, b.v) /
+         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+         |      FROM cand JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, sim FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $KnnK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+
     "e21_asof_join" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
         |           FROM events WHERE event_type = 'purchase'),
