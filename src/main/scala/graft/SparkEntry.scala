@@ -34,7 +34,8 @@ object SparkEntry {
     "q16_dsl_chain" -> (Inventory.q16_dsl_chain _),
     "q17_rollup" -> (Inventory.q17_rollup _),
     "q18_unified_ids" -> (Inventory.q18_unified_ids _),
-    "q19_connected_components" -> (Inventory.q19_connected_components _)) ++ Extensions.all
+    "q19_connected_components" -> (Inventory.q19_connected_components _),
+    "q20_shortest_path" -> (Inventory.q20_shortest_path _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

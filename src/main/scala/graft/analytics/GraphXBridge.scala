@@ -61,6 +61,34 @@ object GraphXBridge {
       .toDF("label_id", GC.Id, "component")
   }
 
+  /** Single-source hop distances via Pregel — the iterative-fixpoint
+    * message-passing operator (BFS as min-plus supersteps). Treats the
+    * graph as undirected when `undirected` (each edge messages both
+    * ways). Unreachable vertices are absent. Back as
+    * `(label_id, _vid, dist)`. */
+  def hopDistances(g: PropertyGraph, srcLabel: String, srcId: Long,
+      undirected: Boolean = true): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val base = toGraphX(g)
+    val edges =
+      if (undirected)
+        base.edges.union(base.edges.map(e => Edge(e.dstId, e.srcId, e.attr)))
+      else base.edges
+    val src = pack(g.labelIds(srcLabel), srcId)
+    val init = Graph(base.vertices, edges)
+      .mapVertices((vid, _) => if (vid == src) 0.0 else Double.PositiveInfinity)
+    val res = init.pregel(Double.PositiveInfinity)(
+      (_, d, m) => math.min(d, m),
+      t => if (t.srcAttr + 1.0 < t.dstAttr) Iterator((t.dstId, t.srcAttr + 1.0))
+           else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices
+      .filter { case (_, d) => d < Double.PositiveInfinity }
+      .map { case (vid, d) => (unpackLabel(vid), unpackKey(vid), d.toLong) }
+      .toDF("label_id", GC.Id, "dist")
+  }
+
   /** PageRank (graph-wide, damping 0.85), back as
     * `(label_id, _vid, rank)`. */
   def pageRank(g: PropertyGraph, tol: Double = 1e-4): DataFrame = {

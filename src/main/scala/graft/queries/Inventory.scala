@@ -244,20 +244,40 @@ object Inventory {
     * Component representative = min packed (labelId << 48 | key) vertex
     * id in the component, which the oracle re-derives relationally (each
     * component is exactly one region's tree). */
-  def q19_connected_components(s: SparkSession, dir: String): DataFrame = {
-    val G = g(s, dir)
+  /** The Customer/Supplier/Nation/Region subgraph shared by the
+    * iterative-analytics queries. */
+  private def geographySubgraph(s: SparkSession, G: PropertyGraph): PropertyGraph = {
     val labels = Set("Customer", "Nation", "Region", "Supplier")
-    val sub = new graft.graph.PropertyGraph(s,
+    new PropertyGraph(s,
       G.vertexFrames.filter { case (l, _) => labels(l) },
       G.edgeFrames.filter { case (spec, _) =>
         spec.label == "IN_NATION" || spec.label == "IN_REGION" })
-    val cc = graft.analytics.GraphXBridge.connectedComponents(sub)
-    val names = sub.labelIds.map(_.swap) // labelId -> label name
-    val labelName = names.foldLeft(lit(null).cast("string")) {
+  }
+
+  private def labelNameCol(sub: PropertyGraph): org.apache.spark.sql.Column =
+    sub.labelIds.map(_.swap).foldLeft(lit(null).cast("string")) {
       case (acc, (id, name)) => when(col("label_id") === id, lit(name)).otherwise(acc)
     }
-    cc.select(labelName.as("label"), col(GC.Id).cast("bigint").as("id"),
+
+  def q19_connected_components(s: SparkSession, dir: String): DataFrame = {
+    val sub = geographySubgraph(s, g(s, dir))
+    val cc = graft.analytics.GraphXBridge.connectedComponents(sub)
+    cc.select(labelNameCol(sub).as("label"), col(GC.Id).cast("bigint").as("id"),
         col("component"))
+      .orderBy("label", "id")
+  }
+
+  /** Q20: single-source shortest paths (Pregel min-plus supersteps) over
+    * the undirected geography subgraph from Customer 0 — the
+    * message-passing iterative operator class, distinct from q19's CC
+    * (min-id label propagation). The oracle derives every hop distance
+    * relationally: the subgraph is a forest of region trees, so distance
+    * is a closed-form CASE over nation/region membership. */
+  def q20_shortest_path(s: SparkSession, dir: String): DataFrame = {
+    val sub = geographySubgraph(s, g(s, dir))
+    val d = graft.analytics.GraphXBridge.hopDistances(sub, "Customer", 0L)
+    d.select(labelNameCol(sub).as("label"), col(GC.Id).cast("bigint").as("id"),
+        col("dist"))
       .orderBy("label", "id")
   }
 

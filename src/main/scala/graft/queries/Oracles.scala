@@ -174,8 +174,38 @@ object Oracles {
       |SELECT label, id, min(packed) OVER (PARTITION BY rk) AS component
       |FROM v ORDER BY label, id""".stripMargin
 
+  /** Undirected hop distances from Customer 0 in the region forest:
+    * within the source's region, Customer = 0/2/4 (self / same nation /
+    * other nation), Nation = 1/3, Region = 2, Supplier = 2/4; every
+    * other region is unreachable and absent. */
+  val q20_shortest_path: String =
+    """WITH src AS (
+      |  SELECT c.c_nationkey AS n, nt.n_regionkey AS r
+      |  FROM customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+      |  WHERE c.c_custkey = 0)
+      |SELECT * FROM (
+      |  SELECT 'Customer' AS label, CAST(c_custkey AS BIGINT) AS id,
+      |    CAST(CASE WHEN c_custkey = 0 THEN 0
+      |              WHEN c_nationkey = src.n THEN 2 ELSE 4 END AS BIGINT) AS dist
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey, src
+      |  WHERE n_regionkey = src.r
+      |  UNION ALL
+      |  SELECT 'Nation', CAST(n_nationkey AS BIGINT),
+      |    CASE WHEN n_nationkey = src.n THEN 1 ELSE 3 END
+      |  FROM nation, src WHERE n_regionkey = src.r
+      |  UNION ALL
+      |  SELECT 'Region', CAST(r_regionkey AS BIGINT), 2
+      |  FROM region, src WHERE r_regionkey = src.r
+      |  UNION ALL
+      |  SELECT 'Supplier', CAST(s_suppkey AS BIGINT),
+      |    CASE WHEN s_nationkey = src.n THEN 2 ELSE 4 END
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey, src
+      |  WHERE n_regionkey = src.r)
+      |ORDER BY label, id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q19_connected_components" -> q19_connected_components,
+    "q20_shortest_path" -> q20_shortest_path,
     "q16_dsl_chain" -> q16_dsl_chain,
     "q17_rollup" -> q17_rollup,
     "q18_unified_ids" -> q18_unified_ids,

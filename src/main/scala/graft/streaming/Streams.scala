@@ -152,6 +152,21 @@ object Streams {
   private def eventTimeTimeoutSupported(state: GroupState[_]): Boolean =
     scala.util.Try(state.getCurrentWatermarkMs()).isSuccess
 
+  /** Streaming exact dedup: drop rows whose key columns repeat, with
+    * state bounded by the watermark — the streaming leg of the dedup
+    * family in [[graft.ext.Dedup]]. Uses
+    * `dropDuplicatesWithinWatermark` so dedup state for a key is
+    * dropped once the watermark passes it (a plain `dropDuplicates`
+    * keeps every key forever — unbounded state at stream scale). In
+    * batch mode this is exact global dedup. Dedup on content, not
+    * event id: pass e.g. `md5(text)` columns for document streams. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      delay: String = "10 minutes"): DataFrame = {
+    val watermarked = events.withWatermark("ts", delay)
+    if (events.isStreaming) watermarked.dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+  }
+
   /** `foreachBatch` sink helper: write each micro-batch to
     * `<path>/batch_id=<id>` with overwrite — a replayed batch (after
     * failure/restart) overwrites its own directory instead of appending

@@ -164,6 +164,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops repeated keys in stream and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dup = eventRows ++ eventRows.take(2) // replay first two events
+    // batch: exact global dedup
+    val b = Streams.dedupWithinWatermark(
+      dup.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      Seq("event_id"))
+    assert(b.count() == eventRows.size)
+    // streaming: same result via bounded dedup state
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.dedupWithinWatermark(stream, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(dup: _*)
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select("event_id").as[Long].collect().toSeq
+      assert(got.sorted == eventRows.map(_._1).sorted)
+    } finally q.stop()
+  }
+
   test("streaming tumblingCounts over MemoryStream matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
