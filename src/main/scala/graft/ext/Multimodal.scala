@@ -82,4 +82,51 @@ object Multimodal {
         explode(sequence(lit(0), lit(n - 1))).as("frame_idx"),
         (length(col("bytes")) * col("frame_idx") / n).cast("int").as("byte_offset"))
   }
+
+  /** Resize stub: per-partition payload rewrite to target dimensions.
+    * The STUB truncates/pads the payload deterministically in proportion
+    * to the pixel-count change; a real binding calls the codec's scaler
+    * here. The shape that matters: payload-in, payload-out,
+    * partition-at-a-time, no shuffle. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h) = FakeCodec.decodeDims(r.bytes)
+        val scale = (targetW.toLong * targetH).toDouble / (w.toLong * h).toDouble
+        val newLen = math.max(1, (r.bytes.length * scale).toInt)
+        val out = java.util.Arrays.copyOf(r.bytes, newLen) // STUB scaler
+        MediaRow(r.media_id, r.kind, out)
+      }
+    }
+  }
+
+  /** Embedding-extraction stub: payload -> dense `Array[Float]` feature
+    * vector, the column shape the similarity stack
+    * ([[Similarity.bruteForceTopK]]/`ivfTopK`/`lshTopK`) consumes —
+    * multimodal payloads become first-class ANN citizens. The STUB
+    * expands the FNV checksum into `dims` deterministic floats; a real
+    * binding runs the vision/audio encoder per partition batch. Output:
+    * (vec_id, embedding) — joinable/unionable with the embeddings
+    * fixture schema. */
+  def mediaEmbeddings(media: Dataset[MediaRow], dims: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = FakeCodec.checksum(r.bytes)
+        val v = new Array[Float](dims)
+        var x = seed
+        var i = 0
+        while (i < dims) {
+          // xorshift64 over the checksum: deterministic, well-spread
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          v(i) = (x.toDouble / Long.MaxValue.toDouble).toFloat
+          i += 1
+        }
+        (r.media_id, v)
+      }
+    }.toDF("vec_id", "embedding")
+  }
 }
