@@ -13,4 +13,16 @@ object GraftSqlShims {
 
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Register a native expression in the session's FunctionRegistry so
+    * it is callable from SQL text (runtime twin of the
+    * `spark.sql.extensions` injection path). */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }
