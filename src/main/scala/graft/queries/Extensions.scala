@@ -100,7 +100,7 @@ object Extensions {
     Sketches.distinctUsersExact(events(s, dir)).orderBy("event_type")
 
   def e20_embedding_neardup(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDupPairs(emb(s, dir), threshold = 0.5)
+    Similarity.embeddingNearDupPairsFast(emb(s, dir), threshold = 0.5)
       .orderBy("id_a", "id_b")
 
   /** Multimodal plumbing end-to-end: binary payload column ->

@@ -71,6 +71,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("broadcast-kernel near-dup pairs are pair-for-pair identical to the join form") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val slow = Similarity.embeddingNearDupPairs(emb, 0.3)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    val fast = Similarity.embeddingNearDupPairsFast(emb, 0.3)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(fast == slow) // exact doubles, not approximate
+    assert(fast.nonEmpty)
+  }
+
   test("ivf with nprobe = #centroids equals brute force") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qids = (0L until 5L).toSeq
