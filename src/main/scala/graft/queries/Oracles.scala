@@ -203,9 +203,20 @@ object Oracles {
       |  WHERE n_regionkey = src.r)
       |ORDER BY label, id""".stripMargin
 
+  /** LIFO adjacency read order: descending sequence column reproduces
+    * the reference's newest-first segmented-list reads. */
+  val q21_edge_list_order: String =
+    """SELECT l_orderkey AS o_orderkey,
+      |  row_number() OVER (PARTITION BY l_orderkey
+      |                     ORDER BY l_linenumber DESC, l_partkey) AS read_rank,
+      |  l_partkey AS p_partkey, l_linenumber
+      |FROM lineitem WHERE l_orderkey < 1000
+      |ORDER BY o_orderkey, read_rank""".stripMargin
+
   val all: Map[String, String] = Map(
     "q19_connected_components" -> q19_connected_components,
     "q20_shortest_path" -> q20_shortest_path,
+    "q21_edge_list_order" -> q21_edge_list_order,
     "q16_dsl_chain" -> q16_dsl_chain,
     "q17_rollup" -> q17_rollup,
     "q18_unified_ids" -> q18_unified_ids,
