@@ -71,6 +71,41 @@ object Demo {
     val salted = Skew.saltedEquiJoin(li, parts, "l_partkey", "p_partkey", 8).count()
     println(s"DEMO salted_join_parity=${plain == salted} rows=$salted")
 
+    // 7. As-of join + banded range join over the event stream
+    val ev = graft.queries.Extensions.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts")).agg(max("value").as("v"))
+    val matched = graft.operators.AsOfJoin.backward(
+      purchases, clicks, Seq("user_id"), "pts", "ts", Seq("v"))
+    println(s"DEMO asof_matched=${matched.where(col("v").isNotNull).count()}/${matched.count()}")
+
+    // 8. IVF ANN vs brute force recall
+    val cids = (0 until 8).map(_ * 63L)
+    val ivf = graft.ext.Similarity.ivfTopK(emb, cids, Seq(0L, 1L, 2L), 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = graft.ext.Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"DEMO ivf_recall=${(ivf & bf).size.toDouble / bf.size}")
+
+    // 9. DSL fixpoint + paths
+    val reach = G(g).V("Region", 0L).untilFixpoint()(_.both("IN_REGION")).count()
+    println(s"DEMO fixpoint_reach=$reach")
+    val paths = G(g).V("Region", 0L).withPath()
+      .in("IN_REGION", "Nation").in("IN_NATION", "Customer").paths().count()
+    println(s"DEMO paths_region0=$paths")
+
+    // 10. SQL surface: catalog views + native functions from SQL text
+    graft.sources.GraphCatalog.registerViews(g)
+    graft.functions.GraftFunctions.register(spark)
+    val sqlHop = spark.sql(
+      """SELECT count(*) FROM e_in_nation_customer_nation e
+        |JOIN v_nation n ON e._dst = n._vid WHERE n.n_regionkey = 0""".stripMargin)
+      .collect().head.getLong(0)
+    val sqlHash = spark.sql("SELECT rolling_hash64('graft')").collect().head.getLong(0)
+    println(s"DEMO sql_hop=$sqlHop sql_hash=$sqlHash")
+
     spark.stop()
   }
 }
