@@ -72,6 +72,13 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row === ts("2024-01-01 10:07:00"))
   }
 
+  test("left rows with keys absent from the right side survive unmatched") {
+    val loneLeft = Seq(("Z", ts("2024-01-01 09:00:00"), 9L)).toDF("sym", "t", "trade_id")
+    val out = AsOfJoin.backward(loneLeft, quotes, Seq("sym"), "t", "t", Seq("px"))
+    assert(out.count() == 1)
+    assert(out.select("px").head().isNullAt(0))
+  }
+
   test("plan shuffles once on the keys (no broadcast-nested-loop)") {
     val out = AsOfJoin.backward(trades, quotes, Seq("sym"), "t", "t", Seq("px"))
     val physical = out.queryExecution.executedPlan.toString

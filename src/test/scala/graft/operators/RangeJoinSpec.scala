@@ -55,6 +55,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("empty interval is rejected, not silently empty") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.bandedIntervalJoin(left, right, Seq("user"), "lt", "rt", 0L, 0L)
+    }
+  }
+
+  test("forward-looking window ([0, +10min)) matches brute force") {
+    val banded = RangeJoin.bandedIntervalJoin(left, right, Seq("user"),
+        "lt", "rt", loMicros = 0L, hiMicros = 10 * Min)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = left.join(right, Seq("user"))
+      .where(unix_micros(col("rt")) >= unix_micros(col("lt")) &&
+        unix_micros(col("rt")) < unix_micros(col("lt")) + 10 * Min)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == brute && banded.nonEmpty)
+  }
+
   test("plan is an equi-join, not a nested loop") {
     val out = RangeJoin.bandedIntervalJoin(left, right, Seq("user"),
       "lt", "rt", loMicros = -30 * Min, hiMicros = 0L)
