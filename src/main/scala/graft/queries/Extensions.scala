@@ -161,6 +161,18 @@ object Extensions {
 
   /** Exact quantiles per event type (interpolated, matching DuckDB's
     * quantile_cont definition), rounded to 6 decimals on both sides. */
+  /** Semi-structured payloads: the events fixture carries a JSON `props`
+    * column; extract a typed field with the codegen'd JSON path
+    * function and aggregate — the json-function leg of the scalar
+    * surface (SURVEY §2.2). */
+  def e26_json_extract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** Term importance: top tf-idf-style term per document (log-free
     * rational score so it oracle-checks bit-exactly). */
   def e25_top_tfidf(s: SparkSession, dir: String): DataFrame =
@@ -200,7 +212,8 @@ object Extensions {
     "e22_range_join" -> (e22_range_join _),
     "e23_knn_ivf" -> (e23_knn_ivf _),
     "e24_quantiles" -> (e24_quantiles _),
-    "e25_top_tfidf" -> (e25_top_tfidf _))
+    "e25_top_tfidf" -> (e25_top_tfidf _),
+    "e26_json_extract" -> (e26_json_extract _))
 
   // ---- DuckDB oracle twins ----
 
@@ -350,6 +363,13 @@ object Extensions {
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $KnnK
          |ORDER BY query_id, neighbor_id""".stripMargin
     },
+
+    "e26_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e25_top_tfidf" ->
       """WITH toks AS (
