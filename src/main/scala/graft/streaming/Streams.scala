@@ -152,6 +152,89 @@ object Streams {
   private def eventTimeTimeoutSupported(state: GroupState[_]): Boolean =
     scala.util.Try(state.getCurrentWatermarkMs()).isSuccess
 
+  /** One side of the streaming as-of join: `isLeft` tags probe rows
+    * (get enriched) vs reference rows (provide the value). */
+  final case class AsofInput(key: Long, ts: Long, isLeft: Boolean,
+    leftId: Long, rightVal: Double, eventTime: Timestamp)
+  final case class AsofState(
+    rights: List[(Long, Double)], lefts: List[(Long, Long)])
+  final case class AsofMatch(key: Long, left_id: Long, left_ts: Long,
+    right_ts: Option[Long], right_val: Option[Double])
+
+  /** Stream-stream AS-OF join — the streaming twin of
+    * [[graft.operators.AsOfJoin.backward]]: each left (probe) row is
+    * enriched with the latest right (reference) row at or before its
+    * event time, per key.
+    *
+    * Correctness under out-of-order arrival: a left row cannot be
+    * finalized until the watermark passes its timestamp (only then is
+    * every earlier right row guaranteed to have arrived), so left rows
+    * buffer in state and an EVENT-TIME TIMEOUT flushes them as the
+    * watermark advances. State is bounded: matured lefts leave on
+    * emission, and of the rights at or below the watermark only the
+    * latest is kept (it is the only one a future left can still match —
+    * every future left has ts above the watermark).
+    *
+    * Typed to the events-fixture shape (Long key/id, Double value) for
+    * clarity; the state machine generalizes unchanged. Batch mode runs
+    * the same function with no timeouts: everything matures at once.
+    *
+    * `eventTime` must be the WATERMARKED timestamp column passed
+    * through unchanged (Spark requires it in the stateful operator's
+    * input), and `ts` must be epoch MILLIS in streaming mode — the
+    * watermark unit; batch mode accepts any monotone unit. */
+  def asofJoinStream(tagged: Dataset[AsofInput]): Dataset[AsofMatch] = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+
+    def matchOne(rights: List[(Long, Double)], lts: Long): Option[(Long, Double)] =
+      rights.filter(_._1 <= lts).sortBy(_._1).lastOption
+
+    def flush(key: Long, st: AsofState, upTo: Long): (AsofState, List[AsofMatch]) = {
+      val (matured, pending) = st.lefts.partition(_._1 <= upTo)
+      val out = matured.sortBy(_._1).map { case (lts, lid) =>
+        val m = matchOne(st.rights, lts)
+        AsofMatch(key, lid, lts, m.map(_._1), m.map(_._2))
+      }
+      // keep rights above the horizon plus the single latest at/below it
+      val (old, fresh) = st.rights.partition(_._1 <= upTo)
+      val kept = old.sortBy(_._1).lastOption.toList ++ fresh
+      (AsofState(kept, pending), out)
+    }
+
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[AsofState]) =>
+          val st0 = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val streaming = eventTimeTimeoutSupported(state)
+          val st1 =
+            if (state.hasTimedOut) st0
+            else {
+              val rs = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+              val ls = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+              rows.foreach { r =>
+                if (r.isLeft) ls += ((r.ts, r.leftId)) else rs += ((r.ts, r.rightVal))
+              }
+              AsofState(st0.rights ++ rs, st0.lefts ++ ls)
+            }
+          // batch mode: no watermark, everything matures now
+          val horizon = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val (st2, out) = flush(key, st1, horizon)
+          if (st2.lefts.isEmpty && st2.rights.isEmpty) state.remove()
+          else {
+            state.update(st2)
+            if (streaming) {
+              // wake when the watermark passes the oldest pending left
+              val wm = state.getCurrentWatermarkMs()
+              val next = st2.lefts.map(_._1).minOption.getOrElse(wm + 60000L)
+              state.setTimeoutTimestamp(math.max(next + 1, wm + 1))
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose key columns repeat, with
     * state bounded by the watermark — the streaming leg of the dedup
     * family in [[graft.ext.Dedup]]. Uses

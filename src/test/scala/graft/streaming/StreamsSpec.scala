@@ -164,6 +164,68 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream as-of join: out-of-order arrival, watermark-gated emission") {
+    implicit val sqlCtx = spark.sqlContext
+    // (key, ts, isLeft, leftId, rightVal)
+    val mem = MemoryStream[(Long, Timestamp, Boolean, Long, Double)]
+    val tagged = mem.toDF().toDF("key", "tscol", "isLeft", "leftId", "rightVal")
+      .withWatermark("tscol", "1 minute")
+      .select(col("key"), unix_millis(col("tscol")).as("ts"),
+        col("isLeft"), col("leftId"), col("rightVal"),
+        col("tscol").as("eventTime")) // watermarked column must pass through
+      .as[Streams.AsofInput]
+    val q = Streams.asofJoinStream(tagged)
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // trigger 1: an early right; watermark moves to 09:59
+      mem.addData((7L, ts("2024-01-01 10:00:00"), false, 0L, 10.0))
+      q.processAllAvailable()
+      // trigger 2: the left arrives together with a BETTER right that is
+      // out of order within the trigger (10:09 after 10:10 in arrival
+      // order but before it in event time) — both within the watermark
+      mem.addData(
+        (7L, ts("2024-01-01 10:10:00"), true, 1L, 0.0),
+        (7L, ts("2024-01-01 10:09:00"), false, 0L, 11.0))
+      q.processAllAvailable()
+      // the left is NOT emitted yet: watermark (09:59) has not passed it
+      assert(spark.table("asof_stream").count() == 0)
+      // trigger 3: advance the watermark past the pending left
+      mem.addData((9L, ts("2024-01-01 10:30:00"), false, 0L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_stream")
+        .select("key", "left_id", "right_val").as[(Long, Long, Option[Double])]
+        .collect().toSeq
+      // the out-of-order 10:09 right (not the 10:00 one) wins the match
+      assert(got == Seq((7L, 1L, Some(11.0))))
+    } finally q.stop()
+  }
+
+  test("asofJoinStream in batch mode equals the batch as-of operator") {
+    val ev = graft.queries.Extensions.events(spark, sf0001)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts")).agg(max("value").as("v"))
+    val want = graft.operators.AsOfJoin.backward(
+        purchases, clicks, Seq("user_id"), "pts", "ts", Seq("v"))
+      .select(col("pid"), unix_micros(col("matched_ts")).as("mts"), col("v"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    // batch mode: ts can be any monotone unit — use micros for exactness
+    val tagged = purchases
+      .select(col("user_id").as("key"), unix_micros(col("pts")).as("ts"),
+        lit(true).as("isLeft"), col("pid").as("leftId"), lit(0.0).as("rightVal"),
+        col("pts").as("eventTime"))
+      .unionByName(clicks.select(col("user_id").as("key"),
+        unix_micros(col("ts")).as("ts"), lit(false).as("isLeft"),
+        lit(0L).as("leftId"), col("v").as("rightVal"), col("ts").as("eventTime")))
+      .as[Streams.AsofInput]
+    val got = Streams.asofJoinStream(tagged)
+      .select(col("left_id"), col("right_ts"), col("right_val"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("dedupWithinWatermark drops repeated keys in stream and batch") {
     implicit val sqlCtx = spark.sqlContext
     val dup = eventRows ++ eventRows.take(2) // replay first two events
