@@ -126,4 +126,37 @@ object Text {
       .groupBy(col("id"))
       .agg(min(graft.functions.rollingHash64(col("s"))).as("winnow_fp"))
       .withColumnRenamed("id", "doc_id")
+
+  /** Full winnowing (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD 2003): slide a
+    * window of `window` consecutive shingle hashes over each document
+    * and keep the minimum of every window — guaranteeing any shared run
+    * of `window + shingle - 1` tokens produces at least one shared
+    * fingerprint, which the single global min ([[winnowFingerprints]],
+    * the e16 oracle query) cannot. Per document: an ordered window
+    * frame min over the codegen'd rolling hash, then distinct.
+    * Output: (doc_id, fp) — the fingerprint set. */
+  def winnowingFingerprintSet(docs: DataFrame, window: Int = 4): DataFrame = {
+    val sh = docs.select(col("doc_id"), posexplode(shingleArray).as(Seq("pos", "s")))
+      .withColumn("h", graft.functions.rollingHash64(col("s")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, window - 1)
+    sh.withColumn("fp", min(col("h")).over(w))
+      // a window needs `window` hashes: drop the ragged tail frames
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .where(col("pos") <= col("n") - window)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Word 3-gram shingles of `text` as an ordered array column. */
+  private def shingleArray: Column = {
+    val w = tokens
+    when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ",
+          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array())
+  }
 }

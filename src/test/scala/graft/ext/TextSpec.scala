@@ -37,4 +37,21 @@ class TextSpec extends SparkSpec {
     val r3 = f.find(_.getLong(0) == 3L).get
     assert(r3.getString(1) == r3.getString(2))
   }
+
+  test("winnowing guarantees a shared fingerprint for long shared runs") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val wdocs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, "completely different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    def run() = Text.winnowingFingerprintSet(wdocs, window = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fps = run()
+    // 12 shared tokens = 10 shared shingles, longer than window+2: the
+    // winnowing guarantee forces a common fingerprint for docs 1 and 2
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    assert(run() == fps) // deterministic
+  }
 }
