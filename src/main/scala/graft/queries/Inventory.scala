@@ -7,7 +7,9 @@ import graft.graph.PropertyGraph
 import graft.model.{Direction, GraphColumns => GC}
 import graft.sources.GraphLoader
 
-/** The declared query inventory (SURVEY.md §2.3, Q1–Q14 + flagship agg):
+/** The declared query inventory (SURVEY.md §2.3, Q1–Q14 + flagship agg,
+  * extended in round 2 through Q21 — analytics, grouping sets, id model,
+  * edge-list order):
   * concrete, deterministic queries exercising every mapped reference
   * operator, each with a DuckDB-oracle SQL twin in
   * [[graft.queries.Oracles]]. All end with a total ORDER BY for stable
