@@ -50,6 +50,52 @@ object GraphMutations {
     new PropertyGraph(g.spark, g.vertexFrames, g.edgeFrames + (spec -> merged))
   }
 
+  /** Batch vertex removal with incident-edge cascade — the set form of
+    * TinkerPop `Vertex.remove()` (which the reference inherits; its
+    * deleteGraph O34 is the drop-everything degenerate case). Removing a
+    * vertex also removes every edge that references it from any
+    * adjacency partition whose src or dst label matches; for large id
+    * sets pass a DataFrame-backed frontier via [[removeVerticesDf]]
+    * (anti-join) instead of an `isin` literal list. */
+  def removeVertices(g: PropertyGraph, label: String, ids: Seq[Long]): PropertyGraph =
+    removeVerticesDf(g, label,
+      g.spark.createDataFrame(
+        g.spark.sparkContext.parallelize(ids.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(GC.Id,
+            org.apache.spark.sql.types.LongType)))))
+
+  /** [[removeVertices]] with a DataFrame id set (`_vid` column): the
+    * anti-join form that scales to arbitrarily large removal sets. */
+  def removeVerticesDf(g: PropertyGraph, label: String, ids: DataFrame): PropertyGraph = {
+    val rm = ids.select(col(GC.Id).as("_rmid"))
+    val vs = g.vertexFrames.map {
+      case (l, v) if l == label =>
+        l -> v.join(rm, v(GC.Id) === rm("_rmid"), "left_anti")
+      case kv => kv
+    }
+    val es = g.edgeFrames.map { case (spec, e) =>
+      var out = e
+      if (spec.srcLabel == label)
+        out = out.join(rm, out(GC.Src) === rm("_rmid"), "left_anti")
+      if (spec.dstLabel == label)
+        out = out.join(rm, out(GC.Dst) === rm("_rmid"), "left_anti")
+      spec -> out
+    }
+    new PropertyGraph(g.spark, vs, es)
+  }
+
+  /** Batch edge removal by composite id (the set form of
+    * `Edge.remove()`): drops the (src, dst) pairs from one adjacency
+    * partition; vertices are untouched. */
+  def removeEdges(g: PropertyGraph, spec: EdgeSpec, ids: Seq[(Long, Long)]): PropertyGraph = {
+    val e = g.edgeFrames(spec)
+    val key = struct(col(GC.Src), col(GC.Dst))
+    val wanted = ids.map { case (s, d) => struct(lit(s), lit(d)) }
+    new PropertyGraph(g.spark, g.vertexFrames,
+      g.edgeFrames + (spec -> e.where(!key.isin(wanted: _*))))
+  }
+
   /** Edge point lookup by composite id (O5, TorcGraph.java:376-402): the
     * reference's edge identity is (v1, v2, label) — materialize edges
     * for a list of (src, dst) pairs. Misses are absent. */

@@ -71,4 +71,26 @@ class GraphMutationsSpec extends SparkSpec {
     assert(props == Map("name" -> "alice"))
     assert(GraphMutations.vertexProperties(mkGraph, "Person", 99L).isEmpty)
   }
+
+  test("removeVertices cascades to incident edges on both endpoints") {
+    val spec = EdgeSpec("KNOWS", "Person", "Person")
+    val g = GraphMutations.addEdges(mkGraph, spec, Seq((2L, 1L, 7)).toDF(GC.Src, GC.Dst, "w"))
+    // removing bob removes bob AND both edges (src match and dst match)
+    val g2 = GraphMutations.removeVertices(g, "Person", Seq(2L))
+    assert(g2.vertices("Person").select(GC.Id).as[Long].collect().toSeq == Seq(1L))
+    assert(g2.edgeFrames(spec).count() == 0)
+    // removing a non-endpoint vertex leaves edges alone
+    val g3 = GraphMutations.addVertices(g, "Person", Seq((3L, "carol")).toDF(GC.Id, "name"))
+    val g4 = GraphMutations.removeVertices(g3, "Person", Seq(3L))
+    assert(g4.edgeFrames(spec).count() == 2)
+  }
+
+  test("removeEdges drops composite ids, leaves vertices") {
+    val spec = EdgeSpec("KNOWS", "Person", "Person")
+    val g = GraphMutations.addEdges(mkGraph, spec, Seq((2L, 1L, 7)).toDF(GC.Src, GC.Dst, "w"))
+    val g2 = GraphMutations.removeEdges(g, spec, Seq((1L, 2L)))
+    assert(g2.edgeFrames(spec).select(GC.Src, GC.Dst).as[(Long, Long)]
+      .collect().toSeq == Seq((2L, 1L)))
+    assert(g2.vertices("Person").count() == 2)
+  }
 }
