@@ -72,7 +72,15 @@ object ScaleProbe {
         purch, clicks2, Seq("user_id"), "pts", "cts",
         -30L * 60 * 1000000, 0L)))
 
-      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange}""")
+      // IVF ANN over a k-times corpus: assignment is broadcast +
+      // partial-agg argmax, probing touches ~nprobe/cells of the corpus —
+      // the curve should stay linear while brute force goes quadratic
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val embK = rep(emb, Seq("vec_id"), k, 100000000L)
+      val tIvf = time(noop(graft.ext.Similarity.ivfTopK(
+        embK, (0 until 8).map(_ * 63L), (0L until 20L), 10)))
+
+      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf}""")
     }
     spark.stop()
   }
