@@ -28,10 +28,11 @@ object Bench {
     // Every query gets one UNTIMED warm-up run (absorbing per-query
     // codegen compilation) and then `reps` timed runs, reporting the
     // median — so even the driver's default run measures warm
-    // execution, per the BASELINE.md protocol. Raise SPARK_GRAFT_REPS
-    // (odd, e.g. 5) for lower-variance medians when re-recording
-    // baselines; the default 1 keeps the full suite under ~2.5 min.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // execution, per the BASELINE.md protocol. The default of 3 keeps
+    // a single rep's scheduler/GC noise from masquerading as a plan
+    // regression; the full suite at 3 reps is ~4 min. Raise to an odd
+    // 5+ for lower-variance medians when re-recording baselines.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -43,12 +44,22 @@ object Bench {
       }
       once() // warm-up, untimed
       val times = Seq.fill(reps)(once()).sorted
-      name -> times(times.size / 2)
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def f(d: Double) = "%.6f".format(d)
+    // Per-query latency spread (min/median/max over the timed reps),
+    // mirroring the reference's OpTester distribution report
+    // (reference: src/main/java/net/.../OpTester.java:175-226) so a
+    // noisy rep is visible as spread instead of polluting the median.
+    val qs = results.map { case (k, t) =>
+      "\"" + k + "\":" + f(t(t.size / 2))
+    }.mkString("{", ",", "}")
+    val spread = results.map { case (k, t) =>
+      "\"" + k + "\":{\"min\":" + f(t.head) + ",\"median\":" + f(t(t.size / 2)) +
+        ",\"max\":" + f(t.last) + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, t) => t(t.size / 2) }.sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
