@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{cosineSimilarity, dotProduct}
+import graft.operators.Skew
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -100,45 +101,66 @@ object Similarity {
     * quadratic but the survivors are sparse, so no row machinery should
     * run per candidate pair.
     *
-    * Scale: one broadcast holds to ~10M x 64 floats (~2.5 GB); past
-    * that, block the broadcast side (outer loop over corpus blocks) —
-    * the dataflow is unchanged. */
-  def embeddingNearDupPairsFast(embeddings: DataFrame, threshold: Double): DataFrame = {
+    * Scale: BLOCKED broadcast — the corpus is never collected whole.
+    * Vectors are split into `ceil(n / maxBlockRows)` id-modulo blocks;
+    * each pass collects+broadcasts ONE block (driver memory bounded by
+    * `maxBlockRows`, ~300 MB at the default for 64-float vectors) and
+    * streams the full corpus against it distributively. A pair (a, b),
+    * a < b, is emitted exactly once: in the pass owning b's block, from
+    * the left row a. Per-pass inner loops start at the first block id
+    * > a (binary search), so total pair work across passes is n^2/2 —
+    * the classic blocked-GEMM outer loop, corpus scans x numBlocks but
+    * quadratic work unchanged. One block on the fixture corpus, so
+    * local perf is identical to the single-broadcast form. */
+  def embeddingNearDupPairsFast(embeddings: DataFrame, threshold: Double,
+      maxBlockRows: Int = 1 << 20): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val all = embeddings.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val ids = all.map(_._1)
-    val vecs = all.map(_._2)
-    val norms = vecs.map { v =>
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(acc)
-    }
-    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    val n = all.length
-    spark.range(0, n.toLong)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[Long]
-      .mapPartitions { it =>
-        val (ids, vecs, norms) = bc.value
-        it.flatMap { li =>
-          val i = li.toInt
-          val va = vecs(i)
-          val na = norms(i)
-          (i + 1 until n).iterator.flatMap { j =>
-            val vb = vecs(j)
-            var dot = 0.0
-            var d = 0
-            while (d < va.length) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
-            // Spark Round semantics for doubles: HALF_UP at scale 9
-            val sim = BigDecimal(dot / (na * norms(j)))
-              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (sim >= threshold) Some((ids(i), ids(j), sim)) else None
+    val src = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val n = src.count()
+    val numBlocks = math.max(1, math.ceil(n.toDouble / maxBlockRows).toInt)
+    val passes = (0 until numBlocks).map { blk =>
+      // One block only — bounded by maxBlockRows, NOT the corpus.
+      val block = src
+        .where(pmod(col("vec_id"), lit(numBlocks.toLong)) === blk.toLong)
+        .collect().sortBy(_._1)
+      val blockIds = block.map(_._1)
+      val blockVecs = block.map(_._2)
+      val blockNorms = blockVecs.map { v =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      }
+      val bc = spark.sparkContext.broadcast((blockIds, blockVecs, blockNorms))
+      src.repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          val (ids, vecs, norms) = bc.value
+          val m = ids.length
+          it.flatMap { case (aId, va) =>
+            var nacc = 0.0; var i = 0
+            while (i < va.length) { nacc += va(i).toDouble * va(i).toDouble; i += 1 }
+            val na = math.sqrt(nacc)
+            // First block entry with id > aId (block is id-sorted).
+            var lo = 0; var hi = m
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (ids(mid) <= aId) lo = mid + 1 else hi = mid
+            }
+            (lo until m).iterator.flatMap { j =>
+              val vb = vecs(j)
+              var dot = 0.0
+              var d = 0
+              while (d < va.length) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
+              // Spark Round semantics for doubles: HALF_UP at scale 9
+              val sim = BigDecimal(dot / (na * norms(j)))
+                .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (sim >= threshold) Some((aId, ids(j), sim)) else None
+            }
           }
         }
-      }
-      .toDF("id_a", "id_b", "sim")
+    }
+    passes.reduce(_ union _).toDF("id_a", "id_b", "sim")
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
@@ -235,7 +257,8 @@ object Similarity {
     * recall at a few percent candidates with 4x6 bands; tune
     * (bands, bitsPerBand) to the corpus geometry. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+      bands: Int = 8, bitsPerBand: Int = 4,
+      maxBucket: Long = Skew.DefaultBucketCap): DataFrame = {
     val planes = bands * bitsPerBand
     val bucketed = lshBuckets(embeddings, planes)
     def bandCols(bucket: Column): Column = array((0 until bands).map { b =>
@@ -246,10 +269,17 @@ object Similarity {
     val queries = bucketed.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         explode(bandCols(col("bucket"))).as("qb"))
-    val cands = bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      explode(bandCols(col("bucket"))).as("cb"))
+    // Candidate-side band buckets above maxBucket members are dropped
+    // (a degenerate band — e.g. all-zero embeddings — would otherwise
+    // route the whole corpus into one bucket); drops observed + logged.
+    val cands = Skew.capBuckets(
+      bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        explode(bandCols(col("bucket"))).as("cb"))
+        .select(col("neighbor_id"), col("cv"),
+          col("cb.band").as("band"), col("cb.bh").as("bh")),
+      Seq("band", "bh"), maxBucket, "lsh_band")
     val pairs = cands.join(broadcast(queries),
-        col("qb.band") === col("cb.band") && col("qb.bh") === col("cb.bh") &&
+        col("qb.band") === col("band") && col("qb.bh") === col("bh") &&
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")

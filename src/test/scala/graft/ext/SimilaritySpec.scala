@@ -79,6 +79,14 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
     assert(fast == slow) // exact doubles, not approximate
     assert(fast.nonEmpty)
+
+    // Multi-block path (the 100 TB shape): tiny block size forces the
+    // corpus through 4 broadcast passes; the union must be identical —
+    // every pair emitted exactly once, same values.
+    val blocked = Similarity.embeddingNearDupPairsFast(emb, 0.3, maxBlockRows = 128)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    assert(blocked.length == blocked.toSet.size) // no duplicate pairs across passes
+    assert(blocked.toSet == slow)
   }
 
   test("ivf with nprobe = #centroids equals brute force") {
