@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Skew
+
 /** Document deduplication for large-scale training-data pipelines:
   * exact (hash group-by), MinHash signatures + LSH banding, and exact
   * n-gram Jaccard verification.
@@ -67,15 +69,23 @@ object Dedup {
 
   /** LSH candidate pairs: signatures are cut into [[NumBands]] bands of 2
     * components; documents sharing any band hash become a candidate pair.
-    * Output: (doc_a, doc_b) with doc_a < doc_b, distinct. */
-  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    * Band buckets hotter than `maxBucket` members are dropped before the
+    * self-join ([[graft.operators.Skew.capBuckets]]): a boilerplate
+    * shingle that lands >cap documents in one bucket would contribute
+    * O(n^2) candidate pairs and no dedup signal. Drops are observed
+    * in-plan and logged. Output: (doc_a, doc_b) with doc_a < doc_b,
+    * distinct. */
+  def minhashCandidatePairs(docs: DataFrame,
+      maxBucket: Long = Skew.DefaultBucketCap): DataFrame = {
     val sig = minhashSignatures(docs)
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = Skew.capBuckets(
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh")),
+      Seq("band", "bh"), maxBucket, "minhash_band")
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b,
@@ -149,14 +159,19 @@ object Dedup {
   /** Pairs of documents whose simhash fingerprints are within `maxDist`
     * Hamming distance, bucketed by 16-bit bands to avoid the full cross
     * join (same banding idea as LSH: near fingerprints share at least one
-    * of the 4 bands when maxDist < 4 by pigeonhole). */
-  def simhashNearPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * of the 4 bands when maxDist < 4 by pigeonhole). Buckets hotter than
+    * `maxBucket` members are dropped before the self-join (see
+    * [[minhashCandidatePairs]]). */
+  def simhashNearPairs(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Long = Skew.DefaultBucketCap): DataFrame = {
     val sh = simhash(docs)
-    val bands = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh"))
+    val bands = Skew.capBuckets(
+      sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"))): _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bh")),
+      Seq("band", "bh"), maxBucket, "simhash_band")
     val a = bands.alias("a")
     val b = bands.alias("b")
     val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))

@@ -1,7 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.slf4j.LoggerFactory
 
 /** Skew-mitigation utilities for supernode frontiers (SURVEY.md §7.4
   * risk 5: at 100 TB a hot key — a celebrity vertex, a boilerplate
@@ -53,4 +59,57 @@ object Skew {
   def hotKeys(df: DataFrame, key: String, maxCount: Long): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("_cnt"))
       .where(col("_cnt") > maxCount).select(key)
+
+  /** Default member cap for LSH band buckets: a bucket of m members
+    * contributes m(m-1)/2 candidate pairs, so 1000 bounds any single
+    * bucket to ~500k pairs. Fixture buckets are two orders of magnitude
+    * below this, so the cap never fires on oracle data. */
+  val DefaultBucketCap = 1000L
+
+  private val log = LoggerFactory.getLogger(getClass)
+  private val obsSeq = new AtomicLong()
+  private val listenerInstalled = new ConcurrentHashMap[SparkSession, java.lang.Boolean]()
+
+  /** Log observed hot-bucket drops once per completed query. Installed
+    * at most once per session (weak no-leak: entries die with the JVM,
+    * sessions are few and long-lived). */
+  private def ensureDropLogger(spark: SparkSession): Unit =
+    if (listenerInstalled.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft.skew.") && row.getLong(0) > 0)
+              log.warn(s"$name: dropped ${row.getLong(0)} hot bucket(s) " +
+                s"covering ${row.getLong(1)} member row(s) over the cap")
+          }
+        override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+      })
+    }
+
+  /** Frequency-cap a banded self-join input on a composite bucket key:
+    * rows in buckets with more than `maxCount` members are dropped
+    * before the join (the stop-shingle / degenerate-band cutoff — a
+    * universal bucket contributes O(n^2) candidate pairs and no
+    * signal). The drop count is observed IN-PLAN (`Dataset.observe`, no
+    * extra job) and logged on query completion via a per-session
+    * listener, so the cap stays fully lazy.
+    *
+    * `maxCount = Long.MaxValue` disables capping and returns `df`
+    * unchanged. */
+  def capBuckets(df: DataFrame, keys: Seq[String], maxCount: Long,
+      what: String = "bucket"): DataFrame = {
+    if (maxCount == Long.MaxValue) return df
+    require(maxCount > 0, s"bucket cap must be positive, got $maxCount")
+    ensureDropLogger(df.sparkSession)
+    val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_cnt"))
+      .where(col("_cnt") > maxCount)
+      // Unique observation name per call site instance: duplicate names
+      // in one plan are an analysis error (e.g. a union of two capped
+      // frames).
+      .observe(s"graft.skew.$what.${obsSeq.incrementAndGet()}",
+        count(lit(1)).as("hot_buckets"),
+        coalesce(sum(col("_cnt")), lit(0L)).as("hot_rows"))
+      .select(keys.map(col): _*)
+    df.join(hot, keys, "left_anti")
+  }
 }
