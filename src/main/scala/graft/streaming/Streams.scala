@@ -88,8 +88,16 @@ object Streams {
     * state, split when a gap exceeds `gapMs`, and EVICTED (emitted +
     * state removed) when the watermark passes last-event + gap, so state
     * size tracks only the open sessions, never history. Semantics match
-    * [[sessionize]] (session_end = last event + gap); in batch mode
-    * Spark runs the same function with no timeouts, emitting every
+    * [[sessionize]] (session_end = last event + gap), INCLUDING
+    * cross-trigger out-of-order arrivals above the watermark: state
+    * holds every not-yet-evictable session, and an event merges into
+    * any session whose span `[start, last+gap)` its own `[t, t+gap)`
+    * window overlaps — extending `start` backwards for late events and
+    * bridge-merging two open sessions when a late event connects them,
+    * exactly as `session_window` does. A session closes only once the
+    * watermark passes `last + gap`, at which point no admissible future
+    * event (all have `t >= watermark`) can still touch it. In batch
+    * mode Spark runs the same function with no timeouts, emitting every
     * session in one pass.
     *
     * This exists alongside the `session_window` form to cover session
@@ -103,46 +111,44 @@ object Streams {
     def close(userId: Long, s: OpenSession): Session =
       Session(userId, new Timestamp(s.start), new Timestamp(s.last + gapMs), s.n)
 
+    // [t, t+gap) overlaps [s.start, s.last+gap) — session_window's merge rule
+    def touches(s: OpenSession, t: Long): Boolean =
+      t < s.last + gapMs && s.start < t + gapMs
+
     events.select(col("user_id").as[Long], col("ts").as[Timestamp])
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[List[OpenSession], Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (userId, rows, state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            // Watermark passed last + gap with no new events: evict.
-            val out = state.getOption.map(close(userId, _)).toSeq
-            state.remove()
-            out.iterator
-          } else {
-            // Batches are unordered: sort this trigger's events, then run
-            // the gap-split transition from the open session (if any).
-            val ts = rows.map(_._2.getTime).toSeq.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            ts.foreach { t =>
-              open = open match {
-                case Some(s) if t - s.last < gapMs =>
-                  Some(s.copy(last = t, n = s.n + 1))
-                case Some(s) =>
-                  closed += close(userId, s)
-                  Some(OpenSession(t, t, 1))
-                case None => Some(OpenSession(t, t, 1))
-              }
+        case (userId, rows, state: GroupState[List[OpenSession]]) =>
+          val streaming = eventTimeTimeoutSupported(state)
+          var open = state.getOption.getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            // Sorted insertion is not required for correctness (overlap
+            // merge is order-independent) but keeps counts deterministic.
+            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              val (touch, rest) = open.partition(touches(_, t))
+              open = OpenSession(
+                (t :: touch.map(_.start)).min,
+                (t :: touch.map(_.last)).max,
+                touch.map(_.n).sum + 1) :: rest
             }
-            open.foreach { s =>
-              if (eventTimeTimeoutSupported(state)) {
-                state.update(s)
-                // must exceed the current watermark or Spark rejects it
-                val wm = state.getCurrentWatermarkMs()
-                state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
-              } else {
-                // batch mode: no later trigger will fire the timeout —
-                // end of input closes every open session
-                closed += close(userId, s)
-              }
-            }
-            closed.result().iterator
           }
+          // Evict sessions the watermark has sealed; batch mode seals all.
+          val horizon = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val (done, still) = open.partition(s => horizon - gapMs >= s.last)
+          if (still.isEmpty) state.remove()
+          else {
+            state.update(still)
+            if (streaming) {
+              // wake when the watermark passes the earliest open session's
+              // close point; must exceed the current watermark or Spark
+              // rejects the timestamp
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max(still.map(s => s.last + gapMs).min, wm + 1))
+            }
+          }
+          done.sortBy(_.start).map(close(userId, _)).iterator
       }
   }
 

@@ -143,6 +143,93 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithState merges cross-trigger out-of-order events above the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.sessionizeWithState(Streams.withWatermark(stream, "30 minutes"))
+      .writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode("append").start()
+    try {
+      // trigger 1: user 7 opens three separate sessions (gaps > 30 min);
+      // user 8 opens one. Watermark after this trigger: 11:45 - 30m = 11:15.
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+        (2L, ts("2024-01-01 11:00:00"), 7L, "click", 0.0),
+        (3L, ts("2024-01-01 11:45:00"), 7L, "click", 0.0),
+        (4L, ts("2024-01-01 11:45:00"), 8L, "click", 0.0))
+      q.processAllAvailable()
+      // trigger 2: LATE but above-watermark (11:15) events. 11:20 BRIDGES
+      // user 7's 11:00 and 11:45 sessions into one; 11:35 extends user 8's
+      // session START backwards. The 10:00 session (last+gap=10:30 <= wm)
+      // must close with its original bounds, untouched by the late data.
+      mem.addData(
+        (5L, ts("2024-01-01 11:20:00"), 7L, "click", 0.0),
+        (6L, ts("2024-01-01 11:35:00"), 8L, "click", 0.0))
+      q.processAllAvailable()
+      // triggers 3+4: watermark advancers (timeouts fire one trigger later)
+      mem.addData((98L, ts("2024-01-01 14:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData((99L, ts("2024-01-01 16:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ooo_sessions")
+        .where(col("user_id") =!= 9)
+        .orderBy("user_id", "session_start")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .as[(Long, String, String, Long)].collect().toSeq
+      assert(got == Seq(
+        (7L, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 1L),
+        (7L, "2024-01-01 11:00:00", "2024-01-01 12:15:00", 3L), // bridged
+        (8L, "2024-01-01 11:35:00", "2024-01-01 12:15:00", 2L))) // start moved back
+    } finally q.stop()
+  }
+
+  test("asofJoinStream: watermark-boundary rows — just-above kept and tie-matched, at-boundary dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Boolean, Long, Double)]
+    val tagged = mem.toDF().toDF("key", "tscol", "isLeft", "leftId", "rightVal")
+      .withWatermark("tscol", "10 minutes")
+      .select(col("key"), unix_millis(col("tscol")).as("ts"),
+        col("isLeft"), col("leftId"), col("rightVal"),
+        col("tscol").as("eventTime"))
+      .as[Streams.AsofInput]
+    val q = Streams.asofJoinStream(tagged)
+      .writeStream.format("memory").queryName("asof_boundary")
+      .outputMode("append").start()
+    try {
+      // trigger 1: max event time 10:09:59 -> watermark becomes 09:59:59
+      mem.addData((7L, ts("2024-01-01 10:09:59"), false, 0L, 99.0))
+      q.processAllAvailable()
+      // trigger 2: a left+right pair ONE SECOND above the watermark (the
+      // earliest admissible instant — Spark drops rows at or below it,
+      // which left id=2 documents), the right tying the left's exact
+      // timestamp. The tie must match (as-of is <=), and the later
+      // 10:09:59 right must NOT.
+      mem.addData(
+        (7L, ts("2024-01-01 10:00:00"), true, 1L, 0.0),
+        (7L, ts("2024-01-01 10:00:00"), false, 0L, 42.0),
+        (7L, ts("2024-01-01 09:59:59"), true, 2L, 0.0)) // exactly at wm: dropped
+      q.processAllAvailable()
+      // trigger 3: advance the watermark past the pending left; the
+      // watermark bump schedules the extra no-data batch that fires the
+      // event-time timeout
+      mem.addData((9L, ts("2024-01-01 10:20:01"), false, 0L, 0.0))
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-01 10:40:00"), false, 0L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_boundary").where(col("key") === 7)
+        .select("key", "left_id", "right_ts", "right_val")
+        .as[(Long, Long, Option[Long], Option[Double])].collect().toSeq
+      assert(got == Seq((7L, 1L, Some(ts("2024-01-01 10:00:00").getTime), Some(42.0))))
+      // the at-watermark left was dropped by Spark's late filter, not
+      // silently emitted unmatched
+      assert(!spark.table("asof_boundary").select("left_id").as[Long]
+        .collect().contains(2L))
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink writes idempotent batch directories") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
