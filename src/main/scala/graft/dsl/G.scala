@@ -213,16 +213,24 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
   /** Gremlin `order().by(key)`: sort the frontier by a property value
     * (hydrated per label if the step no longer carries it), with a
     * (label, id) tie-break for determinism. Labels whose schema lacks
-    * the key contribute no rows — the `has()` convention. */
+    * the key contribute no rows — the `has()` convention. All carried
+    * columns (edge properties from outE/inE, the `_path` column) are
+    * preserved: the hydrated key is joined BACK onto the frontier
+    * rather than replacing it, and per-row multiplicity is untouched
+    * (the key lookup is deduplicated before the join). */
   def orderBy(key: String, ascending: Boolean = true): Step = {
     val withKey =
       if (df.columns.contains(key)) df
       else {
         val kept = labels.filter(l => graph.vertices(l).columns.contains(key))
-        nonEmptyUnion(kept.map { l =>
-          graph.hydrate(df.where(col(GC.Label) === l).select(col(GC.Id), col(GC.Label)),
+        val keyLookup = nonEmptyUnion2(kept.map { l =>
+          graph.hydrate(
+            df.where(col(GC.Label) === l)
+              .select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label),
             GC.Id, l, Seq(key))
-        })
+        }, df.select(col(GC.Id), col(GC.Label)).where(lit(false))
+          .withColumn(key, lit(null)))
+        df.join(keyLookup, Seq(GC.Id, GC.Label))
       }
     val k = if (ascending) col(key).asc else col(key).desc
     copy(df = withKey.orderBy(k, col(GC.Label).asc, col(GC.Id).asc))
@@ -270,5 +278,11 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
 
   private def nonEmptyUnion(parts: Seq[DataFrame]): DataFrame =
     if (parts.isEmpty) df.where(lit(false)) // empty result, same schema
+    else parts.reduce(_.unionByName(_))
+
+  /** [[nonEmptyUnion]] with an explicit empty-case frame (for unions
+    * whose schema differs from the step's own `df`). */
+  private def nonEmptyUnion2(parts: Seq[DataFrame], empty: => DataFrame): DataFrame =
+    if (parts.isEmpty) empty
     else parts.reduce(_.unionByName(_))
 }

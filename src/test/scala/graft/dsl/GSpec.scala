@@ -99,6 +99,29 @@ class GSpec extends SparkSpec {
     assert(bal == bal.sorted)
   }
 
+  test("orderBy after withPath keeps the path column and multiplicity") {
+    val step = g.V("Region", 1L).withPath()
+      .in("IN_REGION", "Nation")
+      .in("IN_NATION", "Customer")
+    val unordered = step.toDF
+    val ordered = step.orderBy("c_acctbal").toDF
+    // hydration join must not drop the carried _path column…
+    assert(ordered.columns.contains("_path"))
+    // …nor change row multiplicity (one row per path)
+    assert(ordered.count() == unordered.count())
+    val bal = ordered.select("c_acctbal").as[Double].collect().toSeq
+    assert(bal == bal.sorted && bal.nonEmpty)
+  }
+
+  test("orderBy after outE keeps carried edge-property columns") {
+    val step = g.V("Order").outE("CONTAINS", "Part")
+    val ordered = step.orderBy("p_retailprice").toDF
+    assert(ordered.columns.contains("l_quantity")) // edge property survives
+    assert(ordered.count() == step.toDF.count())
+    val price = ordered.select("p_retailprice").as[Double].collect().toSeq
+    assert(price == price.sorted && price.nonEmpty)
+  }
+
   test("withPath records the full hop chain with fan-out multiplicity") {
     val paths = g.V("Region", 1L).withPath()
       .in("IN_REGION", "Nation")
