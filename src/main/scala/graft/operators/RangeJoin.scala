@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Banded interval (range) join: pairs of rows sharing equi-keys whose
@@ -35,11 +35,19 @@ object RangeJoin {
     require(hiMicros > loMicros, s"empty interval [$loMicros, $hiMicros)")
     val width = hiMicros - loMicros
 
-    // floorDiv, not /: window starts can be negative-epoch and Scala/Java
-    // integer division truncates toward zero.
-    val r = right.withColumn("__bucket", floor(unix_micros(col(rightTs)) / width))
-    val l = left.withColumn("__b0",
-        floor((unix_micros(col(leftTs)) + loMicros) / width))
+    // Integral floorDiv on the long micros: `floor(x / w)` with Column
+    // `/` goes through double division and loses exactness past 2^52
+    // (pre-1826 / post-2112 timestamps could land one bucket off at a
+    // window boundary). `(x - pmod(x, w)) div w` stays in long
+    // arithmetic — pmod makes the numerator exactly divisible, so the
+    // truncating `div` IS floor division, negative epochs included.
+    def floorDivBucket(df: DataFrame, micros: Column): DataFrame =
+      df.withColumn("__m", micros)
+        .withColumn("__bucket", expr(s"(__m - pmod(__m, ${width}L)) div ${width}L"))
+        .drop("__m")
+    val r = floorDivBucket(right, unix_micros(col(rightTs)))
+    val l = floorDivBucket(left, unix_micros(col(leftTs)) + loMicros)
+      .withColumnRenamed("__bucket", "__b0")
       .withColumn("__bucket", explode(sequence(col("__b0"), col("__b0") + 1)))
       .drop("__b0")
 

@@ -72,6 +72,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(banded == brute && banded.nonEmpty)
   }
 
+  test("bucket assignment stays exact past 2^52 micros (year 2290 timestamps)") {
+    // Epoch micros here are ~1.01e16 > 2^53: double arithmetic cannot even
+    // represent every value, so the old floor(x / w) double path misbuckets
+    // boundary rows. The integral div path must equal brute force exactly.
+    val base = ts("2290-06-01 00:00:00")
+    assert(base.getTime * 1000L > (1L << 53)) // premise: beyond double-exact
+    def shifted(sec: Long) = new Timestamp(base.getTime + sec * 1000)
+    val l2 = (0L until 50L).map(i => ("k", shifted(i * 977), i))
+      .toDF("user", "lt", "lid")
+    // right rows hit exact window boundaries (lt + lo and lt + hi) and
+    // one-micro offsets around them for a sample of lefts
+    val r2 = (0L until 50L).flatMap { i =>
+      val t = base.getTime + i * 977 * 1000
+      Seq(-30 * 60 * 1000L, -30 * 60 * 1000L + 1, -1L, 0L, 1L).zipWithIndex.map {
+        case (off, j) => ("k", new Timestamp(t + off), i * 10 + j)
+      }
+    }.toDF("user", "rt", "rid")
+    val banded = RangeJoin.bandedIntervalJoin(l2, r2, Seq("user"),
+        "lt", "rt", loMicros = -30 * Min, hiMicros = 0L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = l2.join(r2, Seq("user"))
+      .where(unix_micros(col("rt")) >= unix_micros(col("lt")) - 30 * Min &&
+        unix_micros(col("rt")) < unix_micros(col("lt")))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty)
+  }
+
   test("plan is an equi-join, not a nested loop") {
     val out = RangeJoin.bandedIntervalJoin(left, right, Seq("user"),
       "lt", "rt", loMicros = -30 * Min, hiMicros = 0L)
