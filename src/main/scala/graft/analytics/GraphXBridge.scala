@@ -51,6 +51,58 @@ object GraphXBridge {
     Graph(vertices, edges)
   }
 
+  /** Dense-id GraphX view for graphs whose natural keys exceed the
+    * 48-bit packed space: every (label, key) pair is relabeled to a
+    * contiguous Long via `zipWithUniqueId` (the standard GraphX
+    * pattern), and edges translate src/dst through the id map with two
+    * key-partitioned joins — no driver-side map, so the relabeling
+    * itself scales to any vertex count. */
+  def toGraphXDense(g: PropertyGraph): Graph[(String, Long), String] = {
+    val ids = g.labelIds
+    val naturals = g.vertexLabels.map { l =>
+      val lid = ids(l)
+      g.vertices(l).select(col(GC.Id)).rdd.map((r: Row) => ((lid, r.getLong(0)), l))
+    }.reduce(_ union _)
+    val idMap = naturals.zipWithUniqueId()
+      .map { case (((lid, key), l), dense) => ((lid, key), (dense, l)) }
+      .cache() // reused by the vertex build and both edge-endpoint joins
+    val vertices = idMap.map { case ((_, key), (dense, l)) => (dense, (l, key)) }
+    val edges = g.edgeSpecs.map { spec =>
+      val (slid, dlid) = (ids(spec.srcLabel), ids(spec.dstLabel))
+      g.edgeFrames(spec).select(col(GC.Src), col(GC.Dst)).rdd
+        .map((r: Row) => ((slid, r.getLong(0)), (dlid, r.getLong(1), spec.label)))
+    }.reduce(_ union _)
+      .join(idMap)
+      .map { case (_, ((dlid, dstKey, lbl), (srcDense, _))) =>
+        ((dlid, dstKey), (srcDense, lbl)) }
+      .join(idMap)
+      .map { case (_, ((srcDense, lbl), (dstDense, _))) =>
+        Edge(srcDense, dstDense, lbl) }
+    Graph(vertices, edges)
+  }
+
+  /** Connected components over the dense view — usable with natural keys
+    * of any magnitude. The component representative is the MINIMUM
+    * (label_id, key) pair in the component (not a dense id, which is
+    * partition-layout dependent), so output is deterministic and
+    * id-space independent. Output:
+    * `(label_id, _vid, comp_label_id, comp_vid)`. */
+  def connectedComponentsDense(g: PropertyGraph): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val ids = g.labelIds
+    val base = toGraphXDense(g)
+    val byDense = base.vertices.mapValues { case (l, k) => (ids(l), k) }
+    val tagged = base.connectedComponents().vertices.join(byDense)
+      .map { case (_, (compDense, (lid, key))) => (compDense, (lid, key)) }
+    val reps = tagged.reduceByKey { (a, b) =>
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+    }
+    tagged.join(reps)
+      .map { case (_, ((lid, key), (clid, ckey))) => (lid, key, clid, ckey) }
+      .toDF("label_id", GC.Id, "comp_label_id", "comp_vid")
+  }
+
   /** Connected components over the whole property graph, back as a
     * DataFrame `(label, _vid, component)`. */
   def connectedComponents(g: PropertyGraph): DataFrame = {

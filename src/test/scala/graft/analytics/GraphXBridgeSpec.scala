@@ -29,6 +29,28 @@ class GraphXBridgeSpec extends SparkSpec {
     assert(cc.select("component").distinct().count() == 1)
   }
 
+  test("dense relabeling runs CC on keys beyond 48 bits") {
+    import graft.graph.PropertyGraph
+    import graft.model.EdgeSpec
+    val big = (1L << 52) + 7 // pack() would throw on this key
+    intercept[IllegalArgumentException] { GraphXBridge.pack(1L, big) }
+    val users = Seq(1L, 2L, big).toDF("_vid")
+    val edges = Seq((1L, 2L)).toDF("_src", "_dst")
+    val pg = new PropertyGraph(spark,
+      Map("User" -> users),
+      Map(EdgeSpec("KNOWS", "User", "User") -> edges))
+    val cc = GraphXBridge.connectedComponentsDense(pg)
+      .select("_vid", "comp_vid").as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L) // 1-2 connected, rep = min key
+    assert(cc(big) == big)               // the huge key is its own component
+  }
+
+  test("dense CC agrees with the packed path on the TPC-H graph") {
+    val dense = GraphXBridge.connectedComponentsDense(g)
+    assert(dense.select("comp_label_id", "comp_vid").distinct().count() == 1)
+    assert(dense.count() == g.vertexLabels.map(g.vertices(_).count()).sum)
+  }
+
   test("pageRank ranks nations above their customers (in-degree mass)") {
     val pr = GraphXBridge.pageRank(g)
     val byLabel = pr.groupBy("label_id")
