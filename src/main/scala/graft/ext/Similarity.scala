@@ -178,9 +178,16 @@ object Similarity {
     * ~`nprobe/k` of the corpus per query.
     */
   def ivfTopK(embeddings: DataFrame, centroidIds: Seq[Long], queryIds: Seq[Long],
+      k: Int, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(embeddings,
+      embeddings.where(col("vec_id").isin(centroidIds: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      queryIds, k, nprobe)
+
+  /** [[ivfTopK]] with an explicit centroid frame `(cid, cv)` — e.g. one
+    * trained by [[trainCentroids]]. */
+  def ivfTopKWith(embeddings: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
       k: Int, nprobe: Int = 2): DataFrame = {
-    val centroids = embeddings.where(col("vec_id").isin(centroidIds: _*))
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     // Cell assignment: argmax centroid by (rounded sim desc, cid asc).
     // max(struct(sim, -cid)) is that argmax as a partial-aggregable agg.
     val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
@@ -209,6 +216,44 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** K-means (Lloyd's) centroid training for IVF, DataFrame-native:
+    * deterministic spread init (every `n/k`-th id — no RNG state, no
+    * global sort), then `iters` rounds of [assign to nearest centroid by
+    * cosine] -> [element-wise mean per cell]. Assignment is the same
+    * map-side-combinable argmax agg as [[ivfTopKWith]]; the mean is a
+    * posexplode + per-(cell, dim) avg — both shuffle only (cell, dim)
+    * keys, never vector pairs, so each round is linear in the corpus. A
+    * cell that loses all members drops out (k shrinks), standard for
+    * Lloyd's without reseeding. Returns `(cid, cv)` for
+    * [[ivfTopKWith]]. Cosine assignment is scale-invariant, so the
+    * unnormalized mean is a valid spherical-k-means update. */
+  def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    val n = embeddings.count()
+    require(k > 0 && n > 0, s"need k > 0 and a non-empty corpus, got k=$k n=$n")
+    val stride = math.max(1L, n / k)
+    var centroids = embeddings
+      .where(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
+      val assigned = embeddings.join(broadcast(centroids))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best"),
+          first(col("embedding")).as("emb"))
+        .select((-col("best.ncid")).as("cid"), col("emb"))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), x => x("m").cast("float")).as("cv"))
+        .localCheckpoint() // short lineage: each round is one materialized frame
+    }
+    centroids
   }
 
   /** Random-hyperplane LSH signature (Charikar, STOC 2002: sign of the

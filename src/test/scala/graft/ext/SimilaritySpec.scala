@@ -89,6 +89,23 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked.toSet == slow)
   }
 
+  test("k-means centroids match or beat the fixed picks' recall") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qids = (0L until 20L).toSeq
+    val bf = Similarity.bruteForceTopK(emb, qids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(ivf: org.apache.spark.sql.DataFrame): Double = {
+      val got = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val fixedIds = (0 until 8).map(_ * 63L)
+    val fixed = recall(Similarity.ivfTopK(emb, fixedIds, qids, 10, nprobe = 2))
+    val trained = Similarity.trainCentroids(emb, k = 8, iters = 5)
+    assert(trained.count() <= 8 && trained.count() > 1)
+    val km = recall(Similarity.ivfTopKWith(emb, trained, qids, 10, nprobe = 2))
+    assert(km >= fixed, s"k-means recall $km < fixed-pick recall $fixed")
+  }
+
   test("ivf with nprobe = #centroids equals brute force") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qids = (0L until 5L).toSeq
