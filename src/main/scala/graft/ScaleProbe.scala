@@ -80,7 +80,15 @@ object ScaleProbe {
       val tIvf = time(noop(graft.ext.Similarity.ivfTopK(
         embK, (0 until 8).map(_ * 63L), (0L until 20L), 10)))
 
-      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf}""")
+      // Blocked all-pairs near-dup kernel: the WORK is quadratic by
+      // contract (n^2/2 pairs — expect ~k^2 time), but maxBlockRows
+      // pins driver memory to ONE 2048-vector block per pass at every
+      // k, where the pre-round-3 whole-corpus collect would have grown
+      // the driver footprint k-fold. k blocks at k x corpus.
+      val tNearDup = time(noop(graft.ext.Similarity.embeddingNearDupPairsFast(
+        embK, 0.5, maxBlockRows = 2048)))
+
+      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf,"neardup_blocked_s":$tNearDup}""")
     }
     spark.stop()
   }
