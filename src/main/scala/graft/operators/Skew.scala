@@ -79,8 +79,8 @@ object Skew {
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
             if (name.startsWith("graft.skew.") && row.getLong(0) > 0)
-              log.warn(s"$name: dropped ${row.getLong(0)} hot bucket(s) " +
-                s"covering ${row.getLong(1)} member row(s) over the cap")
+              log.warn(s"$name: dropped ${row.getLong(0)} member row(s) in " +
+                s"over-cap buckets (largest bucket: ${row.getLong(1)})")
           }
         override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
       })
@@ -90,9 +90,14 @@ object Skew {
     * rows in buckets with more than `maxCount` members are dropped
     * before the join (the stop-shingle / degenerate-band cutoff — a
     * universal bucket contributes O(n^2) candidate pairs and no
-    * signal). The drop count is observed IN-PLAN (`Dataset.observe`, no
-    * extra job) and logged on query completion via a per-session
-    * listener, so the cap stays fully lazy.
+    * signal). Implemented as a window count over the bucket key, NOT an
+    * aggregate + anti-join: the window's shuffle partitions by exactly
+    * the key the downstream band join hashes on, so the join reuses the
+    * exchange instead of recomputing the (expensive) band input for a
+    * separate hot-key aggregation. The drop count is observed IN-PLAN
+    * (`Dataset.observe` before the filter, no extra job) and logged on
+    * query completion via a per-session listener, so the cap stays
+    * fully lazy.
     *
     * `maxCount = Long.MaxValue` disables capping and returns `df`
     * unchanged. */
@@ -101,15 +106,15 @@ object Skew {
     if (maxCount == Long.MaxValue) return df
     require(maxCount > 0, s"bucket cap must be positive, got $maxCount")
     ensureDropLogger(df.sparkSession)
-    val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_cnt"))
-      .where(col("_cnt") > maxCount)
-      // Unique observation name per call site instance: duplicate names
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("_cnt", count(lit(1)).over(w))
+      // Unique observation name per call-site instance: duplicate names
       // in one plan are an analysis error (e.g. a union of two capped
       // frames).
       .observe(s"graft.skew.$what.${obsSeq.incrementAndGet()}",
-        count(lit(1)).as("hot_buckets"),
-        coalesce(sum(col("_cnt")), lit(0L)).as("hot_rows"))
-      .select(keys.map(col): _*)
-    df.join(hot, keys, "left_anti")
+        coalesce(sum(when(col("_cnt") > maxCount, lit(1L))), lit(0L)).as("hot_rows"),
+        coalesce(max(when(col("_cnt") > maxCount, col("_cnt"))), lit(0L)).as("max_hot_bucket"))
+      .where(col("_cnt") <= maxCount)
+      .drop("_cnt")
   }
 }
