@@ -1,0 +1,58 @@
+package graft
+
+/** Automated plan audit over EVERY SparkEntry query — the "iterate until
+  * it's the plan you'd want" discipline as a regression gate instead of
+  * a manual Explain pass:
+  *
+  *  - no CartesianProduct anywhere (a quadratic plan is never intended);
+  *  - no BroadcastNestedLoopJoin outside the whitelisted queries whose
+  *    broadcast side is a bounded literal set (ANN query vectors, IVF
+  *    probe assignment) — for those the NLJ is the right plan at any
+  *    corpus scale because the small side is constant-bounded;
+  *  - point lookups push their id filters into the parquet scan.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries where a BroadcastNestedLoopJoin is the intended plan:
+    * the broadcast side is a constant-bounded query/centroid set. */
+  private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf")
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf0001).queryExecution.executedPlan.toString
+    }
+
+  test("no query plans a CartesianProduct") {
+    val bad = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
+    assert(bad.isEmpty, s"cartesian products in: ${bad.toSeq.sorted}")
+  }
+
+  test("no query plans a BroadcastNestedLoopJoin outside the bounded-broadcast whitelist") {
+    val bad = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intendedNlj(n) => n
+    }
+    assert(bad.isEmpty, s"unexpected nested-loop joins in: ${bad.toSeq.sorted}")
+  }
+
+  test("whitelisted NLJ queries still broadcast the small side (not the corpus)") {
+    intendedNlj.foreach { n =>
+      assert(plans(n).contains("BroadcastNestedLoopJoin"),
+        s"$n no longer uses its intended bounded-broadcast plan; update the whitelist")
+    }
+  }
+
+  test("point lookup pushes id filters into the parquet scan") {
+    val p = SparkEntry.queries("q10_point_lookup")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("In(") ,
+      s"no pushed In-filter in q10 plan:\n$p")
+  }
+
+  test("column pruning reaches the scan for the JSON-extraction query") {
+    val p = SparkEntry.queries("e26_json_extract")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // only the two referenced columns should be read
+    assert(p.contains("ReadSchema: struct<event_type:string,props:string>"),
+      s"e26 reads more than (event_type, props):\n$p")
+  }
+}
