@@ -56,15 +56,36 @@ object Dedup {
           element_at(col("w"), i + 3)))).as("s"))
   }
 
-  /** MinHash signature per document: h_j = min over shingles of
-    * md5("<j>|" + shingle). md5 is identical across engines, and `min`
-    * over hex strings is plain lexicographic order, so signatures are
-    * bit-reproducible anywhere. Output: (doc_id, h0..h{k-1}). */
+  /** Universal-hash permutation constants (Carter–Wegman multiply-add,
+    * splitmix64-derived, A odd for bijectivity mod 2^64). Public so the
+    * SQL oracle inlines the identical literals. */
+  val MinhashA: Seq[Long] = Seq(
+    -2152535657050944081L, -7995527694508729151L, -7541218347953203505L,
+    2092789425003139053L, 7958955049054603979L, 7134611160154358619L,
+    -4799528948525441023L, 7191089600892374487L)
+  val MinhashB: Seq[Long] = Seq(
+    2532601429470541124L, -3386062195037776105L, 1243045329627533100L,
+    1866550240620900528L, 5149949291087212246L, -4926187683138981485L,
+    2475505609494469522L, 2522708310006964940L)
+
+  /** MinHash signature per document: ONE base hash per shingle (first 15
+    * md5 hex chars as a 60-bit long — engine-portable), permuted into k
+    * components by k wrapping multiply-adds
+    * ([[graft.functions.MulAddWrapExpr]]): h_j = min over shingles of
+    * `A_j * h + B_j` (mod 2^64, signed-long min). One md5 + k codegen'd
+    * multiply-adds per shingle replaces k md5 invocations, and the
+    * shuffle carries k longs per doc instead of k 32-char hex strings.
+    * Bit-reproducible in any engine with 64-bit modular arithmetic
+    * (DuckDB twin: HUGEINT mod 2^64, re-signed).
+    * Output: (doc_id, h0..h{k-1}: bigint). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
+    val base = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
     val aggs = (0 until NumHashes).map(j =>
-      min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*).withColumnRenamed("id", "doc_id")
+      min(graft.functions.mulAddWrap(col("_h"), MinhashA(j), MinhashB(j))).as(s"h$j"))
+    sh.select(col("id"), base.as("_h"))
+      .groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("id", "doc_id")
   }
 
   /** LSH candidate pairs: signatures are cut into [[NumBands]] bands of 2
@@ -80,7 +101,8 @@ object Dedup {
     val sig = minhashSignatures(docs)
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))
+        md5(concat(col(s"h${2 * b}").cast("string"),
+          col(s"h${2 * b + 1}").cast("string"))).as("bh"))
     }
     val bands = Skew.capBuckets(
       sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))

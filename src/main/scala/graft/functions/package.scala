@@ -67,4 +67,10 @@ package object functions {
   def rollingHash64(c: Column): Column =
     org.apache.spark.sql.GraftSqlShims.column(
       RollingHash64Expr(org.apache.spark.sql.GraftSqlShims.expression(c)))
+
+  /** `a * x + b` on a long column with 64-bit wraparound (ANSI-safe) —
+    * the universal-hash permutation ([[MulAddWrapExpr]]). */
+  def mulAddWrap(c: Column, a: Long, b: Long): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      MulAddWrapExpr(org.apache.spark.sql.GraftSqlShims.expression(c), a, b))
 }

@@ -223,10 +223,24 @@ object Extensions {
       |       FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i))""".stripMargin
 
   private val sigCte = {
-    val mins = (0 until Dedup.NumHashes)
-      .map(j => s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+    // Universal-hash minhash twin: base hash = first 15 md5 hex chars as
+    // BIGINT (the e05 pattern), permutations = (A_j*h + B_j) mod 2^64 in
+    // HUGEINT re-signed to BIGINT (the e16 wraparound pattern), min over
+    // signed BIGINT = Spark's min over LongType.
+    val M = "18446744073709551616" // 2^64
+    val half = "9223372036854775808" // 2^63
+    val mins = (0 until Dedup.NumHashes).map { j =>
+      val a = java.lang.Long.toUnsignedString(Dedup.MinhashA(j))
+      val b = java.lang.Long.toUnsignedString(Dedup.MinhashB(j))
+      s"""min((SELECT CASE WHEN u >= $half::HUGEINT THEN (u - $M::HUGEINT)::BIGINT
+         |              ELSE u::BIGINT END
+         |     FROM (SELECT ($a::HUGEINT * h + $b::HUGEINT) % $M::HUGEINT AS u))) AS h$j"""
+        .stripMargin
+    }.mkString(", ")
     s"""$shingleCte,
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+       |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)::HUGEINT AS h
+       |       FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -404,7 +418,7 @@ object Extensions {
 
     "e03_minhash_pairs" -> {
       val bands = (0 until Dedup.NumBands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
         .mkString("\n  UNION ALL ")
       s"""WITH $sigCte,
          |bands AS (
@@ -490,7 +504,7 @@ object Extensions {
 
     "e17_near_dup_pipeline" -> {
       val bands = (0 until Dedup.NumBands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
         .mkString("\n  UNION ALL ")
       s"""WITH $sigCte,
          |bands AS (
