@@ -40,6 +40,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product(a, b) takes two arguments")
         DotProductExpr(args(0), args(1))
+      }),
+    ("mul_add_wrap",
+      new ExpressionInfo(classOf[MulAddWrapExpr].getName, "mul_add_wrap"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "mul_add_wrap(x, a, b) takes three arguments")
+        def lit(e: Expression): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"mul_add_wrap multiplier/addend must be integer literals, got $other")
+        }
+        MulAddWrapExpr(args(0), lit(args(1)), lit(args(2)))
       }))
 
   /** Register on a live session (idempotent: re-registration overwrites). */

@@ -36,5 +36,9 @@ class GraphCatalogSpec extends SparkSpec {
       "SELECT dot_product(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F))")
       .as[Double].head()
     assert(dotSql == 32.0)
+    // wrapping multiply-add: ANSI would throw on this overflow
+    val wrapSql = spark.sql(
+      s"SELECT mul_add_wrap(${Long.MaxValue}L, 3L, 1L)").as[Long].head()
+    assert(wrapSql == Long.MaxValue * 3L + 1L)
   }
 }
