@@ -88,6 +88,35 @@ object Dedup {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Row-LOCAL minhash signature columns: identical values to
+    * [[minhashSignatures]] but computed entirely within the document row
+    * via higher-order array functions — no explode, no shuffle. This is
+    * the form streaming pipelines need (no stateful aggregation before
+    * the dedup operator) and single-pass batch pipelines can use to
+    * skip the signature shuffle. Documents with fewer than 3 tokens get
+    * NULL components (they have no shingles). */
+  def minhashSignatureCols(textCol: Column): Seq[Column] = {
+    val w = split(textCol, " ")
+    val shingleArr = when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array())
+    val hashes = transform(shingleArr, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    (0 until NumHashes).map(j =>
+      array_min(transform(hashes, h =>
+        graft.functions.mulAddWrap(h, MinhashA(j), MinhashB(j)))).as(s"h$j"))
+  }
+
+  /** Row-local band hashes (the [[minhashCandidatePairs]] banding over
+    * [[minhashSignatureCols]]): array of [[NumBands]] md5 band keys. */
+  def minhashBandCols(textCol: Column): Column = {
+    val sig = minhashSignatureCols(textCol)
+    array((0 until NumBands).map { b =>
+      md5(concat(sig(2 * b).cast("string"), sig(2 * b + 1).cast("string")))
+    }: _*)
+  }
+
   /** LSH candidate pairs: signatures are cut into [[NumBands]] bands of 2
     * components; documents sharing any band hash become a candidate pair.
     * Band buckets hotter than `maxBucket` members are dropped before the

@@ -256,6 +256,70 @@ object Streams {
     else events.dropDuplicates(keyCols)
   }
 
+  /** State for one LSH band bucket: the first-arrived document (the
+    * bucket representative) and the last activity time for eviction. */
+  final case class BucketRep(docId: Long, repTs: Long, lastTs: Long)
+  final case class DupCandidate(doc_id: Long, dup_of: Long, band: Int)
+
+  /** STREAMING near-duplicate candidate detection — the streaming leg of
+    * the MinHash-LSH dedup family ([[graft.ext.Dedup]]): each arriving
+    * document's band hashes (computed ROW-LOCALLY via
+    * [[graft.ext.Dedup.minhashBandCols]] — no pre-shuffle, so this is a
+    * single stateful operator) probe per-bucket state; a document
+    * sharing any band bucket with an EARLIER-seen document is emitted as
+    * `(doc_id, dup_of = bucket representative, band)`. First arrival
+    * (event-time order within a trigger, arrival order across triggers)
+    * wins the bucket — the keep-first dedup-filter semantic, not the
+    * all-pairs batch enumeration; a doc matching in several bands emits
+    * one candidate per band (dedup downstream, e.g. in foreachBatch).
+    * Bucket state is EVICTED once the watermark passes last activity +
+    * `horizonMs`, so state tracks only the active horizon — the LSH
+    * analogue of `dropDuplicatesWithinWatermark`. In batch mode the same
+    * function flags every doc that shares a band with an earlier
+    * (ts, doc_id)-ordered doc. Input needs (doc_id, text, ts); the
+    * watermark is attached here from `delay`. */
+  def streamingNearDupCandidates(docs: DataFrame, delay: String = "10 minutes",
+      horizonMs: Long = 10L * 60 * 1000): Dataset[DupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val watermarked =
+      if (docs.isStreaming) docs.withWatermark("ts", delay) else docs
+    val banded = watermarked
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.ext.Dedup.minhashBandCols(col("text"))).as(Seq("band", "bh")))
+      .where(col("bh").isNotNull) // < 3 tokens: no shingles, no bands
+      .select(col("doc_id").as[Long], col("ts").as[Timestamp],
+        col("band").as[Int], col("bh").as[String])
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BucketRep, DupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state: GroupState[BucketRep]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val streaming = eventTimeTimeoutSupported(state)
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var rep = state.getOption
+            val out = Seq.newBuilder[DupCandidate]
+            sorted.foreach { case (id, ts, _, _) =>
+              rep match {
+                case None => rep = Some(BucketRep(id, ts.getTime, ts.getTime))
+                case Some(r) =>
+                  if (r.docId != id) out += DupCandidate(id, r.docId, band)
+                  rep = Some(r.copy(lastTs = math.max(r.lastTs, ts.getTime)))
+              }
+            }
+            rep.foreach { r =>
+              state.update(r)
+              if (streaming) {
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(r.lastTs + horizonMs, wm + 1))
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** `foreachBatch` sink helper: write each micro-batch to
     * `<path>/batch_id=<id>` with overwrite — a replayed batch (after
     * failure/restart) overwrites its own directory instead of appending

@@ -62,6 +62,19 @@ class DedupSpec extends SparkSpec {
     assert(hamNear < hamFar, s"near=$hamNear far=$hamFar")
   }
 
+  test("row-local signature columns equal the shuffled signatures") {
+    val viaAgg = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val viaRow = docs.select(col("doc_id") +: Dedup.minhashSignatureCols(col("text")): _*)
+      .where(col("h0").isNotNull) // short docs have no shingles
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaRow == viaAgg)
+    // short doc: null components row-locally, absent in the agg form
+    val short = docs.where($"doc_id" === 5L)
+      .select(Dedup.minhashSignatureCols(col("text")): _*).head()
+    assert(short.isNullAt(0))
+  }
+
   test("simhashNearPairs buckets catch the identical pair") {
     val pairs = Dedup.simhashNearPairs(docs, maxDist = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

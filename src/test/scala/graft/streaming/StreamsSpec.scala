@@ -336,6 +336,63 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupCandidates flags later near-dups and evicts old buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.streamingNearDupCandidates(stream,
+        delay = "1 minute", horizonMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    try {
+      // trigger 1: an original and an unrelated doc
+      mem.addData(
+        (1L, base, ts("2024-01-01 10:00:00")),
+        (2L, "completely different content with no shared phrasing at all here", ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      // trigger 2: an exact dup of doc 1 within the horizon -> flagged
+      mem.addData((3L, base, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val flagged = spark.table("neardup_stream")
+        .select("doc_id", "dup_of").distinct().as[(Long, Long)].collect().toSet
+      assert(flagged == Set((3L, 1L)))
+      // trigger 3: advance the watermark far past the horizon (evicts
+      // every bucket), then a new copy arrives -> it is a fresh
+      // representative, NOT flagged against the evicted doc 1
+      mem.addData((90L, "watermark advancer text entirely unrelated to others", ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      mem.addData((91L, "second watermark advancer also unrelated to all docs", ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      mem.addData((4L, base, ts("2024-01-01 15:05:00")))
+      q.processAllAvailable()
+      val after = spark.table("neardup_stream")
+        .select("doc_id", "dup_of").distinct().as[(Long, Long)].collect().toSet
+      assert(after == Set((3L, 1L)), s"evicted bucket resurfaced: $after")
+    } finally q.stop()
+  }
+
+  test("streamingNearDupCandidates in batch flags exactly the later doc of each LSH pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", ts("2024-01-01 10:00:00")),
+      (2L, "the quick brown fox jumps over the lazy dog", ts("2024-01-01 10:01:00")),
+      (3L, "the quick brown fox jumps over the sleepy dog", ts("2024-01-01 10:02:00")),
+      (4L, "completely different text with no shared phrasing at all", ts("2024-01-01 10:03:00")))
+      .toDF("doc_id", "text", "ts")
+    val flagged = Streams.streamingNearDupCandidates(docs)
+      .select("doc_id", "dup_of").distinct().as[(Long, Long)].collect().toSet
+    // batch LSH pairs on these docs (keep-first): every candidate pair
+    // (a < b by arrival) flags b against an earlier bucket-mate
+    val pairs = graft.ext.Dedup.minhashCandidatePairs(
+      docs.select("doc_id", "text")).as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    val laterFlagged = flagged.map(_._1)
+    val shouldFlag = pairs.map(_._2) // doc_b arrived later (ids == arrival order)
+    assert(laterFlagged == shouldFlag, s"flagged=$flagged pairs=$pairs")
+    // and every dup_of is a genuine earlier bucket-mate
+    assert(flagged.forall { case (d, of) => pairs.contains((of, d)) || pairs.exists(p => p._2 == d) })
+  }
+
   test("streaming tumblingCounts over MemoryStream matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
