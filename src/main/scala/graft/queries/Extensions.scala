@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, Sketches, Text}
+import graft.ext.{Dedup, Sampling, Similarity, Sketches, Text}
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.Streams
 
@@ -178,6 +178,21 @@ object Extensions {
   def e25_top_tfidf(s: SparkSession, dir: String): DataFrame =
     Text.topTermTfIdf(docs(s, dir)).orderBy("doc_id")
 
+  /** Deterministic 10% corpus downsample (content-hash membership —
+    * the reproducible-sampling leg of the pipeline surface). */
+  def e27_hash_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(docs(s, dir), col("doc_id"), fraction = 0.1)
+      .select(col("doc_id"), length(col("text")).as("text_len"))
+      .orderBy("doc_id")
+
+  /** Deterministic 50-per-event-type stratified sample (balanced-corpus
+    * primitive). */
+  def e28_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+        events(s, dir).select(col("event_type"), col("event_id")),
+        Seq("event_type"), col("event_id"), n = 50)
+      .orderBy("event_type", "event_id")
+
   def e24_quantiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir).groupBy(col("event_type"))
       .agg(
@@ -213,7 +228,9 @@ object Extensions {
     "e23_knn_ivf" -> (e23_knn_ivf _),
     "e24_quantiles" -> (e24_quantiles _),
     "e25_top_tfidf" -> (e25_top_tfidf _),
-    "e26_json_extract" -> (e26_json_extract _))
+    "e26_json_extract" -> (e26_json_extract _),
+    "e27_hash_sample" -> (e27_hash_sample _),
+    "e28_stratified_sample" -> (e28_stratified_sample _))
 
   // ---- DuckDB oracle twins ----
 
@@ -384,6 +401,19 @@ object Extensions {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e27_hash_sample" ->
+      s"""SELECT doc_id, length(text) AS text_len FROM documents
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      < ${Sampling.hashThreshold(0.1)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "e28_stratified_sample" ->
+      """SELECT event_type, event_id FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY event_type
+        |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 50
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "e25_top_tfidf" ->
       """WITH toks AS (
