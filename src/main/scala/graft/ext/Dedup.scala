@@ -195,6 +195,47 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Transitive dedup clusters — the end deliverable of the dedup
+    * pipeline: connected components over the LSH candidate-pair graph,
+    * emitted as `(doc_id, keep_id)` where `keep_id` is the minimum doc
+    * id in the component (the canonical survivor). Every input document
+    * appears; docs in no candidate pair keep themselves. Near-dup
+    * similarity is not transitive, so clustering the pair graph is the
+    * standard resolution (dedup keeps ONE doc per chain A~B~C even when
+    * A!~C directly).
+    *
+    * Implementation: iterative min-label propagation over the
+    * undirected pair graph (each round: label = min(own, neighbors');
+    * one shuffle per round, `localCheckpoint` keeps lineage flat),
+    * converging in at most graph-diameter rounds — dedup components are
+    * short chains in practice. For adversarially deep components run
+    * [[graft.analytics.GraphXBridge]] connected components instead
+    * (Pregel halves rounds via large-star/small-star style hops). */
+  def dedupClusters(docs: DataFrame, maxIter: Int = 20,
+      maxBucket: Long = graft.operators.Skew.DefaultBucketCap): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, maxBucket)
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
+        .select(labels("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      done = updated.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.withColumnRenamed("lbl", "keep_id")
+  }
+
   /** SimHash 64-bit fingerprint per document via the typed
     * [[SimHashAggregator]]: near-duplicates land within small Hamming
     * distance. Token hash = first 15 hex chars of md5 (60 bits, stays in

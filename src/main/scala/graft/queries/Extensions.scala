@@ -178,6 +178,11 @@ object Extensions {
   def e25_top_tfidf(s: SparkSession, dir: String): DataFrame =
     Text.topTermTfIdf(docs(s, dir)).orderBy("doc_id")
 
+  /** Transitive dedup resolution: every doc mapped to its cluster's
+    * canonical survivor (connected components over LSH pairs). */
+  def e29_dedup_clusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(docs(s, dir)).orderBy("doc_id")
+
   /** Deterministic 10% corpus downsample (content-hash membership —
     * the reproducible-sampling leg of the pipeline surface). */
   def e27_hash_sample(s: SparkSession, dir: String): DataFrame =
@@ -230,7 +235,8 @@ object Extensions {
     "e25_top_tfidf" -> (e25_top_tfidf _),
     "e26_json_extract" -> (e26_json_extract _),
     "e27_hash_sample" -> (e27_hash_sample _),
-    "e28_stratified_sample" -> (e28_stratified_sample _))
+    "e28_stratified_sample" -> (e28_stratified_sample _),
+    "e29_dedup_clusters" -> (e29_dedup_clusters _))
 
   // ---- DuckDB oracle twins ----
 
@@ -401,6 +407,31 @@ object Extensions {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e29_dedup_clusters" -> {
+      val bands = (0 until Dedup.NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
+        .mkString("\n  UNION ALL ")
+      // Transitive closure by recursive CTE (UNION dedups, so the
+      // recursion reaches a fixpoint); component rep = min reachable id.
+      s"""WITH RECURSIVE $sigCte,
+         |bands AS (
+         |  $bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, u.v FROM reach r JOIN und u ON u.u = r.b),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+         |         FROM reach GROUP BY a)
+         |SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "e27_hash_sample" ->
       s"""SELECT doc_id, length(text) AS text_len FROM documents

@@ -75,6 +75,45 @@ class DedupSpec extends SparkSpec {
     assert(short.isNullAt(0))
   }
 
+  test("dedupClusters resolves transitive chains to one survivor; singletons keep themselves") {
+    val clusters = Dedup.dedupClusters(docs).as[(Long, Long)].collect().toMap
+    // every doc present
+    assert(clusters.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // the pair graph on the fixture: verify against its actual components
+    val pairs = Dedup.minhashCandidatePairs(docs).as[(Long, Long)].collect()
+    val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    def component(start: Long): Set[Long] = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    clusters.foreach { case (d, keep) => assert(keep == component(d).min, s"doc $d") }
+    // docs 4 and 5 share no shingles with anything: their own keepers
+    assert(clusters(4L) == 4L && clusters(5L) == 5L)
+    // exact dups 1 and 2 collapse to 1
+    assert(clusters(1L) == 1L && clusters(2L) == 1L)
+  }
+
+  test("dedupClusters closes a transitive A~B~C chain even when A and C share no band") {
+    // B overlaps A heavily and C heavily; A and C share fewer shingles —
+    // clustering must still put all three in one component if LSH links
+    // A-B and B-C (chain closure, the non-transitivity case).
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta lambda mu"),
+      (3L, "gamma delta epsilon zeta eta theta lambda mu nu xi"),
+      (9L, "unrelated words entirely different from the other documents here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(chain).as[(Long, Long)].collect().toSet
+    assume(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    val clusters = Dedup.dedupClusters(chain).as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(9L) == 9L)
+  }
+
   test("simhashNearPairs buckets catch the identical pair") {
     val pairs = Dedup.simhashNearPairs(docs, maxDist = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
