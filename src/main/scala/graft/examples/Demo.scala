@@ -106,6 +106,35 @@ object Demo {
     val sqlHash = spark.sql("SELECT rolling_hash64('graft')").collect().head.getLong(0)
     println(s"DEMO sql_hop=$sqlHop sql_hash=$sqlHash")
 
+    // 11. The dedup pipeline end-to-end: deterministic sample -> LSH
+    // candidates -> transitive clusters -> canonical survivors
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sampled = graft.ext.Sampling.hashSample(docs, col("doc_id"), 0.5)
+    val clusters = graft.ext.Dedup.dedupClusters(sampled)
+    val survivors = clusters.where(col("doc_id") === col("keep_id")).count()
+    println(s"DEMO dedup_survivors=$survivors/${sampled.count()}")
+
+    // 12. k-means-trained IVF vs fixed picks (20 queries for a stable read)
+    val qids20 = (0L until 20L).toSeq
+    val bf20 = graft.ext.Similarity.bruteForceTopK(emb, qids20, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed20 = graft.ext.Similarity.ivfTopK(emb, cids, qids20, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = graft.ext.Similarity.trainCentroids(emb, k = 8, iters = 5)
+    val ivfKm = graft.ext.Similarity.ivfTopKWith(emb, trained, qids20, 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"DEMO ivf_kmeans_recall=${(ivfKm & bf20).size.toDouble / bf20.size}" +
+      s" fixed_recall=${(fixed20 & bf20).size.toDouble / bf20.size}")
+
+    // 13. dense GraphX relabeling (keys beyond 48 bits)
+    import spark.implicits._
+    val bigGraph = new graft.graph.PropertyGraph(spark,
+      Map("U" -> Seq(1L, 2L, (1L << 52) + 7).toDF("_vid")),
+      Map(graft.model.EdgeSpec("KNOWS", "U", "U") -> Seq((1L, 2L)).toDF("_src", "_dst")))
+    val denseComps = graft.analytics.GraphXBridge.connectedComponentsDense(bigGraph)
+      .select("comp_vid").distinct().count()
+    println(s"DEMO dense_cc_components=$denseComps")
+
     spark.stop()
   }
 }
