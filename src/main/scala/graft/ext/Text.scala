@@ -58,14 +58,23 @@ object Text {
     * predicts "und"). N-gram profiles would be the production upgrade;
     * marker counting is the SQL-expressible baseline. */
   def langId(docs: DataFrame): DataFrame = {
-    val scores = LangMarkers.map { case (lang, markers) => lang -> countIn(markers) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pred = scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+    // Two projections on purpose: the marker counts are interpreted
+    // higher-order filters (not codegen'd), and inlining them into the
+    // argmax expression evaluates each one ~6x (greatest + tie-check +
+    // prediction chain). Materializing them as columns first pins each
+    // to ONE evaluation; CollapseProject keeps the split because the
+    // counts are referenced repeatedly and are not cheap.
+    val scored = docs.select(
+      col("doc_id") +:
+        LangMarkers.map { case (lang, markers) => countIn(markers).as(s"_s_$lang") }: _*)
+    val scoreCols = LangMarkers.map { case (lang, _) => lang -> col(s"_s_$lang") }
+    val best = scoreCols.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scoreCols.foldRight(lit("und")) { case ((lang, score), acc) =>
       when(score === best && best > 0, lit(lang)).otherwise(acc)
     }
     // foldRight gives priority to the FIRST matching language in
     // LangMarkers order (earlier entries overwrite later in the chain).
-    docs.select(col("doc_id"), pred.as("lang_pred"))
+    scored.select(col("doc_id"), pred.as("lang_pred"))
   }
 
   /** Content fingerprint: md5 of the full text (exact-dup key), plus a
