@@ -22,6 +22,33 @@ object Sketches {
     events.groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"))
 
+  /** Exact corpus heavy hitters: the k most frequent tokens, ties broken
+    * on the token for a deterministic cut. Exact form = full token
+    * shuffle (the oracle anchor); the scale path is
+    * [[heavyHitterEstimates]]. */
+  def heavyHittersExact(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("term"))
+      .limit(k)
+
+  /** Count–Min frequency estimates — the heavy-hitter scale path:
+    * Spark's built-in `count_min_sketch` aggregate keeps one
+    * `O(1/eps * ln(1/confidence))`-sized sketch per partition and
+    * merges map-side (no token shuffle at all); estimates carry the
+    * classic one-sided CMS guarantee (never under the true count,
+    * over by at most eps * N with the given confidence). Returns the
+    * estimated counts for `terms`. */
+  def heavyHitterEstimates(docs: DataFrame, terms: Seq[String],
+      eps: Double = 0.0001, confidence: Double = 0.99): Map[String, Long] = {
+    val bin = docs.select(explode(split(col("text"), " ")).as("term"))
+      .agg(expr(s"count_min_sketch(term, ${eps}d, ${confidence}d, 42)").as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bin))
+    terms.map(t => t -> cms.estimateCount(t)).toMap
+  }
+
   /** Approximate quantiles per event type — the scale path of the exact
     * interpolated form (e24): `approx_percentile` keeps a bounded
     * Greenwald-Khanna sketch per group per partition and merges

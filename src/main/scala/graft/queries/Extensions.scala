@@ -178,6 +178,11 @@ object Extensions {
   def e25_top_tfidf(s: SparkSession, dir: String): DataFrame =
     Text.topTermTfIdf(docs(s, dir)).orderBy("doc_id")
 
+  /** Exact corpus heavy hitters (top-25 tokens; CMS is the scale twin,
+    * spec-checked against this in SketchesSpec). */
+  def e30_heavy_hitters(s: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHittersExact(docs(s, dir), k = 25)
+
   /** Transitive dedup resolution: every doc mapped to its cluster's
     * canonical survivor (connected components over LSH pairs). */
   def e29_dedup_clusters(s: SparkSession, dir: String): DataFrame =
@@ -236,7 +241,8 @@ object Extensions {
     "e26_json_extract" -> (e26_json_extract _),
     "e27_hash_sample" -> (e27_hash_sample _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
-    "e29_dedup_clusters" -> (e29_dedup_clusters _))
+    "e29_dedup_clusters" -> (e29_dedup_clusters _),
+    "e30_heavy_hitters" -> (e30_heavy_hitters _))
 
   // ---- DuckDB oracle twins ----
 
@@ -432,6 +438,11 @@ object Extensions {
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "e30_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS freq FROM toks GROUP BY term)
+        |SELECT term, freq FROM f ORDER BY freq DESC, term LIMIT 25""".stripMargin,
 
     "e27_hash_sample" ->
       s"""SELECT doc_id, length(text) AS text_len FROM documents

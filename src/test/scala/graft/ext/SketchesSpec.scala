@@ -21,6 +21,27 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates bound the exact heavy-hitter counts") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val exact = Sketches.heavyHittersExact(docs, 25)
+      .as[(String, Long)].collect()
+    assert(exact.length == 25)
+    assert(exact.map(_._2).toSeq == exact.map(_._2).sortBy(-_).toSeq) // desc
+    val totalTokens = docs
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")))
+      .as[Int].collect().map(_.toLong).sum
+    val est = Sketches.heavyHitterEstimates(docs, exact.map(_._1).toSeq,
+      eps = 0.0001, confidence = 0.99)
+    exact.foreach { case (term, freq) =>
+      val e = est(term)
+      assert(e >= freq, s"CMS under-counted $term: $e < $freq") // one-sided
+      assert(e <= freq + (0.0001 * totalTokens).toLong + 1,
+        s"CMS over-counted $term beyond eps*N: $e vs $freq (N=$totalTokens)")
+    }
+  }
+
   test("approx quantiles track the exact interpolated percentiles") {
     val ev = graft.queries.Extensions.events(spark, sf0001)
     val exact = graft.queries.Extensions.e24_quantiles(spark, sf0001)
