@@ -46,20 +46,39 @@ object Bench {
       val times = Seq.fill(reps)(once()).sorted
       name -> times
     }
-    def f(d: Double) = "%.6f".format(d)
-    // Per-query latency spread (min/median/max over the timed reps),
-    // mirroring the reference's OpTester distribution report
-    // (reference: src/main/java/net/.../OpTester.java:175-226) so a
-    // noisy rep is visible as spread instead of polluting the median.
+    def f(d: Double) = "%.3f".format(d)
+    // The stdout line must stay under the driver's ~2 KiB tail capture
+    // (round-3 lesson: inlining the per-query spread overflowed it and
+    // the artifact parsed as null), so the line carries ONLY 3-decimal
+    // medians; the full distribution goes to a sidecar file.
     val qs = results.map { case (k, t) =>
       "\"" + k + "\":" + f(t(t.size / 2))
     }.mkString("{", ",", "}")
-    val spread = results.map { case (k, t) =>
-      "\"" + k + "\":{\"min\":" + f(t.head) + ",\"median\":" + f(t(t.size / 2)) +
-        ",\"max\":" + f(t.last) + "}"
-    }.mkString("{", ",", "}")
     val total = results.map { case (_, t) => t(t.size / 2) }.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // Sidecar: per-query latency distribution, mirroring the reference's
+    // OpTester report shape — min/max/mean plus p25..p99 when reps >= 5
+    // (reference: src/main/java/net/.../OpTester.java:175-226). With
+    // reps < 5 percentiles of 3 points would be noise, so only
+    // min/median/max are emitted.
+    def pct(t: Seq[Double], p: Int): Double =
+      t(math.min(t.size - 1, math.ceil(p / 100.0 * t.size).toInt - 1).max(0))
+    def f6(d: Double) = "%.6f".format(d)
+    val spread = results.map { case (k, t) =>
+      val base = Seq(
+        "\"min\":" + f6(t.head), "\"median\":" + f6(t(t.size / 2)),
+        "\"max\":" + f6(t.last), "\"mean\":" + f6(t.sum / t.size))
+      val pcts = if (reps >= 5)
+        Seq(25, 50, 75, 90, 95, 99).map(p => "\"p" + p + "\":" + f6(pct(t, p)))
+      else Seq.empty
+      "\"" + k + "\":" + (base ++ pcts).mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_SPREAD_FILE", "bench_spread.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+      s"""{"reps":$reps,"sf":"$sfDir","spread":$spread}""".getBytes("UTF-8"))
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} B exceeds the driver's tail capture budget")
+    println(line)
     spark.stop()
   }
 }

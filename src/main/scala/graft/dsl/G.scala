@@ -53,7 +53,8 @@ final case class G(graph: PropertyGraph) {
       Seq(label))
 }
 
-final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) {
+final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
+    captures: Map[String, Seq[String]] = Map.empty) {
 
   /** Filter on a vertex property — Gremlin `has(key, value)`. */
   def has(key: String, value: Any): Step = has(col(key) === lit(value))
@@ -108,7 +109,9 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
 
   private def expand(edgeLabel: String, dir: Direction, fillEdge: Boolean,
       neighborLabels: Seq[String]): Step = {
-    val hasPath = df.columns.contains(PathCol)
+    // Columns that ride along through expansions: the `_path` history and
+    // any `as(name)` capture structs.
+    val carried = df.columns.filter(isCarried).toSeq
     val parts = labels.flatMap { l =>
       val matching = graph.edgeFrames.keys.exists { s =>
         s.label == edgeLabel && (dir match {
@@ -120,24 +123,28 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
       if (!matching) None
       else {
         val sub = df.where(col(GC.Label) === l)
-        if (!hasPath) {
+        if (carried.isEmpty) {
           val r = graph.traverse(sub.select(col(GC.Id)), l, edgeLabel, dir,
             fillEdge, neighborLabels)
           val keep = Seq(col(GC.Dst).as(GC.Id), col(GC.DstLabel).as(GC.Label)) ++
             r.edgePropCols.map(col)
           Some((r.df.select(keep: _*), r))
         } else {
-          // Path mode: traverse a distinct frontier, then fan the edge
-          // rows back onto the per-row paths (multiplicity = input rows x
-          // edges, same as the non-path join semantics).
+          // Carried mode: traverse a distinct frontier, then fan the edge
+          // rows back onto the per-row carried columns (multiplicity =
+          // input rows x edges, same as the non-carried join semantics).
           val r = graph.traverse(sub.select(col(GC.Id)).distinct(), l, edgeLabel,
             dir, fillEdge, neighborLabels)
-          val rows = sub.select(col(GC.Id).as("_pid"), col(PathCol))
+          val rows = sub.select(col(GC.Id).as("_pid") +: carried.map(col): _*)
           val joined = r.df.join(rows, r.df(GC.Src) === rows("_pid"))
-          val newPath = concat(col(PathCol),
-            array(struct(col(GC.DstLabel).as("label"), col(GC.Dst).cast("bigint").as("id"))))
+          val carriedOut = carried.map {
+            case PathCol => concat(col(PathCol),
+              array(struct(col(GC.DstLabel).as("label"), col(GC.Dst).cast("bigint").as("id"))))
+              .as(PathCol)
+            case c => col(c)
+          }
           val keep = Seq(col(GC.Dst).as(GC.Id), col(GC.DstLabel).as(GC.Label)) ++
-            r.edgePropCols.map(col) :+ newPath.as(PathCol)
+            r.edgePropCols.map(col) ++ carriedOut
           Some((joined.select(keep: _*), r))
         }
       }
@@ -219,22 +226,27 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
     * rather than replacing it, and per-row multiplicity is untouched
     * (the key lookup is deduplicated before the join). */
   def orderBy(key: String, ascending: Boolean = true): Step = {
-    val withKey =
-      if (df.columns.contains(key)) df
-      else {
-        val kept = labels.filter(l => graph.vertices(l).columns.contains(key))
-        val keyLookup = nonEmptyUnion2(kept.map { l =>
-          graph.hydrate(
-            df.where(col(GC.Label) === l)
-              .select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label),
-            GC.Id, l, Seq(key))
-        }, df.select(col(GC.Id), col(GC.Label)).where(lit(false))
-          .withColumn(key, lit(null)))
-        df.join(keyLookup, Seq(GC.Id, GC.Label))
-      }
+    val withKey = withKeyColumn(key)
     val k = if (ascending) col(key).asc else col(key).desc
     copy(df = withKey.orderBy(k, col(GC.Label).asc, col(GC.Id).asc))
   }
+
+  /** The frontier with `key` available as a column: as-is when still
+    * carried, otherwise hydrated per label and joined back (preserving
+    * multiplicity and every carried column — see [[orderBy]]). */
+  private def withKeyColumn(key: String): DataFrame =
+    if (df.columns.contains(key)) df
+    else {
+      val kept = labels.filter(l => graph.vertices(l).columns.contains(key))
+      val keyLookup = nonEmptyUnion2(kept.map { l =>
+        graph.hydrate(
+          df.where(col(GC.Label) === l)
+            .select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label),
+          GC.Id, l, Seq(key))
+      }, df.select(col(GC.Id), col(GC.Label)).where(lit(false))
+        .withColumn(key, lit(null)))
+      df.join(keyLookup, Seq(GC.Id, GC.Label))
+    }
 
   /** Project property values — Gremlin `values(keys...)`. */
   def values(keys: String*): DataFrame = {
@@ -250,6 +262,42 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
     }
   }
 
+  /** Gremlin `as(name)`: label the current position so a later
+    * [[select]] can jump back to it (or project it). The capture is a
+    * `struct<label, id>` column that rides every subsequent expansion
+    * alongside `_path` — per traverser, like the reference's inherited
+    * TinkerPop path engine. Re-using a name overwrites the capture
+    * (TinkerPop's last-wins convention). */
+  def as(name: String): Step =
+    copy(
+      df = df.withColumn(s"$CapPrefix$name",
+        struct(col(GC.Label).as("label"), col(GC.Id).cast("bigint").as("id"))),
+      captures = captures + (name -> labels))
+
+  /** Gremlin `select(name)`: move each traverser back to its capture.
+    * Multiplicity is per-traverser (a customer captured before a 3-order
+    * fan-out comes back 3 times — `dedup()` for set semantics). Carried
+    * columns (`_path`, other captures) survive; edge-property columns
+    * from the abandoned position do not. */
+  def select(name: String): Step = {
+    val cap = s"$CapPrefix$name"
+    require(df.columns.contains(cap), s"""no as("$name") capture in scope""")
+    val keepCarried = df.columns.filter(isCarried).toSeq.map(col)
+    copy(
+      df = df.select(Seq(col(cap).getField("id").as(GC.Id),
+        col(cap).getField("label").as(GC.Label)) ++ keepCarried: _*),
+      labels = captures.getOrElse(name, graph.vertexLabels))
+  }
+
+  /** Gremlin `select(a, b, ...)` (terminal): one row per traverser, one
+    * `struct<label, id>` column per named capture. */
+  def select(first: String, second: String, rest: String*): DataFrame = {
+    val names = first +: second +: rest
+    names.foreach(n => require(df.columns.contains(s"$CapPrefix$n"),
+      s"""no as("$n") capture in scope"""))
+    df.select(names.map(n => col(s"$CapPrefix$n").as(n)): _*)
+  }
+
   /** Gremlin `count()`. */
   def count(): Long = df.count()
 
@@ -257,6 +305,20 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
   def groupCount(): DataFrame =
     df.groupBy(col(GC.Label), col(GC.Id))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+
+  /** Gremlin `group().by(key)` (terminal): frontier elements grouped by
+    * a property value (hydrated if no longer carried), one row per key
+    * with the sorted member list and its size. The member list
+    * materializes per group — the Gremlin contract; for skew-safe
+    * counting at corpus scale use [[groupCount]] or aggregate over
+    * `toDF` instead. */
+  def group(key: String): DataFrame =
+    withKeyColumn(key).groupBy(col(key))
+      .agg(
+        sort_array(collect_list(
+          struct(col(GC.Label).as("label"), col(GC.Id).cast("bigint").as("id"))))
+          .as("members"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
 
   /** Start recording traversal paths — Gremlin `path()` needs every step
     * from here on to carry its history. The path is a
@@ -275,6 +337,9 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String]) 
   def toDF: DataFrame = df
 
   private val PathCol = "_path"
+  private val CapPrefix = "_as_"
+  private def isCarried(c: String): Boolean =
+    c == PathCol || c.startsWith(CapPrefix)
 
   private def nonEmptyUnion(parts: Seq[DataFrame]): DataFrame =
     if (parts.isEmpty) df.where(lit(false)) // empty result, same schema

@@ -208,8 +208,13 @@ object Dedup {
     * undirected pair graph (each round: label = min(own, neighbors');
     * one shuffle per round, `localCheckpoint` keeps lineage flat),
     * converging in at most graph-diameter rounds — dedup components are
-    * short chains in practice. For adversarially deep components run
-    * [[graft.analytics.GraphXBridge]] connected components instead
+    * short chains in practice. The convergence test rides the SAME
+    * materialization: a `changed` count is observed via
+    * [[org.apache.spark.sql.Observation]] during the checkpoint job, so
+    * each round costs exactly ONE driver-blocking action (round 3 ran a
+    * second `isEmpty` join per round, which doubled the serial driver
+    * chain and magnified load noise). For adversarially deep components
+    * run [[graft.analytics.GraphXBridge]] connected components instead
     * (Pregel halves rounds via large-star/small-star style hops). */
   def dedupClusters(docs: DataFrame, maxIter: Int = 20,
       maxBucket: Long = graft.operators.Skew.DefaultBucketCap): DataFrame = {
@@ -223,17 +228,47 @@ object Dedup {
     while (!done && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("v") === labels("doc_id"))
         .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      val obs = new org.apache.spark.sql.Observation(s"dedup_cc_$iter")
       val updated = labels.join(nbrMin, labels("doc_id") === nbrMin("u"), "left")
         .select(labels("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      done = updated.alias("n")
-        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
-        .where(col("n.lbl") =!= col("o.lbl")).isEmpty
-      labels = updated
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("_chg"))
+        .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint() // the round's ONE action; fires the observation
+      done = obs.get("changed").asInstanceOf[Long] == 0L
+      labels = updated.drop("_chg")
       iter += 1
     }
     labels.withColumnRenamed("lbl", "keep_id")
+  }
+
+  /** Exact-dup survivors: the minimum-id document of each byte-identical
+    * text group, with all columns preserved. Window formulation (ONE
+    * shuffle on the 32-byte content hash) rather than groupBy+self-join
+    * (two shuffles) — the filter a pipeline composes in-plan where
+    * [[exactGroups]] is the reporting form. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Near-dup survivors under the KEEP-FIRST policy: drop every document
+    * that is the greater member of a verified near-dup pair
+    * ([[nearDupPairs]]: LSH candidates, exact-Jaccard >= threshold), via
+    * one left-anti join. This is the single-plan, no-action policy —
+    * composable inside a larger pipeline; for chains A~B~C it can keep
+    * more than one doc per transitive cluster (here: drops B and C,
+    * keeps A — but a doc whose neighbors all have LARGER ids survives).
+    * The transitive-cluster policy (exactly one survivor per component)
+    * is [[dedupClusters]], which needs an iterative fixpoint. */
+  def dropNearDuplicates(docs: DataFrame, threshold: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = nearDupPairs(docs, threshold)
+      .select(col("doc_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** SimHash 64-bit fingerprint per document via the typed

@@ -52,6 +52,36 @@ object Text {
         .as("quality_score"))
   }
 
+  /** The [[qualityScore]] formula as ONE column over `text` — the form a
+    * single-plan pipeline composes into a projection (no doc_id join).
+    * Same sub-expressions in the same order as the frame form, so the
+    * doubles are bit-identical. */
+  def qualityScoreCol: Column = {
+    val nTokens = size(tokens)
+    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stopRatio = countIn(Stopwords).cast("double") / nTokens.cast("double")
+    val punctRatio = nPunct.cast("double") / length(col("text")).cast("double")
+    val lenOk = when(nTokens >= 10 && nTokens <= 100000, lit(1.0)).otherwise(lit(0.0))
+    lit(0.5) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.2) * lenOk
+  }
+
+  /** Marker-count columns (one per language, named `_s_<lang>`) and the
+    * argmax prediction over them — split so pipelines can pin each count
+    * to one evaluation in its own projection (see [[langId]]'s two-
+    * projection rationale) while composing in a single plan. */
+  def langScoreCols: Seq[Column] =
+    LangMarkers.map { case (lang, markers) => countIn(markers).as(s"_s_$lang") }
+
+  /** Argmax over materialized `_s_<lang>` columns; first language in
+    * [[LangMarkers]] order wins ties, all-zero predicts "und". */
+  def langPredCol: Column = {
+    val scoreCols = LangMarkers.map { case (lang, _) => lang -> col(s"_s_$lang") }
+    val best = scoreCols.map(_._2).reduce((a, b) => greatest(a, b))
+    scoreCols.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Language-ID heuristic: count marker-token hits per language, predict
     * the argmax (ties and all-zero scores resolve deterministically:
     * first language in [[LangMarkers]] order wins a tie; no hits at all
@@ -64,17 +94,10 @@ object Text {
     // prediction chain). Materializing them as columns first pins each
     // to ONE evaluation; CollapseProject keeps the split because the
     // counts are referenced repeatedly and are not cheap.
-    val scored = docs.select(
-      col("doc_id") +:
-        LangMarkers.map { case (lang, markers) => countIn(markers).as(s"_s_$lang") }: _*)
-    val scoreCols = LangMarkers.map { case (lang, _) => lang -> col(s"_s_$lang") }
-    val best = scoreCols.map(_._2).reduce((a, b) => greatest(a, b))
-    val pred = scoreCols.foldRight(lit("und")) { case ((lang, score), acc) =>
-      when(score === best && best > 0, lit(lang)).otherwise(acc)
-    }
+    val scored = docs.select(col("doc_id") +: langScoreCols: _*)
     // foldRight gives priority to the FIRST matching language in
     // LangMarkers order (earlier entries overwrite later in the chain).
-    scored.select(col("doc_id"), pred.as("lang_pred"))
+    scored.select(col("doc_id"), langPredCol.as("lang_pred"))
   }
 
   /** Content fingerprint: md5 of the full text (exact-dup key), plus a

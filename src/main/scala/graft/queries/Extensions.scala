@@ -203,6 +203,34 @@ object Extensions {
         Seq("event_type"), col("event_id"), n = 50)
       .orderBy("event_type", "event_id")
 
+  /** e31: the end-to-end training-data pipeline composed in ONE plan —
+    * deterministic 50% downsample -> exact dedup (min id per content
+    * hash) -> near-dup keep-first filter -> quality floor -> per-language
+    * stratified cap. Every stage is a filter/window/join on the same
+    * lazily-composed frame: no intermediate action, no checkpoint, no
+    * collect anywhere (PlanAuditSpec gates the plan shape). This is the
+    * corpus-construction query a real pipeline runs nightly at 100 TB. */
+  val E31Fraction = 0.5
+  val E31QualityFloor = 0.53
+  val E31PerLang = 20
+
+  def e31_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = Sampling.hashSample(docs(s, dir), col("doc_id"), E31Fraction)
+    val exact = Dedup.dropExactDuplicates(base)
+    val near = Dedup.dropNearDuplicates(exact, threshold = 0.5)
+    // Marker counts in their own projection (one evaluation each — the
+    // e10 two-projection rationale), argmax + quality in the next.
+    val stats = near.select(
+      Seq(col("doc_id"), col("text"), Text.qualityScoreCol.as("quality_score")) ++
+        Text.langScoreCols: _*)
+    val scored = stats.select(col("doc_id"), col("quality_score"),
+      Text.langPredCol.as("lang_pred"), length(col("text")).as("text_len"))
+    val floored = scored.where(col("quality_score") >= E31QualityFloor)
+    Sampling.stratifiedSample(floored, Seq("lang_pred"), col("doc_id"), E31PerLang)
+      .select("doc_id", "lang_pred", "quality_score", "text_len")
+      .orderBy("doc_id")
+  }
+
   def e24_quantiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir).groupBy(col("event_type"))
       .agg(
@@ -242,16 +270,21 @@ object Extensions {
     "e27_hash_sample" -> (e27_hash_sample _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
-    "e30_heavy_hitters" -> (e30_heavy_hitters _))
+    "e30_heavy_hitters" -> (e30_heavy_hitters _),
+    "e31_pipeline" -> (e31_pipeline _))
 
   // ---- DuckDB oracle twins ----
 
-  private val shingleCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |       FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i))""".stripMargin
+  /** Shingle/signature CTE generators, parameterized on the source
+    * relation so composed pipelines (e31) can run the identical minhash
+    * arithmetic over an already-filtered CTE instead of `documents`. */
+  private def shingleCteFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i))""".stripMargin
+  private val shingleCte = shingleCteFrom("documents")
 
-  private val sigCte = {
+  private def sigCteFrom(src: String): String = {
     // Universal-hash minhash twin: base hash = first 15 md5 hex chars as
     // BIGINT (the e05 pattern), permutations = (A_j*h + B_j) mod 2^64 in
     // HUGEINT re-signed to BIGINT (the e16 wraparound pattern), min over
@@ -266,11 +299,12 @@ object Extensions {
          |     FROM (SELECT ($a::HUGEINT * h + $b::HUGEINT) % $M::HUGEINT AS u))) AS h$j"""
         .stripMargin
     }.mkString(", ")
-    s"""$shingleCte,
+    s"""${shingleCteFrom(src)},
        |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)::HUGEINT AS h
        |       FROM sh),
        |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)""".stripMargin
   }
+  private val sigCte = sigCteFrom("documents")
 
   val oracles: Map[String, String] = Map(
     "e05_simhash" ->
@@ -437,6 +471,66 @@ object Extensions {
          |SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "e31_pipeline" -> {
+      val bands = (0 until Dedup.NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
+        .mkString("\n  UNION ALL ")
+      def cnt(ws: Seq[String]) =
+        s"len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+      val scores = Text.LangMarkers.map { case (l, ws) => l -> cnt(ws) }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (l, e) =>
+        s"WHEN $e = best AND best > 0 THEN '$l'" }.mkString("\n    ")
+      // The full pipeline as chained CTEs: hash-sample (e27 pattern) ->
+      // exact-dedup window -> minhash/LSH/Jaccard near-dup losers over
+      // the DEDUPED sample (e17 pattern FROM ex) -> quality floor (e09
+      // formula) -> language argmax (e10 pattern) -> stratified cap
+      // (e28 pattern).
+      s"""WITH samp AS (
+         |  SELECT * FROM documents
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |        < ${Sampling.hashThreshold(E31Fraction)}),
+         |ex AS (SELECT * FROM samp
+         |       QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+         |${sigCteFrom("ex")},
+         |bands AS (
+         |  $bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |d AS (SELECT DISTINCT doc_id, s FROM sh),
+         |n AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+         |c AS (SELECT doc_a, doc_b, count(*) AS inter
+         |      FROM cand
+         |      JOIN d da ON da.doc_id = doc_a
+         |      JOIN d db ON db.doc_id = doc_b AND db.s = da.s
+         |      GROUP BY doc_a, doc_b),
+         |losers AS (
+         |  SELECT DISTINCT doc_b FROM c
+         |  JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5),
+         |kept AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM losers)),
+         |scored AS (
+         |  SELECT doc_id, text, length(text) AS text_len,
+         |    0.5 * (${cnt(Text.Stopwords)}::DOUBLE / len(string_split(text, ' '))::DOUBLE)
+         |    + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+         |             / length(text)::DOUBLE)
+         |    + 0.2 * (CASE WHEN len(string_split(text, ' ')) >= 10
+         |                   AND len(string_split(text, ' ')) <= 100000 THEN 1.0 ELSE 0.0 END)
+         |      AS quality_score,
+         |    $best AS best
+         |  FROM kept),
+         |lp AS (SELECT doc_id, quality_score, CASE
+         |    $cases
+         |    ELSE 'und' END AS lang_pred, text_len
+         |  FROM scored)
+         |SELECT doc_id, lang_pred, quality_score, text_len FROM lp
+         |WHERE quality_score >= $E31QualityFloor
+         |QUALIFY row_number() OVER (PARTITION BY lang_pred
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $E31PerLang
+         |ORDER BY doc_id""".stripMargin
     },
 
     "e30_heavy_hitters" ->

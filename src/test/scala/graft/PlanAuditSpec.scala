@@ -48,6 +48,22 @@ class PlanAuditSpec extends SparkSpec {
       s"no pushed In-filter in q10 plan:\n$p")
   }
 
+  test("pipeline composition (e31) is one pruned plan end to end") {
+    // The composed pipeline references `documents` in several subtrees
+    // (dedup window, band self-join, Jaccard verify, survivor anti-join);
+    // every one of those scans must be pruned to (doc_id, text) — a scan
+    // dragging lang/source/n_chars through the shuffles would be wrong
+    // at 100 TB. (No-cartesian/no-NLJ is asserted suite-wide above.)
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plans("e31_pipeline")).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, "no parquet scans found in e31 plan")
+    schemas.foreach { s =>
+      val colsRead = s.split(",").map(_.split(":").head.trim).toSet
+      assert(colsRead.subsetOf(Set("doc_id", "text")),
+        s"e31 scan reads extra columns: $colsRead")
+    }
+  }
+
   test("column pruning reaches the scan for the JSON-extraction query") {
     val p = SparkEntry.queries("e26_json_extract")(spark, sf0001)
       .queryExecution.executedPlan.toString

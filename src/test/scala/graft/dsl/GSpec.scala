@@ -161,6 +161,73 @@ class GSpec extends SparkSpec {
     assert(ids == wantNations.map(("Nation", _)) + (("Region", 2L)))
   }
 
+  test("as + select jumps back to the capture with per-traverser multiplicity") {
+    // capture each customer, hop to its orders, select back: one row per
+    // ORDER (the traverser count), positioned at the customer.
+    val back = g.V("Customer").as("a").in("PLACED_BY", "Order").select("a")
+    val wantRows = tbl("orders").count()
+    assert(back.count() == wantRows)
+    assert(back.labels == Seq("Customer"))
+    // the positions are real customer ids, and dedup() recovers the set
+    // of customers that have at least one order
+    val custWithOrders = tbl("orders").select($"o_custkey").distinct().count()
+    assert(back.dedup().count() == custWithOrders)
+  }
+
+  test("select(a, b) projects capture pairs matching the SQL join") {
+    val pairs = g.V("Customer").as("a").in("PLACED_BY", "Order").as("b")
+      .select("a", "b")
+      .select($"a.id".as("cust"), $"b.id".as("ord"))
+      .as[(Long, Long)].collect().toSet
+    val want = tbl("orders").select($"o_custkey", $"o_orderkey")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == want)
+  }
+
+  test("captures ride through a further hop and chain with has()") {
+    // customer -> order -> part, keeping the customer capture two hops in
+    val s = g.V("Customer").has("c_mktsegment", "BUILDING").as("c")
+      .in("PLACED_BY", "Order").out("CONTAINS", "Part").select("c").dedup()
+    val want = tbl("customer").where($"c_mktsegment" === "BUILDING")
+      .join(tbl("orders"), $"o_custkey" === $"c_custkey")
+      .join(tbl("lineitem"), $"l_orderkey" === $"o_orderkey")
+      .select("c_custkey").distinct().count()
+    assert(s.count() == want)
+  }
+
+  test("select preserves the _path column and other captures") {
+    val s = g.V("Region", 1L).withPath().as("r")
+      .in("IN_REGION", "Nation").as("n").select("r")
+    assert(s.toDF.columns.contains("_path"))
+    // the other capture is still selectable after repositioning
+    val nations = s.select("n", "r").select($"n.id").as[Long].collect().toSet
+    val want = tbl("nation").where($"n_regionkey" === 1)
+      .select($"n_nationkey").as[Long].collect().toSet
+    assert(nations == want)
+  }
+
+  test("group(key) buckets the frontier by a hydrated property") {
+    val grouped = g.V("Customer").group("c_mktsegment")
+      .select($"c_mktsegment", $"n")
+      .as[(String, Long)].collect().toMap
+    val want = tbl("customer").groupBy("c_mktsegment").count()
+      .as[(String, Long)].collect().toMap
+    assert(grouped == want)
+    // member lists carry the actual ids
+    val members = g.V("Customer").group("c_mktsegment")
+      .where($"c_mktsegment" === "BUILDING")
+      .select(explode($"members.id").as("id")).as[Long].collect().toSet
+    val wantIds = tbl("customer").where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(members == wantIds)
+  }
+
+  test("group on a still-carried property needs no hydration") {
+    val n = g.V("Order").outE("CONTAINS", "Part").group("l_returnflag")
+      .agg(sum($"n")).as[Long].head()
+    assert(n == tbl("lineitem").count())
+  }
+
   test("untilFixpoint respects maxIter") {
     val one = g.V("Region", 2L).untilFixpoint(maxIter = 0)(_.both("IN_REGION"))
     assert(one.toDF.count() == 1) // no hops: just the start vertex

@@ -114,6 +114,23 @@ class DedupSpec extends SparkSpec {
     assert(clusters(9L) == 9L)
   }
 
+  test("dropExactDuplicates keeps the min-id doc per text, all columns intact") {
+    val kept = Dedup.dropExactDuplicates(docs).as[(Long, String)].collect().toMap
+    assert(kept.keySet == Set(1L, 3L, 4L, 5L)) // doc 2 (dup of 1) dropped
+    assert(kept(1L).startsWith("the quick")) // text column survives
+  }
+
+  test("dropNearDuplicates keep-first: greater member of each verified pair dropped") {
+    val kept = Dedup.dropNearDuplicates(docs, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // verified pairs on the fixture: (1,2) exact, (1,3)/(2,3) near
+    val losers = Dedup.nearDupPairs(docs, threshold = 0.5)
+      .select("doc_b").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L) -- losers)
+    assert(kept.contains(1L) && kept.contains(4L) && kept.contains(5L))
+    assert(!kept.contains(2L) && !kept.contains(3L))
+  }
+
   test("simhashNearPairs buckets catch the identical pair") {
     val pairs = Dedup.simhashNearPairs(docs, maxDist = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
