@@ -229,7 +229,8 @@ object Similarity {
     * Lloyd's without reseeding. Returns `(cid, cv)` for
     * [[ivfTopKWith]]. Cosine assignment is scale-invariant, so the
     * unnormalized mean is a valid spherical-k-means update. */
-  def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+  def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 5,
+      roundDecimals: Int = -1): DataFrame = {
     val n = embeddings.count()
     require(k > 0 && n > 0, s"need k > 0 and a non-empty corpus, got k=$k n=$n")
     val stride = math.max(1L, n / k)
@@ -245,12 +246,19 @@ object Similarity {
         .agg(max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best"),
           first(col("embedding")).as("emb"))
         .select((-col("best.ncid")).as("cid"), col("emb"))
+      // roundDecimals >= 0 rounds each mean component before the float
+      // cast: double summation order varies with partitioning, and the
+      // rounding pins every round's centroids to engine-portable values
+      // so the whole training run is SQL-oracle-checkable (e32). -1 (the
+      // default) keeps full precision.
+      def mean(x: Column): Column =
+        if (roundDecimals >= 0) round(x, roundDecimals) else x
       centroids = assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg("v").as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), x => x("m").cast("float")).as("cv"))
+        .select(col("cid"), transform(col("pm"), x => mean(x("m")).cast("float")).as("cv"))
         .localCheckpoint() // short lineage: each round is one materialized frame
     }
     centroids

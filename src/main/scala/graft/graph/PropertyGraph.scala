@@ -35,6 +35,10 @@ final class PropertyGraph(
     val vertexFrames: Map[String, DataFrame],
     val edgeFrames: Map[EdgeSpec, DataFrame]) {
 
+  /** Graph-level metadata KV store — TinkerPop `graph.variables()`
+    * (persisted/restored as a sidecar by GraphLoader persist/open). */
+  val variables: GraphVariables = new GraphVariables
+
   /** Stable label -> id-space mapping (hi half of the 128-bit id). */
   lazy val labelIds: Map[String, Long] =
     vertexFrames.keys.toSeq.sorted.zipWithIndex.map { case (l, i) => l -> (i + 1).toLong }.toMap

@@ -231,6 +231,46 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e32: the multimodal -> ANN composition end-to-end — media payloads
+    * (documents as binary, the e19 fixture path) -> FakeCodec
+    * checksum-derived embeddings ([[graft.ext.Multimodal.mediaEmbeddings]],
+    * FNV-1a + xorshift64, fully deterministic) -> k-means centroid
+    * training ([[Similarity.trainCentroids]], component means rounded to
+    * 6 decimals for engine portability) -> IVF top-k
+    * ([[Similarity.ivfTopKWith]]). The oracle replays the IDENTICAL
+    * arithmetic in SQL: FNV/xorshift as mod-2^64 HUGEINT recursions,
+    * the two Lloyd rounds unrolled as CTE chains, then the e23 IVF
+    * pattern — proving the multimodal plumbing feeds the ANN stack
+    * with nothing hidden in the JVM. */
+  val E32K = 4
+  val E32Iters = 2
+  val E32TopK = 5
+  val E32QueryIds: Seq[Long] = 0L until 10L
+
+  def e32_media_ivf(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.ext.Multimodal.mediaFromDocuments(docs(s, dir))
+    val emb = graft.ext.Multimodal.mediaEmbeddings(media)
+    val cen = Similarity.trainCentroids(emb, k = E32K, iters = E32Iters,
+      roundDecimals = 6)
+    Similarity.ivfTopKWith(emb, cen, E32QueryIds, E32TopK, IvfNProbe)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** e33: stream-static enrichment, batch twin — events enriched with
+    * the customer dimension (broadcast left join; the streaming form is
+    * the IDENTICAL function over a readStream frame, proved in
+    * StreamsSpec) and aggregated per (segment, event_type). Decimal
+    * accumulation + final double cast on both sides (the q15 rule). */
+  def e33_stream_enrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    Streams.enrichWithDim(events(s, dir), dim, Seq("user_id"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("segment", "event_type")
+  }
+
   def e24_quantiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir).groupBy(col("event_type"))
       .agg(
@@ -271,7 +311,9 @@ object Extensions {
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
-    "e31_pipeline" -> (e31_pipeline _))
+    "e31_pipeline" -> (e31_pipeline _),
+    "e32_media_ivf" -> (e32_media_ivf _),
+    "e33_stream_enrich" -> (e33_stream_enrich _))
 
   // ---- DuckDB oracle twins ----
 
@@ -532,6 +574,88 @@ object Extensions {
          |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $E31PerLang
          |ORDER BY doc_id""".stripMargin
     },
+
+    "e32_media_ivf" -> {
+      val M = "18446744073709551616::HUGEINT" // 2^64
+      val half = "9223372036854775808::HUGEINT" // 2^63
+      def sign(x: String) =
+        s"CASE WHEN $x >= $half THEN (($x) - $M)::BIGINT ELSE ($x)::BIGINT END"
+      def cos(a: String, b: String) =
+        s"""round(list_dot_product($a, $b) /
+           |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)""".stripMargin
+      val dims = 64
+      // One unrolled Lloyd round: argmax-cosine assignment, then
+      // per-(cell, dim) mean rounded to 6 decimals and cast to FLOAT —
+      // exactly trainCentroids(roundDecimals = 6).
+      def kmeansRound(cen: String, tag: String, next: String) =
+        s"""asg$tag AS (
+           |  SELECT vec_id, cid AS cell, v FROM (
+           |    SELECT e.vec_id, c.cid, e.v, ${cos("e.v", "CAST(c.cv AS DOUBLE[])")} AS sim
+           |    FROM emb e CROSS JOIN $cen c)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+           |upd$tag AS (
+           |  SELECT cell AS cid, pos, CAST(round(avg(v[pos]), 6) AS FLOAT) AS m
+           |  FROM asg$tag, UNNEST(generate_series(1, $dims)) AS t(pos)
+           |  GROUP BY cell, pos),
+           |$next AS (SELECT cid, list(m ORDER BY pos) AS cv FROM upd$tag GROUP BY cid)"""
+          .stripMargin
+      val qids = E32QueryIds.mkString(", ")
+      // FNV-1a over the payload bytes (ASCII fixture: ord == byte) and
+      // xorshift64 expansion — Multimodal.FakeCodec.checksum /
+      // mediaEmbeddings replayed in mod-2^64 HUGEINT arithmetic.
+      s"""WITH RECURSIVE
+         |doc AS (SELECT doc_id AS mid, text FROM documents),
+         |chars AS (SELECT mid, i, ord(substr(text, i, 1))::HUGEINT AS c
+         |          FROM doc, UNNEST(generate_series(1, length(text))) AS t(i)),
+         |fnv(mid, i, acc) AS (
+         |  SELECT mid, 0, 1469598103934665603::HUGEINT FROM doc
+         |  UNION ALL
+         |  SELECT f.mid, f.i + 1, (xor(f.acc, c.c) * 1099511628211::HUGEINT) % $M
+         |  FROM fnv f JOIN chars c ON c.mid = f.mid AND c.i = f.i + 1),
+         |seed AS (SELECT f.mid, f.acc AS x
+         |         FROM fnv f JOIN doc d ON d.mid = f.mid AND f.i = length(d.text)),
+         |xs(mid, j, x) AS (
+         |  SELECT mid, -1, x FROM seed
+         |  UNION ALL
+         |  SELECT mid, j + 1,
+         |    (SELECT xor(x2, (x2 * 131072::HUGEINT) % $M) FROM
+         |      (SELECT xor(x1, x1 // 128) AS x2 FROM
+         |        (SELECT xor(x, (x * 8192::HUGEINT) % $M) AS x1)))
+         |  FROM xs WHERE j < ${dims - 1}),
+         |vals AS (SELECT mid, j,
+         |    CAST(CAST(${sign("x")} AS DOUBLE) / 9223372036854775807.0 AS FLOAT) AS v
+         |  FROM xs WHERE j >= 0),
+         |embf AS (SELECT mid AS vec_id, list(v ORDER BY j) AS cvf FROM vals GROUP BY mid),
+         |emb AS (SELECT vec_id, CAST(cvf AS DOUBLE[]) AS v FROM embf),
+         |nn AS (SELECT count(*) AS n FROM embf),
+         |cen0 AS (SELECT vec_id AS cid, cvf AS cv FROM embf, nn
+         |         WHERE vec_id % greatest(1, n // $E32K) = 0
+         |         ORDER BY vec_id LIMIT $E32K),
+         |${kmeansRound("cen0", "1", "cen1")},
+         |${kmeansRound("cen1", "2", "cen2")},
+         |sims AS (SELECT e.vec_id, c.cid, ${cos("e.v", "CAST(c.cv AS DOUBLE[])")} AS sim
+         |         FROM emb e CROSS JOIN cen2 c),
+         |fasg AS (SELECT vec_id, cid AS cell FROM sims
+         |         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM sims
+         |           WHERE vec_id IN ($qids)
+         |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) <= $IvfNProbe),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |         FROM probes p JOIN fasg a ON a.cell = p.cell
+         |         WHERE a.vec_id <> p.query_id),
+         |sc AS (SELECT query_id, neighbor_id, ${cos("q.v", "c.v")} AS sim
+         |       FROM cand JOIN emb q ON q.vec_id = query_id
+         |                 JOIN emb c ON c.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, sim FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $E32TopK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+
+    "e33_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e30_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),

@@ -89,6 +89,59 @@ object GraphLoader {
       df.write.mode("overwrite").parquet(
         s"$path/edges/label=${spec.label}/src_label=${spec.srcLabel}/dst_label=${spec.dstLabel}")
     }
+    writeVariables(g, path)
+  }
+
+  /** Persist `graph.variables()` as a one-line-per-entry sidecar
+    * (tab-separated, values JSON-string-escaped — no JSON parser needed
+    * on read). Written even when empty so `open` on a fresh persist
+    * never probes a missing file path twice. */
+  private def writeVariables(g: PropertyGraph, path: String): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), g.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_variables.tsv"), true)
+    val body = g.variables.toMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${esc(k)}\t${esc(v)}" }.mkString("", "\n", "\n")
+    out.write(body.getBytes("UTF-8")); out.close()
+  }
+
+  private def readVariables(g: PropertyGraph, path: String): Unit = {
+    def unesc(s: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case '\\' => b += '\\'
+            case 'n' => b += '\n'
+            case 't' => b += '\t'
+            case 'r' => b += '\r'
+            case c => b += c
+          }
+          i += 2
+        } else { b += s(i); i += 1 }
+      }
+      b.result()
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), g.spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path, "_variables.tsv")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val body = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      in.close()
+      body.split("\n").filter(_.nonEmpty).foreach { line =>
+        val cut = line.indexOf('\t')
+        if (cut > 0) g.variables.set(unesc(line.take(cut)), unesc(line.drop(cut + 1)))
+      }
+    }
   }
 
   /** Persist with bucketing for co-located hop joins: each edge frame is
@@ -195,6 +248,8 @@ object GraphLoader {
       dstLabel = dd.stripPrefix("dst_label=")
     } yield EdgeSpec(label, srcLabel, dstLabel) ->
         spark.read.parquet(s"$path/edges/$ld/$sd/$dd")).toMap
-    new PropertyGraph(spark, vertices, edges)
+    val g = new PropertyGraph(spark, vertices, edges)
+    readVariables(g, path)
+    g
   }
 }

@@ -15,7 +15,7 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Queries where a BroadcastNestedLoopJoin is the intended plan:
     * the broadcast side is a constant-bounded query/centroid set. */
-  private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf")
+  private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

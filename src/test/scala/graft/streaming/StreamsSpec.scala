@@ -82,6 +82,66 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private lazy val segmentDim = Seq(
+    (7L, "BUILDING"), (8L, "MACHINERY"))
+    .toDF("user_id", "segment")
+
+  private def enrichAgg(facts: org.apache.spark.sql.DataFrame) =
+    Streams.enrichWithDim(facts, segmentDim, Seq("user_id"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  test("stream-static enrichment: MemoryStream parity with the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val want = enrichAgg(batch)
+      .orderBy("segment", "event_type")
+      .select(col("segment"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val stream = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // stream-static join is stateless: no watermark required
+    val q = enrichAgg(stream)
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(eventRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(eventRows.drop(2): _*) // dimension joins on EVERY trigger
+      q.processAllAvailable()
+      val got = spark.table("enrich_stream")
+        .orderBy("segment", "event_type")
+        .select(col("segment"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment over a JSON directory source matches the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_src").toString
+    batch.write.mode("overwrite").json(dir)
+    // batch twin over the SAME files (json round-trips ts as a string;
+    // restore the column types with the source schema)
+    val fromJson = spark.read.schema(batch.schema).json(dir)
+    val want = enrichAgg(fromJson)
+      .orderBy("segment", "event_type")
+      .select(col("segment"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    val stream = Streams.jsonDirStream(spark, dir, batch.schema, maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = enrichAgg(stream)
+      .writeStream.format("memory").queryName("enrich_json_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_json_stream")
+        .orderBy("segment", "event_type")
+        .select(col("segment"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSeq
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
