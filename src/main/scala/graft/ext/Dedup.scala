@@ -41,20 +41,24 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word 3-gram shingles, exploded: (id, shingle). Documents with fewer
-    * than 3 tokens produce no shingles. Tokenization = split on single
+  /** Word n-gram shingles, exploded: (id, shingle). Documents with fewer
+    * than n tokens produce no shingles. Tokenization = split on single
     * space (matches the DuckDB oracle's string_split). */
-  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def ngrams(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     val w = split(col(textCol), " ")
     docs.select(col(idCol).as("id"), w.as("w"))
-      .where(size(col("w")) >= 3)
+      .where(size(col("w")) >= n)
       .select(col("id"), explode(transform(
-        sequence(lit(0), size(col("w")) - 3),
-        i => concat_ws(" ",
-          element_at(col("w"), i + 1),
-          element_at(col("w"), i + 2),
-          element_at(col("w"), i + 3)))).as("s"))
+        sequence(lit(0), size(col("w")) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("w"), i + k + 1)): _*)))
+        .as("s"))
   }
+
+  /** Word 3-gram shingles — the MinHash/Jaccard shingle unit. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ngrams(docs, 3, idCol, textCol)
 
   /** Universal-hash permutation constants (Carter–Wegman multiply-add,
     * splitmix64-derived, A odd for bijectivity mod 2^64). Public so the
@@ -270,6 +274,35 @@ object Dedup {
       .select(col("doc_b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Benchmark decontamination report: for each training document, the
+    * number of distinct word n-grams it shares with the benchmark corpus
+    * — the test-set-overlap check every serious pretraining pipeline
+    * runs before training (n-gram overlap decontamination as described
+    * in the GPT-3 and Pile papers; production uses n of 8-13, the short
+    * synthetic fixture uses smaller n). Only contaminated documents
+    * appear (n_hits >= 1).
+    *
+    * Scale shape: distinct-gram projection on both sides, one equi-join
+    * on the gram, count per doc. The benchmark side is a benchmark
+    * suite — thousands of docs, not corpus-scale — so Spark broadcasts
+    * it; the training side streams map-side. Output: (doc_id, n_hits). */
+  def contaminationReport(train: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val t = ngrams(train, n).distinct()
+    val b = ngrams(benchmark, n).select(col("s")).distinct()
+    t.join(b, "s")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Training documents with ZERO benchmark n-gram overlap — the
+    * decontaminated corpus ([[contaminationReport]] as a filter, one
+    * left-anti join; all columns preserved). */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id"): DataFrame =
+    train.join(
+      contaminationReport(train, benchmark, n).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
 
   /** SimHash 64-bit fingerprint per document via the typed
     * [[SimHashAggregator]]: near-duplicates land within small Hamming

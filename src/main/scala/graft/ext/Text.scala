@@ -100,6 +100,49 @@ object Text {
     scored.select(col("doc_id"), langPredCol.as("lang_pred"))
   }
 
+  /** Within-document repetition statistics — the Gopher-style quality
+    * signal (Rae et al. 2021 §A1.1: documents dominated by repeated
+    * n-grams are boilerplate/spam): per doc, total word n-grams,
+    * distinct word n-grams, and rep_ratio = 1 - distinct/total (0.0 for
+    * docs too short to have an n-gram). Entirely row-local — a
+    * projection over higher-order array functions, no explode, no
+    * shuffle. Output: (doc_id, n_ngrams, n_distinct, rep_ratio). */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val w = tokens
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+      .otherwise(array())
+    docs.select(col("doc_id"), grams.as("_g"))
+      .select(
+        col("doc_id"),
+        size(col("_g")).as("n_ngrams"),
+        size(array_distinct(col("_g"))).as("n_distinct"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
+  /** Email / phone-number patterns for [[redactPii]] — deliberately in
+    * the common subset of Java regex and RE2 so the DuckDB oracle runs
+    * the identical pattern. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing for a text column: count and redact email addresses
+    * and phone numbers (regex-based — the deterministic first pass every
+    * pipeline runs before the ML-based PII stage). Row-local, codegen'd.
+    * Output: (doc_id, n_emails, n_phones, redacted). */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))).as("n_phones"),
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("redacted"))
+
   /** Content fingerprint: md5 of the full text (exact-dup key), plus a
     * prefix fingerprint of the first 64 chars (clustering key for
     * boilerplate-prefix detection). */

@@ -271,6 +271,38 @@ object Extensions {
       .orderBy("segment", "event_type")
   }
 
+  /** e34: benchmark decontamination — training docs (doc_id % 50 != 0)
+    * sharing any word 4-gram with the held-out benchmark split
+    * (doc_id % 50 == 0), with the shared-gram count. Production n is
+    * 8-13; the short synthetic docs use 4 so the fixture has signal. */
+  val E34N = 4
+  def e34_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationReport(
+        d.where(col("doc_id") % 50 =!= 0),
+        d.where(col("doc_id") % 50 === 0), E34N)
+      .orderBy("doc_id")
+  }
+
+  /** e35: within-document repetition ratio (Gopher-style quality
+    * signal) over word bigrams — entirely row-local. */
+  def e35_repetition(s: SparkSession, dir: String): DataFrame =
+    Text.repetitionStats(docs(s, dir), n = 2).orderBy("doc_id")
+
+  /** e36: PII count + redaction. The fixture has no PII, so each doc is
+    * augmented with a deterministic synthetic email + phone first (both
+    * sides of the oracle build the same augmentation); the output
+    * fingerprints the redacted text to prove the rewrite byte-for-byte. */
+  def e36_pii_redact(s: SparkSession, dir: String): DataFrame = {
+    val aug = docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" Contact: user"), col("doc_id"),
+        lit("@example.com or 555-123-4567.")).as("text"))
+    Text.redactPii(aug)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("redacted")).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
   def e24_quantiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir).groupBy(col("event_type"))
       .agg(
@@ -313,7 +345,10 @@ object Extensions {
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
     "e31_pipeline" -> (e31_pipeline _),
     "e32_media_ivf" -> (e32_media_ivf _),
-    "e33_stream_enrich" -> (e33_stream_enrich _))
+    "e33_stream_enrich" -> (e33_stream_enrich _),
+    "e34_decontaminate" -> (e34_decontaminate _),
+    "e35_repetition" -> (e35_repetition _),
+    "e36_pii_redact" -> (e36_pii_redact _))
 
   // ---- DuckDB oracle twins ----
 
@@ -656,6 +691,43 @@ object Extensions {
         |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e34_decontaminate" -> {
+      val gram = (0 until E34N).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, $gram AS s
+         |       FROM toks, UNNEST(generate_series(1, len(w) - ${E34N - 1})) AS t(i)),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+         |train AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+         |SELECT t.doc_id, count(*) AS n_hits
+         |FROM train t JOIN bench b ON t.s = b.s
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "e35_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+        |      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+        |agg AS (SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT s) AS n_distinct
+        |        FROM g GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_ngrams, 0) AS n_ngrams,
+        |  coalesce(a.n_distinct, 0) AS n_distinct,
+        |  CASE WHEN coalesce(a.n_ngrams, 0) > 0
+        |       THEN 1.0 - a.n_distinct::DOUBLE / a.n_ngrams::DOUBLE
+        |       ELSE 0.0 END AS rep_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "e36_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' Contact: user' || doc_id || '@example.com or 555-123-4567.' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${Text.EmailPattern}')) AS n_emails,
+         |  len(regexp_extract_all(text, '${Text.PhonePattern}')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '${Text.EmailPattern}', '<EMAIL>', 'g'),
+         |      '${Text.PhonePattern}', '<PHONE>', 'g')) AS redacted_fp
+         |FROM aug ORDER BY doc_id""".stripMargin,
 
     "e30_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),

@@ -131,6 +131,25 @@ class DedupSpec extends SparkSpec {
     assert(!kept.contains(2L) && !kept.contains(3L))
   }
 
+  test("ngrams generalizes shingles; contamination report counts shared grams") {
+    val four = Dedup.ngrams(docs.where($"doc_id" === 1L), 4)
+      .as[(Long, String)].collect()
+    assert(four.length == 6) // 9 tokens -> 6 4-grams
+    assert(four.map(_._2).contains("the quick brown fox"))
+
+    // doc 3 shares 4-grams with doc 1 ("quick brown fox jumps" etc);
+    // doc 4 shares none
+    val bench = docs.where($"doc_id" === 1L)
+    val train = docs.where($"doc_id".isin(3L, 4L))
+    val report = Dedup.contaminationReport(train, bench, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(report.contains(3L) && report(3L) >= 1L)
+    assert(!report.contains(4L))
+    val clean = Dedup.decontaminate(train, bench, 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(4L))
+  }
+
   test("simhashNearPairs buckets catch the identical pair") {
     val pairs = Dedup.simhashNearPairs(docs, maxDist = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -17,6 +17,29 @@ class TextSpec extends SparkSpec {
     assert(m(3L) == ((2, 0, 0)))
   }
 
+  test("repetitionStats: repeated bigrams raise the ratio; short docs get 0") {
+    val d = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+      (2L, "all words here unique"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val m = Text.repetitionStats(d, n = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((5, 2, 1.0 - 2.0 / 5.0)))
+    assert(m(2L) == ((3, 3, 0.0)))
+    assert(m(3L) == ((0, 0, 0.0)))
+  }
+
+  test("redactPii counts and rewrites emails and phone numbers") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@sub.example.org or call 415-555-0123 now"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val rows = Text.redactPii(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(1L)._1 == 1 && rows(1L)._2 == 1)
+    assert(rows(1L)._3 == "mail <EMAIL> or call <PHONE> now")
+    assert(rows(2L) == ((0, 0, "no pii here")))
+  }
+
   test("qualityScore is in [0,1] and prose scores above noise") {
     val q = Text.qualityScore(docs).as[(Long, Double)].collect().toMap
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
