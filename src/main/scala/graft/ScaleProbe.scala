@@ -88,7 +88,32 @@ object ScaleProbe {
       val tNearDup = time(noop(graft.ext.Similarity.embeddingNearDupPairsFast(
         embK, 0.5, maxBlockRows = 2048)))
 
-      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf,"neardup_blocked_s":$tNearDup}""")
+      // The e31 corpus-construction pipeline over a k-times corpus: every
+      // stage is a filter/window/banded-join, so the chain should track
+      // the minhash curve (its heaviest stage), not blow up on the
+      // anti-join or the stratified cap.
+      val pipeK = {
+        val base = graft.ext.Sampling.hashSample(docsK, col("doc_id"), 0.5)
+        val near = graft.ext.Dedup.dropNearDuplicates(
+          graft.ext.Dedup.dropExactDuplicates(base), threshold = 0.5)
+        val stats = near.select(
+          Seq(col("doc_id"), col("text"),
+            graft.ext.Text.qualityScoreCol.as("q")) ++ graft.ext.Text.langScoreCols: _*)
+        val scored = stats.select(col("doc_id"), col("q"),
+          graft.ext.Text.langPredCol.as("lang"))
+        graft.ext.Sampling.stratifiedSample(
+          scored.where(col("q") >= 0.53), Seq("lang"), col("doc_id"), 20 * k)
+      }
+      val tPipeline = time(noop(pipeK))
+
+      // Decontamination at a k-times training corpus against a FIXED
+      // benchmark split: the benchmark gram set stays broadcast-sized,
+      // so the check is one map-side semi-join — linear in the corpus.
+      val tDecon = time(noop(graft.ext.Dedup.contaminationReport(
+        docsK.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), 4)))
+
+      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf,"neardup_blocked_s":$tNearDup,"pipeline_s":$tPipeline,"decontaminate_s":$tDecon}""")
     }
     spark.stop()
   }

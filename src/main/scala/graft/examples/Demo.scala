@@ -135,6 +135,39 @@ object Demo {
       .select("comp_vid").distinct().count()
     println(s"DEMO dense_cc_components=$denseComps")
 
+    // 14. the whole corpus-construction pipeline in ONE lazy plan:
+    // sample -> exact dedup -> near-dup filter -> quality floor ->
+    // per-language cap (the e31 composition)
+    val corpus = graft.queries.Extensions.e31_pipeline(spark, sfDir)
+    println(s"DEMO pipeline_corpus_rows=${corpus.count()}")
+
+    // 15. decontamination against a held-out benchmark split
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val train = docs.where(col("doc_id") % 50 =!= 0)
+    val clean = graft.ext.Dedup.decontaminate(train, bench, n = 4)
+    println(s"DEMO decontaminated=${clean.count()}/${train.count()}")
+
+    // 16. Gremlin captures: customers with their orders via as()/select()
+    val pairs = G(g).V("Customer").as("c").in("PLACED_BY", "Order").as("o")
+      .select("c", "o").count()
+    println(s"DEMO capture_pairs=$pairs")
+
+    // 17. graph variables round-trip through persist/open
+    val varDir = java.nio.file.Files.createTempDirectory("graft_demo_vars").toString
+    g.variables.set("schema_version", "4")
+    g.variables.set("loaded_at", "2026-08-12")
+    graft.sources.GraphLoader.persist(g, varDir)
+    val varsBack = graft.sources.GraphLoader.open(spark, varDir).variables.toMap
+    println(s"DEMO graph_variables=${varsBack.toSeq.sorted.mkString(",")}")
+
+    // 18. multimodal -> ANN composition: payloads -> stub embeddings ->
+    // trained IVF (the e32 dataflow)
+    val media = graft.ext.Multimodal.mediaFromDocuments(docs)
+    val memb = graft.ext.Multimodal.mediaEmbeddings(media)
+    val mcen = graft.ext.Similarity.trainCentroids(memb, k = 4, iters = 2)
+    val mivf = graft.ext.Similarity.ivfTopKWith(memb, mcen, (0L until 5L).toSeq, 5)
+    println(s"DEMO media_ivf_rows=${mivf.count()}")
+
     spark.stop()
   }
 }

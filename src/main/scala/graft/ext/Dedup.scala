@@ -112,14 +112,42 @@ object Dedup {
         graft.functions.mulAddWrap(h, MinhashA(j), MinhashB(j)))).as(s"h$j"))
   }
 
+  /** Bind `c` to a lambda variable so `f`'s body references an
+    * already-evaluated value instead of re-evaluating the expression at
+    * every use site — higher-order functions are interpreted with no
+    * common-subexpression elimination, so this is the only way to share
+    * work inside a single Column. (`transform` over a 1-element array
+    * is the binding; `getItem(0)` unwraps.) */
+  private def boundTo(c: Column)(f: Column => Column): Column =
+    transform(array(c), f).getItem(0)
+
   /** Row-local band hashes (the [[minhashCandidatePairs]] banding over
-    * [[minhashSignatureCols]]): array of [[NumBands]] md5 band keys. */
-  def minhashBandCols(textCol: Column): Column = {
-    val sig = minhashSignatureCols(textCol)
-    array((0 until NumBands).map { b =>
-      md5(concat(sig(2 * b).cast("string"), sig(2 * b + 1).cast("string")))
-    }: _*)
-  }
+    * [[minhashSignatureCols]]): array of [[NumBands]] md5 band keys.
+    * Every stage (token split, shingles, base hashes, signature) is
+    * lambda-bound via [[boundTo]] so it evaluates ONCE per row — the
+    * naive composition re-ran the whole md5-per-shingle pipeline for
+    * each of the 2x[[NumBands]] signature component references, ~8x the
+    * work on the streaming hot path. */
+  def minhashBandCols(textCol: Column): Column =
+    boundTo(split(textCol, " ")) { w =>
+      boundTo(when(size(w) >= 3,
+          transform(sequence(lit(0), size(w) - 3),
+            i => concat_ws(" ",
+              element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+        .otherwise(array())) { sh =>
+        boundTo(transform(sh, s =>
+            conv(substring(md5(s), 1, 15), 16, 10).cast("long"))) { hs =>
+          boundTo(array((0 until NumHashes).map(j =>
+              array_min(transform(hs, h =>
+                graft.functions.mulAddWrap(h, MinhashA(j), MinhashB(j))))): _*)) { sig =>
+            array((0 until NumBands).map { b =>
+              md5(concat(sig.getItem(2 * b).cast("string"),
+                sig.getItem(2 * b + 1).cast("string")))
+            }: _*)
+          }
+        }
+      }
+    }
 
   /** LSH candidate pairs: signatures are cut into [[NumBands]] bands of 2
     * components; documents sharing any band hash become a candidate pair.

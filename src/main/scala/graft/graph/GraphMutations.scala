@@ -156,7 +156,11 @@ object GraphMutations {
   }
 
   /** Vertex label fetch (O15) / property map fetch (O12) for point ids —
-    * thin wrappers over the unified view for API parity. */
+    * thin wrappers over the unified view for API parity. POINT OPS: each
+    * call runs a driver-blocking collect of one row, mirroring the
+    * reference's single-vertex read. Never map these over an id set —
+    * use `PropertyGraph.hydrate` (batch hydration, one distributed join)
+    * for anything bigger than a handful of lookups. */
   def vertexLabel(g: PropertyGraph, id: Long, label: String): Option[String] =
     if (g.verticesById(label, Seq(id)).isEmpty) None else Some(label)
 
