@@ -262,6 +262,83 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     }
   }
 
+  /** Gremlin `union(branch1, branch2, ...)`: every traverser flows into
+    * each branch; outputs concatenate (multiplicity preserved; branches
+    * may end at different labels — missing columns null-fill). */
+  def union(branches: (Step => Step)*): Step = {
+    require(branches.nonEmpty, "union needs at least one branch")
+    val outs = branches.map(b => b(this))
+    copy(
+      df = outs.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true)),
+      labels = outs.flatMap(_.labels).distinct.sorted)
+  }
+
+  /** Gremlin `optional(branch)`: a traverser is replaced by its branch
+    * results when the branch produces any, and passes through unchanged
+    * when it produces none (the left-join of traversal steps). Origin
+    * tracking rides the capture machinery, so multi-hop branches work. */
+  def optional(branch: Step => Step): Step = {
+    val (out, missed) = branchSplit(branch)
+    copy(
+      df = out.df.unionByName(missed, allowMissingColumns = true),
+      labels = (out.labels ++ labels).distinct.sorted)
+  }
+
+  /** Gremlin `coalesce(branch1, branch2, ...)`: each traverser takes the
+    * FIRST branch that produces output for it; traversers matching no
+    * branch are dropped. */
+  def coalesce(branches: (Step => Step)*): Step = {
+    require(branches.nonEmpty, "coalesce needs at least one branch")
+    var remaining = this
+    var accDf: DataFrame = null
+    var accLabels = Seq.empty[String]
+    branches.foreach { b =>
+      val (out, missed) = remaining.branchSplit(b)
+      accDf =
+        if (accDf == null) out.df
+        else accDf.unionByName(out.df, allowMissingColumns = true)
+      accLabels = (accLabels ++ out.labels).distinct
+      remaining = remaining.copy(df = missed)
+    }
+    copy(df = accDf, labels = accLabels.sorted)
+  }
+
+  /** Run `branch` with an origin capture attached; return (branch output
+    * with the capture dropped, input rows whose origin produced no
+    * branch output). The split is per ORIGIN ELEMENT (id, label) — a
+    * multiplicity-bearing input row passes through with its carried
+    * columns intact when uncovered. */
+  private def branchSplit(branch: Step => Step): (Step, DataFrame) = {
+    val cap = s"${CapPrefix}__origin${Step.nextBranchTag()}"
+    val tagged = copy(df = df.withColumn(cap,
+      struct(col(GC.Label).as("label"), col(GC.Id).cast("bigint").as("id"))))
+    val out = branch(tagged)
+    val covered = out.df.select(
+      col(cap).getField("id").as(GC.Id),
+      col(cap).getField("label").as(GC.Label)).distinct()
+    val missed = df.join(covered, Seq(GC.Id, GC.Label), "left_anti")
+    (out.copy(df = out.df.drop(cap)), missed)
+  }
+
+  /** Gremlin `valueMap(keys...)`-style projection: (label, id, keys...)
+    * — [[values]] keeping element identity. Labels whose schema lacks a
+    * key contribute no rows (the `has()` convention). */
+  def valueMap(keys: String*): DataFrame = {
+    val want = Seq(GC.Label, GC.Id) ++ keys
+    if (keys.toSet.subsetOf(df.columns.toSet)) df.select(want.map(col): _*)
+    else {
+      val parts = labels
+        .filter(l => keys.toSet.subsetOf(graph.vertices(l).columns.toSet))
+        .map { l =>
+          graph.hydrate(df.where(col(GC.Label) === l).select(col(GC.Id), col(GC.Label)),
+            GC.Id, l, keys).select(want.map(col): _*)
+        }
+      nonEmptyUnion2(parts,
+        df.select(col(GC.Id), col(GC.Label)).where(lit(false))
+          .select(Seq(col(GC.Label), col(GC.Id)) ++ keys.map(k => lit(null).as(k)): _*))
+    }
+  }
+
   /** Gremlin `as(name)`: label the current position so a later
     * [[select]] can jump back to it (or project it). The capture is a
     * `struct<label, id>` column that rides every subsequent expansion
@@ -350,4 +427,12 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   private def nonEmptyUnion2(parts: Seq[DataFrame], empty: => DataFrame): DataFrame =
     if (parts.isEmpty) empty
     else parts.reduce(_.unionByName(_))
+}
+
+object Step {
+  /** Unique suffix for internal origin captures — nested
+    * optional/coalesce branches must not collide. Plan-construction
+    * state only (never evaluated on executors). */
+  private val branchTags = new java.util.concurrent.atomic.AtomicLong
+  private def nextBranchTag(): Long = branchTags.incrementAndGet()
 }

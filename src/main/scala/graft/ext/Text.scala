@@ -139,6 +139,16 @@ object Text {
           .otherwise(lit(0.0)).as("rep_ratio"))
   }
 
+  /** Dedup-normalization for a text column: lowercase, strip the
+    * punctuation class, collapse whitespace runs, trim. Hashing the
+    * NORMALIZED text makes exact dedup robust to case/spacing/
+    * punctuation variants — the canonical first stage before
+    * [[graft.ext.Dedup.exactGroups]] on scraped corpora. Pure codegen'd
+    * column; regexes are in the Java∩RE2 subset so the SQL oracle runs
+    * the identical transform. */
+  def normalizeForDedup(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[.,!?;:]", ""), "\\s+", " "))
+
   /** Email / phone-number patterns for [[redactPii]] — deliberately in
     * the common subset of Java regex and RE2 so the DuckDB oracle runs
     * the identical pattern. */

@@ -303,6 +303,20 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e37: normalization-aware exact dedup — documents fingerprinted by
+    * their normalized text (lower/strip-punct/collapse-ws), with the
+    * size of each normalized group alongside (group > 1 = docs that
+    * differ only in case/spacing/punctuation). */
+  def e37_normalized_dedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = docs(s, dir).select(col("doc_id"),
+      Text.normalizeForDedup(col("text")).as("norm"))
+    norm.select(col("doc_id"), md5(col("norm")).as("norm_fp"),
+        length(col("norm")).as("norm_len"))
+      .withColumn("n_same", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("norm_fp"))))
+      .orderBy("doc_id")
+  }
+
   def e24_quantiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir).groupBy(col("event_type"))
       .agg(
@@ -348,7 +362,8 @@ object Extensions {
     "e33_stream_enrich" -> (e33_stream_enrich _),
     "e34_decontaminate" -> (e34_decontaminate _),
     "e35_repetition" -> (e35_repetition _),
-    "e36_pii_redact" -> (e36_pii_redact _))
+    "e36_pii_redact" -> (e36_pii_redact _),
+    "e37_normalized_dedup" -> (e37_normalized_dedup _))
 
   // ---- DuckDB oracle twins ----
 
@@ -717,6 +732,15 @@ object Extensions {
         |       ELSE 0.0 END AS rep_ratio
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "e37_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+        |       '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_fp, length(norm) AS norm_len,
+        |  count(*) OVER (PARTITION BY md5(norm)) AS n_same
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "e36_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id,

@@ -228,6 +228,69 @@ class GSpec extends SparkSpec {
     assert(n == tbl("lineitem").count())
   }
 
+  test("union concatenates branch outputs with multiplicity") {
+    val u = g.V("Nation", 0L).union(
+      _.out("IN_REGION"),
+      _.in("IN_NATION", "Customer"))
+    val wantCust = tbl("customer").where($"c_nationkey" === 0).count()
+    assert(u.count() == 1 + wantCust) // 1 region + nation-0 customers
+    assert(u.labels == Seq("Customer", "Region"))
+  }
+
+  test("optional replaces covered traversers and passes uncovered through") {
+    // only some nations have suppliers: those fan out to them, the
+    // supplier-less nations must pass through unchanged
+    val s = g.V("Nation").optional(_.in("IN_NATION", "Supplier"))
+    val suppliers = tbl("supplier").count()
+    val nationsWithSupp = tbl("supplier").select($"s_nationkey").distinct().count()
+    val nations = tbl("nation").count()
+    assume(nationsWithSupp < nations) // fixture has supplier-less nations
+    assert(s.count() == suppliers + (nations - nationsWithSupp))
+    // uncovered rows are still nations; covered became suppliers
+    val byLabel = s.toDF.groupBy(graft.model.GraphColumns.Label).count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel("Supplier") == suppliers)
+    assert(byLabel("Nation") == nations - nationsWithSupp)
+  }
+
+  test("optional with a fully-covering branch equals the plain hop") {
+    val s = g.V("Customer").optional(_.out("IN_NATION"))
+    assert(s.count() == tbl("customer").count()) // every customer has a nation
+    assert(s.toDF.where(col(graft.model.GraphColumns.Label) === "Customer").count() == 0)
+  }
+
+  test("coalesce takes the first producing branch per traverser") {
+    // branch 1: nation's suppliers; branch 2 (fallback): nation's region.
+    // Nations with suppliers yield ONLY suppliers; the rest yield regions.
+    val s = g.V("Nation").coalesce(
+      _.in("IN_NATION", "Supplier"),
+      _.out("IN_REGION"))
+    val supplierRows = tbl("supplier").count()
+    val nationsWithSupp = tbl("supplier").select($"s_nationkey").distinct().count()
+    val nations = tbl("nation").count()
+    assume(nationsWithSupp < nations) // fixture has supplier-less nations
+    assert(s.count() == supplierRows + (nations - nationsWithSupp))
+    val byLabel = s.toDF.groupBy(graft.model.GraphColumns.Label).count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel("Supplier") == supplierRows)
+    assert(byLabel("Region") == nations - nationsWithSupp)
+  }
+
+  test("valueMap keeps element identity alongside hydrated keys") {
+    val rows = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .out("IN_NATION").dedup()
+      .valueMap("n_name")
+      .select(col(graft.model.GraphColumns.Label),
+        col(graft.model.GraphColumns.Id), col("n_name"))
+      .as[(String, Long, String)].collect().toSet
+    val want = tbl("customer").where($"c_mktsegment" === "BUILDING")
+      .join(tbl("nation"), $"c_nationkey" === $"n_nationkey")
+      .select($"n_nationkey", $"n_name").distinct()
+      .as[(Long, String)].collect()
+      .map { case (id, name) => ("Nation", id, name) }.toSet
+    assert(rows == want)
+  }
+
   test("untilFixpoint respects maxIter") {
     val one = g.V("Region", 2L).untilFixpoint(maxIter = 0)(_.both("IN_REGION"))
     assert(one.toDF.count() == 1) // no hops: just the start vertex

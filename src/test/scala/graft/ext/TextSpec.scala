@@ -29,6 +29,18 @@ class TextSpec extends SparkSpec {
     assert(m(3L) == ((0, 0, 0.0)))
   }
 
+  test("normalizeForDedup canonicalizes case, punctuation, whitespace") {
+    val d = Seq(
+      (1L, "  The CAT sat,  on   the mat! ?"),
+      (2L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+      Text.normalizeForDedup($"text").as("n")).as[(Long, String)].collect().toMap
+    // case folded, [.,!?;:] stripped, whitespace runs collapsed, ends
+    // trimmed: the two variants become byte-identical
+    assert(out(1L) == "the cat sat on the mat")
+    assert(out(1L) == out(2L))
+  }
+
   test("redactPii counts and rewrites emails and phone numbers") {
     val d = Seq(
       (1L, "mail bob.smith+x@sub.example.org or call 415-555-0123 now"),
