@@ -88,12 +88,26 @@ object ScaleProbe {
       val tNearDup = time(noop(graft.ext.Similarity.embeddingNearDupPairsFast(
         embK, 0.5, maxBlockRows = 2048)))
 
-      // The e31 corpus-construction pipeline over a k-times corpus: every
-      // stage is a filter/window/banded-join, so the chain should track
-      // the minhash curve (its heaviest stage), not blow up on the
-      // anti-join or the stratified cap.
+      // The e31 corpus-construction pipeline over a k-times corpus.
+      // Replica TEXT must differ per WORD, not per document: a mere
+      // suffix would (a) let the exact-dedup window collapse nothing
+      // while (b) making all k replicas of a doc NEAR-dups of each
+      // other — near-dup pair work would grow k^2 BY CONSTRUCTION and
+      // the curve would measure the synthetic duplication, not the
+      // operator. Suffixing every token keeps zero shared shingles
+      // across replicas: the corpus grows with distinct content and
+      // constant near-dup density, like a real crawl.
+      val docsKDistinct = (0 until k).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text",
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit(s"_r$i")))))
+      }.reduce(_.unionByName(_))
+      // every stage is a filter/window/banded-join, so the chain should
+      // track the minhash curve (its heaviest stage), not blow up on
+      // the anti-join or the stratified cap.
       val pipeK = {
-        val base = graft.ext.Sampling.hashSample(docsK, col("doc_id"), 0.5)
+        val base = graft.ext.Sampling.hashSample(docsKDistinct, col("doc_id"), 0.5)
         val near = graft.ext.Dedup.dropNearDuplicates(
           graft.ext.Dedup.dropExactDuplicates(base), threshold = 0.5)
         val stats = near.select(

@@ -71,12 +71,16 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     val direct = scala.util.Try(df.filter(cond).schema).toOption
       .map(_ => copy(df = df.filter(cond)))
     direct.getOrElse {
+      // Carried columns (`_path`, `_as_` captures) must survive the
+      // hydration join — dropping them here would break a later
+      // select()/paths() and the optional/coalesce origin tracking.
+      val keepCols = Seq(GC.Id, GC.Label) ++ df.columns.filter(isCarried)
       val attempts = labels.map { l =>
         val v = graph.vertices(l)
         val proj = v.withColumnRenamed(GC.Id, "_hid")
-        val sub = df.select(col(GC.Id), col(GC.Label)).where(col(GC.Label) === l)
+        val sub = df.select(keepCols.map(col): _*).where(col(GC.Label) === l)
         val joined = sub.join(proj, sub(GC.Id) === proj("_hid")).where(cond)
-          .select(sub(GC.Id), sub(GC.Label))
+          .select(keepCols.map(c => sub(c)): _*)
         // Analysis check: does this label's schema resolve the predicate?
         val ok = scala.util.Try(joined.schema).isSuccess
         (l, joined, ok)
@@ -149,8 +153,17 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
         }
       }
     }
-    require(parts.nonEmpty,
-      s"no adjacency for ($edgeLabel, $dir) from labels $labels")
+    // An edge label that exists nowhere in the graph is a typo — fail
+    // loudly. A label that exists but has no adjacency FROM this
+    // frontier is a legitimately empty hop (Gremlin semantics; required
+    // for optional/coalesce branches that don't apply to every label).
+    if (parts.isEmpty) {
+      require(graph.edgeFrames.keys.exists(_.label == edgeLabel),
+        s"edge label '$edgeLabel' does not exist in this graph")
+      val keep = Seq(col(GC.Id), col(GC.Label)) ++
+        df.columns.filter(isCarried).map(col)
+      return copy(df = df.select(keep: _*).where(lit(false)), labels = Seq.empty)
+    }
     val outDf = parts.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true))
     val newLabels = graph.vertexLabels.filter { nl =>
       graph.edgeFrames.keys.exists { s =>
@@ -270,7 +283,8 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     val outs = branches.map(b => b(this))
     copy(
       df = outs.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true)),
-      labels = outs.flatMap(_.labels).distinct.sorted)
+      labels = outs.flatMap(_.labels).distinct.sorted,
+      captures = outs.foldLeft(captures)(_ ++ _.captures))
   }
 
   /** Gremlin `optional(branch)`: a traverser is replaced by its branch
@@ -281,7 +295,8 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     val (out, missed) = branchSplit(branch)
     copy(
       df = out.df.unionByName(missed, allowMissingColumns = true),
-      labels = (out.labels ++ labels).distinct.sorted)
+      labels = (out.labels ++ labels).distinct.sorted,
+      captures = captures ++ out.captures)
   }
 
   /** Gremlin `coalesce(branch1, branch2, ...)`: each traverser takes the
@@ -292,22 +307,31 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     var remaining = this
     var accDf: DataFrame = null
     var accLabels = Seq.empty[String]
+    var accCaptures = captures
     branches.foreach { b =>
       val (out, missed) = remaining.branchSplit(b)
       accDf =
         if (accDf == null) out.df
         else accDf.unionByName(out.df, allowMissingColumns = true)
       accLabels = (accLabels ++ out.labels).distinct
+      accCaptures = accCaptures ++ out.captures
       remaining = remaining.copy(df = missed)
     }
-    copy(df = accDf, labels = accLabels.sorted)
+    copy(df = accDf, labels = accLabels.sorted, captures = accCaptures)
   }
 
   /** Run `branch` with an origin capture attached; return (branch output
     * with the capture dropped, input rows whose origin produced no
     * branch output). The split is per ORIGIN ELEMENT (id, label) — a
     * multiplicity-bearing input row passes through with its carried
-    * columns intact when uncovered. */
+    * columns intact when uncovered.
+    *
+    * Cost note: the branch subplan appears TWICE in the composed plan
+    * (its output, and the covered-origin set feeding the anti-join).
+    * This is deliberate — steps stay lazy plan builders with zero
+    * actions, and Spark's ReuseExchange dedupes the shuffle where the
+    * subtrees match; for a very expensive branch, materialize the step
+    * (`localCheckpoint`) before branching if double execution matters. */
   private def branchSplit(branch: Step => Step): (Step, DataFrame) = {
     val cap = s"${CapPrefix}__origin${Step.nextBranchTag()}"
     val tagged = copy(df = df.withColumn(cap,
@@ -360,19 +384,25 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     val cap = s"$CapPrefix$name"
     require(df.columns.contains(cap), s"""no as("$name") capture in scope""")
     val keepCarried = df.columns.filter(isCarried).toSeq.map(col)
+    // Traversers without the capture (e.g. rows from a union branch
+    // that never passed as(name) — null-filled by unionByName) are
+    // DROPPED, matching Gremlin select semantics.
     copy(
-      df = df.select(Seq(col(cap).getField("id").as(GC.Id),
-        col(cap).getField("label").as(GC.Label)) ++ keepCarried: _*),
+      df = df.where(col(cap).isNotNull)
+        .select(Seq(col(cap).getField("id").as(GC.Id),
+          col(cap).getField("label").as(GC.Label)) ++ keepCarried: _*),
       labels = captures.getOrElse(name, graph.vertexLabels))
   }
 
   /** Gremlin `select(a, b, ...)` (terminal): one row per traverser, one
-    * `struct<label, id>` column per named capture. */
+    * `struct<label, id>` column per named capture. Traversers missing
+    * any requested capture are dropped (Gremlin semantics). */
   def select(first: String, second: String, rest: String*): DataFrame = {
     val names = first +: second +: rest
     names.foreach(n => require(df.columns.contains(s"$CapPrefix$n"),
       s"""no as("$n") capture in scope"""))
-    df.select(names.map(n => col(s"$CapPrefix$n").as(n)): _*)
+    df.where(names.map(n => col(s"$CapPrefix$n").isNotNull).reduce(_ && _))
+      .select(names.map(n => col(s"$CapPrefix$n").as(n)): _*)
   }
 
   /** Gremlin `count()`. */

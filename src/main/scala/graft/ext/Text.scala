@@ -139,6 +139,12 @@ object Text {
           .otherwise(lit(0.0)).as("rep_ratio"))
   }
 
+  /** Whitespace class for [[normalizeForDedup]], spelled EXPLICITLY
+    * (space, tab, LF, VT, FF, CR) rather than `\s`: Java's `\s` matches
+    * vertical tab while RE2's does not, so the shorthand would make the
+    * Spark and DuckDB sides diverge on VT-containing text. */
+  val WsRun = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Dedup-normalization for a text column: lowercase, strip the
     * punctuation class, collapse whitespace runs, trim. Hashing the
     * NORMALIZED text makes exact dedup robust to case/spacing/
@@ -147,7 +153,7 @@ object Text {
     * column; regexes are in the Java∩RE2 subset so the SQL oracle runs
     * the identical transform. */
   def normalizeForDedup(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[.,!?;:]", ""), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(lower(c), "[.,!?;:]", ""), WsRun, " "))
 
   /** Email / phone-number patterns for [[redactPii]] — deliberately in
     * the common subset of Java regex and RE2 so the DuckDB oracle runs

@@ -734,13 +734,13 @@ object Extensions {
         |ORDER BY d.doc_id""".stripMargin,
 
     "e37_normalized_dedup" ->
-      """WITH n AS (SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
-        |       '\s+', ' ', 'g')) AS norm
-        |  FROM documents)
-        |SELECT doc_id, md5(norm) AS norm_fp, length(norm) AS norm_len,
-        |  count(*) OVER (PARTITION BY md5(norm)) AS n_same
-        |FROM n ORDER BY doc_id""".stripMargin,
+      s"""WITH n AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+         |       '${Text.WsRun}', ' ', 'g')) AS norm
+         |  FROM documents)
+         |SELECT doc_id, md5(norm) AS norm_fp, length(norm) AS norm_len,
+         |  count(*) OVER (PARTITION BY md5(norm)) AS n_same
+         |FROM n ORDER BY doc_id""".stripMargin,
 
     "e36_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id,

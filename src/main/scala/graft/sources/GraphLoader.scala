@@ -166,6 +166,12 @@ object GraphLoader {
         .option("path", s"$path/e_${spec.label}_${spec.srcLabel}_${spec.dstLabel}")
         .saveAsTable(s"${prefix}_e_${spec.label}_${spec.srcLabel}_${spec.dstLabel}")
     }
+    // Graph variables ride the catalog (no directory to sidecar into).
+    import g.spark.implicits._
+    g.variables.toMap.toSeq.toDF("key", "value")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/variables")
+      .saveAsTable(s"${prefix}_variables")
   }
 
   /** Re-open a bucketed graph from the catalog. */
@@ -176,7 +182,12 @@ object GraphLoader {
     val edges = g.edgeFrames.keys.map { spec =>
       spec -> spark.table(s"${prefix}_e_${spec.label}_${spec.srcLabel}_${spec.dstLabel}")
     }.toMap
-    new PropertyGraph(spark, vertices, edges)
+    val out = new PropertyGraph(spark, vertices, edges)
+    if (spark.catalog.tableExists(s"${prefix}_variables"))
+      spark.table(s"${prefix}_variables").collect().foreach { r =>
+        out.variables.set(r.getString(0), r.getString(1))
+      }
+    out
   }
 
   /** Persist as CSV (the reference bulk-loads from LDBC CSVs,
@@ -195,6 +206,7 @@ object GraphLoader {
     g.edgeFrames.foreach { case (spec, df) =>
       writeOne(df,
         s"$path/edges/label=${spec.label}/src_label=${spec.srcLabel}/dst_label=${spec.dstLabel}") }
+    writeVariables(g, path)
   }
 
   /** Re-open a CSV graph persisted by [[persistCsv]]. */
@@ -223,7 +235,9 @@ object GraphLoader {
       dd <- children(s"$path/edges/$ld/$sd"); dstLabel = dd.stripPrefix("dst_label=")
     } yield EdgeSpec(label, srcLabel, dstLabel) ->
         readOne(s"$path/edges/$ld/$sd/$dd")).toMap
-    new PropertyGraph(spark, vertices, edges)
+    val out = new PropertyGraph(spark, vertices, edges)
+    readVariables(out, path)
+    out
   }
 
   /** Re-open a graph persisted by [[persist]] (bulk-load round trip). */

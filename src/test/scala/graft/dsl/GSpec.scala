@@ -291,6 +291,43 @@ class GSpec extends SparkSpec {
     assert(rows == want)
   }
 
+  test("has() hydration slow path preserves captures and paths") {
+    // o_orderstatus is not carried after the hop -> has() takes the
+    // hydration slow path, which must keep the _as_c capture alive
+    val s = g.V("Customer").as("c").in("PLACED_BY", "Order")
+      .has("o_orderstatus", "F").select("c").dedup()
+    val want = tbl("customer")
+      .join(tbl("orders").where($"o_orderstatus" === "F"),
+        $"o_custkey" === $"c_custkey")
+      .select("c_custkey").distinct().count()
+    assert(s.count() == want && want > 0)
+    // same for _path
+    val p = g.V("Region", 1L).withPath().in("IN_REGION", "Nation")
+      .has("n_name", lit(true) === lit(true)).toDF
+    assert(p.columns.contains("_path"))
+  }
+
+  test("select drops traversers from union branches without the capture") {
+    val picked = g.V("Nation", 0L).union(
+        _.as("x").out("IN_REGION"),
+        _.in("IN_NATION", "Customer"))
+      .select("x")
+    // only branch 1 carries the capture: exactly its one region row
+    assert(picked.count() == 1)
+    assert(picked.toDF.where(col(graft.model.GraphColumns.Id).isNull).count() == 0)
+  }
+
+  test("a branch with no adjacency from the frontier is empty, not an error") {
+    // Region has no OUT adjacency for IN_REGION (nations point AT it):
+    // branch 1 produces nothing, every region falls through to branch 2
+    val s = g.V("Region").coalesce(
+      _.out("IN_REGION"),
+      _.in("IN_REGION", "Nation"))
+    assert(s.count() == tbl("nation").count())
+    // a completely unknown edge label is still a loud error
+    assertThrows[IllegalArgumentException](g.V("Region").out("NO_SUCH_EDGE"))
+  }
+
   test("untilFixpoint respects maxIter") {
     val one = g.V("Region", 2L).untilFixpoint(maxIter = 0)(_.both("IN_REGION"))
     assert(one.toDF.count() == 1) // no hops: just the start vertex

@@ -34,4 +34,12 @@ class GraphVariablesSpec extends SparkSpec {
     GraphLoader.persist(g2, dir2)
     assert(GraphLoader.open(spark, dir2).variables.keys.isEmpty)
   }
+
+  test("variables also round-trip through the CSV persistence path") {
+    val g = GraphLoader.tpch(spark, sf0001)
+    g.variables.set("source", "csv-test")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vars_csv").toString
+    GraphLoader.persistCsv(g, dir)
+    assert(GraphLoader.openCsv(spark, dir).variables.get("source").contains("csv-test"))
+  }
 }

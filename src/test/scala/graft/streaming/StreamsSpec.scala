@@ -142,6 +142,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup composes with normalization: case/spacing variants collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("norm_fp", md5(graft.ext.Text.normalizeForDedup(col("text"))))
+    val q = Streams.dedupWithinWatermark(stream, Seq("norm_fp"), "10 minutes")
+      .writeStream.format("memory").queryName("norm_dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "The cat sat."),
+        (2L, ts("2024-01-01 10:01:00"), "  the  CAT sat "), // variant of 1
+        (3L, ts("2024-01-01 10:02:00"), "something else"))
+      q.processAllAvailable()
+      mem.addData((4L, ts("2024-01-01 10:03:00"), "THE CAT SAT")) // still a dup
+      q.processAllAvailable()
+      val kept = spark.table("norm_dedup_stream")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(kept == Set(1L, 3L)) // one survivor per normalized text
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
