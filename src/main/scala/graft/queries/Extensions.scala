@@ -317,6 +317,35 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e38: contiguous sequence packing — each doc assigned to a fixed
+    * token-budget pack within its shard (8 shards, 2048-token budget on
+    * the fixture's ~54-token docs). Integer-only arithmetic: exact. */
+  val E38Budget = 2048L
+  val E38Shards = 8
+  def e38_token_packing(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    graft.ext.Packing.contiguousPack(toks, col("doc_id"), col("n_tokens"),
+        E38Budget, E38Shards)
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  /** e39: corpus-health rollup per (source, lang) — the dashboard query
+    * a data curator runs nightly: volume, token mass, and mean quality
+    * (decimal-accumulated so the mean is partitioning-independent). */
+  def e39_corpus_health(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        Text.qualityScoreCol.as("q"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        (sum(col("q").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_quality"))
+      .orderBy("source", "lang")
+
   def e24_quantiles(s: SparkSession, dir: String): DataFrame =
     events(s, dir).groupBy(col("event_type"))
       .agg(
@@ -363,7 +392,9 @@ object Extensions {
     "e34_decontaminate" -> (e34_decontaminate _),
     "e35_repetition" -> (e35_repetition _),
     "e36_pii_redact" -> (e36_pii_redact _),
-    "e37_normalized_dedup" -> (e37_normalized_dedup _))
+    "e37_normalized_dedup" -> (e37_normalized_dedup _),
+    "e38_token_packing" -> (e38_token_packing _),
+    "e39_corpus_health" -> (e39_corpus_health _))
 
   // ---- DuckDB oracle twins ----
 
@@ -741,6 +772,33 @@ object Extensions {
          |SELECT doc_id, md5(norm) AS norm_fp, length(norm) AS norm_len,
          |  count(*) OVER (PARTITION BY md5(norm)) AS n_same
          |FROM n ORDER BY doc_id""".stripMargin,
+
+    "e38_token_packing" ->
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |  doc_id % $E38Shards AS shard FROM documents),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST(floor((cum - n_tokens) / $E38Budget) AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "e39_corpus_health" ->
+      """WITH q AS (
+        |  SELECT source, lang, len(string_split(text, ' ')) AS n_tokens,
+        |    0.5 * (len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the','a','of','to','and','in','is','on','for','with')))::DOUBLE
+        |           / len(string_split(text, ' '))::DOUBLE)
+        |    + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+        |             / length(text)::DOUBLE)
+        |    + 0.2 * (CASE WHEN len(string_split(text, ' ')) >= 10
+        |                   AND len(string_split(text, ' ')) <= 100000 THEN 1.0 ELSE 0.0 END)
+        |      AS q
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  sum(n_tokens::BIGINT) AS sum_tokens,
+        |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)::DOUBLE AS avg_quality
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e36_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id,

@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, 40L), (1L, 40L), (2L, 40L),   // packs: 0,0,0 (cum-excl 0,40,80)
+    (3L, 250L),                        // oversize: starts pack 1 (120/100)
+    (4L, 30L), (5L, 30L))              // cum-excl 370 -> pack 3; 400 -> pack 4
+    .toDF("doc_id", "n_tokens")
+
+  test("contiguous packing assigns floor(exclusive-prefix / budget) per shard") {
+    val out = Packing.contiguousPack(docs, col("doc_id"), col("n_tokens"),
+        budgetTokens = 100, shards = 1)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("non-oversize packs hold at most the budget before their last doc") {
+    val packed = Packing.contiguousPack(docs, col("doc_id"), col("n_tokens"),
+        budgetTokens = 100, shards = 1)
+      .select("shard", "pack_id", "n_tokens").as[(Long, Long, Long)]
+      .collect().groupBy(t => (t._1, t._2))
+    packed.values.foreach { rows =>
+      // all but the boundary-straddling doc fit the budget
+      assert(rows.map(_._3).sum - rows.map(_._3).max < 100 || rows.length == 1)
+    }
+  }
+
+  test("pack assignment is independent of physical partitioning") {
+    def run(parts: Int) = Packing.contiguousPack(
+        docs.repartition(parts), col("doc_id"), col("n_tokens"), 100, shards = 3)
+      .select("doc_id", "shard", "pack_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run(1) == run(7))
+  }
+}
