@@ -347,6 +347,32 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
+  /** Stream-STREAM interval join: left rows joined to right rows with
+    * the same `keys` whose `rightTs` lies within `[leftTs + lo, leftTs
+    * + hi]` — the streaming twin of
+    * [[graft.operators.RangeJoin.bandedIntervalJoin]] (inner form).
+    * Structured Streaming requires BOTH sides watermarked plus the
+    * time-range predicate, which is exactly what lets it bound the join
+    * state: a buffered right row is dropped once the watermark passes
+    * `rightTs + |lo|`, left rows symmetrically. In batch mode the same
+    * call is a plain interval join (watermarks are no-ops); for large
+    * BATCH inputs prefer the banded RangeJoin form, which turns the
+    * inequality into an equi-join. Output: left columns + the right
+    * side's non-key columns (caller ensures distinct names). */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      loMicros: Long, hiMicros: Long, delay: String = "10 minutes"): DataFrame = {
+    require(loMicros <= hiMicros, s"empty interval [$loMicros, $hiMicros]")
+    val l = if (left.isStreaming) left.withWatermark(leftTs, delay) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, delay) else right
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) + expr(s"INTERVAL $loMicros MICROSECOND") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $hiMicros MICROSECOND")
+    val rightExtra = right.columns.filterNot(keys.contains).toSeq
+    l.join(r, cond)
+      .select(left.columns.map(l(_)).toSeq ++ rightExtra.map(r(_)): _*)
+  }
+
   /** `foreachBatch` sink helper: write each micro-batch to
     * `<path>/batch_id=<id>` with overwrite — a replayed batch (after
     * failure/restart) overwrites its own directory instead of appending

@@ -164,6 +164,54 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the banded batch RangeJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = Seq(
+      (7L, ts("2024-01-01 10:30:00"), 100L),
+      (7L, ts("2024-01-01 12:00:00"), 101L),
+      (8L, ts("2024-01-01 11:00:00"), 102L))
+    val clicks = Seq(
+      (7L, ts("2024-01-01 10:10:00")), // within 30 min of purchase 100
+      (7L, ts("2024-01-01 09:30:00")), // too early for 100
+      (7L, ts("2024-01-01 11:45:00")), // within 30 min of purchase 101
+      (8L, ts("2024-01-01 10:59:00")), // within 30 min of purchase 102
+      (9L, ts("2024-01-01 11:00:00"))) // no purchases for user 9
+    val lo = -30L * 60 * 1000000
+    val pDf = purchases.toDF("user_id", "pts", "purchase_id")
+    val cDf = clicks.toDF("user_id", "cts")
+    val want = graft.operators.RangeJoin
+      .bandedIntervalJoin(pDf, cDf, Seq("user_id"), "pts", "cts", lo, 0L)
+      .select(col("purchase_id"), col("cts").cast("string"))
+      .as[(Long, String)].collect().toSet
+    assert(want.nonEmpty)
+
+    val pMem = MemoryStream[(Long, Timestamp, Long)]
+    val cMem = MemoryStream[(Long, Timestamp)]
+    // the delay must cover the cross-trigger disorder below: purchase
+    // 102 (11:00) arrives a trigger after purchase 101 (12:00) advanced
+    // the left watermark — with a 1-minute delay Spark would correctly
+    // DROP it as late (and evict the 10:59 click it matches)
+    val joined = Streams.streamStreamIntervalJoin(
+      pMem.toDF().toDF("user_id", "pts", "purchase_id"),
+      cMem.toDF().toDF("user_id", "cts"),
+      Seq("user_id"), "pts", "cts", lo, 0L, delay = "3 hours")
+    val q = joined.writeStream.format("memory").queryName("ss_interval")
+      .outputMode("append").start()
+    try {
+      // out-of-order delivery across triggers
+      pMem.addData(purchases.take(2): _*)
+      cMem.addData(clicks.take(3): _*)
+      q.processAllAvailable()
+      pMem.addData(purchases.drop(2): _*)
+      cMem.addData(clicks.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("ss_interval")
+        .select(col("purchase_id"), col("cts").cast("string"))
+        .as[(Long, String)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
