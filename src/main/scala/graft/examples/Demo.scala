@@ -168,6 +168,20 @@ object Demo {
     val mivf = graft.ext.Similarity.ivfTopKWith(memb, mcen, (0L until 5L).toSeq, 5)
     println(s"DEMO media_ivf_rows=${mivf.count()}")
 
+    // 19. sequence packing + corpus health + normalized dedup
+    val packed = graft.ext.Packing.contiguousPack(
+      docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+      col("doc_id"), col("n_tokens"), budgetTokens = 2048, shards = 8)
+    println(s"DEMO packs=${packed.select("shard", "pack_id").distinct().count()}" +
+      s" health_rows=${graft.queries.Extensions.e39_corpus_health(spark, sfDir).count()}" +
+      s" norm_dups=${graft.queries.Extensions.e37_normalized_dedup(spark, sfDir)
+        .where(col("n_same") > 1).count()}")
+
+    // 20. GraphX-delegated dedup clusters agree with the loop form
+    val gxSurvivors = graft.ext.Dedup.dedupClustersGraphX(sampled)
+      .where(col("doc_id") === col("keep_id")).count()
+    println(s"DEMO dedup_survivors_graphx=$gxSurvivors (loop=$survivors)")
+
     spark.stop()
   }
 }

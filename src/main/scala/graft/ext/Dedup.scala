@@ -332,6 +332,32 @@ object Dedup {
       contaminationReport(train, benchmark, n).select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[dedupClusters]] with the connected components delegated to
+    * GraphX's Pregel implementation — identical output contract
+    * `(doc_id, keep_id = min id in component)`. The label-propagation
+    * loop needs one driver round-trip per graph-diameter level;
+    * GraphX's pointer-jumping-style message passing converges in
+    * O(log d) supersteps with no per-round driver action, which wins
+    * for ADVERSARIALLY DEEP components (a long chain of near-dups —
+    * rare in practice, where dedup components are short). Prefer the
+    * default loop for typical corpora (no RDD round-trip); switch here
+    * when cluster depth is unknown. */
+  def dedupClustersGraphX(docs: DataFrame, maxBucket: Long = Skew.DefaultBucketCap): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = minhashCandidatePairs(docs, maxBucket)
+    val edges = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+      .rdd.map { case (a, b) => org.apache.spark.graphx.Edge(a, b, ()) }
+    val graph = org.apache.spark.graphx.Graph.fromEdges(edges, ())
+    // GraphX CC labels every vertex with the min vertex id reachable —
+    // exactly dedupClusters' canonical-survivor rule.
+    val comps = graph.connectedComponents().vertices
+      .toDF("doc_id", "keep_id")
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+  }
+
   /** SimHash 64-bit fingerprint per document via the typed
     * [[SimHashAggregator]]: near-duplicates land within small Hamming
     * distance. Token hash = first 15 hex chars of md5 (60 bits, stays in

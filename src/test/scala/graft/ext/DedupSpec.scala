@@ -150,6 +150,21 @@ class DedupSpec extends SparkSpec {
     assert(clean == Set(4L))
   }
 
+  test("dedupClustersGraphX equals the label-propagation loop") {
+    val viaLoop = Dedup.dedupClusters(docs).as[(Long, Long)].collect().toMap
+    val viaGx = Dedup.dedupClustersGraphX(docs).as[(Long, Long)].collect().toMap
+    assert(viaGx == viaLoop)
+    // and on the transitive chain fixture
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta lambda mu"),
+      (3L, "gamma delta epsilon zeta eta theta lambda mu nu xi"),
+      (9L, "unrelated words entirely different from the other documents here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupClustersGraphX(chain).as[(Long, Long)].collect().toMap ==
+      Dedup.dedupClusters(chain).as[(Long, Long)].collect().toMap)
+  }
+
   test("simhashNearPairs buckets catch the identical pair") {
     val pairs = Dedup.simhashNearPairs(docs, maxDist = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
