@@ -284,7 +284,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     copy(
       df = outs.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true)),
       labels = outs.flatMap(_.labels).distinct.sorted,
-      captures = outs.foldLeft(captures)(_ ++ _.captures))
+      captures = outs.foldLeft(captures)((a, o) => mergeCaptures(a, o.captures)))
   }
 
   /** Gremlin `optional(branch)`: a traverser is replaced by its branch
@@ -296,7 +296,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     copy(
       df = out.df.unionByName(missed, allowMissingColumns = true),
       labels = (out.labels ++ labels).distinct.sorted,
-      captures = captures ++ out.captures)
+      captures = mergeCaptures(captures, out.captures))
   }
 
   /** Gremlin `coalesce(branch1, branch2, ...)`: each traverser takes the
@@ -314,7 +314,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
         if (accDf == null) out.df
         else accDf.unionByName(out.df, allowMissingColumns = true)
       accLabels = (accLabels ++ out.labels).distinct
-      accCaptures = accCaptures ++ out.captures
+      accCaptures = mergeCaptures(accCaptures, out.captures)
       remaining = remaining.copy(df = missed)
     }
     copy(df = accDf, labels = accLabels.sorted, captures = accCaptures)
@@ -447,6 +447,16 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   private val CapPrefix = "_as_"
   private def isCarried(c: String): Boolean =
     c == PathCol || c.startsWith(CapPrefix)
+
+  /** Merge capture registries from parallel branches: when BOTH sides
+    * registered the same name, the label sets UNION — last-wins (the
+    * linear-chain `as()` rule) would under-approximate the frontier a
+    * later select(name) can hold and silently drop label-pruned rows. */
+  private def mergeCaptures(a: Map[String, Seq[String]],
+      b: Map[String, Seq[String]]): Map[String, Seq[String]] =
+    (a.keySet ++ b.keySet).map { k =>
+      k -> (a.getOrElse(k, Nil) ++ b.getOrElse(k, Nil)).distinct.sorted
+    }.toMap
 
   private def nonEmptyUnion(parts: Seq[DataFrame]): DataFrame =
     if (parts.isEmpty) df.where(lit(false)) // empty result, same schema

@@ -25,10 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Assign each row to a pack of at most `budgetTokens` (docs larger
-    * than the budget get a pack of their own — they overflow `pack_id`
-    * arithmetic gracefully since the prefix sum just jumps). Output:
-    * input columns + (shard, pack_id) where packs are local to a shard.
+  /** Assign each row to the pack its exclusive token prefix-sum starts
+    * in: `pack_id = floor(prefix / budget)`. Invariant: the docs
+    * ASSIGNED to a pack started within one budget's span, so a pack
+    * holds at most `budget` tokens plus the overhang of docs straddling
+    * its end — for docs all smaller than the budget that overhang is
+    * under one doc. Docs LARGER than the budget overflow whatever pack
+    * their prefix lands in (possibly sharing it with earlier docs);
+    * callers feeding fixed-length sequence builders should pre-split
+    * oversize docs to the budget first, as real tokenizer pipelines do.
+    * Output: input columns + (shard, pack_id), packs local to a shard.
     */
   def contiguousPack(df: DataFrame, idCol: Column, tokensCol: Column,
       budgetTokens: Long, shards: Int = 64): DataFrame = {
@@ -37,10 +43,11 @@ object Packing {
     val w = Window.partitionBy(col("shard")).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", pmod(idCol, lit(shards.toLong)))
-      .withColumn("_cum", sum(tokensCol).over(w))
-      // exclusive prefix sum: the pack a doc STARTS in
-      .withColumn("pack_id",
-        floor((col("_cum") - tokensCol) / lit(budgetTokens)).cast("long"))
-      .drop("_cum")
+      // exclusive prefix sum: the pack a doc STARTS in. Integral `div`,
+      // not Column `/`: double division loses exactness once a shard's
+      // running token total passes 2^52 (the RangeJoin bucketing lesson).
+      .withColumn("_excl", sum(tokensCol).over(w) - tokensCol)
+      .withColumn("pack_id", expr(s"_excl div $budgetTokens"))
+      .drop("_excl")
   }
 }

@@ -780,7 +780,7 @@ object Extensions {
          |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
          |SELECT doc_id, n_tokens, shard,
-         |  CAST(floor((cum - n_tokens) / $E38Budget) AS BIGINT) AS pack_id
+         |  (cum - n_tokens) // $E38Budget AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "e39_corpus_health" ->

@@ -357,17 +357,20 @@ object Streams {
     * `rightTs + |lo|`, left rows symmetrically. In batch mode the same
     * call is a plain interval join (watermarks are no-ops); for large
     * BATCH inputs prefer the banded RangeJoin form, which turns the
-    * inequality into an equi-join. Output: left columns + the right
+    * inequality into an equi-join. The interval is HALF-OPEN
+    * `[leftTs + lo, leftTs + hi)` with the same `hi > lo` contract as
+    * the banded twin, so batch-validated pipelines see identical
+    * boundary behavior in streaming. Output: left columns + the right
     * side's non-key columns (caller ensures distinct names). */
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
       loMicros: Long, hiMicros: Long, delay: String = "10 minutes"): DataFrame = {
-    require(loMicros <= hiMicros, s"empty interval [$loMicros, $hiMicros]")
+    require(hiMicros > loMicros, s"empty interval [$loMicros, $hiMicros)")
     val l = if (left.isStreaming) left.withWatermark(leftTs, delay) else left
     val r = if (right.isStreaming) right.withWatermark(rightTs, delay) else right
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
       r(rightTs) >= l(leftTs) + expr(s"INTERVAL $loMicros MICROSECOND") &&
-      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $hiMicros MICROSECOND")
+      r(rightTs) < l(leftTs) + expr(s"INTERVAL $hiMicros MICROSECOND")
     val rightExtra = right.columns.filterNot(keys.contains).toSeq
     l.join(r, cond)
       .select(left.columns.map(l(_)).toSeq ++ rightExtra.map(r(_)): _*)

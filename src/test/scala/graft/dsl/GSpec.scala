@@ -317,6 +317,20 @@ class GSpec extends SparkSpec {
     assert(picked.toDF.where(col(graft.model.GraphColumns.Id).isNull).count() == 0)
   }
 
+  test("same-name captures across union branches keep both label sets") {
+    val picked = g.V("Nation", 0L).union(
+        _.out("IN_REGION").as("x"),
+        _.in("IN_NATION", "Customer").as("x"))
+      .select("x")
+    // a last-wins merge would prune one branch's label set here
+    assert(picked.labels.toSet == Set("Customer", "Region"))
+    val byLabel = picked.toDF.groupBy(graft.model.GraphColumns.Label).count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel("Region") == 1)
+    assert(byLabel("Customer") ==
+      tbl("customer").where($"c_nationkey" === 0).count())
+  }
+
   test("a branch with no adjacency from the frontier is empty, not an error") {
     // Region has no OUT adjacency for IN_REGION (nations point AT it):
     // branch 1 produces nothing, every region falls through to branch 2

@@ -31,6 +31,16 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("an oversize doc overflows the pack its prefix starts in (documented contract)") {
+    // budget 100: prefixes 0, 40, 290 -> packs 0, 0, 2 — the 250-token
+    // doc SHARES pack 0 with doc 0 (callers pre-split oversize docs;
+    // see the contiguousPack scaladoc)
+    val d = Seq((0L, 40L), (1L, 250L), (2L, 40L)).toDF("doc_id", "n_tokens")
+    val out = Packing.contiguousPack(d, col("doc_id"), col("n_tokens"), 100, shards = 1)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
+  }
+
   test("pack assignment is independent of physical partitioning") {
     def run(parts: Int) = Packing.contiguousPack(
         docs.repartition(parts), col("doc_id"), col("n_tokens"), 100, shards = 3)
