@@ -60,6 +60,34 @@ object Dedup {
   def shingles(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     ngrams(docs, 3, idCol, textCol)
 
+  /** Drop shingles whose DOCUMENT frequency exceeds `maxDf` — the
+    * structural fix for boilerplate n-grams (site footers, licence
+    * headers) that carry zero dedup signal but dominate minhash
+    * signatures and route whole cohorts into shared LSH buckets
+    * ([[graft.operators.Skew.capBuckets]] then has to drop those
+    * buckets wholesale, losing the cohort's REAL near-dups too; the DF
+    * filter removes only the boilerplate gram, keeping the rest of
+    * each signature informative). One distinct + count shuffle on the
+    * gram, then an anti-join. Input/output: (id, s) shingle rows. */
+  def dropStopShingles(sh: DataFrame, maxDf: Long): DataFrame = {
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    val hot = sh.select(col("id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .select(col("s"))
+    sh.join(hot, Seq("s"), "left_anti")
+  }
+
+  /** [[minhashCandidatePairs]] with boilerplate shingles removed by
+    * document-frequency cap before signature building. Signatures are
+    * NOT comparable with the unfiltered form (different shingle sets);
+    * use one form consistently per corpus. */
+  def minhashCandidatePairsFiltered(docs: DataFrame, maxShingleDf: Long,
+      maxBucket: Long = Skew.DefaultBucketCap): DataFrame =
+    candidatePairsFromSignatures(
+      signaturesFromShingles(dropStopShingles(shingles(docs), maxShingleDf)),
+      maxBucket, "minhash_band_dffiltered")
+
   /** Universal-hash permutation constants (Carter–Wegman multiply-add,
     * splitmix64-derived, A odd for bijectivity mod 2^64). Public so the
     * SQL oracle inlines the identical literals. */
@@ -82,8 +110,12 @@ object Dedup {
     * Bit-reproducible in any engine with 64-bit modular arithmetic
     * (DuckDB twin: HUGEINT mod 2^64, re-signed).
     * Output: (doc_id, h0..h{k-1}: bigint). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(shingles(docs))
+
+  /** Signature build over an explicit (id, s) shingle frame — shared by
+    * the plain and DF-filtered pipelines. */
+  private def signaturesFromShingles(sh: DataFrame): DataFrame = {
     val base = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
     val aggs = (0 until NumHashes).map(j =>
       min(graft.functions.mulAddWrap(col("_h"), MinhashA(j), MinhashB(j))).as(s"h$j"))
@@ -158,8 +190,13 @@ object Dedup {
     * in-plan and logged. Output: (doc_a, doc_b) with doc_a < doc_b,
     * distinct. */
   def minhashCandidatePairs(docs: DataFrame,
-      maxBucket: Long = Skew.DefaultBucketCap): DataFrame = {
-    val sig = minhashSignatures(docs)
+      maxBucket: Long = Skew.DefaultBucketCap): DataFrame =
+    candidatePairsFromSignatures(minhashSignatures(docs), maxBucket, "minhash_band")
+
+  /** Banding + capped bucket self-join over an explicit signature frame
+    * — shared by the plain and DF-filtered pipelines. */
+  private def candidatePairsFromSignatures(sig: DataFrame, maxBucket: Long,
+      capTag: String): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}").cast("string"),
@@ -168,7 +205,7 @@ object Dedup {
     val bands = Skew.capBuckets(
       sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh")),
-      Seq("band", "bh"), maxBucket, "minhash_band")
+      Seq("band", "bh"), maxBucket, capTag)
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b,
