@@ -36,7 +36,8 @@ object SparkEntry {
     "q18_unified_ids" -> (Inventory.q18_unified_ids _),
     "q19_connected_components" -> (Inventory.q19_connected_components _),
     "q20_shortest_path" -> (Inventory.q20_shortest_path _),
-    "q21_edge_list_order" -> (Inventory.q21_edge_list_order _)) ++ Extensions.all
+    "q21_edge_list_order" -> (Inventory.q21_edge_list_order _),
+    "q22_branch_coalesce" -> (Inventory.q22_branch_coalesce _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -313,4 +313,19 @@ object Inventory {
       .select(col("id.hi").as("hi"), col("id.lo").as("lo"), col("label"))
       .orderBy("hi", "lo")
   }
+
+  /** Q22: Gremlin branch semantics under the oracle — per nation, take
+    * its suppliers if it has any, otherwise fall back to its region
+    * (`coalesce`: first producing branch per traverser), counted per
+    * landing element. The SQL twin re-derives the covered/uncovered
+    * split explicitly. */
+  def q22_branch_coalesce(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Nation")
+      .coalesce(_.in("IN_NATION", "Supplier"), _.out("IN_REGION"))
+      .groupCount()
+      .select(col(graft.model.GraphColumns.Label).as("vlabel"),
+        col(graft.model.GraphColumns.Id).as("vid"), col("cnt"))
+      .orderBy("vlabel", "vid")
+  }
 }

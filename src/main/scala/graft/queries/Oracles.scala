@@ -213,7 +213,19 @@ object Oracles {
       |FROM lineitem WHERE l_orderkey < 1000
       |ORDER BY o_orderkey, read_rank""".stripMargin
 
+  /** Gremlin coalesce as SQL: suppliers of supplier-having nations,
+    * UNION the regions of supplier-less nations, counted per element. */
+  val q22_branch_coalesce: String =
+    """WITH with_s AS (SELECT DISTINCT s_nationkey FROM supplier),
+      |br1 AS (SELECT 'Supplier' AS vlabel, s_suppkey AS vid FROM supplier),
+      |br2 AS (SELECT 'Region' AS vlabel, n_regionkey AS vid FROM nation
+      |        WHERE n_nationkey NOT IN (SELECT s_nationkey FROM with_s))
+      |SELECT vlabel, vid, count(*) AS cnt
+      |FROM (SELECT * FROM br1 UNION ALL SELECT * FROM br2)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q22_branch_coalesce" -> q22_branch_coalesce,
     "q19_connected_components" -> q19_connected_components,
     "q20_shortest_path" -> q20_shortest_path,
     "q21_edge_list_order" -> q21_edge_list_order,
