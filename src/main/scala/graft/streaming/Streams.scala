@@ -349,7 +349,7 @@ object Streams {
 
   /** Stream-STREAM interval join: left rows joined to right rows with
     * the same `keys` whose `rightTs` lies within `[leftTs + lo, leftTs
-    * + hi]` — the streaming twin of
+    * + hi)` — the streaming twin of
     * [[graft.operators.RangeJoin.bandedIntervalJoin]] (inner form).
     * Structured Streaming requires BOTH sides watermarked plus the
     * time-range predicate, which is exactly what lets it bound the join
