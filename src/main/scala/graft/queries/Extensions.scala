@@ -241,7 +241,10 @@ object Extensions {
     * arithmetic in SQL: FNV/xorshift as mod-2^64 HUGEINT recursions,
     * the two Lloyd rounds unrolled as CTE chains, then the e23 IVF
     * pattern — proving the multimodal plumbing feeds the ANN stack
-    * with nothing hidden in the JVM. */
+    * with nothing hidden in the JVM. (The oracle's per-character FNV
+    * recursion costs ~1 min in DuckDB at sf0.01 — by far the most
+    * expensive oracle in the suite, and inherent: FNV-1a is strictly
+    * sequential per document.) */
   val E32K = 4
   val E32Iters = 2
   val E32TopK = 5
