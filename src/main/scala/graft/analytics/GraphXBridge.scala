@@ -113,6 +113,35 @@ object GraphXBridge {
       .toDF("label_id", GC.Id, "component")
   }
 
+  /** Triangle count per vertex (GraphX's triangleCount: each vertex's
+    * number of closing edge triples; graph treated as undirected with
+    * canonical edge orientation as the algorithm requires). Back as
+    * `(label_id, _vid, triangles)`. */
+  def triangleCounts(g: PropertyGraph): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    toGraphX(g)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+      .triangleCount().vertices
+      .map { case (vid, n) => (unpackLabel(vid), unpackKey(vid), n.toLong) }
+      .toDF("label_id", GC.Id, "triangles")
+  }
+
+  /** Community detection via GraphX label propagation (`lib
+    * .LabelPropagation`, Raghavan et al. 2007): each vertex adopts the
+    * most frequent community label among its neighbors for `iters`
+    * supersteps. Non-deterministic on tie-heavy graphs by nature (ties
+    * break on label value) — use for exploratory structure, not oracle
+    * comparison. Back as `(label_id, _vid, community)`. */
+  def labelPropagation(g: PropertyGraph, iters: Int = 5): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    org.apache.spark.graphx.lib.LabelPropagation.run(toGraphX(g), iters)
+      .vertices
+      .map { case (vid, comm) => (unpackLabel(vid), unpackKey(vid), comm) }
+      .toDF("label_id", GC.Id, "community")
+  }
+
   /** Single-source hop distances via Pregel — the iterative-fixpoint
     * message-passing operator (BFS as min-plus supersteps). Treats the
     * graph as undirected when `undirected` (each edge messages both

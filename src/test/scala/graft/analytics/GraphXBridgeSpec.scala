@@ -22,6 +22,44 @@ class GraphXBridgeSpec extends SparkSpec {
     assert(gx.edges.count() == eTotal)
   }
 
+  test("triangleCounts finds the one triangle in a hand-built graph") {
+    import graft.graph.PropertyGraph
+    import graft.model.EdgeSpec
+    // 1-2-3 form a triangle; 4 hangs off it (0 triangles)
+    val tri = new PropertyGraph(spark,
+      Map("U" -> Seq(1L, 2L, 3L, 4L).toDF("_vid")),
+      Map(EdgeSpec("K", "U", "U") ->
+        Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("_src", "_dst")))
+    val counts = GraphXBridge.triangleCounts(tri)
+      .select("_vid", "triangles").as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // the bipartite-ish TPC-H projection has no triangles at all
+    assert(GraphXBridge.triangleCounts(g)
+      .agg(org.apache.spark.sql.functions.sum("triangles"))
+      .head().getLong(0) == 0L)
+  }
+
+  test("labelPropagation groups a two-clique barbell into communities") {
+    import graft.graph.PropertyGraph
+    import graft.model.EdgeSpec
+    // two 4-cliques joined by one bridge edge
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val left = Seq(1L, 2L, 3L, 4L)
+    val right = Seq(10L, 11L, 12L, 13L)
+    val barbell = new PropertyGraph(spark,
+      Map("U" -> (left ++ right).toDF("_vid")),
+      Map(EdgeSpec("K", "U", "U") ->
+        (clique(left) ++ clique(right) :+ (4L, 10L)).toDF("_src", "_dst")))
+    val comm = GraphXBridge.labelPropagation(barbell, iters = 10)
+      .select("_vid", "community").as[(Long, Long)].collect().toMap
+    // every vertex labeled; intra-clique agreement is the structural
+    // expectation (label propagation is tie-noisy, so assert weakly:
+    // each clique's members land in at most 2 distinct communities)
+    assert(comm.keySet == (left ++ right).toSet)
+    assert(left.map(comm).distinct.size <= 2)
+    assert(right.map(comm).distinct.size <= 2)
+  }
+
   test("connected components: the TPC-H graph is one component") {
     // region<-nation<-customer<-order->part/supplier chains connect
     // everything through shared parts/suppliers at this scale
