@@ -36,6 +36,25 @@ object Packing {
     * oversize docs to the budget first, as real tokenizer pipelines do.
     * Output: input columns + (shard, pack_id), packs local to a shard.
     */
+  /** Split rows whose token count exceeds the budget into budget-sized
+    * pieces (the last piece carries the remainder) — the pre-pass that
+    * makes [[contiguousPack]]'s budget bound tight, mirroring how
+    * tokenizer pipelines chunk documents longer than the sequence
+    * length. Row-local explode, no shuffle. Output: the input columns
+    * plus `piece_idx` and `piece_tokens` (use `piece_tokens` as the
+    * pack input; rows with `tokensCol <= budget` pass through as one
+    * piece). */
+  def splitOversize(df: DataFrame, tokensCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    df.withColumn("_t", tokensCol.cast("long"))
+      .withColumn("piece_idx",
+        explode(sequence(lit(0L),
+          greatest(lit(0L), expr(s"(_t - 1) div $budgetTokens")))))
+      .withColumn("piece_tokens",
+        least(lit(budgetTokens), col("_t") - col("piece_idx") * lit(budgetTokens)))
+      .drop("_t")
+  }
+
   def contiguousPack(df: DataFrame, idCol: Column, tokensCol: Column,
       budgetTokens: Long, shards: Int = 64): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")

@@ -41,6 +41,29 @@ class PackingSpec extends SparkSpec {
     assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 2L))
   }
 
+  test("splitOversize chunks to the budget; composed pack bound becomes tight") {
+    val d = Seq((0L, 40L), (1L, 250L), (2L, 40L)).toDF("doc_id", "n_tokens")
+    val pieces = Packing.splitOversize(d, col("n_tokens"), 100)
+      .select("doc_id", "piece_idx", "piece_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pieces == Set(
+      (0L, 0L, 40L),
+      (1L, 0L, 100L), (1L, 1L, 100L), (1L, 2L, 50L),
+      (2L, 0L, 40L)))
+    // composed with contiguousPack, no piece exceeds the budget, so the
+    // budget bound holds up to ONE straddling piece per pack
+    val packed = Packing.contiguousPack(
+      Packing.splitOversize(d, col("n_tokens"), 100)
+        // piece-level id keeps the per-shard order deterministic
+        .withColumn("pid", col("doc_id") * 10 + col("piece_idx")),
+      col("pid"), col("piece_tokens"), 100, shards = 1)
+      .select("shard", "pack_id", "piece_tokens").as[(Long, Long, Long)]
+      .collect().groupBy(t => (t._1, t._2))
+    packed.values.foreach { rows =>
+      assert(rows.map(_._3).sum - rows.map(_._3).max < 100)
+    }
+  }
+
   test("pack assignment is independent of physical partitioning") {
     def run(parts: Int) = Packing.contiguousPack(
         docs.repartition(parts), col("doc_id"), col("n_tokens"), 100, shards = 3)
