@@ -120,6 +120,32 @@ object ScaleProbe {
       }
       val tPipeline = time(noop(pipeK))
 
+      // Sequence packing (window-shaped): split oversize docs to the
+      // budget, then the sharded running-total pack assignment. Shards
+      // bound each window partition, so the curve should be linear —
+      // the per-shard window grows k-fold but stays a single pass.
+      val tPack = time(noop {
+        val toks = docsK.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        graft.ext.Packing.contiguousPack(
+          graft.ext.Packing.splitOversize(toks, col("n_tokens"), 32L),
+          col("doc_id"), col("piece_tokens"), 32L, 8,
+          tieBreak = Seq(col("piece_idx")))
+      })
+
+      // Corpus-health rollup (pure partial-agg): tiny group count
+      // (source x lang), decimal-accumulated mean — the map-side combine
+      // should make this track the scan, i.e. linear.
+      val tHealth = time(noop(
+        docsK.select(col("source"), col("lang"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            graft.ext.Text.qualityScoreCol.as("q"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("sum_tokens"),
+            (sum(col("q").cast("decimal(18,6)")).cast("double") /
+              count(lit(1)).cast("double")).as("avg_quality"))))
+
       // Decontamination at a k-times training corpus against a FIXED
       // benchmark split: the benchmark gram set stays broadcast-sized,
       // so the check is one map-side semi-join — linear in the corpus.
@@ -127,7 +153,7 @@ object ScaleProbe {
         docsK.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), 4)))
 
-      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf,"neardup_blocked_s":$tNearDup,"pipeline_s":$tPipeline,"decontaminate_s":$tDecon}""")
+      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf,"neardup_blocked_s":$tNearDup,"pipeline_s":$tPipeline,"decontaminate_s":$tDecon,"packing_s":$tPack,"corpus_health_s":$tHealth}""")
     }
     spark.stop()
   }

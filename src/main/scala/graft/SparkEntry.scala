@@ -37,7 +37,9 @@ object SparkEntry {
     "q19_connected_components" -> (Inventory.q19_connected_components _),
     "q20_shortest_path" -> (Inventory.q20_shortest_path _),
     "q21_edge_list_order" -> (Inventory.q21_edge_list_order _),
-    "q22_branch_coalesce" -> (Inventory.q22_branch_coalesce _)) ++ Extensions.all
+    "q22_branch_coalesce" -> (Inventory.q22_branch_coalesce _),
+    "q23_repeat_emit" -> (Inventory.q23_repeat_emit _),
+    "q24_snb_composite" -> (Inventory.q24_snb_composite _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -90,6 +90,15 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     }
   }
 
+  /** Mid-chain id filter — Gremlin `hasId(ids...)`: keep only frontier
+    * elements with one of the given ids. The reference composes point
+    * lookups with traversals the same way (`g.V(ids).out()...`,
+    * TorcGraph.java:327-373); here the In-filter lands on the current
+    * frontier and, on a fresh `V(label)` scan, Catalyst pushes it into
+    * the Parquet read exactly like the `V(label, ids...)` start step. */
+  def hasId(ids: Long*): Step =
+    copy(df = df.where(col(GC.Id).isin(ids: _*)))
+
   /** hasLabel step — structural pruning, not a runtime filter. */
   def hasLabel(ls: String*): Step = {
     val kept = labels.filter(ls.contains)
@@ -185,6 +194,36 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     * plan; there is no iterative driver loop). */
   def repeat(n: Int)(hop: Step => Step): Step =
     (1 to n).foldLeft(this)((s, _) => hop(s))
+
+  /** Bounded multi-hop emitting EVERY intermediate frontier — Gremlin
+    * `repeat(step).emit().times(n)`: the result is the union of the
+    * frontiers after 1..n hop applications (plus the input frontier
+    * itself with `emitInitial = true`, Gremlin's emit-before-repeat
+    * placement), each tagged with its depth in the `_depth` column
+    * ([[Step.DepthCol]], the `loops()` value). Multiplicity is
+    * preserved per depth — join semantics, like [[repeat]] — and
+    * `as()`/`select()` captures ride through, so "all people within 3
+    * hops, with where they were found" is one plan: n expansions
+    * unioned, no driver loop, no action. Not a fixpoint: for unbounded
+    * reachability use [[untilFixpoint]]. */
+  def repeatEmit(n: Int, emitInitial: Boolean = false)(hop: Step => Step): Step = {
+    require(n >= 1, s"repeatEmit needs n >= 1, got $n")
+    val frontiers = Seq.newBuilder[(Int, Step)]
+    var cur = this
+    if (emitInitial) frontiers += ((0, cur))
+    for (d <- 1 to n) {
+      cur = hop(cur)
+      frontiers += ((d, cur))
+    }
+    val fs = frontiers.result()
+    val dfs = fs.map { case (d, st) =>
+      st.df.withColumn(Step.DepthCol, lit(d))
+    }
+    copy(
+      df = dfs.reduce(_.unionByName(_, allowMissingColumns = true)),
+      labels = fs.flatMap(_._2.labels).distinct.sorted,
+      captures = fs.map(_._2.captures).foldLeft(captures)(mergeCaptures))
+  }
 
   /** Iterative fixpoint — Gremlin `repeat(step).until(no new results)`:
     * expands level by level, accumulating the visited (label, id) set and
@@ -446,7 +485,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   private val PathCol = "_path"
   private val CapPrefix = "_as_"
   private def isCarried(c: String): Boolean =
-    c == PathCol || c.startsWith(CapPrefix)
+    c == PathCol || c == Step.DepthCol || c.startsWith(CapPrefix)
 
   /** Merge capture registries from parallel branches: when BOTH sides
     * registered the same name, the label sets UNION — last-wins (the
@@ -470,6 +509,12 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
 }
 
 object Step {
+  /** Depth tag emitted by [[Step.repeatEmit]] — the Gremlin `loops()`
+    * value of each emitted frontier row. Carried through subsequent
+    * expansions (constant once emitted); a nested repeatEmit overwrites
+    * it with its own depths. */
+  val DepthCol = "_depth"
+
   /** Unique suffix for internal origin captures — nested
     * optional/coalesce branches must not collide. Plan-construction
     * state only (never evaluated on executors). */

@@ -43,7 +43,10 @@ object Packing {
     * length. Row-local explode, no shuffle. Output: the input columns
     * plus `piece_idx` and `piece_tokens` (use `piece_tokens` as the
     * pack input; rows with `tokensCol <= budget` pass through as one
-    * piece). */
+    * piece). All pieces of a doc share the doc's id, so when feeding
+    * [[contiguousPack]] pass `tieBreak = Seq(col("piece_idx"))` — the
+    * id alone no longer orders the shard and the pack assignment of a
+    * tied group would depend on partition order. */
   def splitOversize(df: DataFrame, tokensCol: Column, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
     df.withColumn("_t", tokensCol.cast("long"))
@@ -56,10 +59,16 @@ object Packing {
   }
 
   def contiguousPack(df: DataFrame, idCol: Column, tokensCol: Column,
-      budgetTokens: Long, shards: Int = 64): DataFrame = {
+      budgetTokens: Long, shards: Int = 64,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
     require(shards > 0, s"shards must be positive, got $shards")
-    val w = Window.partitionBy(col("shard")).orderBy(idCol)
+    // Determinism contract: (idCol +: tieBreak) must totally order each
+    // shard. With duplicate ids (e.g. splitOversize pieces) and no
+    // tieBreak, the running sum's tie order — hence pack_id — would be
+    // partition-dependent; callers composing with splitOversize pass
+    // its piece_idx here.
+    val w = Window.partitionBy(col("shard")).orderBy(idCol +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", pmod(idCol, lit(shards.toLong)))
       // exclusive prefix sum: the pack a doc STARTS in. Integral `div`,

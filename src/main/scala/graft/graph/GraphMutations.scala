@@ -14,6 +14,17 @@ import graft.model.{Direction, EdgeSpec, GraphColumns => GC}
   */
 object GraphMutations {
 
+  /** Derived graph sharing the source's graph-variables: mutations return
+    * new immutable graphs, but metadata (schema version, lineage tags)
+    * belongs to the graph's identity and must survive them. */
+  private def derived(g: PropertyGraph,
+      vs: Map[String, DataFrame],
+      es: Map[graft.model.EdgeSpec, DataFrame]): PropertyGraph = {
+    val out = new PropertyGraph(g.spark, vs, es)
+    out.variables.setAll(g.variables.toMap)
+    out
+  }
+
   /** Batch addVertex (O2, TorcGraph.java:243-313): append vertex rows to
     * a label's frame. `rows` must carry the label's id column (`_vid`)
     * and property columns; missing property columns become nulls. */
@@ -22,7 +33,7 @@ object GraphMutations {
       case Some(existing) => existing.unionByName(rows, allowMissingColumns = true)
       case None => rows
     }
-    new PropertyGraph(g.spark, g.vertexFrames + (label -> merged), g.edgeFrames)
+    derived(g, g.vertexFrames + (label -> merged), g.edgeFrames)
   }
 
   /** Batch addEdge (O3, TorcGraph.java:1202-1279): append edge rows to an
@@ -47,7 +58,7 @@ object GraphMutations {
       case None =>
         if (enforceUnique) rows.dropDuplicates(GC.Src, GC.Dst) else rows
     }
-    new PropertyGraph(g.spark, g.vertexFrames, g.edgeFrames + (spec -> merged))
+    derived(g, g.vertexFrames, g.edgeFrames + (spec -> merged))
   }
 
   /** Batch vertex removal with incident-edge cascade — the set form of
@@ -82,7 +93,7 @@ object GraphMutations {
         out = out.join(rm, out(GC.Dst) === rm("_rmid"), "left_anti")
       spec -> out
     }
-    new PropertyGraph(g.spark, vs, es)
+    derived(g, vs, es)
   }
 
   /** Batch edge removal by composite id (the set form of
@@ -92,7 +103,7 @@ object GraphMutations {
     val e = g.edgeFrames(spec)
     val key = struct(col(GC.Src), col(GC.Dst))
     val wanted = ids.map { case (s, d) => struct(lit(s), lit(d)) }
-    new PropertyGraph(g.spark, g.vertexFrames,
+    derived(g, g.vertexFrames,
       g.edgeFrames + (spec -> e.where(!key.isin(wanted: _*))))
   }
 
@@ -152,7 +163,7 @@ object GraphMutations {
       case other => throw new IllegalArgumentException(s"cardinality: $other")
     }
     val updated = joined.withColumn(key, newCol).drop("_uid", "_newval")
-    new PropertyGraph(g.spark, g.vertexFrames + (label -> updated), g.edgeFrames)
+    derived(g, g.vertexFrames + (label -> updated), g.edgeFrames)
   }
 
   /** Vertex label fetch (O15) / property map fetch (O12) for point ids —

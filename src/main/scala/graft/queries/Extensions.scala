@@ -327,11 +327,30 @@ object Extensions {
   val E38Shards = 8
   def e38_token_packing(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir).select(col("doc_id"),
-      size(split(col("text"), " ")).as("n_tokens"))
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
     graft.ext.Packing.contiguousPack(toks, col("doc_id"), col("n_tokens"),
         E38Budget, E38Shards)
       .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack_id"))
       .orderBy("doc_id")
+  }
+
+  /** e38b: split-then-pack — the tight-budget composition the packing
+    * contract directs callers to: oversize docs are pre-split to the
+    * budget ([[graft.ext.Packing.splitOversize]]) so every pack holds at
+    * most `budget` tokens plus one straddling piece. The budget (32) is
+    * far under the fixture's ~54-token docs, so nearly every doc splits —
+    * exercising the piece arithmetic AND the (id, piece_idx) tie-break
+    * that keeps pack assignment deterministic when pieces share an id. */
+  val E38bBudget = 32L
+  def e38b_split_pack(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val pieces = graft.ext.Packing.splitOversize(toks, col("n_tokens"), E38bBudget)
+    graft.ext.Packing.contiguousPack(pieces, col("doc_id"), col("piece_tokens"),
+        E38bBudget, E38Shards, tieBreak = Seq(col("piece_idx")))
+      .select(col("doc_id"), col("piece_idx"), col("piece_tokens"),
+        col("shard"), col("pack_id"))
+      .orderBy("doc_id", "piece_idx")
   }
 
   /** e39: corpus-health rollup per (source, lang) — the dashboard query
@@ -397,6 +416,7 @@ object Extensions {
     "e36_pii_redact" -> (e36_pii_redact _),
     "e37_normalized_dedup" -> (e37_normalized_dedup _),
     "e38_token_packing" -> (e38_token_packing _),
+    "e38b_split_pack" -> (e38b_split_pack _),
     "e39_corpus_health" -> (e39_corpus_health _))
 
   // ---- DuckDB oracle twins ----
@@ -783,8 +803,24 @@ object Extensions {
          |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
          |SELECT doc_id, n_tokens, shard,
-         |  (cum - n_tokens) // $E38Budget AS pack_id
+         |  CAST((cum - n_tokens) // $E38Budget AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "e38b_split_pack" ->
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |  doc_id % $E38Shards AS shard FROM documents),
+         |p AS (SELECT doc_id, shard, i AS piece_idx,
+         |  least($E38bBudget, n_tokens - i * $E38bBudget) AS piece_tokens
+         |  FROM t, UNNEST(generate_series(0,
+         |    greatest(0, (n_tokens - 1) // $E38bBudget))) AS u(i)),
+         |c AS (SELECT doc_id, shard, piece_idx, piece_tokens,
+         |  sum(piece_tokens) OVER (PARTITION BY shard
+         |    ORDER BY doc_id, piece_idx ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM p)
+         |SELECT doc_id, CAST(piece_idx AS BIGINT) AS piece_idx,
+         |  CAST(piece_tokens AS BIGINT) AS piece_tokens, shard,
+         |  CAST((cum - piece_tokens) // $E38bBudget AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id, piece_idx""".stripMargin,
 
     "e39_corpus_health" ->
       """WITH q AS (
@@ -799,7 +835,7 @@ object Extensions {
         |      AS q
         |  FROM documents)
         |SELECT source, lang, count(*) AS n_docs,
-        |  sum(n_tokens::BIGINT) AS sum_tokens,
+        |  CAST(sum(n_tokens::BIGINT) AS BIGINT) AS sum_tokens,
         |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)::DOUBLE AS avg_quality
         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -303,6 +303,45 @@ object Inventory {
       .orderBy("o_orderkey", "read_rank")
   }
 
+  /** Q23: `repeat().emit()` under the oracle — from BUILDING customers,
+    * two emitted hops (orders, then their lineitem parts), counted per
+    * depth with multiplicity. The hop is a union of the two typed
+    * expansions; at each depth exactly one branch matches the frontier's
+    * label (the other is a legitimately-empty hop), so the emitted
+    * stream is customers(0) → orders(1) → parts(2) — one lazy plan, no
+    * driver loop. */
+  def q23_repeat_emit(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Customer").has("c_mktsegment", "BUILDING")
+      .repeatEmit(2, emitInitial = true)(_.union(
+        _.in("PLACED_BY", "Order"),
+        _.out("CONTAINS", "Part")))
+      .toDF
+      .groupBy(col(graft.dsl.Step.DepthCol).as("depth"),
+        col(GC.Label).as("vlabel"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("depth", "vlabel")
+  }
+
+  /** Q24: the LDBC-SNB Interactive shape the reference benchmarks
+    * (README.md:69-147) — a 3-hop traversal with an edge-property
+    * filter and a top-k, as ONE Spark plan: BUILDING customers → their
+    * orders → lineitems over 45 units → top 20 parts by distinct
+    * ordering customers. The `as("c")` capture rides the hop chain so
+    * the distinct-customer count needs no re-join back to the start. */
+  def q24_snb_composite(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Customer").has("c_mktsegment", "BUILDING").as("c")
+      .in("PLACED_BY", "Order")
+      .outE("CONTAINS", "Part")
+      .where(col("l_quantity") > 45)
+      .toDF
+      .groupBy(col(GC.Id).as("p_partkey"))
+      .agg(count_distinct(col("_as_c").getField("id")).as("n_customers"))
+      .orderBy(desc("n_customers"), asc("p_partkey"))
+      .limit(20)
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -224,7 +224,33 @@ object Oracles {
       |FROM (SELECT * FROM br1 UNION ALL SELECT * FROM br2)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** repeat().emit() as SQL: each emitted depth is one CTE, counted with
+    * multiplicity (depth 2 counts lineitem EDGES, not distinct parts). */
+  val q23_repeat_emit: String =
+    """WITH bc AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |bo AS (SELECT o_orderkey FROM orders
+      |       WHERE o_custkey IN (SELECT c_custkey FROM bc))
+      |SELECT * FROM (
+      |  SELECT CAST(0 AS INT) AS depth, 'Customer' AS vlabel, count(*) AS cnt FROM bc
+      |  UNION ALL SELECT 1, 'Order', count(*) FROM bo
+      |  UNION ALL SELECT 2, 'Part', count(*) FROM lineitem
+      |    WHERE l_orderkey IN (SELECT o_orderkey FROM bo)
+      |) ORDER BY depth""".stripMargin
+
+  /** The LDBC-SNB Interactive composite (3 hops + edge filter + top-k). */
+  val q24_snb_composite: String =
+    """SELECT l_partkey AS p_partkey, count(DISTINCT c_custkey) AS n_customers
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND l_quantity > 45
+      |GROUP BY l_partkey
+      |ORDER BY n_customers DESC, p_partkey
+      |LIMIT 20""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q23_repeat_emit" -> q23_repeat_emit,
+    "q24_snb_composite" -> q24_snb_composite,
     "q22_branch_coalesce" -> q22_branch_coalesce,
     "q19_connected_components" -> q19_connected_components,
     "q20_shortest_path" -> q20_shortest_path,

@@ -48,6 +48,30 @@ class PlanAuditSpec extends SparkSpec {
       s"no pushed In-filter in q10 plan:\n$p")
   }
 
+  test("mid-chain hasId pushes its In-filter into a fresh scan") {
+    // hasId after V(label) must land in the parquet scan exactly like
+    // the V(label, ids...) start step — the filter is on the aliased id
+    // column, so Catalyst rewrites it onto the source column.
+    val G = graft.dsl.G(graft.sources.GraphLoader.tpch(spark, sf0001))
+    val p = G.V("Customer").hasId(1L, 2L, 3L).out("IN_NATION").toDF
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && p.contains("In(c_custkey"),
+      s"no pushed In-filter from mid-chain hasId:\n$p")
+  }
+
+  test("q24 composite is one pipeline with both filters pushed to the scans") {
+    // The SNB shape lives or dies on the hop-chain staying declarative:
+    // the segment filter must reach the customer scan and the edge
+    // filter the lineitem scan — no mid-chain action can exist because
+    // the whole query is a single DataFrame (this spec builds the plan
+    // without executing anything).
+    val p = plans("q24_snb_composite")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter not pushed to customer scan:\n$p")
+    assert(p.contains("GreaterThan(l_quantity,45"),
+      s"quantity filter not pushed to lineitem scan:\n$p")
+  }
+
   test("pipeline composition (e31) is one pruned plan end to end") {
     // The composed pipeline references `documents` in several subtrees
     // (dedup window, band self-join, Jaccard verify, survivor anti-join);

@@ -342,6 +342,56 @@ class GSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](g.V("Region").out("NO_SUCH_EDGE"))
   }
 
+  test("repeatEmit(n) is the multiset union of repeat(1..n), tagged by depth") {
+    val start = g.V("Customer").has("c_mktsegment", "BUILDING")
+    val hop = (s: Step) => s.union(_.out("IN_NATION"), _.out("IN_REGION"))
+    val L = graft.model.GraphColumns.Label
+    val I = graft.model.GraphColumns.Id
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+      df.groupBy(col(L), col(I)).count()
+        .as[(String, Long, Long)].collect()
+        .map { case (l, i, n) => (l, i) -> n }.toMap
+    val emitted = start.repeatEmit(2)(hop)
+    // law: emit(n) == union of repeat(1..n) with multiplicity
+    val law = multiset(start.repeat(1)(hop).toDF.select(col(L), col(I))
+      .unionByName(start.repeat(2)(hop).toDF.select(col(L), col(I))))
+    assert(multiset(emitted.toDF) == law)
+    // depth tags: depth-1 rows are Nations, depth-2 rows are Regions
+    val byDepth = emitted.toDF.groupBy(col(Step.DepthCol), col(L)).count()
+      .as[(Int, String, Long)].collect().map(t => (t._1, t._2)).toSet
+    assert(byDepth == Set((1, "Nation"), (2, "Region")))
+    // emitInitial prepends the depth-0 frontier
+    val withInit = start.repeatEmit(2, emitInitial = true)(hop).toDF
+    assert(withInit.where(col(Step.DepthCol) === 0).count() == start.count())
+  }
+
+  test("repeatEmit composes with as/select captures") {
+    // capture each starting customer; after emitting 2 hops, select
+    // jumps every emitted traverser back to its originating customer
+    val back = g.V("Customer").has("c_mktsegment", "BUILDING").as("c")
+      .repeatEmit(2)(_.union(_.out("IN_NATION"), _.out("IN_REGION")))
+      .select("c")
+    assert(back.labels == Seq("Customer"))
+    // each customer appears once per emitted row it produced: one nation
+    // (depth 1) + one region (depth 2) = 2 rows per customer
+    val want = tbl("customer").where($"c_mktsegment" === "BUILDING").count()
+    assert(back.count() == 2 * want)
+    assert(back.dedup().count() == want)
+  }
+
+  test("hasId filters mid-chain (and at the start, pushed into the scan)") {
+    // mid-chain: nations' customers, narrowed to three ids
+    val ids = tbl("customer").select($"c_custkey").as[Long]
+      .collect().sorted.take(3)
+    val mid = g.V("Nation").in("IN_NATION", "Customer").hasId(ids: _*)
+    assert(mid.toDF.select(graft.model.GraphColumns.Id).as[Long]
+      .collect().toSet == ids.toSet)
+    // start-of-chain on a fresh scan behaves like V(label, ids...)
+    val viaHasId = g.V("Customer").hasId(ids: _*).out("IN_NATION").dedup()
+    val viaVIds = g.V("Customer", ids: _*).out("IN_NATION").dedup()
+    assert(viaHasId.count() == viaVIds.count())
+  }
+
   test("untilFixpoint respects maxIter") {
     val one = g.V("Region", 2L).untilFixpoint(maxIter = 0)(_.both("IN_REGION"))
     assert(one.toDF.count() == 1) // no hops: just the start vertex

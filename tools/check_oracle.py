@@ -36,10 +36,23 @@ def main(sf_dir: str, out_dir: str) -> int:
             if len(got) == 0:
                 print(f"    WARN: zero rows")
             continue
+        # Guard (round-4 lesson, e26/e38/e39): DuckDB window/group SUM
+        # widens to HUGEINT, which pandas fetches as float64 while Spark
+        # writes int64 — values match but the driver's hash differs.
+        # Reject oracles whose result schema is wider than int64 so the
+        # bug class fails HERE, not in the driver's round artifact.
+        desc = con.execute("DESCRIBE " + oracles[name]).fetchdf()
+        huge = [(c, t) for c, t in zip(desc["column_name"], desc["column_type"])
+                if "HUGEINT" in str(t).upper()]
         want = con.execute(oracles[name]).fetchdf()
         g, w = canon(got), canon(want)
         ok_cols = list(g.columns) == list(w.columns)
         ok_rows = len(g) == len(w)
+        # The driver hashes value REPRESENTATIONS, so kind drift (int64 vs
+        # float64: "0" vs "0.0") fails its compare even when values are
+        # equal — but width (int32 vs int64) and datetime unit (ns vs us)
+        # do not (all r4-green queries differ there). Mirror the kind.
+        ok_dtype = ok_cols and [t.kind for t in g.dtypes] == [t.kind for t in w.dtypes]
         ok_vals = False
         if ok_cols and ok_rows:
             try:
@@ -48,11 +61,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             except AssertionError as e:
                 ok_vals = False
                 err = str(e).split("\n")[:6]
-        status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        status = "OK" if (ok_cols and ok_rows and ok_vals and ok_dtype
+                          and not huge) else "FAIL"
         if status == "FAIL":
             failures += 1
-            print(f"  {name}: {status} cols={ok_cols} ({list(g.columns)} vs {list(w.columns)}) rows={len(g)}/{len(w)}")
-            if ok_cols and ok_rows:
+            print(f"  {name}: {status} cols={ok_cols} ({list(g.columns)} vs {list(w.columns)}) rows={len(g)}/{len(w)} dtype={ok_dtype}")
+            if huge:
+                print(f"    HUGEINT oracle columns (cast to BIGINT in the SQL): {huge}")
+            if not ok_dtype and ok_cols:
+                print(f"    spark={list(map(str, g.dtypes))} oracle={list(map(str, w.dtypes))}")
+            if ok_cols and ok_rows and not ok_vals:
                 print("    " + "\n    ".join(err))
         else:
             print(f"  {name}: OK ({len(g)} rows)")
