@@ -82,7 +82,10 @@ object Bench {
       else Seq.empty
       "\"" + k + "\":" + (base ++ pcts).mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total_of_mins","value":${f(total)},"unit":"sec","reps":$reps,"median_total":${f(medianTotal)},"queries":$qs,"sf":"$sfDir"}"""
+    // "queries_stat" tags the statistic behind each per-query number
+    // (min since round 5; rounds 1-4 recorded medians) so cross-round
+    // tooling can't mix statistics unnoticed.
+    val line = s"""{"metric":"total_of_mins","value":${f(total)},"unit":"sec","reps":$reps,"queries_stat":"min","median_total":${f(medianTotal)},"queries":$qs,"sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} B exceeds the driver's tail capture budget")
     // Print the driver's artifact FIRST: the sidecar write can throw on a

@@ -39,7 +39,11 @@ object SparkEntry {
     "q21_edge_list_order" -> (Inventory.q21_edge_list_order _),
     "q22_branch_coalesce" -> (Inventory.q22_branch_coalesce _),
     "q23_repeat_emit" -> (Inventory.q23_repeat_emit _),
-    "q24_snb_composite" -> (Inventory.q24_snb_composite _)) ++ Extensions.all
+    "q24_snb_composite" -> (Inventory.q24_snb_composite _),
+    "q25_snb_fof" -> (Inventory.q25_snb_fof _),
+    "q26_snb_path" -> (Inventory.q26_snb_path _),
+    "q27_bothe" -> (Inventory.q27_bothe _),
+    "q28_until" -> (Inventory.q28_until _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

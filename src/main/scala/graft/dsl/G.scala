@@ -95,9 +95,33 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     * lookups with traversals the same way (`g.V(ids).out()...`,
     * TorcGraph.java:327-373); here the In-filter lands on the current
     * frontier and, on a fresh `V(label)` scan, Catalyst pushes it into
-    * the Parquet read exactly like the `V(label, ids...)` start step. */
-  def hasId(ids: Long*): Step =
+    * the Parquet read exactly like the `V(label, ids...)` start step.
+    *
+    * SINGLE-LABEL ONLY: ids here are label-local key spaces (c_custkey
+    * and n_nationkey overlap), unlike the reference's globally-unique
+    * 128-bit element ids (TorcGraph UInt128) — on a mixed frontier a
+    * bare long would silently match id-5 vertices of EVERY label, so
+    * multi-label frontiers must use the (label, id) overload. */
+  def hasId(ids: Long*): Step = {
+    require(labels.size <= 1,
+      s"hasId(ids...) on a multi-label frontier ($labels) is ambiguous — " +
+        "ids are label-local; use hasElementId(label -> id, ...) instead")
     copy(df = df.where(col(GC.Id).isin(ids: _*)))
+  }
+
+  /** [[hasId]] for mixed frontiers: keep elements matching one of the
+    * given (label, id) pairs — the full element identity, matching the
+    * reference's globally-unique UInt128 ids on a per-label layout. */
+  def hasElementId(pairs: (String, Long)*): Step = {
+    require(pairs.nonEmpty, "hasId needs at least one (label, id) pair")
+    val wanted = pairs.map { case (l, i) =>
+      struct(lit(l), lit(i).cast("bigint"))
+    }
+    copy(
+      df = df.where(struct(col(GC.Label), col(GC.Id).cast("bigint"))
+        .isin(wanted: _*)),
+      labels = labels.filter(pairs.map(_._1).toSet))
+  }
 
   /** hasLabel step — structural pruning, not a runtime filter. */
   def hasLabel(ls: String*): Step = {
@@ -119,6 +143,13 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     expand(edgeLabel, Direction.Out, fillEdge = true, neighborLabels)
   def inE(edgeLabel: String, neighborLabels: String*): Step =
     expand(edgeLabel, Direction.In, fillEdge = true, neighborLabels)
+
+  /** Edge-keeping BOTH expansion — Gremlin `bothE` (reference
+    * single-vertex surface, TorcGraph.java:1281-1398): the union of the
+    * [[outE]] and [[inE]] expansions, one row per stored direction, edge
+    * property columns kept. */
+  def bothE(edgeLabel: String, neighborLabels: String*): Step =
+    expand(edgeLabel, Direction.Both, fillEdge = true, neighborLabels)
 
   private def expand(edgeLabel: String, dir: Direction, fillEdge: Boolean,
       neighborLabels: Seq[String]): Step = {
@@ -206,7 +237,8 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     * hops, with where they were found" is one plan: n expansions
     * unioned, no driver loop, no action. Not a fixpoint: for unbounded
     * reachability use [[untilFixpoint]]. */
-  def repeatEmit(n: Int, emitInitial: Boolean = false)(hop: Step => Step): Step = {
+  def repeatEmit(n: Int, emitInitial: Boolean = false,
+      emitPred: Column = null)(hop: Step => Step): Step = {
     require(n >= 1, s"repeatEmit needs n >= 1, got $n")
     val frontiers = Seq.newBuilder[(Int, Step)]
     var cur = this
@@ -217,7 +249,12 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     }
     val fs = frontiers.result()
     val dfs = fs.map { case (d, st) =>
-      st.df.withColumn(Step.DepthCol, lit(d))
+      // emit(pred): only frontier rows satisfying the predicate are
+      // emitted (Gremlin's emit(traversal) filter); the REPETITION is
+      // unaffected — every frontier keeps hopping.
+      val emitted =
+        if (emitPred == null) st.df else st.partitionByPredicate(emitPred)._1
+      emitted.withColumn(Step.DepthCol, lit(d))
     }
     copy(
       df = dfs.reduce(_.unionByName(_, allowMissingColumns = true)),
@@ -258,6 +295,83 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
       }
     }
     copy(df = visited, labels = seenLabels.toSeq.sorted)
+  }
+
+  /** Predicate-terminated repetition — Gremlin `repeat(hop).until(pred)`
+    * (do/while, matching the until-after-repeat placement): after each
+    * hop, traversers satisfying `pred` EXIT the loop into the result;
+    * the rest hop again. `pred` is a Column over the frontier's columns;
+    * referenced property columns the frontier no longer carries are
+    * hydrated per label, and a label whose schema lacks one can never
+    * satisfy the predicate (the `has()` convention) — its traversers
+    * keep looping. Traversers still unsatisfied at `maxIter` are
+    * DROPPED (the reference's inherited step machinery would loop them
+    * forever; a bound is the batch-engine analogue).
+    *
+    * Driver-coordinated superstep loop like [[untilFixpoint]]: one
+    * distributed pass per level, `localCheckpoint` keeps lineage linear
+    * on cyclic graphs, and the per-level empty check is the only
+    * action. */
+  def repeatUntil(pred: Column, maxIter: Int = 20)(hop: Step => Step): Step = {
+    require(maxIter >= 1, s"repeatUntil needs maxIter >= 1, got $maxIter")
+    var cur = this
+    var exited: DataFrame = null
+    var exitLabels = Set.empty[String]
+    var exitCaptures = captures
+    var iter = 0
+    var drained = false
+    while (!drained && iter < maxIter) {
+      val next = hop(cur)
+      val (pass, fail) = next.partitionByPredicate(pred)
+      exited =
+        if (exited == null) pass
+        else exited.unionByName(pass, allowMissingColumns = true)
+      exitLabels ++= next.labels
+      exitCaptures = mergeCaptures(exitCaptures, next.captures)
+      val failCk = fail.localCheckpoint()
+      drained = failCk.isEmpty
+      cur = next.copy(df = failCk)
+      iter += 1
+    }
+    copy(df = exited, labels = exitLabels.toSeq.sorted, captures = exitCaptures)
+  }
+
+  /** Split the frontier by a predicate: (rows satisfying, rows not —
+    * including null evaluations and rows of labels whose schema cannot
+    * resolve a referenced property). Referenced columns the frontier
+    * doesn't carry are hydrated per label and joined back (one lookup
+    * row per element, so multiplicity is untouched); both halves are
+    * projected back to the step's own columns. */
+  private[dsl] def partitionByPredicate(pred: Column): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    val orFalse = org.apache.spark.sql.functions.coalesce(pred, lit(false))
+    val refs = org.apache.spark.sql.GraftSqlShims.catalystExpression(pred).collect {
+      case ua: UnresolvedAttribute => ua.name
+      case a: Attribute => a.name
+    }.distinct
+    val missing = refs.filterNot(df.columns.contains)
+    if (missing.isEmpty)
+      (df.filter(pred), df.filter(not(orFalse)))
+    else {
+      val resolvable = labels.filter { l =>
+        val cols = graph.vertices(l).columns.toSet
+        missing.forall(cols.contains)
+      }
+      val lookup = nonEmptyUnion2(
+        resolvable.map { l =>
+          graph.hydrate(
+            df.where(col(GC.Label) === l)
+              .select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label),
+            GC.Id, l, missing)
+        },
+        df.select(Seq(col(GC.Id), col(GC.Label)) ++
+          missing.map(m => lit(null).as(m)): _*).where(lit(false)))
+      val own = df.columns.toSeq
+      val withCols = df.join(lookup, Seq(GC.Id, GC.Label), "left")
+      (withCols.filter(orFalse).select(own.map(col): _*),
+       withCols.filter(not(orFalse)).select(own.map(col): _*))
+    }
   }
 
   /** Arbitrary predicate over current columns (edge props after outE/inE). */

@@ -342,6 +342,77 @@ object Inventory {
       .limit(20)
   }
 
+  /** Q25: LDBC-SNB IC-style friends-of-friends on the seeded
+    * person–knows–person graph ([[GraphLoader.snb]]; the reference's
+    * benchmarked workload shape, README.md:69-147) — from supernode
+    * Person 0: 2-hop `knows` expansion (undirected via BOTH), excluding
+    * self and direct friends, scored by the number of DISTINCT common
+    * friends (the `as("f")` capture rides the second hop, q24-style),
+    * filtered on a person property, top 20. One declarative plan: the
+    * knows edge frame is generated, expanded twice, and aggregated
+    * without any driver-side iteration. */
+  def q25_snb_fof(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    val G = graft.dsl.G(Gp)
+    val direct = G.V("Person", 0L).both("KNOWS").dedup()
+    val fof = direct.as("f").both("KNOWS").toDF
+    val scored = fof.groupBy(col(GC.Id))
+      .agg(count_distinct(col("_as_f").getField("id")).as("n_common"))
+    val candidates = scored
+      .join(direct.toDF.select(col(GC.Id)), Seq(GC.Id), "left_anti")
+      .where(col(GC.Id) =!= 0L)
+    Gp.hydrate(candidates, GC.Id, "Person", Seq("acctbal"))
+      .where(col("acctbal") > 0)
+      .select(col(GC.Id).as("person_id"), col("n_common"), col("acctbal"))
+      .orderBy(desc("n_common"), asc("person_id"))
+      .limit(20)
+  }
+
+  /** Q26: LDBC-SNB IC13-style shortest path over `knows` — BFS hop
+    * distances from Person 1 via the Pregel bridge (min-plus supersteps,
+    * undirected), truncated to 4 hops so the DuckDB recursive-CTE twin
+    * is exact. The distance map subsumes the IC13 pair answer: any
+    * target person's row IS dist(1, target). Posts are excluded from
+    * the subgraph so paths can't detour through HAS_CREATOR. */
+  def q26_snb_path(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    val sub = new PropertyGraph(s,
+      Map("Person" -> Gp.vertexFrames("Person")),
+      Gp.edgeFrames.filter { case (spec, _) => spec.label == "KNOWS" })
+    graft.analytics.GraphXBridge.hopDistances(sub, "Person", 1L)
+      .where(col("dist") <= 4)
+      .select(col(GC.Id).as("person_id"), col("dist"))
+      .orderBy("person_id")
+  }
+
+  /** Q27: `bothE` — edge-keeping BOTH expansion (reference single-vertex
+    * surface, TorcGraph.java:1281-1398) from supernode Person 0: one row
+    * per stored KNOWS direction touching 0, with the `since` edge
+    * property kept. */
+  def q27_bothe(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(GraphLoader.snb(s, dir))
+    G.V("Person", 0L).bothE("KNOWS").toDF
+      .select(col(GC.Id).as("neighbor_id"), col("since"))
+      .orderBy("neighbor_id", "since")
+  }
+
+  /** Q28: `repeat().until(predicate)` under the oracle — from BUILDING
+    * customers, climb the geography tree (the union hop, q23-style)
+    * UNTIL the frontier element has a non-null r_name, i.e. is a Region
+    * (a property condition the frontier must hydrate per label: Nations
+    * can never satisfy it and keep looping; Regions exit). Landing
+    * multiplicity = one per customer→nation→region path, grouped per
+    * region. */
+  def q28_until(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Customer").has("c_mktsegment", "BUILDING")
+      .repeatUntil(col("r_name").isNotNull, maxIter = 5)(
+        _.union(_.out("IN_NATION", "Nation"), _.out("IN_REGION", "Region")))
+      .groupCount()
+      .select(col(GC.Label).as("vlabel"), col(GC.Id).as("vid"), col("cnt"))
+      .orderBy("vlabel", "vid")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

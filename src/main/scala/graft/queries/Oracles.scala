@@ -225,7 +225,11 @@ object Oracles {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** repeat().emit() as SQL: each emitted depth is one CTE, counted with
-    * multiplicity (depth 2 counts lineitem EDGES, not distinct parts). */
+    * multiplicity (depth 2 counts lineitem EDGES, not distinct parts).
+    * `cnt > 0` drops the zero-count row a count(*) over an empty CTE
+    * still emits — the Spark side's groupBy produces NO row for an
+    * empty depth, so both sides must drop empty depths for the oracle
+    * to stay robust on degenerate fixtures. */
   val q23_repeat_emit: String =
     """WITH bc AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
       |bo AS (SELECT o_orderkey FROM orders
@@ -235,7 +239,7 @@ object Oracles {
       |  UNION ALL SELECT 1, 'Order', count(*) FROM bo
       |  UNION ALL SELECT 2, 'Part', count(*) FROM lineitem
       |    WHERE l_orderkey IN (SELECT o_orderkey FROM bo)
-      |) ORDER BY depth""".stripMargin
+      |) WHERE cnt > 0 ORDER BY depth""".stripMargin
 
   /** The LDBC-SNB Interactive composite (3 hops + edge filter + top-k). */
   val q24_snb_composite: String =
@@ -248,7 +252,74 @@ object Oracles {
       |ORDER BY n_customers DESC, p_partkey
       |LIMIT 20""".stripMargin
 
+  /** Shared CTE block re-deriving [[graft.sources.GraphLoader.snb]]'s
+    * KNOWS edge set in pure SQL (same arithmetic, same dedup), plus the
+    * undirected view `uk`. Prepended to every SNB-query oracle. */
+  private val snbKnowsCtes: String =
+    """n AS (SELECT count(*) AS n FROM customer),
+      |deg AS (SELECT c_custkey AS p,
+      |        CASE WHEN c_custkey % 97 = 0 THEN 40
+      |             ELSE 1 + (c_custkey * 13 + 7) % 5 END AS d
+      |        FROM customer),
+      |raw AS (SELECT p AS src, (p * 53 + k * 911) % n.n AS dst
+      |        FROM deg, n, generate_series(1, 40) t(k) WHERE k <= d),
+      |knows AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+      |uk AS (SELECT src, dst FROM knows UNION SELECT dst, src FROM knows)""".stripMargin
+
+  /** Friends-of-friends of Person 0: undirected 2-hop, minus self and
+    * direct friends, scored by distinct common friends. */
+  val q25_snb_fof: String =
+    s"""WITH $snbKnowsCtes,
+       |direct AS (SELECT DISTINCT dst AS f FROM uk WHERE src = 0),
+       |fof AS (SELECT u.dst AS x, d.f FROM direct d JOIN uk u ON u.src = d.f),
+       |scored AS (SELECT x, count(DISTINCT f) AS n_common FROM fof
+       |           WHERE x <> 0 AND x NOT IN (SELECT f FROM direct)
+       |           GROUP BY x)
+       |SELECT s.x AS person_id, s.n_common, c.c_acctbal AS acctbal
+       |FROM scored s JOIN customer c ON c.c_custkey = s.x
+       |WHERE c.c_acctbal > 0
+       |ORDER BY n_common DESC, person_id
+       |LIMIT 20""".stripMargin
+
+  /** BFS distances from Person 1, exact to depth 4: the recursive CTE
+    * dedups (id, depth) pairs, so min(d) per id is the true distance
+    * for every shortest path of length <= 4. */
+  val q26_snb_path: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |bfs AS (
+       |  SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+       |  UNION
+       |  SELECT u.dst, b.d + 1 FROM bfs b JOIN uk u ON u.src = b.id
+       |  WHERE b.d < 4)
+       |SELECT id AS person_id, min(d) AS dist FROM bfs
+       |GROUP BY id ORDER BY person_id""".stripMargin
+
+  /** bothE from Person 0: one row per STORED direction (no undirected
+    * dedup — the Spark side unions the out and in expansions). */
+  val q27_bothe: String =
+    s"""WITH $snbKnowsCtes
+       |SELECT * FROM (
+       |  SELECT dst AS neighbor_id, (src * 7 + dst * 3) % 1000 AS since
+       |  FROM knows WHERE src = 0
+       |  UNION ALL
+       |  SELECT src, (src * 7 + dst * 3) % 1000 FROM knows WHERE dst = 0
+       |) ORDER BY neighbor_id, since""".stripMargin
+
+  /** until(r_name IS NOT NULL): every BUILDING customer's traverser
+    * exits exactly at its region — counts per region. */
+  val q28_until: String =
+    """SELECT 'Region' AS vlabel, CAST(n_regionkey AS BIGINT) AS vid,
+      |  count(*) AS cnt
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY n_regionkey
+      |ORDER BY vlabel, vid""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q28_until" -> q28_until,
+    "q25_snb_fof" -> q25_snb_fof,
+    "q26_snb_path" -> q26_snb_path,
+    "q27_bothe" -> q27_bothe,
     "q23_repeat_emit" -> q23_repeat_emit,
     "q24_snb_composite" -> q24_snb_composite,
     "q22_branch_coalesce" -> q22_branch_coalesce,

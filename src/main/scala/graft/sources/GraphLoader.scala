@@ -74,6 +74,71 @@ object GraphLoader {
     new PropertyGraph(spark, vertices, edges)
   }
 
+  /** Deterministic LDBC-SNB-style social graph — the person–knows–person
+    * (+ posts) shape of the reference's actual benchmarked workload
+    * (`/root/reference/README.md:69-147`: LDBC SNB Interactive over a
+    * `knows` graph with supernode skew). Derived purely from the fixture
+    * tables with arithmetic a SQL oracle replays exactly:
+    *
+    *  - Person: one per customer row (`_vid` = c_custkey, 0-based
+    *    contiguous), properties name/acctbal/segment/city.
+    *  - Post: one per orders row, HAS_CREATOR → its o_custkey Person.
+    *  - KNOWS (Person→Person, `since` property): person p emits
+    *    deg(p) = 40 if p % 97 == 0 else 1 + (13p + 7) % 5
+    *    directed edges to (53p + 911k) % N for k = 1..deg(p), self-loops
+    *    dropped, (src, dst) deduplicated. The 1-percent degree-40
+    *    supernodes give the skew an SNB `knows` expansion stresses;
+    *    911 is coprime to every fixture N, so a supernode's targets are
+    *    40 DISTINCT persons. since = (7·src + 3·dst) % 1000.
+    *
+    * Everything stays lazy: N rides a ONE-ROW count aggregate joined in
+    * by a constant equi-key. Catalyst constant-folds that key away and
+    * plans a broadcast nested-loop join — with a single broadcast row
+    * that is the optimal plan (the probe side streams through
+    * untouched), and PlanAuditSpec whitelists these queries' NLJ as
+    * intended. The edge fan-out is a row-local explode — the generator
+    * itself would scale to any N.
+    */
+  def snb(spark: SparkSession, dir: String): PropertyGraph = {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+
+    val person = customer.select(
+      col("c_custkey").cast("bigint").as(GC.Id),
+      col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"),
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").as("city"))
+    val post = orders.select(
+      col("o_orderkey").cast("bigint").as(GC.Id),
+      col("o_orderdate").as("created"),
+      col("o_totalprice").as("score"))
+
+    val nRow = broadcast(
+      customer.agg(count(lit(1)).as("_n")).withColumn("_one", lit(1)))
+    val knows = customer.select(col("c_custkey").cast("bigint").as("p"))
+      .withColumn("_one", lit(1))
+      .join(nRow, "_one")
+      .withColumn("d",
+        when(col("p") % 97 === 0, lit(40L)).otherwise((col("p") * 13 + 7) % 5 + 1))
+      .withColumn("k", explode(sequence(lit(1L), col("d"))))
+      .select(col("p").as(GC.Src),
+        ((col("p") * 53 + col("k") * 911) % col("_n")).as(GC.Dst))
+      .where(col(GC.Dst) =!= col(GC.Src))
+      .distinct()
+      .withColumn("since", (col(GC.Src) * 7 + col(GC.Dst) * 3) % 1000)
+
+    val creator = orders.select(
+      col("o_orderkey").cast("bigint").as(GC.Src),
+      col("o_custkey").cast("bigint").as(GC.Dst))
+
+    new PropertyGraph(spark,
+      Map("Person" -> person, "Post" -> post),
+      Map(
+        EdgeSpec("KNOWS", "Person", "Person") -> knows,
+        EdgeSpec("HAS_CREATOR", "Post", "Person") -> creator))
+  }
+
   /** Persist a graph as partitioned Parquet: one directory per vertex
     * label, edges under `(label, src_label, dst_label)` partition columns
     * so scans prune exactly the adjacency partitions a traversal names —

@@ -14,6 +14,15 @@ object GraftSqlShims {
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Eagerly convert a Column to its Catalyst expression tree.
+    * [[expression]] returns a LAZY `ColumnNodeExpression` wrapper (the
+    * Spark 4 ColumnNode indirection) whose catalyst children only
+    * materialize during analysis — useless for pre-analysis inspection
+    * (e.g. collecting referenced attribute names). This runs the
+    * converter now. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a native expression in the session's FunctionRegistry so
     * it is callable from SQL text (runtime twin of the
     * `spark.sql.extensions` injection path). */

@@ -14,8 +14,13 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   /** Queries where a BroadcastNestedLoopJoin is the intended plan:
-    * the broadcast side is a constant-bounded query/centroid set. */
-  private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf")
+    * the broadcast side is a constant-bounded query/centroid set — or,
+    * for the SNB fixture queries, the ONE-ROW person-count aggregate the
+    * knows-edge generator joins in (Catalyst constant-folds the `_one`
+    * equi-key away; a 1-row broadcast NLJ streams the probe side
+    * untouched, linear at any scale). */
+  private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
+    "q25_snb_fof", "q27_bothe")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
@@ -70,6 +75,22 @@ class PlanAuditSpec extends SparkSpec {
       s"segment filter not pushed to customer scan:\n$p")
     assert(p.contains("GreaterThan(l_quantity,45"),
       s"quantity filter not pushed to lineitem scan:\n$p")
+  }
+
+  test("q25's 2-hop expansion reuses the knows-edge exchange at runtime") {
+    // The generated KNOWS frame feeds both hops (and both directions of
+    // each BOTH expansion); its distinct() shuffle must materialize ONCE
+    // and be reused, not recomputed per subtree. Static planning can't
+    // see this (each subtree is a separate read), but AQE's runtime
+    // exchange reuse dedupes the canonically-identical shuffle — the
+    // property that keeps the fan-out affordable when the edge table is
+    // the 100-TB side.
+    val df = SparkEntry.queries("q25_snb_fof")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), "AQE did not finalize")
+    assert("ReusedExchange \\[_src#\\d+L?, _dst#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"knows-edge (_src, _dst) exchange not reused:\n${p.linesIterator.take(60).mkString("\n")}")
   }
 
   test("pipeline composition (e31) is one pruned plan end to end") {

@@ -396,4 +396,80 @@ class GSpec extends SparkSpec {
     val one = g.V("Region", 2L).untilFixpoint(maxIter = 0)(_.both("IN_REGION"))
     assert(one.toDF.count() == 1) // no hops: just the start vertex
   }
+
+  private def multisetLI(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] = {
+    val L = graft.model.GraphColumns.Label
+    val I = graft.model.GraphColumns.Id
+    df.groupBy(col(L), col(I)).count()
+      .as[(String, Long, Long)].collect()
+      .map { case (l, i, n) => (l, i) -> n }.toMap
+  }
+
+  test("repeatUntil(pred) == fixpoint truncation (law): label predicate") {
+    // Every BUILDING customer exits exactly at depth 2 (Regions satisfy,
+    // Nations don't), so until == repeat(2) as a row multiset.
+    val start = g.V("Customer").has("c_mktsegment", "BUILDING")
+    val hop = (s: Step) => s.union(_.out("IN_NATION", "Nation"), _.out("IN_REGION", "Region"))
+    val viaUntil = start.repeatUntil(col(graft.model.GraphColumns.Label) === "Region")(hop)
+    assert(multisetLI(viaUntil.toDF) == multisetLI(start.repeat(2)(hop).toDF))
+    assert(viaUntil.labels.contains("Region"))
+  }
+
+  test("repeatUntil hydrates property predicates; unsatisfied traversers drop at maxIter") {
+    // until(n_name == <some nation>): traversers reaching that nation
+    // exit at depth 1; everyone else climbs to a Region (which has no
+    // n_name, can never satisfy) and is dropped when the loop drains.
+    val target = tbl("nation").orderBy($"n_nationkey")
+      .select($"n_name", $"n_nationkey".cast("long"))
+      .as[(String, Long)].head()
+    val start = g.V("Customer")
+    val hop = (s: Step) => s.union(_.out("IN_NATION", "Nation"), _.out("IN_REGION", "Region"))
+    val got = start.repeatUntil(col("n_name") === target._1, maxIter = 4)(hop)
+    val wantCnt = tbl("customer").where($"c_nationkey" === target._2).count()
+    assert(wantCnt > 0)
+    assert(multisetLI(got.toDF) == Map(("Nation", target._2) -> wantCnt))
+  }
+
+  test("emit(pred) == repeatEmit + where (law)") {
+    val start = g.V("Customer").has("c_mktsegment", "BUILDING")
+    val hop = (s: Step) => s.union(_.out("IN_NATION", "Nation"), _.out("IN_REGION", "Region"))
+    val L = graft.model.GraphColumns.Label
+    // carried-column predicate: exact equality with the filtered union
+    val filtered = start.repeatEmit(2, emitPred = col(L) === "Nation")(hop)
+    val law = start.repeatEmit(2)(hop).where(col(L) === "Nation")
+    assert(multisetLI(filtered.toDF) == multisetLI(law.toDF) && filtered.count() > 0)
+    // property predicate (hydrated per label): only Regions survive —
+    // and rows of labels lacking the column are filtered, not errors
+    val regionsOnly = start.repeatEmit(2, emitPred = col("r_name").isNotNull)(hop)
+    assert(multisetLI(regionsOnly.toDF) == multisetLI(start.repeat(2)(hop).toDF))
+  }
+
+  test("bothE == outE ∪ inE per stored direction (law, on the knows graph)") {
+    // KNOWS is Person→Person, so both expansions are non-empty from the
+    // same frontier — the law is exact row-multiset equality including
+    // the edge property column.
+    val sg = G(GraphLoader.snb(spark, sf0001))
+    val frontier = sg.V("Person", 0L, 1L, 97L)
+    def rows(s: Step): Map[(Long, Long), Long] =
+      s.toDF.select(col(graft.model.GraphColumns.Id), col("since"))
+        .groupBy(col(graft.model.GraphColumns.Id), col("since")).count()
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, p, n) => (i, p) -> n }.toMap
+    val both = rows(frontier.bothE("KNOWS"))
+    val sides = rows(Step(frontier.graph,
+      frontier.outE("KNOWS").toDF.unionByName(frontier.inE("KNOWS").toDF),
+      Seq("Person")))
+    assert(both == sides && both.nonEmpty)
+  }
+
+  test("hasId rejects a multi-label frontier; hasElementId handles it") {
+    val mixed = g.V("Nation").in("IN_NATION") // Customer ∪ Supplier
+    assertThrows[IllegalArgumentException](mixed.hasId(5L))
+    val picked = mixed.hasElementId("Customer" -> 5L, "Supplier" -> 5L, "Supplier" -> 7L)
+    val got = picked.toDF
+      .select(col(graft.model.GraphColumns.Label), col(graft.model.GraphColumns.Id))
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("Customer", 5L), ("Supplier", 5L), ("Supplier", 7L)))
+    assert(picked.labels.toSet == Set("Customer", "Supplier"))
+  }
 }

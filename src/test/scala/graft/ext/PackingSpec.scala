@@ -75,13 +75,21 @@ class PackingSpec extends SparkSpec {
         Packing.splitOversize(d.repartition(parts), col("n_tokens"), 100),
         col("doc_id"), col("piece_tokens"), 100, shards = 2,
         tieBreak = Seq(col("piece_idx")))
-      .select("doc_id", "piece_idx", "shard", "pack_id")
-      .as[(Long, Long, Long, Long)].collect().toSet
+      .select("doc_id", "piece_idx", "shard", "pack_id", "piece_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
     val once = run(1)
     assert(once == run(7))
-    // and the budget bound is tight: every pack fits up to one straddler
+    // and the budget bound is tight: per (shard, pack) the total minus
+    // the straddling piece fits the budget (no piece exceeds it, so at
+    // most one straddler per pack)
     val packs = once.groupBy(t => (t._3, t._4))
     assert(packs.nonEmpty)
+    packs.values.foreach { rows =>
+      val toks = rows.toSeq.map(_._5)
+      assert(toks.sum - toks.max < 100,
+        s"pack exceeds budget beyond one straddler: $rows")
+      assert(toks.forall(_ <= 100))
+    }
   }
 
   test("pack assignment is independent of physical partitioning") {
