@@ -22,10 +22,18 @@ object Inventory {
   private def g(spark: SparkSession, dir: String): PropertyGraph =
     GraphLoader.tpch(spark, dir)
 
-  /** Q1 one-hop traverse (O6/O7): customers per nation. */
+  /** Q1 one-hop traverse (O6/O7): customers per nation — written in the
+    * PLAIN full-frontier form (`traverse(frontier(label), ...)`, an
+    * explicit frontier join) and relying on the
+    * [[graft.plans.RiJoinElimination]] optimizer rule + the fixture's
+    * declared FK contracts to remove that join, rather than the
+    * hand-routed `traverseAll` fast path. Same oracle, same result; the
+    * plan must contain no join (PlanAuditSpec asserts it) — the
+    * optimizer-grade mechanism proven on an oracle-green query. */
   def q01_one_hop(s: SparkSession, dir: String): DataFrame = {
+    GraphLoader.declareTpchRi(s, dir)
     val G = g(s, dir)
-    val r = G.traverseAll("Nation", "IN_NATION", In,
+    val r = G.traverse(G.frontier("Nation"), "Nation", "IN_NATION", In,
       fillEdge = false, Seq("Customer"))
     r.df.select(col(GC.Src).cast("int").as("n_nationkey"),
         col(GC.Dst).as("c_custkey"))

@@ -74,6 +74,38 @@ object GraphLoader {
     new PropertyGraph(spark, vertices, edges)
   }
 
+  /** Install [[graft.plans.RiJoinElimination]] on the session and declare
+    * the referential-integrity contracts [[tpch]]'s layout guarantees:
+    * every edge-frame key column is a projection of a source-table FK
+    * whose values all exist non-null in the target vertex frame's id
+    * column (the generator writes them that way), plus each table's own
+    * key over itself (for src-side frontier joins). With these declared,
+    * `traverse(frontier(label), ...)` — the plain, optimizer-visible
+    * form — plans exactly like the hand-routed `traverseAll` fast path:
+    * the frontier join is eliminated instead of shuffling the fact-side
+    * edge table. Idempotent; session-scoped. */
+  def declareTpchRi(spark: SparkSession, dir: String): Unit = {
+    import graft.plans.RiJoinElimination.{declareForeignKey, install}
+    install(spark)
+    val fks = Seq(
+      // edge-frame FK -> neighbor vertex id
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      // self keys: the src side of each edge frame IS the table's key
+      ("customer", "c_custkey", "customer", "c_custkey"),
+      ("supplier", "s_suppkey", "supplier", "s_suppkey"),
+      ("nation", "n_nationkey", "nation", "n_nationkey"),
+      ("orders", "o_orderkey", "orders", "o_orderkey"))
+    fks.foreach { case (et, ek, vt, vk) =>
+      declareForeignKey(spark, s"$dir/$et.parquet", ek, s"$dir/$vt.parquet", vk)
+    }
+  }
+
   /** Deterministic LDBC-SNB-style social graph — the person–knows–person
     * (+ posts) shape of the reference's actual benchmarked workload
     * (`/root/reference/README.md:69-147`: LDBC SNB Interactive over a

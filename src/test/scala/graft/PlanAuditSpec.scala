@@ -77,6 +77,26 @@ class PlanAuditSpec extends SparkSpec {
       s"quantity filter not pushed to lineitem scan:\n$p")
   }
 
+  test("q01's frontier join is eliminated by the RI rule (and kept without declarations)") {
+    // q01 is written in the PLAIN traverse(frontier(label), ...) form —
+    // an explicit edge-frame-vs-frontier join — and relies on
+    // RiJoinElimination + GraphLoader.declareTpchRi's FK contracts to
+    // remove it. The optimizer-grade mechanism must fire on the real
+    // oracle-green query, not only in RiJoinEliminationSpec.
+    val p = SparkEntry.queries("q01_one_hop")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"), s"frontier join not eliminated in q01:\n$p")
+    // control: same shape without the declarations keeps its join —
+    // proving the elimination is licensed by the contract, not generic
+    graft.plans.RiJoinElimination.clearDeclarations(spark)
+    try {
+      val g = graft.sources.GraphLoader.tpch(spark, sf0001)
+      val ctl = g.traverse(g.frontier("Nation"), "Nation", "IN_NATION",
+        graft.model.Direction.In, fillEdge = false, Seq("Customer"))
+      assert(ctl.df.queryExecution.optimizedPlan.toString.contains("Join"))
+    } finally graft.sources.GraphLoader.declareTpchRi(spark, sf0001)
+  }
+
   test("q25's 2-hop expansion reuses the knows-edge exchange at runtime") {
     // The generated KNOWS frame feeds both hops (and both directions of
     // each BOTH expansion); its distinct() shuffle must materialize ONCE
