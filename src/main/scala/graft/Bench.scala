@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
@@ -9,8 +10,29 @@ import org.apache.spark.sql.SparkSession
   * `count()` would let Catalyst prune every unreferenced column and
   * under-measure. One small warm-up action absorbs session/codegen
   * startup so the first query isn't charged for it.
+  *
+  * `--scale k` (dev/judge tier, driver never passes it): materializes a
+  * k-times replica of the fixture (shifted keys so join/group
+  * cardinality grows with the data; per-replica word suffixes so the
+  * document corpus grows with DISTINCT content at constant near-dup
+  * density — the ScaleProbe discipline, BASELINE.md round-4 note) and
+  * times the most expensive queries on it. At sf0.1 nearly every query
+  * sits on the ~0.3-0.7 s job-launch floor, so the default tier mostly
+  * measures overhead; this tier is the one where plan regressions are
+  * visible (round-5 verdict task 6). Results land in bench_scale.json,
+  * which the DEFAULT mode embeds into its bench_spread.json sidecar so
+  * the per-round artifact carries the scale table.
   */
 object Bench {
+
+  /** The scale-tier subset: the highest-cost query per operator family
+    * (bulk load, SNB composite, LSH banding, exact-quadratic oracle twin,
+    * composed near-dup, transitive clusters, five-stage pipeline,
+    * media IVF). */
+  private val scaleQueries = Seq("q14_bulk_load", "q24_snb_composite",
+    "e03_minhash_pairs", "e04_ngram_jaccard", "e17_near_dup_pipeline",
+    "e29_dedup_clusters", "e31_pipeline", "e32_media_ivf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,32 +48,48 @@ object Bench {
     // Warm-up: a tiny end-to-end job (scan + shuffle) before any timing.
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
 
-    // Every query gets one UNTIMED warm-up run (absorbing per-query
-    // codegen compilation) and then `reps` timed runs, reporting the
-    // median — so even the driver's default run measures warm
-    // execution, per the BASELINE.md protocol. The default of 3 keeps
-    // a single rep's scheduler/GC noise from masquerading as a plan
-    // regression; the full suite at 3 reps is ~4 min. Raise to an odd
-    // 5+ for lower-variance medians when re-recording baselines.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    // Dev-loop filter (the driver leaves it unset -> all queries).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val scaleK = args.sliding(2).collectFirst { case Array("--scale", k) => k.toInt }
+    scaleK match {
+      case Some(k) => runScaleTier(spark, sfDir, k)
+      case None    => runDefault(spark, sfDir)
+    }
+    spark.stop()
+  }
+
+  /** One untimed warm-up + `reps` timed noop-writes per query; returns
+    * sorted (name, sorted times). */
+  private def timeQueries(spark: SparkSession, dir: String,
+      names: Seq[String], reps: Int): Seq[(String, Seq[Double])] =
+    names.sorted.map { name =>
+      val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try fn(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up, untimed
-      val times = Seq.fill(reps)(once()).sorted
-      name -> times
+      name -> Seq.fill(reps)(once()).sorted
     }
-    def f(d: Double) = "%.3f".format(d)
+
+  private def f(d: Double) = "%.3f".format(d)
+
+  private def runDefault(spark: SparkSession, sfDir: String): Unit = {
+    // Every query gets one UNTIMED warm-up run (absorbing per-query
+    // codegen compilation) and then `reps` timed runs — so even the
+    // driver's default run measures warm execution, per the BASELINE.md
+    // protocol. The default of 3 keeps a single rep's scheduler/GC noise
+    // from masquerading as a plan regression; the full suite at 3 reps
+    // is ~4 min. Raise to an odd 5+ for lower-variance medians when
+    // re-recording baselines.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Dev-loop filter (the driver leaves it unset -> all queries).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
+    val results = timeQueries(spark, sfDir, names, reps)
     // The stdout line must stay under the driver's ~2 KiB tail capture
     // (round-3 lesson: inlining the per-query spread overflowed it and
     // the artifact parsed as null), so the line carries ONE 3-decimal
@@ -61,8 +99,10 @@ object Bench {
     // while the plans were unchanged (judge rerun confirmed), and of
     // the warm reps the minimum is the statistic least contaminated by
     // external load. `median_total` rides along for spread visibility.
+    // Two decimals per query (the sidecar keeps 6): with 68 queries the
+    // 3-decimal line hit 1799 B of the driver's 2000 B tail capture.
     val qs = results.map { case (k, t) =>
-      "\"" + k + "\":" + f(t.head)
+      "\"" + k + "\":" + "%.2f".format(t.head)
     }.mkString("{", ",", "}")
     val total = results.map { case (_, t) => t.head }.sum
     val medianTotal = results.map { case (_, t) => t(t.size / 2) }.sum
@@ -92,12 +132,81 @@ object Bench {
     // Print the driver's artifact FIRST: the sidecar write can throw on a
     // read-only CWD, and the timing work must not be lost to it.
     println(line)
+    // A previously-recorded scale-tier table (bench_scale.json, written
+    // by `--scale k`) rides the sidecar so the round artifact carries it.
+    val scalePart =
+      try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "bench_scale.json"))
+        if (java.nio.file.Files.exists(p))
+          ",\"scale_tier\":" + new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+        else ""
+      } catch { case _: Throwable => "" }
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_SPREAD_FILE", "bench_spread.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
-      s"""{"reps":$reps,"sf":"$sfDir","spread":$spread}""".getBytes("UTF-8"))
+      s"""{"reps":$reps,"sf":"$sfDir","spread":$spread$scalePart}""".getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARNING: sidecar write failed (${e.getMessage}) — spread lost, stdout line already emitted")
     }
-    spark.stop()
+  }
+
+  private def runScaleTier(spark: SparkSession, sfDir: String, k: Int): Unit = {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_${k}x_${math.abs(sfDir.hashCode)}"
+    replicate(spark, sfDir, outDir, k)
+    val results = timeQueries(spark, outDir, scaleQueries, reps)
+    val qs = results.map { case (n, t) => "\"" + n + "\":" + f(t.head) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.head).sum
+    val line = s"""{"metric":"scale_total_of_mins","value":${f(total)},"unit":"sec","k":$k,"reps":$reps,"queries_stat":"min","queries":$qs,"base_sf":"$sfDir"}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "bench_scale.json")),
+      line.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: bench_scale.json write failed (${e.getMessage})")
+    }
+  }
+
+  /** Materialize a k-times fixture replica under `outDir`. Keys shift by
+    * 1e8 per replica so cardinalities grow with the data; dimension
+    * tables (nation/region) copy once so FK targets stay valid and the
+    * RI contracts still hold; document text gets per-replica word
+    * suffixes so replicas share ZERO shingles (constant near-dup
+    * density — a text-identical replication would measure synthetic
+    * k-cliques, not the operators; BASELINE.md round-4 note). */
+  private def replicate(spark: SparkSession, srcDir: String, outDir: String,
+      k: Int): Unit = {
+    val S = 100000000L
+    def read(n: String) = {
+      // events.ts is TIMESTAMP(NANOS), which the vectorized reader
+      // rejects — read nanos as long (like Extensions.events) and write
+      // them back as long; the downstream reader converts as usual.
+      if (n == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$srcDir/$n.parquet")
+    }
+    def write(df: DataFrame, n: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    Seq("region", "nation").foreach(n => write(read(n), n))
+    def rep(n: String, keys: Seq[String], distinctText: Boolean = false): Unit = {
+      val df = read(n)
+      val out = (0 until k).map { i =>
+        val shifted = keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * S)))
+        if (distinctText) shifted.withColumn("text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit(s"_r$i")))))
+        else shifted
+      }.reduce(_.unionByName(_))
+      write(out, n)
+    }
+    rep("customer", Seq("c_custkey"))
+    rep("supplier", Seq("s_suppkey"))
+    rep("part", Seq("p_partkey"))
+    rep("orders", Seq("o_orderkey", "o_custkey"))
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rep("events", Seq("event_id", "user_id"))
+    rep("documents", Seq("doc_id"), distinctText = true)
+    rep("embeddings", Seq("vec_id"))
   }
 }
