@@ -421,6 +421,25 @@ object Inventory {
       .orderBy("vlabel", "vid")
   }
 
+  /** Q29: posts of friends (the IC6-ish shape on the SNB fixture) —
+    * Person 0's undirected friends, then their posts via the
+    * Post-[HAS_CREATOR]->Person edge traversed inbound, scored by the
+    * post's score property (hydrated), top 20. Exercises the Post
+    * vertex label and HAS_CREATOR edge the other SNB queries don't. */
+  def q29_snb_posts(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    val G = graft.dsl.G(Gp)
+    val posts = G.V("Person", 0L).both("KNOWS").dedup().as("f")
+      .in("HAS_CREATOR", "Post")
+      .toDF
+      .select(col(GC.Id).as("post_id"),
+        col("_as_f").getField("id").as("creator_id"))
+    Gp.hydrate(posts, "post_id", "Post", Seq("score"))
+      .select(col("post_id"), col("creator_id"), col("score"))
+      .orderBy(desc("score"), asc("post_id"))
+      .limit(20)
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

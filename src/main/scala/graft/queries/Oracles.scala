@@ -315,7 +315,18 @@ object Oracles {
       |GROUP BY n_regionkey
       |ORDER BY vlabel, vid""".stripMargin
 
+  /** Posts of Person 0's undirected friends, scored by o_totalprice. */
+  val q29_snb_posts: String =
+    s"""WITH $snbKnowsCtes,
+       |direct AS (SELECT DISTINCT dst AS f FROM uk WHERE src = 0)
+       |SELECT o.o_orderkey AS post_id, d.f AS creator_id,
+       |       o.o_totalprice AS score
+       |FROM direct d JOIN orders o ON o.o_custkey = d.f
+       |ORDER BY score DESC, post_id
+       |LIMIT 20""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q29_snb_posts" -> q29_snb_posts,
     "q28_until" -> q28_until,
     "q25_snb_fof" -> q25_snb_fof,
     "q26_snb_path" -> q26_snb_path,

@@ -20,7 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     * equi-key away; a 1-row broadcast NLJ streams the probe side
     * untouched, linear at any scale). */
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
-    "q25_snb_fof", "q27_bothe")
+    "q25_snb_fof", "q27_bothe", "q29_snb_posts")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
