@@ -318,4 +318,57 @@ class TraversalAlgebraSpec extends SparkSpec {
       assertBag(rows(r.filter(lit(true)).df), rows(r.df), "keep-everything")
     }
   }
+
+  // ---- DSL repeat-until / emit laws (the E edge is cyclic A→A plus
+  // A→B, so traversers can loop, branch, and exit — the shapes a
+  // fixture DAG can't produce) ----
+
+  /** In-memory mirror of the repeatUntil superstep loop: hop every
+    * frontier row along E, exit rows landing on `exitLabel`, keep
+    * hopping the rest, drop whatever remains after maxIter. Multiset
+    * semantics — multiplicity counts paths. */
+  private def untilModel(m: Model, start: Seq[(Long, String)],
+      exitLabel: String, maxIter: Int): Seq[(Long, String)] = {
+    var frontier = start
+    val exited = Seq.newBuilder[(Long, String)]
+    var i = 0
+    while (i < maxIter && frontier.nonEmpty) {
+      val next = frontier.flatMap { case (id, l) =>
+        m.out("E", l).collect { case (s, _, d, dl) if s == id => (d, dl) }
+      }
+      val (pass, fail) = next.partition(_._2 == exitLabel)
+      exited ++= pass
+      frontier = fail
+      i += 1
+    }
+    exited.result()
+  }
+
+  test("P25: repeatUntil equals the superstep model on cyclic random graphs") {
+    eachSeed { (m, g) =>
+      val got = graft.dsl.G(g).V("A")
+        .repeatUntil(col(GC.Label) === "B", maxIter = 3)(_.out("E"))
+        .toDF.select(col(GC.Id), col(GC.Label))
+        .as[(Long, String)].collect().toSeq
+      val want = untilModel(m, m.vertices("A").map(_ -> "A"), "B", 3)
+      assert(got.sorted == want.sorted,
+        s"until mismatch: got ${got.size} rows, want ${want.size}")
+      assert(want.nonEmpty, "degenerate seed: no traverser ever exits")
+    }
+  }
+
+  test("P26: emit predicate == post-filter on the emitted union (random graphs)") {
+    eachSeed { (_, g) =>
+      val D = graft.dsl.Step.DepthCol
+      def triples(df: DataFrame) =
+        df.select(col(D), col(GC.Id), col(GC.Label))
+          .as[(Int, Long, String)].collect().toSeq.sorted
+      val filtered = graft.dsl.G(g).V("A")
+        .repeatEmit(2, emitPred = col(GC.Label) === "B")(_.out("E")).toDF
+      val law = graft.dsl.G(g).V("A")
+        .repeatEmit(2)(_.out("E")).toDF.where(col(GC.Label) === "B")
+      assert(triples(filtered) == triples(law))
+      assert(triples(filtered).nonEmpty)
+    }
+  }
 }
