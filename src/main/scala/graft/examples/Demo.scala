@@ -182,6 +182,18 @@ object Demo {
       .where(col("doc_id") === col("keep_id")).count()
     println(s"DEMO dedup_survivors_graphx=$gxSurvivors (loop=$survivors)")
 
+    // 21. SNB social graph: friends-of-friends, bothE edge reads, and a
+    // predicate-terminated climb on the TPCH tree
+    val sg = GraphLoader.snb(spark, sfDir)
+    val friends = G(sg).V("Person", 0L).both("KNOWS").dedup()
+    val fof = friends.as("f").both("KNOWS").dedup().count()
+    val knowsEdges = G(sg).V("Person", 0L).bothE("KNOWS").count()
+    val untilRegions = G(g).V("Customer")
+      .repeatUntil(col("r_name").isNotNull, maxIter = 4)(
+        _.union(_.out("IN_NATION", "Nation"), _.out("IN_REGION", "Region")))
+      .dedup().count()
+    println(s"DEMO snb_friends=${friends.count()} fof=$fof bothE_rows=$knowsEdges until_regions=$untilRegions")
+
     spark.stop()
   }
 }
