@@ -352,7 +352,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     }.distinct
     val missing = refs.filterNot(df.columns.contains)
     if (missing.isEmpty)
-      (df.filter(pred), df.filter(not(orFalse)))
+      (df.filter(pred), df.filter(!orFalse))
     else {
       val resolvable = labels.filter { l =>
         val cols = graph.vertices(l).columns.toSet
@@ -370,7 +370,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
       val own = df.columns.toSeq
       val withCols = df.join(lookup, Seq(GC.Id, GC.Label), "left")
       (withCols.filter(orFalse).select(own.map(col): _*),
-       withCols.filter(not(orFalse)).select(own.map(col): _*))
+       withCols.filter(!orFalse).select(own.map(col): _*))
     }
   }
 
@@ -471,6 +471,39 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
       remaining = remaining.copy(df = missed)
     }
     copy(df = accDf, labels = accLabels.sorted, captures = accCaptures)
+  }
+
+  /** Gremlin `not(branch)`: keep only traversers whose branch produces
+    * NO output — the complement of [[optional]]'s covered set, i.e. a
+    * per-origin-element anti-join. Carried columns and multiplicity of
+    * the surviving input rows are untouched. */
+  def not(branch: Step => Step): Step = copy(df = branchSplit(branch)._2)
+
+  /** Gremlin `range(lo, hi)` — the deterministic (label, id)-ordered
+    * slice [lo, hi); `limit(n)` == `range(0, n)`. The global sort is
+    * bounded by `limit(hi)` FIRST (a distributed top-k), so the
+    * single-partition row-number window only ever sees `hi` rows —
+    * never the whole frontier. */
+  def range(lo: Int, hi: Int): Step = {
+    require(0 <= lo && lo <= hi, s"range needs 0 <= lo <= hi, got [$lo, $hi)")
+    val top = df.orderBy(GC.Label, GC.Id).limit(hi)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(GC.Label), col(GC.Id))
+    copy(df = top.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > lo).drop("_rn"))
+  }
+
+  /** Gremlin `simplePath()`: drop traversers whose recorded path visits
+    * any element twice. Requires [[withPath]]. */
+  def simplePath(): Step = {
+    require(df.columns.contains(PathCol), "call withPath() before simplePath()")
+    copy(df = df.where(size(array_distinct(col(PathCol))) === size(col(PathCol))))
+  }
+
+  /** Gremlin `cyclicPath()`: the complement of [[simplePath]]. */
+  def cyclicPath(): Step = {
+    require(df.columns.contains(PathCol), "call withPath() before cyclicPath()")
+    copy(df = df.where(size(array_distinct(col(PathCol))) < size(col(PathCol))))
   }
 
   /** Run `branch` with an origin capture attached; return (branch output

@@ -440,6 +440,20 @@ object Inventory {
       .limit(20)
   }
 
+  /** Q30: Gremlin `not(branch)` under the oracle — customers with NO
+    * urgent order above 300 000: the branch expands to orders and
+    * property-filters them (hydrated `has`); `not` keeps the traversers
+    * whose branch produced nothing (per-origin anti-join — the step
+    * form of O28's subtract). */
+  def q30_not_step(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Customer")
+      .not(_.in("PLACED_BY", "Order")
+        .has(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 300000))
+      .toDF.select(col(GC.Id).as("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -325,7 +325,16 @@ object Oracles {
        |ORDER BY score DESC, post_id
        |LIMIT 20""".stripMargin
 
+  /** not(branch) as SQL: anti-join against the branch's covered set. */
+  val q30_not_step: String =
+    """SELECT c_custkey FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders
+      |   WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q30_not_step" -> q30_not_step,
     "q29_snb_posts" -> q29_snb_posts,
     "q28_until" -> q28_until,
     "q25_snb_fof" -> q25_snb_fof,

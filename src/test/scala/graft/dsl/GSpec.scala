@@ -462,6 +462,48 @@ class GSpec extends SparkSpec {
     assert(both == sides && both.nonEmpty)
   }
 
+  test("not(branch) is the complement of the covered-origin set") {
+    // coalesce law: not(b) traversers are exactly the ones coalesce
+    // routes to the fallback branch
+    val viaNot = g.V("Nation").not(_.in("IN_NATION", "Supplier"))
+      .toDF.select(col(graft.model.GraphColumns.Id)).as[Long].collect().toSet
+    val withS = tbl("supplier").select($"s_nationkey".cast("long"))
+      .distinct().as[Long].collect().toSet
+    val all = tbl("nation").select($"n_nationkey".cast("long")).as[Long].collect().toSet
+    assert(viaNot == all -- withS)
+    // multiplicity/carried columns survive: a 2-row frontier element
+    // passes through not() with both rows intact
+    val doubled = Step(g.graph,
+      g.V("Nation").toDF.unionByName(g.V("Nation").toDF), Seq("Nation"))
+    assert(doubled.not(_.in("IN_NATION", "Supplier")).count() == 2 * viaNot.size)
+  }
+
+  test("range(lo, hi) slices the deterministic order; limit(n) == range(0, n)") {
+    val I = graft.model.GraphColumns.Id
+    val viaLimit = g.V("Customer").limit(7).toDF.select(I).as[Long].collect().toSeq
+    val viaRange = g.V("Customer").range(0, 7).toDF.select(I).as[Long].collect().toSeq
+    assert(viaRange == viaLimit)
+    // disjoint slices partition the prefix
+    val a = g.V("Customer").range(0, 4).toDF.select(I).as[Long].collect().toSeq
+    val b = g.V("Customer").range(4, 7).toDF.select(I).as[Long].collect().toSeq
+    assert(a ++ b == viaLimit && a.size == 4 && b.size == 3)
+  }
+
+  test("simplePath/cyclicPath partition the recorded paths") {
+    // Nation 5 -> its customers -> back along IN_NATION: every 2-hop
+    // path returns to nation 5, so all are cyclic; 1-hop paths are
+    // simple. simplePath + cyclicPath == all paths.
+    val twoHop = g.V("Nation", 5L).withPath()
+      .in("IN_NATION", "Customer").out("IN_NATION", "Nation")
+    val all = twoHop.count()
+    assert(all > 0)
+    assert(twoHop.cyclicPath().count() == all)
+    assert(twoHop.simplePath().count() == 0)
+    val oneHop = g.V("Nation", 5L).withPath().in("IN_NATION", "Customer")
+    assert(oneHop.simplePath().count() == oneHop.count())
+    assert(oneHop.cyclicPath().count() == 0)
+  }
+
   test("hasId rejects a multi-label frontier; hasElementId handles it") {
     val mixed = g.V("Nation").in("IN_NATION") // Customer ∪ Supplier
     assertThrows[IllegalArgumentException](mixed.hasId(5L))
