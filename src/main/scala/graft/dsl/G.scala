@@ -473,6 +473,22 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     copy(df = accDf, labels = accLabels.sorted, captures = accCaptures)
   }
 
+  /** Gremlin `choose(pred, onTrue, onFalse)`: traversers satisfying the
+    * predicate flow into the first branch, the rest into the second;
+    * outputs concatenate. `pred` follows [[repeatUntil]]'s hydration
+    * rules (property columns hydrate per label; labels that cannot
+    * resolve a referenced column route to `onFalse`, and a null
+    * evaluation is false — the has() convention). */
+  def choose(pred: Column)(onTrue: Step => Step, onFalse: Step => Step): Step = {
+    val (pass, fail) = partitionByPredicate(pred)
+    val a = onTrue(copy(df = pass))
+    val b = onFalse(copy(df = fail))
+    copy(
+      df = a.df.unionByName(b.df, allowMissingColumns = true),
+      labels = (a.labels ++ b.labels).distinct.sorted,
+      captures = mergeCaptures(a.captures, b.captures))
+  }
+
   /** Gremlin `not(branch)`: keep only traversers whose branch produces
     * NO output — the complement of [[optional]]'s covered set, i.e. a
     * per-origin-element anti-join. Carried columns and multiplicity of

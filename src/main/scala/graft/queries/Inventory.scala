@@ -454,6 +454,21 @@ object Inventory {
       .orderBy("c_custkey")
   }
 
+  /** Q31: Gremlin `choose(pred, t, f)` under the oracle — per customer:
+    * BUILDING-segment traversers expand to their orders, everyone else
+    * to their nation; landing elements counted. Exercises conditional
+    * routing (partition + per-branch expansion + union) as ONE plan. */
+  def q31_choose(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Customer")
+      .choose(col("c_mktsegment") === "BUILDING")(
+        _.in("PLACED_BY", "Order"),
+        _.out("IN_NATION", "Nation"))
+      .groupCount()
+      .select(col(GC.Label).as("vlabel"), col(GC.Id).as("vid"), col("cnt"))
+      .orderBy("vlabel", "vid")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

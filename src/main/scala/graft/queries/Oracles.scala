@@ -333,7 +333,21 @@ object Oracles {
       |   WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** choose as SQL: the two predicate-routed branches unioned, counted
+    * per landing element. */
+  val q31_choose: String =
+    """SELECT vlabel, vid, count(*) AS cnt FROM (
+      |  SELECT 'Order' AS vlabel, o_orderkey AS vid
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT 'Nation', CAST(c_nationkey AS BIGINT)
+      |  FROM customer WHERE c_mktsegment <> 'BUILDING'
+      |) GROUP BY vlabel, vid
+      |ORDER BY vlabel, vid""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q31_choose" -> q31_choose,
     "q30_not_step" -> q30_not_step,
     "q29_snb_posts" -> q29_snb_posts,
     "q28_until" -> q28_until,

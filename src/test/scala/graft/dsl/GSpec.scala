@@ -462,6 +462,25 @@ class GSpec extends SparkSpec {
     assert(both == sides && both.nonEmpty)
   }
 
+  test("choose(pred)(t, f) == union of t over has(pred) and f over the complement") {
+    val L = graft.model.GraphColumns.Label
+    val I = graft.model.GraphColumns.Id
+    def bag(s: Step): Map[(String, Long), Long] =
+      s.toDF.groupBy(col(L), col(I)).count()
+        .as[(String, Long, Long)].collect().map { case (l, i, n) => (l, i) -> n }.toMap
+    val got = bag(g.V("Customer").choose(col("c_mktsegment") === "BUILDING")(
+      _.in("PLACED_BY", "Order"), _.out("IN_NATION", "Nation")))
+    val t = bag(g.V("Customer").has("c_mktsegment", "BUILDING").in("PLACED_BY", "Order"))
+    val f = bag(g.V("Customer").has(col("c_mktsegment") =!= "BUILDING").out("IN_NATION", "Nation"))
+    val law = (t.keySet ++ f.keySet).map(k => k -> (t.getOrElse(k, 0L) + f.getOrElse(k, 0L))).toMap
+    assert(got == law && got.nonEmpty)
+    // a hydrated property predicate routes mid-chain frontiers too:
+    // after the hop to Nation, n_name is no longer carried
+    val mid = g.V("Customer").out("IN_NATION", "Nation")
+      .choose(col("n_name") =!= "NO_SUCH")(_.out("IN_REGION", "Region"), identity)
+    assert(mid.labels.contains("Region") && mid.count() == tbl("customer").count())
+  }
+
   test("not(branch) is the complement of the covered-origin set") {
     // coalesce law: not(b) traversers are exactly the ones coalesce
     // routes to the fallback branch
