@@ -357,6 +357,19 @@ class TraversalAlgebraSpec extends SparkSpec {
     }
   }
 
+  test("P27: choose routes every traverser exactly once (random graphs)") {
+    eachSeed { (m, g) =>
+      val got = graft.dsl.G(g).V("A")
+        .choose(col(GC.Id) % 2 === 0)(_.out("E"), identity)
+        .toDF.select(col(GC.Id), col(GC.Label))
+        .as[(Long, String)].collect().toSeq
+      val evens = m.vertices("A").filter(_ % 2 == 0).flatMap(id =>
+        m.out("E", "A").collect { case (s, _, d, dl) if s == id => (d, dl) })
+      val odds = m.vertices("A").filter(_ % 2 != 0).map(id => (id, "A"))
+      assert(got.sorted == (evens ++ odds).sorted)
+    }
+  }
+
   test("P26: emit predicate == post-filter on the emitted union (random graphs)") {
     eachSeed { (_, g) =>
       val D = graft.dsl.Step.DepthCol
