@@ -51,7 +51,20 @@ object Bench {
 
     // Warm-up: a tiny end-to-end job (scan + shuffle) before any timing.
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
+    // RI contracts declared before ANY query is planned or timed — q01
+    // would otherwise mutate optimizer state mid-suite, making later
+    // plans depend on whether q01 ran first. (Scale-tier queries read
+    // the replica dir, whose paths match no declaration; q01 is not in
+    // that subset.)
+    graft.sources.GraphLoader.declareTpchRi(spark, sfDir)
 
+    // Fail fast on a malformed flag: a silent fallback to the default
+    // tier would spend ~4 min and overwrite the sidecar instead of
+    // running the intended scale tier.
+    require(!args.contains("--scale") || (
+      args.indexOf("--scale") + 1 < args.length &&
+        args(args.indexOf("--scale") + 1).forall(_.isDigit)),
+      s"usage: Bench [--scale k]; got: ${args.mkString(" ")}")
     val scaleK = args.sliding(2).collectFirst { case Array("--scale", k) => k.toInt }
     scaleK match {
       case Some(k) => runScaleTier(spark, sfDir, k)
@@ -212,7 +225,9 @@ object Bench {
     rep("part", Seq("p_partkey"))
     rep("orders", Seq("o_orderkey", "o_custkey"))
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    rep("events", Seq("event_id", "user_id"))
+    // events deliberately NOT replicated: no scaleQueries entry reads it
+    // (an events query added to the subset will fail loudly on the
+    // missing file rather than silently time a stale copy)
     rep("documents", Seq("doc_id"), distinctText = true)
     rep("embeddings", Seq("vec_id"))
   }

@@ -49,7 +49,12 @@ object Throughput {
       threads.foreach(_.start())
       threads.foreach(_.join())
       val secs = (System.nanoTime() - t0) / 1e9
-      val totalOps = n * opsPerSession
+      // report the ops that actually COMPLETED (the counter), not the
+      // assumption — a client thread dying mid-run must not inflate the
+      // throughput number
+      val totalOps = done.get()
+      if (totalOps != n.toLong * opsPerSession)
+        System.err.println(s"[throughput] WARNING: ${n.toLong * opsPerSession - totalOps} ops did not complete")
       println(f"""{"probe":"throughput","sessions":$n,"ops":$totalOps,"secs":$secs%.3f,"ops_per_sec":${totalOps / secs}%.1f,"mean_op_ms":${secs * 1000 * n / totalOps}%.1f}""")
     }
     spark.stop()

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Declare the fixture RI contracts up front so every query is
+    // planned under IDENTICAL optimizer state (q01 would otherwise
+    // install them mid-session, making later plans order-dependent).
+    graft.sources.GraphLoader.declareTpchRi(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // Dev-loop filter: SPARK_GRAFT_ONLY=e31_pipeline,e29_dedup_clusters
     // runs just those queries (the driver leaves it unset -> all).

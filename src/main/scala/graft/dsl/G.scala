@@ -113,7 +113,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     * given (label, id) pairs — the full element identity, matching the
     * reference's globally-unique UInt128 ids on a per-label layout. */
   def hasElementId(pairs: (String, Long)*): Step = {
-    require(pairs.nonEmpty, "hasId needs at least one (label, id) pair")
+    require(pairs.nonEmpty, "hasElementId needs at least one (label, id) pair")
     val wanted = pairs.map { case (l, i) =>
       struct(lit(l), lit(i).cast("bigint"))
     }
@@ -495,16 +495,20 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     * the surviving input rows are untouched. */
   def not(branch: Step => Step): Step = copy(df = branchSplit(branch)._2)
 
-  /** Gremlin `range(lo, hi)` — the deterministic (label, id)-ordered
-    * slice [lo, hi); `limit(n)` == `range(0, n)`. The global sort is
-    * bounded by `limit(hi)` FIRST (a distributed top-k), so the
+  /** Gremlin `range(lo, hi)` — the deterministic slice [lo, hi) of the
+    * frontier ordered by (label, id) and then by EVERY remaining column
+    * (carried captures/paths and edge properties included), so
+    * duplicate (label, id) rows with different carried values still
+    * slice reproducibly. `limit(n)` == `range(0, n)`. The global sort
+    * is bounded by `limit(hi)` FIRST (a distributed top-k), so the
     * single-partition row-number window only ever sees `hi` rows —
     * never the whole frontier. */
   def range(lo: Int, hi: Int): Step = {
     require(0 <= lo && lo <= hi, s"range needs 0 <= lo <= hi, got [$lo, $hi)")
-    val top = df.orderBy(GC.Label, GC.Id).limit(hi)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(GC.Label), col(GC.Id))
+    val order = (Seq(GC.Label, GC.Id) ++
+      df.columns.filterNot(c => c == GC.Label || c == GC.Id).sorted).map(col)
+    val top = df.orderBy(order: _*).limit(hi)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
     copy(df = top.withColumn("_rn", row_number().over(w))
       .where(col("_rn") > lo).drop("_rn"))
   }
