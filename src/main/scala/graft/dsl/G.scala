@@ -614,6 +614,20 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   /** Gremlin `count()`. */
   def count(): Long = df.count()
 
+  /** Gremlin `values(key).sum()/mean()/min()/max()` — property
+    * aggregation terminals. The key hydrates per label like [[values]]
+    * (labels lacking it contribute no rows), and multiplicity counts:
+    * a vertex reached by three traversers contributes three times,
+    * matching the inherited traverser semantics. */
+  def sumValue(key: String): DataFrame =
+    values(key).agg(sum(col(key)).as("sum"))
+  def meanValue(key: String): DataFrame =
+    values(key).agg(avg(col(key)).as("mean"))
+  def minValue(key: String): DataFrame =
+    values(key).agg(min(col(key)).as("min"))
+  def maxValue(key: String): DataFrame =
+    values(key).agg(max(col(key)).as("max"))
+
   /** Gremlin `groupCount()` by (label, id) over the frontier. */
   def groupCount(): DataFrame =
     df.groupBy(col(GC.Label), col(GC.Id))

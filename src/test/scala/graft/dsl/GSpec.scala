@@ -462,6 +462,26 @@ class GSpec extends SparkSpec {
     assert(both == sides && both.nonEmpty)
   }
 
+  test("value-aggregation terminals match SQL, multiplicity included") {
+    // direct frontier: plain aggregation over the label's rows
+    val b = g.V("Customer").has("c_mktsegment", "BUILDING")
+    val wantSum = tbl("customer").where($"c_mktsegment" === "BUILDING")
+      .agg(sum($"c_acctbal")).as[Double].head()
+    assert(math.abs(b.sumValue("c_acctbal").as[Double].head() - wantSum) < 1e-6)
+    assert(b.minValue("c_acctbal").as[Double].head() ==
+      tbl("customer").where($"c_mktsegment" === "BUILDING")
+        .agg(min($"c_acctbal")).as[Double].head())
+    // expanded frontier: mean must weight by traverser multiplicity
+    // (customers per nation), not by distinct nation
+    val gotMean = g.V("Customer").out("IN_NATION", "Nation")
+      .meanValue("n_nationkey").as[Double].head()
+    val wantMean = tbl("customer")
+      .agg(avg($"c_nationkey".cast("double"))).as[Double].head()
+    assert(math.abs(gotMean - wantMean) < 1e-9)
+    assert(g.V("Customer").maxValue("c_acctbal").as[Double].head() ==
+      tbl("customer").agg(max($"c_acctbal")).as[Double].head())
+  }
+
   test("choose(pred)(t, f) == union of t over has(pred) and f over the complement") {
     val L = graft.model.GraphColumns.Label
     val I = graft.model.GraphColumns.Id
