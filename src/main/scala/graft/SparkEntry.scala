@@ -46,7 +46,8 @@ object SparkEntry {
     "q28_until" -> (Inventory.q28_until _),
     "q29_snb_posts" -> (Inventory.q29_snb_posts _),
     "q30_not_step" -> (Inventory.q30_not_step _),
-    "q31_choose" -> (Inventory.q31_choose _)) ++ Extensions.all
+    "q31_choose" -> (Inventory.q31_choose _),
+    "q32_range" -> (Inventory.q32_range _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

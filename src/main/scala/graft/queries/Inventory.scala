@@ -469,6 +469,16 @@ object Inventory {
       .orderBy("vlabel", "vid")
   }
 
+  /** Q32: Gremlin `range(lo, hi)` under the oracle — the [100, 120)
+    * slice of BUILDING customers in deterministic order (the id is the
+    * primary sort key, so the SQL twin is ORDER BY + LIMIT/OFFSET). */
+  def q32_range(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Customer").has("c_mktsegment", "BUILDING").range(100, 120)
+      .toDF.select(col(GC.Id).as("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -346,7 +346,15 @@ object Oracles {
       |) GROUP BY vlabel, vid
       |ORDER BY vlabel, vid""".stripMargin
 
+  /** range(100, 120) as SQL: ORDER BY + OFFSET/LIMIT on the same key. */
+  val q32_range: String =
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  ORDER BY c_custkey LIMIT 20 OFFSET 100)
+      |ORDER BY c_custkey""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q32_range" -> q32_range,
     "q31_choose" -> q31_choose,
     "q30_not_step" -> q30_not_step,
     "q29_snb_posts" -> q29_snb_posts,
