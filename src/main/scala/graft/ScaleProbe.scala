@@ -34,6 +34,11 @@ object ScaleProbe {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val events = graft.queries.Extensions.events(spark, sfDir)
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    // person count at 1x — the knows replica needs CONTIGUOUS ids
+    // (p = i*n0 + key), so the generator's %-count arithmetic stays
+    // valid at every k (dev tool: one count action is fine here)
+    val n0 = customer.count()
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -153,7 +158,34 @@ object ScaleProbe {
         docsK.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), 4)))
 
-      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf,"neardup_blocked_s":$tNearDup,"pipeline_s":$tPipeline,"decontaminate_s":$tDecon,"packing_s":$tPack,"corpus_health_s":$tHealth}""")
+      // SNB knows-graph 2-hop friends-of-friends at k-times persons:
+      // replica ids i*n0 + key are contiguous in [0, k*n0), so the
+      // generator's supernode population and degree mix grow WITH the
+      // graph (the bench-replica key shift would instead dangle most
+      // edges — Bench.scaleQueries note). The probed shape is q25's:
+      // generate, expand undirected twice from supernode 0, count
+      // distinct common friends.
+      val tSnbFof = time(noop {
+        val pK = customer
+          .select(explode(sequence(lit(0L), lit((k - 1).toLong))).as("i"),
+            col("c_custkey").cast("long").as("key"))
+          .select((col("i") * n0 + col("key")).as("p"))
+        val knows = pK
+          .withColumn("d",
+            when(col("p") % 97 === 0, lit(40L)).otherwise((col("p") * 13 + 7) % 5 + 1))
+          .withColumn("kk", explode(sequence(lit(1L), col("d"))))
+          .select(col("p").as("_src"),
+            ((col("p") * 53 + col("kk") * 911) % lit(k * n0)).as("_dst"))
+          .where(col("_dst") =!= col("_src")).distinct()
+        val uk = knows.unionByName(
+          knows.select(col("_dst").as("_src"), col("_src").as("_dst")))
+        val direct = uk.where(col("_src") === 0)
+          .select(col("_dst").as("f")).distinct()
+        uk.join(direct, uk("_src") === direct("f"))
+          .groupBy(col("_dst")).agg(count_distinct(col("f")).as("n_common"))
+      })
+
+      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf,"neardup_blocked_s":$tNearDup,"pipeline_s":$tPipeline,"decontaminate_s":$tDecon,"packing_s":$tPack,"corpus_health_s":$tHealth,"snb_fof_s":$tSnbFof}""")
     }
     spark.stop()
   }
