@@ -47,7 +47,10 @@ object SparkEntry {
     "q29_snb_posts" -> (Inventory.q29_snb_posts _),
     "q30_not_step" -> (Inventory.q30_not_step _),
     "q31_choose" -> (Inventory.q31_choose _),
-    "q32_range" -> (Inventory.q32_range _)) ++ Extensions.all
+    "q32_range" -> (Inventory.q32_range _),
+    "q33_snb_thread" -> (Inventory.q33_snb_thread _),
+    "q34_project" -> (Inventory.q34_project _),
+    "q35_where_step" -> (Inventory.q35_where_step _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -236,16 +236,38 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     * `as()`/`select()` captures ride through, so "all people within 3
     * hops, with where they were found" is one plan: n expansions
     * unioned, no driver loop, no action. Not a fixpoint: for unbounded
-    * reachability use [[untilFixpoint]]. */
+    * reachability use [[untilFixpoint]].
+    *
+    * `materialize = true` switches to the SUPERSTEP discipline: each
+    * hop's frontier is `localCheckpoint`ed before the next hop, so
+    * every expansion executes exactly once. The default lazy unroll
+    * embeds depth d-1's whole subplan inside depth d — O(n²) expansion
+    * instances — and while AQE's ReusedExchange dedupes the repeated
+    * SHUFFLES, the operators above each reused exchange re-execute per
+    * subtree; for deep unrolls over expensive hop inputs (q33's reply
+    * trees: 24 s lazy vs ~2 s materialized at sf0.1) checkpointing is
+    * the affordable form. Costs one action per depth and trades plan
+    * purity for bounded lineage — the same trade [[untilFixpoint]]
+    * makes. */
   def repeatEmit(n: Int, emitInitial: Boolean = false,
-      emitPred: Column = null)(hop: Step => Step): Step = {
+      emitPred: Column = null, materialize: Boolean = false)(hop: Step => Step): Step = {
     require(n >= 1, s"repeatEmit needs n >= 1, got $n")
     val frontiers = Seq.newBuilder[(Int, Step)]
     var cur = this
     if (emitInitial) frontiers += ((0, cur))
-    for (d <- 1 to n) {
+    var d = 1
+    var drained = false
+    while (d <= n && !drained) {
       cur = hop(cur)
+      if (materialize) {
+        // superstep mode: bound lineage AND stop early once a frontier
+        // drains — the materialized frame makes the emptiness check
+        // free, and every deeper frontier is necessarily empty too
+        cur = cur.copy(df = cur.df.localCheckpoint())
+        drained = cur.df.isEmpty
+      }
       frontiers += ((d, cur))
+      d += 1
     }
     val fs = frontiers.result()
     val dfs = fs.map { case (d, st) =>
@@ -339,9 +361,16 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   /** Split the frontier by a predicate: (rows satisfying, rows not —
     * including null evaluations and rows of labels whose schema cannot
     * resolve a referenced property). Referenced columns the frontier
-    * doesn't carry are hydrated per label and joined back (one lookup
-    * row per element, so multiplicity is untouched); both halves are
-    * projected back to the step's own columns. */
+    * doesn't carry are hydrated PER LABEL with that label's resolvable
+    * subset, null-filling columns the label's schema lacks — so a
+    * disjunctive predicate over label-specific properties (e.g.
+    * `n_name === x || r_name === y` on a Nation∪Region frontier)
+    * evaluates each disjunct exactly where `has()` would: a label
+    * missing one column can still satisfy the predicate through
+    * another (null operands propagate per SQL three-valued logic, and
+    * a null RESULT routes to the false side). One lookup row per
+    * element, so multiplicity is untouched; both halves are projected
+    * back to the step's own columns. */
   private[dsl] def partitionByPredicate(pred: Column): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Attribute
@@ -354,16 +383,20 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     if (missing.isEmpty)
       (df.filter(pred), df.filter(!orFalse))
     else {
-      val resolvable = labels.filter { l =>
-        val cols = graph.vertices(l).columns.toSet
-        missing.forall(cols.contains)
-      }
       val lookup = nonEmptyUnion2(
-        resolvable.map { l =>
-          graph.hydrate(
-            df.where(col(GC.Label) === l)
-              .select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label),
-            GC.Id, l, missing)
+        labels.flatMap { l =>
+          val schema = graph.vertices(l).columns.toSet
+          val (have, lack) = missing.partition(schema.contains)
+          // a label resolving NO referenced column contributes nothing:
+          // the left join below null-fills its rows identically
+          if (have.isEmpty) None
+          else {
+            val base = df.where(col(GC.Label) === l)
+              .select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label)
+            Some(graph.hydrate(base, GC.Id, l, have)
+              .select(Seq(col(GC.Id), col(GC.Label)) ++
+                missing.map(m => if (lack.contains(m)) lit(null).as(m) else col(m)): _*))
+          }
         },
         df.select(Seq(col(GC.Id), col(GC.Label)) ++
           missing.map(m => lit(null).as(m)): _*).where(lit(false)))
@@ -495,22 +528,85 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     * the surviving input rows are untouched. */
   def not(branch: Step => Step): Step = copy(df = branchSplit(branch)._2)
 
+  /** Gremlin `where(traversal)` — keep only traversers whose branch
+    * produces at least one output: the per-origin SEMI-join, the
+    * positive twin of [[not]] (`where(t)` ≡ `not(not(t))`,
+    * BranchAlgebraSpec law). The traversal-valued filter form the
+    * reference inherits from gremlin-core (`where(out("X"))`,
+    * pom.xml:19-27). Carried columns and multiplicity of the surviving
+    * input rows are untouched; [[branchSplit]]'s double-execution cost
+    * note applies. */
+  def where(branch: Step => Step): Step =
+    copy(df = df.join(coveredOrigins(branch), Seq(GC.Id, GC.Label), "left_semi"))
+
+  /** Gremlin `project(a, b, ...).by(subtraversal)...` — per ORIGIN
+    * ELEMENT scalar subqueries: each [[Projection]] runs its branch from
+    * the DISTINCT frontier elements, aggregates the branch output per
+    * origin (count, or an aggregate over a property of the landed
+    * elements), and the scalars left-join back onto every traverser row.
+    * Result: `(label, id, field1, field2, ...)` — one row per input
+    * traverser (multiplicity preserved: duplicated origins repeat with
+    * identical scalars, the per-traverser Gremlin semantics).
+    * Count projections zero-fill uncovered origins; aggregate
+    * projections yield null (SQL scalar-subquery convention). Each
+    * branch is one aggregation subplan — no per-element execution, no
+    * driver loop. */
+  def project(fields: Projection*): DataFrame = {
+    require(fields.nonEmpty, "project needs at least one field")
+    val names = fields.map(_.name)
+    require(names.distinct == names, s"duplicate project field in $names")
+    fields.foldLeft(df.select(col(GC.Label), col(GC.Id))) { (acc, field) =>
+      val cap = s"${CapPrefix}__project${Step.nextBranchTag()}"
+      val origins = copy(df = df
+        .select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label)
+        .withColumn(cap,
+          struct(col(GC.Label).as("label"), col(GC.Id).cast("bigint").as("id"))))
+      val out = field.branch(origins)
+      // aggregate over a landed property: hydrate it per label first
+      val outDf = field.key.map(out.withKeyColumn).getOrElse(out.df)
+      val scalar = outDf
+        .groupBy(col(cap).getField("label").as(GC.Label),
+          col(cap).getField("id").as(GC.Id))
+        .agg(field.agg(field.key.map(col).getOrElse(lit(1))).as(field.name))
+      val joined = acc.join(scalar, Seq(GC.Id, GC.Label), "left")
+      if (field.zeroFill)
+        joined.withColumn(field.name,
+          org.apache.spark.sql.functions.coalesce(col(field.name), lit(0L)))
+      else joined
+    }
+  }
+
   /** Gremlin `range(lo, hi)` — the deterministic slice [lo, hi) of the
-    * frontier ordered by (label, id) and then by EVERY remaining column
-    * (carried captures/paths and edge properties included), so
-    * duplicate (label, id) rows with different carried values still
-    * slice reproducibly. `limit(n)` == `range(0, n)`. The global sort
-    * is bounded by `limit(hi)` FIRST (a distributed top-k), so the
-    * single-partition row-number window only ever sees `hi` rows —
-    * never the whole frontier. */
+    * frontier ordered by (label, id, fingerprint): duplicate (label, id)
+    * rows with different carried values (captures, paths, edge
+    * properties) tie-break on an xxhash64 fingerprint of the remaining
+    * columns — a cheap fixed-width sort key that works for ANY carried
+    * column type (sorting by the columns themselves would reject
+    * unorderable types and drag wide payloads through the top-k
+    * comparator). `limit(n)` == `range(0, n)`.
+    *
+    * Both bounds are distributed top-k sorts (TakeOrdered — no window,
+    * no single-partition shuffle, no driver materialization beyond
+    * `hi` rows); the [lo, hi) slice is their MULTISET difference
+    * (`exceptAll`), which subtracts the top-`lo` rows from the
+    * top-`hi` rows with duplicate counting. Fully-identical duplicate
+    * rows slice by count, exactly like the row-number formulation.
+    * (A fingerprint collision between rows with different payloads
+    * could in principle make the two top-k evaluations break that tie
+    * differently — with 64-bit hashes the risk is negligible.) */
   def range(lo: Int, hi: Int): Step = {
     require(0 <= lo && lo <= hi, s"range needs 0 <= lo <= hi, got [$lo, $hi)")
-    val order = (Seq(GC.Label, GC.Id) ++
-      df.columns.filterNot(c => c == GC.Label || c == GC.Id).sorted).map(col)
-    val top = df.orderBy(order: _*).limit(hi)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
-    copy(df = top.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") > lo).drop("_rn"))
+    val rest = df.columns.filterNot(c => c == GC.Label || c == GC.Id).sorted
+    val fp = "_fp"
+    val keyed =
+      if (rest.isEmpty) df.withColumn(fp, lit(0L))
+      else df.withColumn(fp, xxhash64(rest.map(col): _*))
+    val order = Seq(col(GC.Label), col(GC.Id), col(fp))
+    val top = keyed.orderBy(order: _*).limit(hi)
+    val sliced =
+      if (lo == 0) top
+      else top.exceptAll(keyed.orderBy(order: _*).limit(lo))
+    copy(df = sliced.drop(fp))
   }
 
   /** Gremlin `simplePath()`: drop traversers whose recorded path visits
@@ -548,6 +644,18 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
       col(cap).getField("label").as(GC.Label)).distinct()
     val missed = df.join(covered, Seq(GC.Id, GC.Label), "left_anti")
     (out.copy(df = out.df.drop(cap)), missed)
+  }
+
+  /** The distinct (id, label) origin elements whose `branch` produces
+    * at least one output — [[branchSplit]]'s covered set without the
+    * branch output (for [[where]]'s semi-join). */
+  private def coveredOrigins(branch: Step => Step): DataFrame = {
+    val cap = s"${CapPrefix}__origin${Step.nextBranchTag()}"
+    val tagged = copy(df = df.withColumn(cap,
+      struct(col(GC.Label).as("label"), col(GC.Id).cast("bigint").as("id"))))
+    branch(tagged).df.select(
+      col(cap).getField("id").as(GC.Id),
+      col(cap).getField("label").as(GC.Label)).distinct()
   }
 
   /** Gremlin `valueMap(keys...)`-style projection: (label, id, keys...)
@@ -687,6 +795,34 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   private def nonEmptyUnion2(parts: Seq[DataFrame], empty: => DataFrame): DataFrame =
     if (parts.isEmpty) empty
     else parts.reduce(_.unionByName(_))
+}
+
+/** One projected field of [[Step.project]] — a Gremlin `by(subtraversal)`
+  * modulator: run `branch` from each origin element and reduce its output
+  * to ONE scalar. Build with the [[Projection$ companion]] constructors. */
+final case class Projection private (
+    name: String,
+    branch: Step => Step,
+    agg: Column => Column,
+    key: Option[String],
+    zeroFill: Boolean)
+
+object Projection {
+  import org.apache.spark.sql.functions.{count => fCount}
+
+  /** `project(name).by(branch.count())`: the number of branch outputs
+    * per origin element, 0 when the branch produces none. */
+  def count(name: String)(branch: Step => Step): Projection =
+    Projection(name, branch, fCount, None, zeroFill = true)
+
+  /** `project(name).by(branch.values(key).agg(...))`: an aggregate
+    * (max/min/sum/first...) of a property of the branch's landed
+    * elements, hydrated per label; null when the branch produces none
+    * (labels lacking the key contribute no rows — the has()
+    * convention). */
+  def agg(name: String, key: String, agg: Column => Column)(
+      branch: Step => Step): Projection =
+    Projection(name, branch, agg, Some(key), zeroFill = false)
 }
 
 object Step {

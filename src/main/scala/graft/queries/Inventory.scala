@@ -76,10 +76,15 @@ object Inventory {
   }
 
   /** Q5 edge-property filter (O29, fillEdge in O6): lineitem edges with
-    * quantity > 45. */
+    * quantity > 45 — written in the PLAIN full-frontier form (like q01)
+    * so the [[graft.plans.RiJoinElimination]] rule, licensed by the
+    * declared lineitem→orders FK, removes the frontier join instead of
+    * the hand-routed `traverseAll` fast path (PlanAuditSpec asserts a
+    * join-free optimized plan). */
   def q05_edge_filter(s: SparkSession, dir: String): DataFrame = {
+    GraphLoader.declareTpchRi(s, dir)
     val G = g(s, dir)
-    val r = G.traverseAll("Order", "CONTAINS", Out,
+    val r = G.traverse(G.frontier("Order"), "Order", "CONTAINS", Out,
       fillEdge = true, Seq("Part"))
     r.removeEdgeIf(col("l_quantity") <= 45)
       .df.select(col(GC.Src).as("o_orderkey"), col(GC.Dst).as("p_partkey"),
@@ -199,8 +204,11 @@ object Inventory {
     * summary in the TPC-H Q1 shape). Decimal sums are exact and
     * order-independent — no FP drift vs the oracle. */
   def q15_pricing_summary(s: SparkSession, dir: String): DataFrame = {
+    // Plain traverse form + declared FKs: the frontier join is removed
+    // by the RI optimizer rule, not hand-routed (PlanAuditSpec).
+    GraphLoader.declareTpchRi(s, dir)
     val G = g(s, dir)
-    val li = G.traverseAll("Order", "CONTAINS", Out,
+    val li = G.traverse(G.frontier("Order"), "Order", "CONTAINS", Out,
       fillEdge = true, Seq("Part"))
     li.filter(col("l_shipdate") < to_timestamp(lit("1998-09-02")))
       .df.groupBy("l_returnflag", "l_linestatus")
@@ -235,8 +243,11 @@ object Inventory {
     * them"): ROLLUP over (returnflag, linestatus) with subtotal rows.
     * Null subtotal markers sort NULLS FIRST on both sides. */
   def q17_rollup(s: SparkSession, dir: String): DataFrame = {
+    // Plain traverse form + declared FKs: the frontier join is removed
+    // by the RI optimizer rule, not hand-routed (PlanAuditSpec).
+    GraphLoader.declareTpchRi(s, dir)
     val G = g(s, dir)
-    val li = G.traverseAll("Order", "CONTAINS", Out,
+    val li = G.traverse(G.frontier("Order"), "Order", "CONTAINS", Out,
       fillEdge = true, Seq("Part"))
     // rollup with Column refs, not names: the string overload trips
     // DetectAmbiguousSelfJoin after any join in Spark 4.1
@@ -475,6 +486,79 @@ object Inventory {
   def q32_range(s: SparkSession, dir: String): DataFrame = {
     val G = graft.dsl.G(g(s, dir))
     G.V("Customer").has("c_mktsegment", "BUILDING").range(100, 120)
+      .toDF.select(col(GC.Id).as("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q33: IC-style thread unroll on the SNB fixture — the reply-tree
+    * shape of the reference's benchmarked Interactive workload
+    * (README.md:69-147; Comments reply to Posts or to other Comments,
+    * and the IC handlers unroll whole threads). From Person 0's
+    * undirected friends' posts: the FULL reply tree of each post,
+    * unrolled by a depth-tagged [[graft.dsl.Step.repeatEmit]] over the
+    * REPLY_OF edge traversed inbound (depth 1 = direct comments on the
+    * post, deeper = replies to replies; parent rank < child rank and
+    * ranks stop at 7, so depth is bounded at 7 — a full rank chain —
+    * and the superstep unroll exits early once a level drains). Per
+    * post: total replies + max thread depth, top 20. Posts
+    * with no replies produce no rows (group-over-emitted semantics).
+    *
+    * Scale discipline (lazy unroll measured 24 s at sf0.1, this form
+    * ~3 s): the ranked comment frame is MATERIALIZED once
+    * (`GraphLoader.snb(materializeComments = true)`) so the REPLY_OF
+    * frames are cheap projections of the checkpointed rank instead of
+    * each re-running the window + parent self-join, and the unroll
+    * itself runs in SUPERSTEP mode (`repeatEmit(materialize = true)`)
+    * so each depth's expansion executes exactly once instead of
+    * re-embedding every shallower depth's subplan — AQE's
+    * ReusedExchange dedupes repeated shuffles but not the operators
+    * above them. One bounded materialization feeding N repeated
+    * traversals is the persist-the-adjacency-table discipline a 100-TB
+    * thread workload needs (GraphLoader.persistBucketed is the durable
+    * form); PlanAuditSpec asserts the unroll plan contains ZERO Window
+    * nodes — the rank computation never leaks into the per-depth
+    * plans. */
+  def q33_snb_thread(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir, materializeComments = true)
+    val G = graft.dsl.G(Gp)
+    G.V("Person", 0L).both("KNOWS").dedup()
+      .in("HAS_CREATOR", "Post").as("p")
+      .repeatEmit(7, materialize = true)(_.in("REPLY_OF", "Comment"))
+      .toDF
+      .groupBy(col("_as_p").getField("id").as("post_id"))
+      .agg(count(lit(1)).as("n_replies"),
+        max(col(graft.dsl.Step.DepthCol)).as("max_depth"))
+      .orderBy(desc("n_replies"), desc("max_depth"), asc("post_id"))
+      .limit(20)
+  }
+
+  /** Q34: Gremlin `project('a','b').by(subtraversal)` under the oracle —
+    * per BUILDING customer, two scalar subqueries as ONE plan: the
+    * order count (count projection over the PLACED_BY branch) and the
+    * nation name (max-aggregate projection over the IN_NATION branch —
+    * exactly one nation per customer, so max IS the value), top 20 by
+    * order count. Each projection is one aggregation subplan left-joined
+    * back; no per-element execution. */
+  def q34_project(s: SparkSession, dir: String): DataFrame = {
+    import graft.dsl.Projection
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Customer").has("c_mktsegment", "BUILDING")
+      .project(
+        Projection.count("order_count")(_.in("PLACED_BY", "Order")),
+        Projection.agg("nation_name", "n_name", max)(_.out("IN_NATION", "Nation")))
+      .select(col(GC.Id).as("c_custkey"), col("order_count"), col("nation_name"))
+      .orderBy(desc("order_count"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q35: traversal-valued `where()` under the oracle — customers WITH
+    * at least one urgent order above 300 000 (the positive semi-join
+    * twin of q30's `not`; same branch, complementary keep-set). */
+  def q35_where_step(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Customer")
+      .where(_.in("PLACED_BY", "Order")
+        .has(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 300000))
       .toDF.select(col(GC.Id).as("c_custkey"))
       .orderBy("c_custkey")
   }

@@ -346,6 +346,63 @@ object Oracles {
       |) GROUP BY vlabel, vid
       |ORDER BY vlabel, vid""".stripMargin
 
+  /** Shared CTE block re-deriving the SNB Comment reply-tree edges
+    * ([[graft.sources.GraphLoader.snb]]): comment identity is the
+    * distinct (orderkey, linenumber) pair, rank r = row_number by
+    * linenumber within the order, rank 1 replies to the order's post,
+    * rank r ≥ 2 to the comment at rank 1 + (ok + 13r) % (r − 1). */
+  private val snbCommentCtes: String =
+    """lns AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
+      |               CAST(l_linenumber AS BIGINT) AS ln FROM lineitem),
+      |ranked AS (SELECT ok, ln, ok * 8 + ln AS cid,
+      |           CAST(row_number() OVER (PARTITION BY ok ORDER BY ln) AS BIGINT) AS r
+      |           FROM lns),
+      |reply_post AS (SELECT cid, ok FROM ranked WHERE r = 1),
+      |children AS (SELECT ok, cid, (ok + r * 13) % (r - 1) + 1 AS pr
+      |             FROM ranked WHERE r >= 2),
+      |reply_comment AS (SELECT c.cid AS src, p.cid AS dst
+      |  FROM children c JOIN ranked p ON p.ok = c.ok AND p.r = c.pr)""".stripMargin
+
+  /** IC-style thread unroll: friends' posts' reply trees via a recursive
+    * CTE (the Spark side's depth-tagged repeatEmit), counted + max-depth
+    * per post. Posts without replies are absent on both sides. */
+  val q33_snb_thread: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |direct AS (SELECT DISTINCT dst AS f FROM uk WHERE src = 0),
+       |fposts AS (SELECT CAST(o_orderkey AS BIGINT) AS post_id FROM orders
+       |           WHERE o_custkey IN (SELECT f FROM direct)),
+       |$snbCommentCtes,
+       |tree AS (
+       |  SELECT fp.post_id, rp.cid, CAST(1 AS INT) AS depth
+       |  FROM fposts fp JOIN reply_post rp ON rp.ok = fp.post_id
+       |  UNION ALL
+       |  SELECT t.post_id, rc.src, t.depth + 1
+       |  FROM tree t JOIN reply_comment rc ON rc.dst = t.cid)
+       |SELECT post_id, count(*) AS n_replies, max(depth) AS max_depth
+       |FROM tree GROUP BY post_id
+       |ORDER BY n_replies DESC, max_depth DESC, post_id
+       |LIMIT 20""".stripMargin
+
+  /** project(count, value) as SQL: a grouped left join for the count
+    * scalar, a dimension join for the value scalar. */
+  val q34_project: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS order_count,
+      |  n_name AS nation_name
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY order_count DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** where(traversal) as SQL: semi-join against the branch's covered
+    * set — the complement of q30's NOT IN. */
+  val q35_where_step: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+      |WHERE c_custkey IN
+      |  (SELECT o_custkey FROM orders
+      |   WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
   /** range(100, 120) as SQL: ORDER BY + OFFSET/LIMIT on the same key. */
   val q32_range: String =
     """SELECT c_custkey FROM (
@@ -354,6 +411,9 @@ object Oracles {
       |ORDER BY c_custkey""".stripMargin
 
   val all: Map[String, String] = Map(
+    "q35_where_step" -> q35_where_step,
+    "q34_project" -> q34_project,
+    "q33_snb_thread" -> q33_snb_thread,
     "q32_range" -> q32_range,
     "q31_choose" -> q31_choose,
     "q30_not_step" -> q30_not_step,

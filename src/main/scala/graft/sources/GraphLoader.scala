@@ -107,10 +107,11 @@ object GraphLoader {
   }
 
   /** Deterministic LDBC-SNB-style social graph — the person–knows–person
-    * (+ posts) shape of the reference's actual benchmarked workload
-    * (`/root/reference/README.md:69-147`: LDBC SNB Interactive over a
-    * `knows` graph with supernode skew). Derived purely from the fixture
-    * tables with arithmetic a SQL oracle replays exactly:
+    * (+ posts + comment reply trees) shape of the reference's actual
+    * benchmarked workload (`/root/reference/README.md:69-147`: LDBC SNB
+    * Interactive over a `knows` graph with supernode skew, message
+    * threads unrolled by the IC handlers). Derived purely from the
+    * fixture tables with arithmetic a SQL oracle replays exactly:
     *
     *  - Person: one per customer row (`_vid` = c_custkey, 0-based
     *    contiguous), properties name/acctbal/segment/city.
@@ -122,18 +123,43 @@ object GraphLoader {
     *    supernodes give the skew an SNB `knows` expansion stresses;
     *    911 is coprime to every fixture N, so a supernode's targets are
     *    40 DISTINCT persons. since = (7·src + 3·dst) % 1000.
+    *  - Comment: one per DISTINCT (l_orderkey, l_linenumber) pair —
+    *    the fixture repeats pairs, so comment identity is the distinct
+    *    pair, id = 8·orderkey + linenumber (linenumber ≤ 7, so ids are
+    *    unique), properties length/created.
+    *  - REPLY_OF (Comment→Post and Comment→Comment): within each
+    *    order's comment set, rank r = row_number by linenumber. The
+    *    rank-1 comment replies to the order's Post; comment with rank
+    *    r ≥ 2 replies to the comment at rank
+    *    1 + (orderkey + 13r) % (r − 1) — a deterministic prior rank, so
+    *    every order's comments form a random recursive TREE rooted at
+    *    its post (uniform attachment ⇒ both chain-deep and bushy
+    *    threads appear; ranks are contiguous, so no reply dangles).
+    *  - HAS_CREATOR (Comment→Person): creator = (31·cid + 7) % N —
+    *    the same lazy-N arithmetic as KNOWS.
     *
     * Everything stays lazy: N rides a ONE-ROW count aggregate joined in
     * by a constant equi-key. Catalyst constant-folds that key away and
     * plans a broadcast nested-loop join — with a single broadcast row
     * that is the optimal plan (the probe side streams through
     * untouched), and PlanAuditSpec whitelists these queries' NLJ as
-    * intended. The edge fan-out is a row-local explode — the generator
+    * intended. The edge fan-out is a row-local explode, the reply-tree
+    * rank a per-order window, and the parent resolution an equi
+    * self-join on (order, rank) — all partition-parallel; the generator
     * itself would scale to any N.
-    */
-  def snb(spark: SparkSession, dir: String): PropertyGraph = {
+    *
+    * @param materializeComments when true, the ranked comment frame
+    *   (lineitem distinct + rank window) is `localCheckpoint`ed once, so
+    *   the four frames derived from it (Comment, both REPLY_OF specs,
+    *   the comment HAS_CREATOR) are cheap projections/joins of the
+    *   materialized rank instead of each re-running the window —
+    *   the right mode for thread-unroll workloads that traverse
+    *   REPLY_OF repeatedly (q33); the default stays fully lazy. */
+  def snb(spark: SparkSession, dir: String,
+      materializeComments: Boolean = false): PropertyGraph = {
     val customer = spark.read.parquet(s"$dir/customer.parquet")
     val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
 
     val person = customer.select(
       col("c_custkey").cast("bigint").as(GC.Id),
@@ -164,11 +190,54 @@ object GraphLoader {
       col("o_orderkey").cast("bigint").as(GC.Src),
       col("o_custkey").cast("bigint").as(GC.Dst))
 
+    // Comment reply trees: rank comments within their order (window,
+    // partition-parallel), then resolve each rank-r≥2 comment's parent
+    // rank with an equi self-join on (order, rank).
+    val rankedLazy = lineitem
+      .select(col("l_orderkey").cast("bigint").as("_ok"),
+        col("l_linenumber").cast("bigint").as("_ln"))
+      .distinct()
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_ok").orderBy("_ln")).cast("bigint"))
+      .withColumn("_cid", col("_ok") * 8 + col("_ln"))
+    val ranked = if (materializeComments) rankedLazy.localCheckpoint() else rankedLazy
+
+    val comment = ranked.select(
+      col("_cid").as(GC.Id),
+      (col("_cid") * 37 % 190 + 10).as("length"),
+      (col("_cid") * 11 % 1000).as("created"))
+
+    val replyOfPost = ranked.where(col("_r") === 1)
+      .select(col("_cid").as(GC.Src), col("_ok").as(GC.Dst))
+
+    val parents = ranked.select(col("_ok").as("_pok"), col("_r").as("_pr"),
+      col("_cid").as("_pcid"))
+    val replyOfCommentLazy = ranked.where(col("_r") >= 2)
+      .withColumn("_want", (col("_ok") + col("_r") * 13) % (col("_r") - 1) + 1)
+      .join(parents, col("_ok") === col("_pok") && col("_want") === col("_pr"))
+      .select(col("_cid").as(GC.Src), col("_pcid").as(GC.Dst))
+    // materialized mode also pins the parent-resolution self-join: a
+    // repeated thread unroll joins this frame once PER DEPTH, and each
+    // of those joins would otherwise re-execute the self-join above the
+    // reused exchange
+    val replyOfComment =
+      if (materializeComments) replyOfCommentLazy.localCheckpoint()
+      else replyOfCommentLazy
+
+    val commentCreator = ranked
+      .withColumn("_one", lit(1)).join(nRow, "_one")
+      .select(col("_cid").as(GC.Src),
+        ((col("_cid") * 31 + 7) % col("_n")).as(GC.Dst))
+
     new PropertyGraph(spark,
-      Map("Person" -> person, "Post" -> post),
+      Map("Person" -> person, "Post" -> post, "Comment" -> comment),
       Map(
         EdgeSpec("KNOWS", "Person", "Person") -> knows,
-        EdgeSpec("HAS_CREATOR", "Post", "Person") -> creator))
+        EdgeSpec("HAS_CREATOR", "Post", "Person") -> creator,
+        EdgeSpec("HAS_CREATOR", "Comment", "Person") -> commentCreator,
+        EdgeSpec("REPLY_OF", "Comment", "Post") -> replyOfPost,
+        EdgeSpec("REPLY_OF", "Comment", "Comment") -> replyOfComment))
   }
 
   /** Persist a graph as partitioned Parquet: one directory per vertex

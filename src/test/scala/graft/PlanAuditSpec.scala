@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     * knows-edge generator joins in (Catalyst constant-folds the `_one`
     * equi-key away; a 1-row broadcast NLJ streams the probe side
     * untouched, linear at any scale). */
+  // (q33 is NOT here: its 1-row-count NLJ runs inside the superstep
+  // checkpoints, so the final unroll plan contains no NLJ at all.)
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
     "q25_snb_fof", "q27_bothe", "q29_snb_posts")
 
@@ -77,15 +79,18 @@ class PlanAuditSpec extends SparkSpec {
       s"quantity filter not pushed to lineitem scan:\n$p")
   }
 
-  test("q01's frontier join is eliminated by the RI rule (and kept without declarations)") {
-    // q01 is written in the PLAIN traverse(frontier(label), ...) form —
-    // an explicit edge-frame-vs-frontier join — and relies on
+  test("q01/q05/q15/q17 frontier joins are eliminated by the RI rule (and kept without declarations)") {
+    // These queries are written in the PLAIN traverse(frontier(label),
+    // ...) form — an explicit edge-frame-vs-frontier join — and rely on
     // RiJoinElimination + GraphLoader.declareTpchRi's FK contracts to
     // remove it. The optimizer-grade mechanism must fire on the real
-    // oracle-green query, not only in RiJoinEliminationSpec.
-    val p = SparkEntry.queries("q01_one_hop")(spark, sf0001)
-      .queryExecution.optimizedPlan.toString
-    assert(!p.contains("Join"), s"frontier join not eliminated in q01:\n$p")
+    // oracle-green queries, not only in RiJoinEliminationSpec.
+    Seq("q01_one_hop", "q05_edge_filter", "q15_pricing_summary", "q17_rollup")
+      .foreach { q =>
+        val p = SparkEntry.queries(q)(spark, sf0001)
+          .queryExecution.optimizedPlan.toString
+        assert(!p.contains("Join"), s"frontier join not eliminated in $q:\n$p")
+      }
     // control: same shape without the declarations keeps its join —
     // proving the elimination is licensed by the contract, not generic
     graft.plans.RiJoinElimination.clearDeclarations(spark)
@@ -111,6 +116,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"), "AQE did not finalize")
     assert("ReusedExchange \\[_src#\\d+L?, _dst#\\d+L?\\]".r.findFirstIn(p).isDefined,
       s"knows-edge (_src, _dst) exchange not reused:\n${p.linesIterator.take(60).mkString("\n")}")
+  }
+
+  test("q33's unroll plan computes the comment rank window ZERO times") {
+    // The six unrolled REPLY_OF expansions all derive from the same
+    // ranked-comment frame (lineitem distinct + window + parent
+    // self-join). ReusedExchange alone is NOT enough: it dedupes the
+    // shuffles, but the window/join computation above each reused
+    // exchange re-executes per depth subtree (measured 24 s at sf0.1).
+    // q33 therefore materializes the REPLY_OF frames once
+    // (localCheckpoint) before unrolling — so the executed plan must
+    // contain NO Window node at all (the rank ran once, inside the
+    // checkpoint) and scan the materialized RDD instead.
+    val df = SparkEntry.queries("q33_snb_thread")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"comment-rank window leaked into the unroll plan:\n${p.linesIterator.take(60).mkString("\n")}")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      "REPLY_OF frames not materialized before the unroll")
   }
 
   test("pipeline composition (e31) is one pruned plan end to end") {

@@ -106,4 +106,53 @@ class BranchAlgebraSpec extends SparkSpec {
         s"seed $seed")
     }
   }
+
+  test("where(t) keeps covered origins == not(not(t)) (3 seeds)") {
+    seeds.foreach { seed =>
+      val m = randomModel(seed)
+      val g = G(toGraph(m))
+      val got = bag(g.V("A").where(_.out("E")))
+      val want = m.as.filter(a => m.outE(a).nonEmpty).map(a => (a, "A")).sorted
+      assert(got == want, s"seed $seed")
+      assert(got == bag(g.V("A").not(_.not(_.out("E")))),
+        s"where(t) != not(not(t)), seed $seed")
+    }
+  }
+
+  test("where(t) ++ not(t) partitions the frontier (3 seeds)") {
+    seeds.foreach { seed =>
+      val m = randomModel(seed)
+      val g = G(toGraph(m))
+      val both = (bag(g.V("A").where(_.in("F"))) ++ bag(g.V("A").not(_.in("F")))).sorted
+      assert(both == bag(g.V("A")), s"seed $seed")
+    }
+  }
+
+  test("project count matches the model's per-origin fan-out, zero-filled (3 seeds)") {
+    seeds.foreach { seed =>
+      val m = randomModel(seed)
+      val g = G(toGraph(m))
+      val got = g.V("A")
+        .project(Projection.count("n")(_.out("E")))
+        .select(col(GC.Id), col("n")).as[(Long, Long)].collect().toSeq.sorted
+      val want = m.as.map(a => (a, m.outE(a).size.toLong)).sorted
+      assert(got == want, s"seed $seed")
+      // covered origins agree with the as/select groupCount of the branch
+      val viaSelect = g.V("A").as("o").out("E").select("o").groupCount()
+        .select(col(GC.Id), col("cnt")).as[(Long, Long)].collect().toSeq.sorted
+      assert(got.filter(_._2 > 0) == viaSelect, s"project vs select-groupCount, seed $seed")
+    }
+  }
+
+  test("project preserves traverser multiplicity and null-fills agg fields (3 seeds)") {
+    seeds.foreach { seed =>
+      val m = randomModel(seed)
+      val g = G(toGraph(m))
+      // frontier with multiplicity: A-vertices once per inbound F edge
+      val frontier = g.V("B").out("F", "A")
+      val rows = frontier.project(Projection.count("n")(_.out("E")))
+        .select(col(GC.Id)).as[Long].collect().toSeq.sorted
+      assert(rows == m.fBA.map(_._2).sorted, s"multiplicity lost, seed $seed")
+    }
+  }
 }

@@ -519,13 +519,35 @@ class GSpec extends SparkSpec {
 
   test("range(lo, hi) slices the deterministic order; limit(n) == range(0, n)") {
     val I = graft.model.GraphColumns.Id
-    val viaLimit = g.V("Customer").limit(7).toDF.select(I).as[Long].collect().toSeq
-    val viaRange = g.V("Customer").range(0, 7).toDF.select(I).as[Long].collect().toSeq
+    // range output is a multiset (exceptAll does not guarantee row
+    // order) — compare as sorted bags
+    val viaLimit = g.V("Customer").limit(7).toDF.select(I).as[Long].collect().toSeq.sorted
+    val viaRange = g.V("Customer").range(0, 7).toDF.select(I).as[Long].collect().toSeq.sorted
     assert(viaRange == viaLimit)
     // disjoint slices partition the prefix
     val a = g.V("Customer").range(0, 4).toDF.select(I).as[Long].collect().toSeq
     val b = g.V("Customer").range(4, 7).toDF.select(I).as[Long].collect().toSeq
-    assert(a ++ b == viaLimit && a.size == 4 && b.size == 3)
+    assert((a ++ b).sorted == viaLimit && a.size == 4 && b.size == 3)
+    // carried columns (unorderable-ish wide payloads) ride the
+    // fingerprint tie-break: a path-carrying frontier still slices
+    val p = g.V("Nation", 5L).withPath().in("IN_NATION", "Customer")
+    assert(p.range(1, 3).count() == 2)
+  }
+
+  test("partitionByPredicate evaluates OR over label-specific properties per label") {
+    // Nation∪Region frontier, predicate touching one property of EACH
+    // label: a Region must satisfy via r_name even though n_name is not
+    // in its schema (round-6 ADVICE: the all-columns-per-label
+    // restriction routed such rows to the false side)
+    val s = g.V().hasLabel("Nation", "Region")
+    val (pass, fail) = s.partitionByPredicate(
+      col("n_name") === "NATION_7" || col("r_name") === "ASIA")
+    val L = graft.model.GraphColumns.Label
+    val got = pass.select(col(L)).as[String].collect().groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(got == Map("Nation" -> 1, "Region" -> 1),
+      s"expected NATION_7 + ASIA to pass, got $got")
+    assert(fail.count() == s.count() - 2)
   }
 
   test("simplePath/cyclicPath partition the recorded paths") {

@@ -29,6 +29,41 @@ class SnbSpec extends SparkSpec {
     assert(outDeg.filter { case (p, _) => p % 97 != 0 }.values.max <= 5)
   }
 
+  test("comment reply trees: unique parent, acyclic, rooted at the order's post") {
+    val toPost = sg.edgeFrames(EdgeSpec("REPLY_OF", "Comment", "Post"))
+      .select(col("_src"), col("_dst")).as[(Long, Long)].collect()
+    val toComment = sg.edgeFrames(EdgeSpec("REPLY_OF", "Comment", "Comment"))
+      .select(col("_src"), col("_dst")).as[(Long, Long)].collect()
+    val comments = sg.vertexFrames("Comment")
+      .select(col("_vid")).as[Long].collect().toSet
+    assert(comments.nonEmpty && toPost.nonEmpty && toComment.nonEmpty)
+    // every comment has exactly ONE parent (tree, not DAG)
+    val allSrc = toPost.map(_._1) ++ toComment.map(_._1)
+    assert(allSrc.length == allSrc.distinct.length, "comment with two parents")
+    assert(allSrc.toSet == comments, "comment without a parent (dangling root)")
+    // edges never dangle: parents exist
+    assert(toComment.map(_._2).forall(comments.contains), "reply to missing comment")
+    // acyclic by construction: parent rank < child rank; verify the
+    // tree resolves — walking parents from every comment terminates at
+    // a post within 8 steps (max 7 ranks per order)
+    val parentOf = toComment.toMap
+    val roots = toPost.map(_._1).toSet
+    comments.foreach { c =>
+      var cur = c
+      var steps = 0
+      while (!roots.contains(cur) && steps < 8) {
+        cur = parentOf(cur); steps += 1
+      }
+      assert(roots.contains(cur), s"comment $c does not reach a post in 8 hops")
+    }
+    // comments stay within their own order's thread: cid = 8*ok + ln,
+    // and the rank-1 root replies to post ok
+    assert(toPost.forall { case (cid, post) => cid / 8 == post },
+      "rank-1 comment replies to a different order's post")
+    assert(toComment.forall { case (c, p) => c / 8 == p / 8 },
+      "reply crosses order boundary")
+  }
+
   test("Pregel BFS (q26) == DSL untilFixpoint visited set on the knows graph") {
     val viaPregel = graft.queries.Inventory.q26_snb_path(spark, sf0001)
       .select(col("person_id")).as[Long].collect().toSet
