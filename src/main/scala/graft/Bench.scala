@@ -60,11 +60,15 @@ object Bench {
 
     // Fail fast on a malformed flag: a silent fallback to the default
     // tier would spend ~4 min and overwrite the sidecar instead of
-    // running the intended scale tier.
+    // running the intended scale tier. k must be a positive integer —
+    // '' and '0' pass a bare forall(isDigit) but crash later in
+    // replicate()'s empty reduce.
     require(!args.contains("--scale") || (
-      args.indexOf("--scale") + 1 < args.length &&
-        args(args.indexOf("--scale") + 1).forall(_.isDigit)),
-      s"usage: Bench [--scale k]; got: ${args.mkString(" ")}")
+      args.indexOf("--scale") + 1 < args.length && {
+        val k = args(args.indexOf("--scale") + 1)
+        k.nonEmpty && k.forall(_.isDigit) && k.toInt >= 1
+      }),
+      s"usage: Bench [--scale k] with k >= 1; got: ${args.mkString(" ")}")
     val scaleK = args.sliding(2).collectFirst { case Array("--scale", k) => k.toInt }
     scaleK match {
       case Some(k) => runScaleTier(spark, sfDir, k)
@@ -178,7 +182,29 @@ object Bench {
     val qs = results.map { case (n, t) => "\"" + n + "\":" + f(t.head) }
       .mkString("{", ",", "}")
     val total = results.map(_._2.head).sum
-    val line = s"""{"metric":"scale_total_of_mins","value":${f(total)},"unit":"sec","k":$k,"reps":$reps,"queries_stat":"min","queries":$qs,"base_sf":"$sfDir"}"""
+    // Gate against the RECORDED scale tier (the committed
+    // bench_scale.json from the previous round, same k): the ratio makes
+    // plan regressions visible where the sf0.1 default tier mostly
+    // measures the ~0.3-0.7 s job-launch floor. > 1 = slower than the
+    // recorded baseline; absent on a first run or a k mismatch.
+    val ratio =
+      try {
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "bench_scale.json"))
+        if (!java.nio.file.Files.exists(p)) ""
+        else {
+          val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val prevK = "\"k\":(\\d+)".r.findFirstMatchIn(prev).map(_.group(1).toInt)
+          val prevTotal = "\"value\":([0-9.]+)".r.findFirstMatchIn(prev)
+            .map(_.group(1).toDouble)
+          (prevK, prevTotal) match {
+            case (Some(pk), Some(pt)) if pk == k && pt > 0 =>
+              s""","scale_vs_baseline":${f(total / pt)}"""
+            case _ => ""
+          }
+        }
+      } catch { case _: Throwable => "" }
+    val line = s"""{"metric":"scale_total_of_mins","value":${f(total)},"unit":"sec","k":$k,"reps":$reps,"queries_stat":"min","queries":$qs$ratio,"base_sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "bench_scale.json")),
