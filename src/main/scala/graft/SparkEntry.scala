@@ -50,7 +50,9 @@ object SparkEntry {
     "q32_range" -> (Inventory.q32_range _),
     "q33_snb_thread" -> (Inventory.q33_snb_thread _),
     "q34_project" -> (Inventory.q34_project _),
-    "q35_where_step" -> (Inventory.q35_where_step _)) ++ Extensions.all
+    "q35_where_step" -> (Inventory.q35_where_step _),
+    "q36_snb_replies" -> (Inventory.q36_snb_replies _),
+    "q37_sack" -> (Inventory.q37_sack _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

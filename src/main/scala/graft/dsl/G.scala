@@ -761,6 +761,32 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   def withPath(): Step = copy(df = df.withColumn(PathCol,
     array(struct(col(GC.Label).as("label"), col(GC.Id).cast("bigint").as("id")))))
 
+  /** Gremlin `withSack(init)`: attach a per-traverser accumulator that
+    * rides every subsequent expansion/branch like `_path` and the
+    * `as()` captures (the inherited sack machinery,
+    * `pom.xml:19-27`). Splitting traversers (fan-out joins) COPY the
+    * sack — TinkerPop's default splitOperator — and each copy then
+    * accumulates independently. For exact aggregation downstream,
+    * initialize with a DECIMAL (the q15 rule), not a float. */
+  def withSack(init: Column): Step =
+    copy(df = df.withColumn(Step.SackCol, init))
+
+  /** Gremlin `sack(op).by(...)`: update each traverser's sack from its
+    * current position — `f` receives the sack column and may reference
+    * any frontier column (edge properties after `outE`/`inE`, vertex
+    * properties still carried). One projection, codegen'd; no shuffle. */
+  def modifySack(f: Column => Column): Step = {
+    require(df.columns.contains(Step.SackCol), "call withSack() before modifySack()")
+    copy(df = df.withColumn(Step.SackCol, f(col(Step.SackCol))))
+  }
+
+  /** Terminal Gremlin `sack()`: one row per traverser —
+    * `(label, id, sack)`. */
+  def sack(): DataFrame = {
+    require(df.columns.contains(Step.SackCol), "call withSack() before sack()")
+    df.select(col(GC.Label), col(GC.Id), col(Step.SackCol).as("sack"))
+  }
+
   /** The recorded paths (call after `withPath()` + expansions):
     * one row per traverser, `path` = the visited (label, id) chain. */
   def paths(): DataFrame = {
@@ -774,7 +800,8 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   private val PathCol = "_path"
   private val CapPrefix = "_as_"
   private def isCarried(c: String): Boolean =
-    c == PathCol || c == Step.DepthCol || c.startsWith(CapPrefix)
+    c == PathCol || c == Step.DepthCol || c == Step.SackCol ||
+      c.startsWith(CapPrefix)
 
   /** Merge capture registries from parallel branches: when BOTH sides
     * registered the same name, the label sets UNION — last-wins (the
@@ -831,6 +858,9 @@ object Step {
     * expansions (constant once emitted); a nested repeatEmit overwrites
     * it with its own depths. */
   val DepthCol = "_depth"
+
+  /** Per-traverser sack accumulator column ([[Step.withSack]]). */
+  val SackCol = "_sack"
 
   /** Unique suffix for internal origin captures — nested
     * optional/coalesce branches must not collide. Plan-construction

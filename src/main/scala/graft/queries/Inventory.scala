@@ -532,6 +532,49 @@ object Inventory {
       .limit(20)
   }
 
+  /** Q36: IC8-style "replies to your content" on the SNB fixture — the
+    * other direction of the thread surface: direct comments on Person
+    * 0's OWN posts, hydrated with the comment's `created` property and
+    * joined to the commenting person via the Comment→Person HAS_CREATOR
+    * edge (the spec q33 does not traverse). Top 20 by recency then
+    * comment id — the reference's IC8 ordering. */
+  def q36_snb_replies(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    val G = graft.dsl.G(Gp)
+    val replies = G.V("Person", 0L)
+      .in("HAS_CREATOR", "Post")
+      .in("REPLY_OF", "Comment").as("c")
+      .out("HAS_CREATOR", "Person")
+      .toDF
+      .select(col("_as_c").getField("id").as("comment_id"),
+        col(GC.Id).as("replier_id"))
+    Gp.hydrate(replies, "comment_id", "Comment", Seq("created"))
+      .select(col("comment_id"), col("replier_id"), col("created"))
+      .orderBy(desc("created"), asc("comment_id"))
+      .limit(20)
+  }
+
+  /** Q37: Gremlin `sack()` under the oracle — per-traverser accumulation
+    * along the hop chain: BUILDING customers carry a decimal sack
+    * through orders into CONTAINS edges, add each edge's quantity
+    * (`modifySack` over the edge-property frontier), and the sacks
+    * aggregate per origin customer. Decimal accumulation + final double
+    * cast (the q15 rule) keeps the hash bit-stable under any
+    * partitioning. */
+  def q37_sack(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    G.V("Customer").has("c_mktsegment", "BUILDING").as("c")
+      .withSack(lit(0).cast("decimal(18,2)"))
+      .in("PLACED_BY", "Order")
+      .outE("CONTAINS", "Part")
+      .modifySack(_ + col("l_quantity").cast("decimal(18,2)"))
+      .toDF
+      .groupBy(col("_as_c").getField("id").as("c_custkey"))
+      .agg(sum(col(graft.dsl.Step.SackCol)).cast("double").as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("c_custkey")
+  }
+
   /** Q34: Gremlin `project('a','b').by(subtraversal)` under the oracle —
     * per BUILDING customer, two scalar subqueries as ONE plan: the
     * order count (count projection over the PLACED_BY branch) and the

@@ -383,6 +383,35 @@ object Oracles {
        |ORDER BY n_replies DESC, max_depth DESC, post_id
        |LIMIT 20""".stripMargin
 
+  /** IC8-style replies: direct comments on Person 0's posts, replier
+    * re-derived from the generator arithmetic (creator = (31·cid+7) % N,
+    * created = 11·cid % 1000). */
+  val q36_snb_replies: String =
+    s"""WITH n AS (SELECT count(*) AS n FROM customer),
+       |$snbCommentCtes,
+       |myposts AS (SELECT CAST(o_orderkey AS BIGINT) AS post_id FROM orders
+       |            WHERE o_custkey = 0),
+       |direct AS (SELECT rp.cid FROM reply_post rp
+       |           JOIN myposts p ON rp.ok = p.post_id)
+       |SELECT d.cid AS comment_id, (31 * d.cid + 7) % n.n AS replier_id,
+       |       (d.cid * 11) % 1000 AS created
+       |FROM direct d, n
+       |ORDER BY created DESC, comment_id
+       |LIMIT 20""".stripMargin
+
+  /** sack accumulation as SQL: each traverser is one lineitem row of a
+    * BUILDING customer's orders; sack sum per customer = quantity sum. */
+  val q37_sack: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  count(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   /** project(count, value) as SQL: a grouped left join for the count
     * scalar, a dimension join for the value scalar. */
   val q34_project: String =
@@ -411,6 +440,8 @@ object Oracles {
       |ORDER BY c_custkey""".stripMargin
 
   val all: Map[String, String] = Map(
+    "q37_sack" -> q37_sack,
+    "q36_snb_replies" -> q36_snb_replies,
     "q35_where_step" -> q35_where_step,
     "q34_project" -> q34_project,
     "q33_snb_thread" -> q33_snb_thread,

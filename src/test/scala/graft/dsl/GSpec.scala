@@ -565,6 +565,28 @@ class GSpec extends SparkSpec {
     assert(oneHop.cyclicPath().count() == 0)
   }
 
+  test("sack copies on fan-out, accumulates per traverser, survives branches") {
+    // copy semantics: each of a customer's order-traversers gets its own
+    // sack copy, so after a fan-out every sack still holds the init value
+    val fanned = g.V("Customer").withSack(lit(7L)).in("PLACED_BY", "Order")
+    val sacks = fanned.sack().select($"sack".cast("long")).as[Long].collect()
+    assert(sacks.length == tbl("orders").count() && sacks.forall(_ == 7L))
+    // accumulation sees edge properties after outE; per-traverser sums
+    // match the SQL total (decimal-exact)
+    val total = g.V("Customer").withSack(lit(0).cast("decimal(18,2)"))
+      .in("PLACED_BY", "Order").outE("CONTAINS", "Part")
+      .modifySack(_ + $"l_quantity".cast("decimal(18,2)"))
+      .sack().agg(sum($"sack")).as[java.math.BigDecimal].head()
+    val want = tbl("lineitem")
+      .agg(sum($"l_quantity".cast("decimal(18,2)"))).as[java.math.BigDecimal].head()
+    assert(total == want)
+    // sack rides union branches like _path/captures
+    val viaUnion = g.V("Nation", 5L).withSack(lit(3L))
+      .union(_.in("IN_NATION", "Customer"), _.in("IN_NATION", "Supplier"))
+      .sack().select($"sack".cast("long")).as[Long].collect()
+    assert(viaUnion.nonEmpty && viaUnion.forall(_ == 3L))
+  }
+
   test("hasId rejects a multi-label frontier; hasElementId handles it") {
     val mixed = g.V("Nation").in("IN_NATION") // Customer ∪ Supplier
     assertThrows[IllegalArgumentException](mixed.hasId(5L))
