@@ -185,7 +185,28 @@ object ScaleProbe {
           .groupBy(col("_dst")).agg(count_distinct(col("f")).as("n_common"))
       })
 
-      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf,"neardup_blocked_s":$tNearDup,"pipeline_s":$tPipeline,"decontaminate_s":$tDecon,"packing_s":$tPack,"corpus_health_s":$tHealth,"snb_fof_s":$tSnbFof}""")
+      // SNB thread unroll (q33's shape) at k-times posts + reply trees
+      // over a FIXED person set: orders replicate with shifted
+      // o_orderkey but UNSHIFTED o_custkey (every replica post still
+      // belongs to a real person), lineitem with shifted l_orderkey
+      // (each replica order gets its own comment tree). Friends' post
+      // count and tree count grow k-fold; the superstep unroll should
+      // stay near-linear (each depth is one join against the
+      // materialized reply frame).
+      val tThread = time(noop {
+        val ordThread = rep(orders, Seq("o_orderkey"), k, 100000000L)
+        val g = graft.sources.GraphLoader.snbFromTables(
+          spark, customer, ordThread, liK, materializeComments = true)
+        graft.dsl.G(g).V("Person", 0L).both("KNOWS").dedup()
+          .in("HAS_CREATOR", "Post").as("p")
+          .repeatEmit(7, materialize = true)(_.in("REPLY_OF", "Comment"))
+          .toDF
+          .groupBy(col("_as_p").getField("id").as("post_id"))
+          .agg(count(lit(1)).as("n_replies"),
+            max(col(graft.dsl.Step.DepthCol)).as("max_depth"))
+      })
+
+      println(s"""{"probe":"scale","k":$k,"rows_lineitem":${liK.count()},"join_agg_s":$tJoin,"group_agg_s":$tAgg,"minhash_s":$tMinhash,"asof_s":$tAsof,"range_s":$tRange,"ivf_s":$tIvf,"neardup_blocked_s":$tNearDup,"pipeline_s":$tPipeline,"decontaminate_s":$tDecon,"packing_s":$tPack,"corpus_health_s":$tHealth,"snb_fof_s":$tSnbFof,"snb_thread_s":$tThread}""")
     }
     spark.stop()
   }

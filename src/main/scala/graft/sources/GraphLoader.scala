@@ -156,10 +156,20 @@ object GraphLoader {
     *   the right mode for thread-unroll workloads that traverse
     *   REPLY_OF repeatedly (q33); the default stays fully lazy. */
   def snb(spark: SparkSession, dir: String,
+      materializeComments: Boolean = false): PropertyGraph =
+    snbFromTables(spark,
+      spark.read.parquet(s"$dir/customer.parquet"),
+      spark.read.parquet(s"$dir/orders.parquet"),
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      materializeComments)
+
+  /** [[snb]] over explicit source frames — the ScaleProbe hook: scaling
+    * probes replicate orders/lineitem (k-times posts + reply trees per
+    * person) while keeping the person set fixed, which a directory-based
+    * loader cannot express. */
+  def snbFromTables(spark: SparkSession, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
       materializeComments: Boolean = false): PropertyGraph = {
-    val customer = spark.read.parquet(s"$dir/customer.parquet")
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
 
     val person = customer.select(
       col("c_custkey").cast("bigint").as(GC.Id),
