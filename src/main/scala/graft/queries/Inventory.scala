@@ -537,9 +537,18 @@ object Inventory {
     * 0's OWN posts, hydrated with the comment's `created` property and
     * joined to the commenting person via the Comment→Person HAS_CREATOR
     * edge (the spec q33 does not traverse). Top 20 by recency then
-    * comment id — the reference's IC8 ordering. */
+    * comment id — the reference's IC8 ordering.
+    *
+    * Same materialization discipline as q33 (`Inventory.scala`, q33 doc
+    * block): the ranked comment frame is checkpointed once so the two
+    * consumers here — the REPLY_OF expansion and the Comment hydrate —
+    * are projections of one materialized frame instead of each
+    * re-running the rank Window + parent self-join, and the 1-row
+    * person-count broadcast that seeds the generator never reaches the
+    * executed plan (PlanAuditSpec asserts zero Window nodes and no
+    * unlisted BroadcastNestedLoopJoin). */
   def q36_snb_replies(s: SparkSession, dir: String): DataFrame = {
-    val Gp = GraphLoader.snb(s, dir)
+    val Gp = GraphLoader.snb(s, dir, materializeComments = true)
     val G = graft.dsl.G(Gp)
     val replies = G.V("Person", 0L)
       .in("HAS_CREATOR", "Post")

@@ -182,11 +182,22 @@ object GraphLoader {
       col("o_orderdate").as("created"),
       col("o_totalprice").as("score"))
 
-    val nRow = broadcast(
-      customer.agg(count(lit(1)).as("_n")).withColumn("_one", lit(1)))
-    val knows = customer.select(col("c_custkey").cast("bigint").as("p"))
-      .withColumn("_one", lit(1))
-      .join(nRow, "_one")
+    // Person count feeding the `% _n` generator frames. Lazy mode
+    // broadcasts the 1-row aggregate — a bounded NLJ, whitelisted per
+    // consuming query (PlanAuditSpec). Materialized mode folds it to a
+    // literal instead: the construction already pays checkpoint actions,
+    // and a literal keeps every generator frame NLJ-free so the thread
+    // queries (q33/q36) plan pure projections of the checkpointed rank.
+    val addN: DataFrame => DataFrame =
+      if (materializeComments) {
+        val n = customer.count()
+        df => df.withColumn("_n", lit(n))
+      } else {
+        val nRow = broadcast(
+          customer.agg(count(lit(1)).as("_n")).withColumn("_one", lit(1)))
+        df => df.withColumn("_one", lit(1)).join(nRow, "_one")
+      }
+    val knows = addN(customer.select(col("c_custkey").cast("bigint").as("p")))
       .withColumn("d",
         when(col("p") % 97 === 0, lit(40L)).otherwise((col("p") * 13 + 7) % 5 + 1))
       .withColumn("k", explode(sequence(lit(1L), col("d"))))
@@ -235,8 +246,7 @@ object GraphLoader {
       if (materializeComments) replyOfCommentLazy.localCheckpoint()
       else replyOfCommentLazy
 
-    val commentCreator = ranked
-      .withColumn("_one", lit(1)).join(nRow, "_one")
+    val commentCreator = addN(ranked)
       .select(col("_cid").as(GC.Src),
         ((col("_cid") * 31 + 7) % col("_n")).as(GC.Dst))
 

@@ -136,6 +136,23 @@ class PlanAuditSpec extends SparkSpec {
       "REPLY_OF frames not materialized before the unroll")
   }
 
+  test("q36's reply plan computes the comment rank window ZERO times") {
+    // q36 consumes the ranked comment frame TWICE — once under the
+    // REPLY_OF expansion and once under the Comment hydrate. Without
+    // materialization each consumer re-runs the rank Window + parent
+    // self-join (the exact re-execution mode q33's doc block warns
+    // about), doubling the most expensive stage of the thread workload
+    // at scale. With materializeComments = true both consumers project
+    // from one checkpointed frame: zero Window nodes, and the 1-row
+    // person-count NLJ never reaches the executed plan either.
+    val df = SparkEntry.queries("q36_snb_replies")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"comment-rank window leaked into the q36 plan:\n${p.linesIterator.take(60).mkString("\n")}")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      "comment frames not materialized in q36")
+  }
+
   test("pipeline composition (e31) is one pruned plan end to end") {
     // The composed pipeline references `documents` in several subtrees
     // (dedup window, band self-join, Jaccard verify, survivor anti-join);
