@@ -28,14 +28,20 @@ object Bench {
   /** The scale-tier subset: the highest-cost query per operator family
     * (bulk load, SNB composite, LSH banding, exact-quadratic oracle twin,
     * composed near-dup, transitive clusters, five-stage pipeline,
-    * media IVF). The knows-graph queries (q25-q27, q29) are deliberately
-    * absent: GraphLoader.snb generates targets as `key % count`, which
-    * assumes contiguous person keys — the replica's shifted key space
-    * would make most generated edges dangle, so their timings would
-    * measure a broken graph, not the operators. */
+    * media IVF). */
   private val scaleQueries = Seq("q14_bulk_load", "q24_snb_composite",
     "e03_minhash_pairs", "e04_ngram_jaccard", "e17_near_dup_pipeline",
     "e29_dedup_clusters", "e31_pipeline", "e32_media_ivf")
+
+  /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
+    * replica (`$outDir/snb`, written by replicate via
+    * GraphLoader.snbReplicaTables): the generated graph computes targets
+    * as `key % count`, so the main replica's 1e8-shifted keys would
+    * dangle most edges and these timings would measure a broken graph.
+    * q25 covers the FoF fan-out family (q26/q27/q29 share its shape);
+    * q33 is the reply-tree unroll — the most expensive non-bulk query,
+    * which previously had no at-scale evidence. */
+  private val snbScaleQueries = Seq("q25_snb_fof", "q33_snb_thread")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,11 +69,11 @@ object Bench {
     // running the intended scale tier. k must be a positive integer —
     // '' and '0' pass a bare forall(isDigit) but crash later in
     // replicate()'s empty reduce.
+    // (toIntOption, not forall(isDigit) + toInt: an all-digit value past
+    // Int.MaxValue must hit this message, not a NumberFormatException.)
     require(!args.contains("--scale") || (
-      args.indexOf("--scale") + 1 < args.length && {
-        val k = args(args.indexOf("--scale") + 1)
-        k.nonEmpty && k.forall(_.isDigit) && k.toInt >= 1
-      }),
+      args.indexOf("--scale") + 1 < args.length &&
+        args(args.indexOf("--scale") + 1).toIntOption.exists(_ >= 1)),
       s"usage: Bench [--scale k] with k >= 1; got: ${args.mkString(" ")}")
     val scaleK = args.sliding(2).collectFirst { case Array("--scale", k) => k.toInt }
     scaleK match {
@@ -174,11 +180,34 @@ object Bench {
     }
   }
 
+  /** The committed previous-round bench_scale.json — the gate's
+    * baseline. Reading the mutable output file would let a same-round
+    * rerun ratchet against itself (advisor, round 7: the first `--scale`
+    * run overwrites the file the second one compares against, so a
+    * regression can read as an improvement). `HEAD:` is stable for the
+    * whole round; the on-disk file is only the non-git-checkout
+    * fallback. */
+  private def recordedScaleBaseline(path: String): Option[String] = {
+    val fromGit =
+      try {
+        val out = scala.sys.process.Process(Seq("git", "show", s"HEAD:$path")).!!
+        Option(out).map(_.trim).filter(_.nonEmpty)
+      } catch { case _: Throwable => None }
+    fromGit.orElse(
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p))
+          Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+        else None
+      } catch { case _: Throwable => None })
+  }
+
   private def runScaleTier(spark: SparkSession, sfDir: String, k: Int): Unit = {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_${k}x_${math.abs(sfDir.hashCode)}"
     replicate(spark, sfDir, outDir, k)
-    val results = timeQueries(spark, outDir, scaleQueries, reps)
+    val results = (timeQueries(spark, outDir, scaleQueries, reps) ++
+      timeQueries(spark, s"$outDir/snb", snbScaleQueries, reps)).sortBy(_._1)
     val qs = results.map { case (n, t) => "\"" + n + "\":" + f(t.head) }
       .mkString("{", ",", "}")
     val total = results.map(_._2.head).sum
@@ -186,23 +215,26 @@ object Bench {
     // bench_scale.json from the previous round, same k): the ratio makes
     // plan regressions visible where the sf0.1 default tier mostly
     // measures the ~0.3-0.7 s job-launch floor. > 1 = slower than the
-    // recorded baseline; absent on a first run or a k mismatch.
+    // recorded baseline; absent on a first run or a k mismatch. The
+    // ratio is computed over the queries BOTH runs timed (and records
+    // the comparand), so adding a query to the subset can't skew it.
     val ratio =
       try {
-        val p = java.nio.file.Paths.get(
+        recordedScaleBaseline(
           sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "bench_scale.json"))
-        if (!java.nio.file.Files.exists(p)) ""
-        else {
-          val prev = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          val prevK = "\"k\":(\\d+)".r.findFirstMatchIn(prev).map(_.group(1).toInt)
-          val prevTotal = "\"value\":([0-9.]+)".r.findFirstMatchIn(prev)
-            .map(_.group(1).toDouble)
-          (prevK, prevTotal) match {
-            case (Some(pk), Some(pt)) if pk == k && pt > 0 =>
-              s""","scale_vs_baseline":${f(total / pt)}"""
-            case _ => ""
-          }
-        }
+          .flatMap { prev =>
+            val prevK = "\"k\":(\\d+)".r.findFirstMatchIn(prev).map(_.group(1).toInt)
+            val prevQs = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(prev)
+              .map(_.group(1)).getOrElse("")
+            val prevTimes = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r
+              .findAllMatchIn(prevQs)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            val shared = results.collect {
+              case (n, t) if prevTimes.contains(n) => (t.head, prevTimes(n)) }
+            val prevSum = shared.map(_._2).sum
+            if (!prevK.contains(k) || shared.isEmpty || prevSum <= 0) None
+            else Some(s""","scale_vs_baseline":${f(shared.map(_._1).sum / prevSum)},"baseline_total":${f(prevSum)},"baseline_shared":${shared.size}""")
+          }.getOrElse("")
       } catch { case _: Throwable => "" }
     val line = s"""{"metric":"scale_total_of_mins","value":${f(total)},"unit":"sec","k":$k,"reps":$reps,"queries_stat":"min","queries":$qs$ratio,"base_sf":"$sfDir"}"""
     println(line)
@@ -251,6 +283,14 @@ object Bench {
     rep("part", Seq("p_partkey"))
     rep("orders", Seq("o_orderkey", "o_custkey"))
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    // The SNB queries need CONTIGUOUS person keys (the generated graph's
+    // `% count` arithmetic) — a separate replica under $outDir/snb via
+    // GraphLoader.snbReplicaTables, read only by snbScaleQueries.
+    locally {
+      val (cS, oS, lS) = graft.sources.GraphLoader.snbReplicaTables(
+        read("customer"), read("orders"), read("lineitem"), k)
+      write(cS, "snb/customer"); write(oS, "snb/orders"); write(lS, "snb/lineitem")
+    }
     // events deliberately NOT replicated: no scaleQueries entry reads it
     // (an events query added to the subset will fail loudly on the
     // missing file rather than silently time a stale copy)

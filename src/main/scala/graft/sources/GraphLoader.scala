@@ -163,13 +163,47 @@ object GraphLoader {
       spark.read.parquet(s"$dir/lineitem.parquet"),
       materializeComments)
 
+  /** Contiguous-keyspace k-times replica of the SNB source frames — the
+    * scale-tier twin of Bench.replicate's shifted-key scheme, which the
+    * generated graph cannot use: the knows and comment-creator frames
+    * compute their targets as `key % count`, so person ids must stay
+    * contiguous in [0, n) or most generated edges dangle. Replica
+    * persons therefore take ids `i*n0 + key` (the ScaleProbe FoF
+    * discipline, BASELINE.md round 6), posts shift by 1e8 per replica
+    * with their creator re-pointed into the replica person space, and
+    * lineitem follows its order so each replica post carries its own
+    * reply tree. Supernode population (`p % 97 == 0`) and the degree mix
+    * grow WITH the graph. One count action (n0) per call — replica
+    * construction is a bench/dev tier, not a query path. */
+  def snbReplicaTables(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, k: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(k >= 1, s"replica factor must be >= 1, got $k")
+    if (k == 1) (customer, orders, lineitem) else {
+      val n0 = customer.count()
+      val S = 100000000L
+      def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until k).map(i => f(df, i)).reduce(_.unionByName(_))
+      (rep(customer)((d, i) =>
+          d.withColumn("c_custkey", col("c_custkey") + lit(i * n0))),
+        rep(orders)((d, i) => d
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * S))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * n0))),
+        rep(lineitem)((d, i) =>
+          d.withColumn("l_orderkey", col("l_orderkey") + lit(i * S))))
+    }
+  }
+
   /** [[snb]] over explicit source frames — the ScaleProbe hook: scaling
     * probes replicate orders/lineitem (k-times posts + reply trees per
     * person) while keeping the person set fixed, which a directory-based
-    * loader cannot express. */
-  def snbFromTables(spark: SparkSession, customer: DataFrame,
-      orders: DataFrame, lineitem: DataFrame,
-      materializeComments: Boolean = false): PropertyGraph = {
+    * loader cannot express. `replicas > 1` applies [[snbReplicaTables]]
+    * first — the contiguous-keyspace growth mode for whole-graph scale
+    * runs. */
+  def snbFromTables(spark: SparkSession, customer0: DataFrame,
+      orders0: DataFrame, lineitem0: DataFrame,
+      materializeComments: Boolean = false, replicas: Int = 1): PropertyGraph = {
+    val (customer, orders, lineitem) =
+      snbReplicaTables(customer0, orders0, lineitem0, replicas)
 
     val person = customer.select(
       col("c_custkey").cast("bigint").as(GC.Id),
