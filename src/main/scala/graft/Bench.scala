@@ -101,7 +101,10 @@ object Bench {
       name -> Seq.fill(reps)(once()).sorted
     }
 
-  private def f(d: Double) = "%.3f".format(d)
+  // Locale.ROOT: a comma-decimal default locale would break the JSON
+  // artifacts (ADVICE round 7, flagged on Throughput — same class here)
+  private def f(d: Double) =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
   private def runDefault(spark: SparkSession, sfDir: String): Unit = {
     // Every query gets one UNTIMED warm-up run (absorbing per-query
@@ -128,9 +131,16 @@ object Bench {
     // external load. `median_total` rides along for spread visibility.
     // Two decimals per query (the sidecar keeps 6): with 68 queries the
     // 3-decimal line hit 1799 B of the driver's 2000 B tail capture.
-    val qs = results.map { case (k, t) =>
-      "\"" + k + "\":" + "%.2f".format(t.head)
-    }.mkString("{", ",", "}")
+    // trailing zeros trimmed (0.40 -> 0.4, 5.00 -> 5): with 79 queries
+    // the fixed-width line crossed the 1900 B safety margin of the
+    // driver's 2000 B tail capture
+    def f2(d: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
+    val qs = results.map { case (k, t) => "\"" + k + "\":" + f2(t.head) }
+      .mkString("{", ",", "}")
     val total = results.map { case (_, t) => t.head }.sum
     val medianTotal = results.map { case (_, t) => t(t.size / 2) }.sum
     // Sidecar: per-query latency distribution, mirroring the reference's
@@ -140,7 +150,7 @@ object Bench {
     // min/median/max are emitted.
     def pct(t: Seq[Double], p: Int): Double =
       t(math.min(t.size - 1, math.ceil(p / 100.0 * t.size).toInt - 1).max(0))
-    def f6(d: Double) = "%.6f".format(d)
+    def f6(d: Double) = String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
     val spread = results.map { case (k, t) =>
       val base = Seq(
         "\"min\":" + f6(t.head), "\"median\":" + f6(t(t.size / 2)),
@@ -156,7 +166,12 @@ object Bench {
     // median_total lives in the SIDECAR only: every ~22 B on this line
     // is a query we can't add before overflowing the driver's 2000 B
     // tail capture (the per-query medians are in the spread anyway).
-    val line = s"""{"metric":"total_of_mins","value":${f(total)},"unit":"sec","reps":$reps,"queries_stat":"min","queries":$qs,"sf":"$sfDir"}"""
+    // basename only: the full fixture path spent 15 B of the tail budget
+    // on information the driver already records itself. reps and
+    // queries_stat (the per-query statistic tag, min since round 5)
+    // live in the SIDECAR now for the same reason — the stdout line
+    // keeps only what the driver's artifact needs.
+    val line = s"""{"metric":"total_of_mins","value":${f(total)},"unit":"sec","queries":$qs,"sf":"${sfDir.split('/').last}"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} B exceeds the driver's tail capture budget")
     // Print the driver's artifact FIRST: the sidecar write can throw on a
@@ -174,7 +189,7 @@ object Bench {
       } catch { case _: Throwable => "" }
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_SPREAD_FILE", "bench_spread.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
-      s"""{"reps":$reps,"sf":"$sfDir","median_total":${f(medianTotal)},"spread":$spread$scalePart}""".getBytes("UTF-8"))
+      s"""{"reps":$reps,"queries_stat":"min","sf":"$sfDir","median_total":${f(medianTotal)},"spread":$spread$scalePart}""".getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARNING: sidecar write failed (${e.getMessage}) — spread lost, stdout line already emitted")
     }

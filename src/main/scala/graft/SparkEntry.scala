@@ -52,7 +52,9 @@ object SparkEntry {
     "q34_project" -> (Inventory.q34_project _),
     "q35_where_step" -> (Inventory.q35_where_step _),
     "q36_snb_replies" -> (Inventory.q36_snb_replies _),
-    "q37_sack" -> (Inventory.q37_sack _)) ++ Extensions.all
+    "q37_sack" -> (Inventory.q37_sack _),
+    "q38_match" -> (Inventory.q38_match _),
+    "q39_aggregate" -> (Inventory.q39_aggregate _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

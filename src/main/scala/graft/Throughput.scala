@@ -64,7 +64,11 @@ object Throughput {
       val totalOps = done.get()
       if (totalOps != n.toLong * opsPerSession)
         System.err.println(s"[throughput] WARNING: ${n.toLong * opsPerSession - totalOps} ops did not complete")
-      println(f"""{"probe":"throughput","sessions":$n,"ops":$totalOps,"secs":$secs%.3f,"ops_per_sec":${totalOps / secs}%.1f}""")
+      // Locale.ROOT: a comma-decimal default locale (de_DE) would emit
+      // 1,23 and break the JSON artifact (ADVICE round 7)
+      def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      def d1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      println(s"""{"probe":"throughput","sessions":$n,"ops":$totalOps,"secs":${d3(secs)},"ops_per_sec":${d1(totalOps / secs)}}""")
       import scala.jdk.CollectionConverters._
       lats.asScala.toSeq.groupBy(_._1).toSeq.sortBy(_._1).foreach {
         case (opClass, rows) => println(percentileLine(n, opClass, rows.map(_._2)))
@@ -82,7 +86,8 @@ object Throughput {
     val t = raw.sorted
     def pct(p: Int): Double =
       t(math.min(t.size - 1, math.max(0, math.ceil(p / 100.0 * t.size).toInt - 1)))
-    def ms(d: Double) = "%.2f".format(d * 1000)
+    def ms(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d * 1000))
     val stats = Seq(
       "\"n\":" + t.size,
       "\"min_ms\":" + ms(t.head),

@@ -54,7 +54,8 @@ final case class G(graph: PropertyGraph) {
 }
 
 final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
-    captures: Map[String, Seq[String]] = Map.empty) {
+    captures: Map[String, Seq[String]] = Map.empty,
+    sideEffects: Map[String, (DataFrame, Seq[String])] = Map.empty) {
 
   /** Filter on a vertex property — Gremlin `has(key, value)`. */
   def has(key: String, value: Any): Step = has(col(key) === lit(value))
@@ -67,27 +68,47 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   def has(cond: Column): Step = {
     // Fast path: the step still carries the property columns (fresh
     // V(label) scan) — filter in place, no join; Catalyst pushes the
-    // predicate into the scan.
-    val direct = scala.util.Try(df.filter(cond).schema).toOption
-      .map(_ => copy(df = df.filter(cond)))
-    direct.getOrElse {
+    // predicate into the scan. Applicability is decided by REFERENCE
+    // INSPECTION (unresolvableRefs), never by constructing a Dataset
+    // whose analysis fails: a failed probe is not free — Spark hands
+    // the failed QueryExecution to the session's listener bus, and once
+    // any Observation has registered its listener (the dedup-cluster
+    // loop does), every failed probe logs a full ERROR stack trace
+    // (the round-7 bench-tail noise).
+    if (unresolvableRefs(cond, df.columns.toSeq).isEmpty) copy(df = df.filter(cond))
+    else {
       // Carried columns (`_path`, `_as_` captures) must survive the
       // hydration join — dropping them here would break a later
       // select()/paths() and the optional/coalesce origin tracking.
       val keepCols = Seq(GC.Id, GC.Label) ++ df.columns.filter(isCarried)
-      val attempts = labels.map { l =>
-        val v = graph.vertices(l)
-        val proj = v.withColumnRenamed(GC.Id, "_hid")
-        val sub = df.select(keepCols.map(col): _*).where(col(GC.Label) === l)
-        val joined = sub.join(proj, sub(GC.Id) === proj("_hid")).where(cond)
-          .select(keepCols.map(c => sub(c)): _*)
-        // Analysis check: does this label's schema resolve the predicate?
-        val ok = scala.util.Try(joined.schema).isSuccess
-        (l, joined, ok)
+      val attempts = labels.flatMap { l =>
+        val proj = graph.vertices(l).withColumnRenamed(GC.Id, "_hid")
+        // Applicability per label: does this label's schema (plus the
+        // carried columns) resolve every reference?
+        if (unresolvableRefs(cond, keepCols ++ proj.columns).nonEmpty) None
+        else {
+          val sub = df.select(keepCols.map(col): _*).where(col(GC.Label) === l)
+          Some((l, sub.join(proj, sub(GC.Id) === proj("_hid")).where(cond)
+            .select(keepCols.map(c => sub(c)): _*)))
+        }
       }
-      val kept = attempts.filter(_._3)
-      copy(df = nonEmptyUnion(kept.map(_._2)), labels = kept.map(_._1))
+      copy(df = nonEmptyUnion(attempts.map(_._2)), labels = attempts.map(_._1))
     }
+  }
+
+  /** Names `cond` references that are not in `columns` — the
+    * pre-analysis applicability check behind [[has]] (same mechanism as
+    * [[partitionByPredicate]]). Struct-field access (`col("x").getField`
+    * or a dotted name) resolves on the root name; the check is
+    * case-insensitive like Spark's default analysis. */
+  private def unresolvableRefs(cond: Column, columns: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    val have = columns.map(_.toLowerCase).toSet
+    org.apache.spark.sql.GraftSqlShims.catalystExpression(cond).collect {
+      case ua: UnresolvedAttribute => ua.nameParts.head
+      case a: Attribute => a.name
+    }.distinct.filterNot(n => have.contains(n.toLowerCase))
   }
 
   /** Mid-chain id filter — Gremlin `hasId(ids...)`: keep only frontier
@@ -358,6 +379,58 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     copy(df = exited, labels = exitLabels.toSeq.sorted, captures = exitCaptures)
   }
 
+  /** Combined `repeat(hop).emit([emitPred]).until(untilPred)` — BOTH
+    * modulators on one repeat, which Gremlin allows and the
+    * single-modulator forms ([[repeatEmit]], [[repeatUntil]]) cannot
+    * compose. Do/while placement like [[repeatUntil]]: after each hop,
+    * traversers satisfying `untilPred` EXIT into the result; of the
+    * rest, those matching `emitPred` (ALL of them when null — plain
+    * `emit()`) output a COPY and keep hopping — TinkerPop's rule that
+    * until wins when both fire, so nothing outputs twice at one depth.
+    * Every output row carries its depth ([[Step.DepthCol]]); traversers
+    * still looping at `maxIter` are dropped, like [[repeatUntil]].
+    * Both predicates hydrate per label ([[repeatUntil]]'s rules).
+    *
+    * Superstep loop — one `localCheckpoint` + emptiness action per
+    * level ([[repeatEmit]]'s materialize discipline): only the looping
+    * remainder is checkpointed; the per-depth exit/emit frames are lazy
+    * projections OVER the previous level's checkpoint, so lineage stays
+    * linear and each expansion executes exactly once. */
+  def repeatEmitUntil(untilPred: Column, maxIter: Int = 20,
+      emitInitial: Boolean = false, emitPred: Column = null)(
+      hop: Step => Step): Step = {
+    require(maxIter >= 1, s"repeatEmitUntil needs maxIter >= 1, got $maxIter")
+    val outs = Seq.newBuilder[DataFrame]
+    var outLabels = Set.empty[String]
+    var outCaptures = captures
+    var cur = this
+    if (emitInitial) {
+      val e0 = if (emitPred == null) df else partitionByPredicate(emitPred)._1
+      outs += e0.withColumn(Step.DepthCol, lit(0))
+      outLabels ++= labels
+    }
+    var d = 1
+    var drained = false
+    while (!drained && d <= maxIter) {
+      val next = hop(cur)
+      val (exit, stay) = next.partitionByPredicate(untilPred)
+      val emitted =
+        if (emitPred == null) stay
+        else next.copy(df = stay).partitionByPredicate(emitPred)._1
+      outs += exit.withColumn(Step.DepthCol, lit(d))
+      outs += emitted.withColumn(Step.DepthCol, lit(d))
+      outLabels ++= next.labels
+      outCaptures = mergeCaptures(outCaptures, next.captures)
+      val stayCk = stay.localCheckpoint()
+      drained = stayCk.isEmpty
+      cur = next.copy(df = stayCk)
+      d += 1
+    }
+    copy(
+      df = outs.result().reduce(_.unionByName(_, allowMissingColumns = true)),
+      labels = outLabels.toSeq.sorted, captures = outCaptures)
+  }
+
   /** Split the frontier by a predicate: (rows satisfying, rows not —
     * including null evaluations and rows of labels whose schema cannot
     * resolve a referenced property). Referenced columns the frontier
@@ -428,6 +501,20 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     val withKey = withKeyColumn(key)
     val k = if (ascending) col(key).asc else col(key).desc
     copy(df = withKey.orderBy(k, col(GC.Label).asc, col(GC.Id).asc))
+  }
+
+  /** Gremlin multi-key `order().by(a).by(b)...` — each `(key, asc)`
+    * pair is one `by()` modulator, compared in order before the same
+    * deterministic (label, id) tie-break as the single-key form. Keys
+    * are hydrated per label exactly like [[orderBy]] (one back-join per
+    * key the frontier no longer carries). */
+  def orderBy(keys: (String, Boolean)*): Step = {
+    require(keys.nonEmpty, "orderBy needs at least one (key, ascending) pair")
+    val hydrated = keys.map(_._1).distinct
+      .foldLeft(this)((s, k) => s.copy(df = s.withKeyColumn(k)))
+    val order = keys.map { case (k, asc) => if (asc) col(k).asc else col(k).desc } ++
+      Seq(col(GC.Label).asc, col(GC.Id).asc)
+    copy(df = hydrated.df.orderBy(order: _*))
   }
 
   /** The frontier with `key` available as a column: as-is when still
@@ -534,8 +621,9 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     * BranchAlgebraSpec law). The traversal-valued filter form the
     * reference inherits from gremlin-core (`where(out("X"))`,
     * pom.xml:19-27). Carried columns and multiplicity of the surviving
-    * input rows are untouched; [[branchSplit]]'s double-execution cost
-    * note applies. */
+    * input rows are untouched. The branch executes exactly ONCE (its
+    * covered-origin set feeds one semi-join) — unlike [[optional]] /
+    * [[choose]], which pay [[branchSplit]]'s double execution. */
   def where(branch: Step => Step): Step =
     copy(df = df.join(coveredOrigins(branch), Seq(GC.Id, GC.Label), "left_semi"))
 
@@ -580,9 +668,11 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     * frontier ordered by (label, id, fingerprint): duplicate (label, id)
     * rows with different carried values (captures, paths, edge
     * properties) tie-break on an xxhash64 fingerprint of the remaining
-    * columns — a cheap fixed-width sort key that works for ANY carried
-    * column type (sorting by the columns themselves would reject
-    * unorderable types and drag wide payloads through the top-k
+    * columns — a cheap fixed-width sort key that works for carried
+    * columns of any hashable type, i.e. everything the DSL itself
+    * carries; a user-added MapType column is rejected by xxhash64 (and
+    * by exceptAll) at analysis (sorting by the columns themselves would
+    * reject unorderable types and drag wide payloads through the top-k
     * comparator). `limit(n)` == `range(0, n)`.
     *
     * Both bounds are distributed top-k sorts (TakeOrdered — no window,
@@ -597,7 +687,9 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   def range(lo: Int, hi: Int): Step = {
     require(0 <= lo && lo <= hi, s"range needs 0 <= lo <= hi, got [$lo, $hi)")
     val rest = df.columns.filterNot(c => c == GC.Label || c == GC.Id).sorted
-    val fp = "_fp"
+    // collision-proof temp name: a carried column literally named "_fp"
+    // must not be overwritten by the fingerprint (it is a payload)
+    val fp = s"_fp${Step.nextBranchTag()}"
     val keyed =
       if (rest.isEmpty) df.withColumn(fp, lit(0L))
       else df.withColumn(fp, xxhash64(rest.map(col): _*))
@@ -656,6 +748,49 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     branch(tagged).df.select(
       col(cap).getField("id").as(GC.Id),
       col(cap).getField("label").as(GC.Label)).distinct()
+  }
+
+  /** Gremlin `match(pattern...)` — the declarative pattern-matching
+    * step from the inherited step library (`pom.xml:19-27`). Each
+    * [[MatchPattern]] names its start and end variable and the
+    * traversal between them; a solution is an assignment of graph
+    * elements to variables satisfying EVERY pattern. This step's
+    * frontier seeds `seedVar`. Returns one `struct<label, id>` column
+    * per variable, one row per DISTINCT solution (TinkerPop's solver
+    * semantics, computed as the natural join of per-pattern binding
+    * frames instead of its per-traverser enumerator — each pattern is
+    * ONE subplan seeded from the candidates bound so far, and Catalyst
+    * orders/broadcasts the joins).
+    *
+    * Patterns must be listed so each one's start variable is already
+    * bound (by the seed or an earlier pattern's end) — the explicit
+    * form of the ordering TinkerPop's match solver infers. A pattern
+    * whose END variable is also already bound closes a cycle: the join
+    * keeps only solutions where both bindings agree. */
+  def matchAll(seedVar: String, patterns: MatchPattern*): DataFrame = {
+    require(patterns.nonEmpty, "match needs at least one pattern")
+    def element = struct(col(GC.Label).as("label"), col(GC.Id).cast("bigint").as("id"))
+    var bound = Map(seedVar -> labels)
+    var solutions = df.select(element.as(seedVar)).distinct()
+    patterns.foreach { p =>
+      require(bound.contains(p.from),
+        s"match pattern '${p.from}'->'${p.to}': start variable '${p.from}' " +
+          "is unbound — order patterns so each start is the seed or an " +
+          "earlier pattern's end")
+      val cap = s"${CapPrefix}__match${Step.nextBranchTag()}"
+      val seed = solutions
+        .select(col(p.from).getField("id").as(GC.Id),
+          col(p.from).getField("label").as(GC.Label))
+        .distinct()
+      val tagged = Step(graph, seed.withColumn(cap, element), bound(p.from))
+      val out = p.branch(tagged)
+      val pairs = out.df.select(col(cap).as(p.from), element.as(p.to)).distinct()
+      solutions = solutions.join(pairs,
+        solutions.columns.intersect(pairs.columns).toSeq)
+      bound += (p.to ->
+        (bound.getOrElse(p.to, Seq.empty) ++ out.labels).distinct.sorted)
+    }
+    solutions
   }
 
   /** Gremlin `valueMap(keys...)`-style projection: (label, id, keys...)
@@ -755,6 +890,85 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
           .as("members"),
         org.apache.spark.sql.functions.count(lit(1)).as("n"))
 
+  /** Gremlin `aggregate(key)` — the eager barrier collect from the
+    * inherited side-effect step library (`pom.xml:19-27`): register the
+    * frontier's DISTINCT elements as the side-effect collection `key`,
+    * then continue unchanged. The collection stays a DataFrame — when a
+    * later [[whereWithin]]/[[whereWithout]] consumes it, the filter is
+    * one (broadcastable when small) semi-join in the SAME plan, never a
+    * driver-side materialization. Registrations ride the main chain;
+    * one made inside a union/coalesce/optional branch is local to that
+    * branch. */
+  def aggregate(key: String): Step =
+    copy(sideEffects = sideEffects + (key ->
+      (df.select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label),
+        labels)))
+
+  /** Gremlin `store(key)` — TinkerPop's LAZY variant of [[aggregate]].
+    * In a lazy plan builder the distinction vanishes: every consumer
+    * sees the complete collection at action time either way, so this is
+    * an alias kept for API parity. */
+  def store(key: String): Step = aggregate(key)
+
+  /** Gremlin `cap(key)`: continue FROM the side-effect collection — its
+    * elements become the frontier (the `cap("x").unfold()` idiom in one
+    * step). Carried columns and captures of the abandoned position
+    * drop; registered side effects stay in scope. */
+  def cap(key: String): Step = {
+    val (set, ls) = namedSideEffect(key)
+    copy(df = set, labels = ls)
+  }
+
+  /** The side-effect collection registered under `key`, as a
+    * (id, label) DataFrame — the cross-traversal hook: pass it to
+    * another chain's [[whereWithin]]/[[whereWithout]] (Gremlin reuses
+    * collections across traversals through the bound variable). */
+  def sideEffect(key: String): DataFrame = namedSideEffect(key)._1
+
+  /** Gremlin `where(within(key))`: keep traversers whose CURRENT element
+    * is in the side-effect collection — one semi-join. */
+  def whereWithin(key: String): Step = whereWithin(sideEffect(key))
+
+  /** [[whereWithin]] over an explicit element set (a [[sideEffect]]
+    * from another traversal, or any (id, label) frame). */
+  def whereWithin(set: DataFrame): Step =
+    copy(df = df.join(
+      set.select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label),
+      Seq(GC.Id, GC.Label), "left_semi"))
+
+  /** Gremlin `where(without(key))`: the anti twin of [[whereWithin]]. */
+  def whereWithout(key: String): Step = whereWithout(sideEffect(key))
+
+  /** [[whereWithout]] over an explicit element set. */
+  def whereWithout(set: DataFrame): Step =
+    copy(df = df.join(
+      set.select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label),
+      Seq(GC.Id, GC.Label), "left_anti"))
+
+  private def namedSideEffect(key: String): (DataFrame, Seq[String]) = {
+    require(sideEffects.contains(key),
+      s"""no aggregate("$key")/store("$key") in scope""")
+    sideEffects(key)
+  }
+
+  /** Gremlin `tree()` (side-effect barrier over recorded paths): the
+    * traversal tree in RELATIONAL form — one row per observed
+    * parent→child step across all paths, tagged with its depth (the
+    * root edge is depth 0) and the number of traversers that walked it.
+    * TinkerPop returns a nested driver-side map; the edge-set form is
+    * the same information kept distributed (group by `parent` to
+    * recover children lists). Requires [[withPath]]. */
+  def tree(): DataFrame = {
+    require(df.columns.contains(PathCol), "call withPath() before tree()")
+    val parents = slice(col(PathCol), lit(1), size(col(PathCol)) - 1)
+    val children = slice(col(PathCol), lit(2), size(col(PathCol)) - 1)
+    df.select(posexplode(zip_with(parents, children,
+        (p, c) => struct(p.as("parent"), c.as("child")))))
+      .groupBy(col("pos").as("depth"), col("col.parent").as("parent"),
+        col("col.child").as("child"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_traversers"))
+  }
+
   /** Start recording traversal paths — Gremlin `path()` needs every step
     * from here on to carry its history. The path is a
     * `array<struct<label, id>>` column maintained by each expansion. */
@@ -823,6 +1037,11 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     if (parts.isEmpty) empty
     else parts.reduce(_.unionByName(_))
 }
+
+/** One pattern of [[Step.matchAll]] — Gremlin
+  * `as(from).<traversal>.as(to)` inside `match()`: `branch` is the
+  * traversal between the two variables. */
+final case class MatchPattern(from: String, to: String, branch: Step => Step)
 
 /** One projected field of [[Step.project]] — a Gremlin `by(subtraversal)`
   * modulator: run `branch` from each origin element and reduce its output

@@ -615,6 +615,47 @@ object Inventory {
       .orderBy("c_custkey")
   }
 
+  /** Q38: Gremlin `match()` under the oracle — the declarative
+    * pattern-matching step from the inherited step library
+    * (`/root/reference/pom.xml:19-27`), in an IC5 shape (friends and
+    * their content volume) as two patterns over the SNB fixture:
+    * `(a)-KNOWS-(b)`, `(b)<-HAS_CREATOR-(p)`, seeded at Person 0.
+    * Solutions are DISTINCT (a, b, p) assignments — the natural join of
+    * the two per-pattern binding frames — and the aggregation counts
+    * posts per friend. Friends with no posts have no solution (match
+    * semantics; the SQL twin's inner join). */
+  def q38_match(s: SparkSession, dir: String): DataFrame = {
+    import graft.dsl.MatchPattern
+    val G = graft.dsl.G(GraphLoader.snb(s, dir))
+    G.V("Person", 0L).matchAll("a",
+        MatchPattern("a", "b", _.both("KNOWS")),
+        MatchPattern("b", "p", _.in("HAS_CREATOR", "Post")))
+      .groupBy(col("b").getField("id").as("person_id"))
+      .agg(count(lit(1)).as("n_posts"))
+      .orderBy(desc("n_posts"), asc("person_id"))
+      .limit(20)
+  }
+
+  /** Q39: the side-effect collection steps under the oracle —
+    * `aggregate()` collects the nations of high-balance BUILDING
+    * customers into a named set (a DataFrame, so the later membership
+    * filter is ONE semi-join in the final plan — never a driver
+    * materialization), and a second traversal keeps suppliers whose
+    * nation is `within()` it, jumping back to the supplier via the
+    * `as`/`select` capture. The inherited side-effect filter idiom
+    * (`aggregate("x") ... where(within("x"))`, pom.xml:19-27). */
+  def q39_aggregate(s: SparkSession, dir: String): DataFrame = {
+    val G = graft.dsl.G(g(s, dir))
+    val buildingNations = G.V("Customer")
+      .has("c_mktsegment", "BUILDING").has(col("c_acctbal") > 9900)
+      .out("IN_NATION", "Nation").aggregate("bn").sideEffect("bn")
+    G.V("Supplier").as("s")
+      .out("IN_NATION", "Nation").whereWithin(buildingNations)
+      .select("s")
+      .toDF.select(col(GC.Id).as("s_suppkey"))
+      .orderBy("s_suppkey")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

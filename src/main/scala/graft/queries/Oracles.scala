@@ -432,6 +432,27 @@ object Oracles {
       |   WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 300000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** match() as SQL: the two pattern binding frames are the knows CTE
+    * (seeded at person 0) and the creator join; the natural join on the
+    * shared variable b is the DISTINCT friend set joined to orders. */
+  val q38_match: String =
+    s"""WITH $snbKnowsCtes,
+       |direct AS (SELECT DISTINCT dst AS f FROM uk WHERE src = 0)
+       |SELECT d.f AS person_id, count(*) AS n_posts
+       |FROM direct d JOIN orders o ON o.o_custkey = d.f
+       |GROUP BY d.f
+       |ORDER BY n_posts DESC, person_id
+       |LIMIT 20""".stripMargin
+
+  /** aggregate() + where(within()) as SQL: the side-effect set is the
+    * IN-subquery, the membership filter a semi-join. */
+  val q39_aggregate: String =
+    """SELECT s_suppkey FROM supplier
+      |WHERE s_nationkey IN
+      |  (SELECT c_nationkey FROM customer
+      |   WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900)
+      |ORDER BY s_suppkey""".stripMargin
+
   /** range(100, 120) as SQL: ORDER BY + OFFSET/LIMIT on the same key. */
   val q32_range: String =
     """SELECT c_custkey FROM (
@@ -440,6 +461,8 @@ object Oracles {
       |ORDER BY c_custkey""".stripMargin
 
   val all: Map[String, String] = Map(
+    "q39_aggregate" -> q39_aggregate,
+    "q38_match" -> q38_match,
     "q37_sack" -> q37_sack,
     "q36_snb_replies" -> q36_snb_replies,
     "q35_where_step" -> q35_where_step,

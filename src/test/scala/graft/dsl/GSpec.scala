@@ -587,6 +587,112 @@ class GSpec extends SparkSpec {
     assert(viaUnion.nonEmpty && viaUnion.forall(_ == 3L))
   }
 
+  test("matchAll == hand-composed as/select join (law); unbound start rejected") {
+    val seed = g.V("Customer").has("c_mktsegment", "BUILDING")
+    val viaMatch = seed.matchAll("c",
+      MatchPattern("c", "o", _.in("PLACED_BY", "Order")),
+      MatchPattern("c", "n", _.out("IN_NATION", "Nation")))
+    val hand = seed.as("c").in("PLACED_BY", "Order").as("o")
+      .select("c").out("IN_NATION", "Nation").as("n")
+      .select("c", "o", "n").distinct()
+    val m = viaMatch.select("c", "o", "n")
+    assert(m.exceptAll(hand).isEmpty && hand.exceptAll(m).isEmpty)
+    assert(viaMatch.count() > 0)
+    // patterns must be seeded: a start variable nothing has bound fails
+    assertThrows[IllegalArgumentException](
+      seed.matchAll("c", MatchPattern("x", "y", _.out("IN_NATION", "Nation"))))
+  }
+
+  test("matchAll closes cycles on already-bound variables") {
+    // (c)-orders->(o) then (o)-PLACED_BY->(c) re-binds c: the join keeps
+    // only agreeing assignments — which is ALL of them here, since every
+    // order points back at its customer.
+    val seed = g.V("Customer").has("c_mktsegment", "BUILDING")
+    val twoPat = seed.matchAll("c",
+      MatchPattern("c", "o", _.in("PLACED_BY", "Order")))
+    val cyclic = seed.matchAll("c",
+      MatchPattern("c", "o", _.in("PLACED_BY", "Order")),
+      MatchPattern("o", "c", _.out("PLACED_BY", "Customer")))
+    assert(cyclic.count() == twoPat.count() && cyclic.count() > 0)
+  }
+
+  test("aggregate/store/cap/within side-effect laws") {
+    val nations = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .out("IN_NATION", "Nation").aggregate("ns")
+    // cap: the collection as frontier == the dedup'd collect position
+    assert(multisetLI(nations.cap("ns").toDF) == multisetLI(nations.dedup().toDF))
+    assert(nations.cap("ns").labels == Seq("Nation"))
+    // same-chain within keeps every row (multiplicity intact); without
+    // is its complement — empty here
+    assert(multisetLI(nations.whereWithin("ns").toDF) == multisetLI(nations.toDF))
+    assert(nations.whereWithout("ns").count() == 0)
+    // store is the aggregate alias (lazy vs eager vanishes in a lazy plan)
+    assert(multisetLI(g.V("Region").store("rs").sideEffect("rs")) ==
+      multisetLI(g.V("Region").toDF))
+    // cross-chain: the exported set partitions another frontier, and the
+    // within side matches the SQL semi-join
+    val set = nations.sideEffect("ns")
+    val supNations = g.V("Supplier").out("IN_NATION", "Nation")
+    val inCnt = supNations.whereWithin(set).count()
+    assert(inCnt + supNations.whereWithout(set).count() == supNations.count())
+    val want = tbl("supplier").join(
+      tbl("customer").where($"c_mktsegment" === "BUILDING")
+        .select($"c_nationkey").distinct(),
+      $"s_nationkey" === $"c_nationkey").count()
+    assert(inCnt == want && inCnt > 0)
+    assertThrows[IllegalArgumentException](nations.cap("nope"))
+  }
+
+  test("tree() groups recorded paths into depth-tagged parent→child edges") {
+    val t = g.V("Nation", 3L).withPath()
+      .in("IN_NATION", "Customer").in("PLACED_BY", "Order").tree()
+    val withOrders = tbl("customer").where($"c_nationkey" === 3)
+      .join(tbl("orders"), $"o_custkey" === $"c_custkey")
+    // depth 0: nation→customer edges — one row per customer that still
+    // has a live traverser (an order), weighted by its path fan-out
+    val d0 = t.where($"depth" === 0)
+    assert(d0.count() == withOrders.select($"c_custkey").distinct().count())
+    assert(d0.agg(sum($"n_traversers")).as[Long].head() == withOrders.count())
+    // depth 1: customer→order edges, one traverser each
+    val d1 = t.where($"depth" === 1)
+    assert(d1.count() == withOrders.count())
+    assert(t.where($"depth" > 1).count() == 0)
+  }
+
+  test("repeatEmitUntil degenerates to repeatEmit / repeatUntil (laws); both modulators compose") {
+    val L = graft.model.GraphColumns.Label
+    val I = graft.model.GraphColumns.Id
+    def msD(df: org.apache.spark.sql.DataFrame): Map[(String, Long, Int), Long] =
+      df.groupBy(col(L), col(I), col(Step.DepthCol)).count()
+        .as[(String, Long, Int, Long)].collect()
+        .map { case (l, i, d, n) => (l, i, d) -> n }.toMap
+    val start = g.V("Customer").has("c_mktsegment", "BUILDING")
+    val hop = (s: Step) =>
+      s.union(_.out("IN_NATION", "Nation"), _.out("IN_REGION", "Region"))
+    // until(false): nothing exits → pure emit, draining like repeatEmit
+    assert(msD(start.repeatEmitUntil(lit(false), maxIter = 4)(hop).toDF) ==
+      msD(start.repeatEmit(4, materialize = true)(hop).toDF))
+    // emit(false): nothing emits → exits only, repeatUntil's multiset
+    assert(multisetLI(start.repeatEmitUntil(col(L) === "Region", maxIter = 4,
+        emitPred = lit(false))(hop).toDF) ==
+      multisetLI(start.repeatUntil(col(L) === "Region", maxIter = 4)(hop).toDF))
+    // both modulators: depth-1 nations emit and continue, depth-2
+    // regions exit — the union of per-depth exits and emissions
+    val both = start.repeatEmitUntil(col(L) === "Region", maxIter = 5)(hop)
+    assert(msD(both.toDF) == msD(start.repeatEmit(2, materialize = true)(hop).toDF))
+  }
+
+  test("multi-key orderBy matches SQL ordering (law)") {
+    val I = graft.model.GraphColumns.Id
+    val got = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .orderBy("c_nationkey" -> true, "c_acctbal" -> false)
+      .toDF.select(col(I)).as[Long].collect().toSeq
+    val want = tbl("customer").where($"c_mktsegment" === "BUILDING")
+      .orderBy($"c_nationkey".asc, $"c_acctbal".desc, $"c_custkey".asc)
+      .select($"c_custkey".cast("long")).as[Long].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("hasId rejects a multi-label frontier; hasElementId handles it") {
     val mixed = g.V("Nation").in("IN_NATION") // Customer ∪ Supplier
     assertThrows[IllegalArgumentException](mixed.hasId(5L))
