@@ -54,7 +54,8 @@ object SparkEntry {
     "q36_snb_replies" -> (Inventory.q36_snb_replies _),
     "q37_sack" -> (Inventory.q37_sack _),
     "q38_match" -> (Inventory.q38_match _),
-    "q39_aggregate" -> (Inventory.q39_aggregate _)) ++ Extensions.all
+    "q39_aggregate" -> (Inventory.q39_aggregate _),
+    "q40_subgraph" -> (Inventory.q40_subgraph _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -945,6 +945,44 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
       set.select(col(GC.Id), col(GC.Label)).dropDuplicates(GC.Id, GC.Label),
       Seq(GC.Id, GC.Label), "left_anti"))
 
+  /** Gremlin `subgraph()` re-expressed: the subgraph induced by the
+    * CURRENT frontier's element set, as a full [[PropertyGraph]] —
+    * traverse it with `G(...)`, persist it with `GraphLoader.persist`/
+    * `persistBucketed`. TinkerPop's step is edge-induced (it collects
+    * the traversed edges into a driver-held graph); the batch form
+    * keeps every edge between surviving vertices — the
+    * neighborhood-extraction contract, with no driver materialization
+    * (see [[graft.graph.PropertyGraph.inducedSubgraph]]). */
+  def subgraph(materialize: Boolean = false): graft.graph.PropertyGraph =
+    graph.inducedSubgraph(df, materialize)
+
+  /** Gremlin `coin(p)` — deterministic per-ELEMENT form: an element's
+    * traversers all survive or all drop (seeded hash of (label, id) vs
+    * p), so the sample is reproducible under any partitioning, retry,
+    * or rerun — `ext.Sampling.hashSample`'s discipline applied to
+    * frontiers. TinkerPop's per-traverser randomness is not
+    * reproducible in a distributed engine and would break the oracle
+    * gate. */
+  def coin(p: Double, seed: Long = 42L): Step = {
+    require(p >= 0 && p <= 1, s"coin needs p in [0, 1], got $p")
+    copy(df = df.where(
+      pmod(xxhash64(col(GC.Label), col(GC.Id), lit(seed)), lit(1000000L)) <
+        lit(math.round(p * 1000000L))))
+  }
+
+  /** Gremlin `sample(n)`: n deterministic traversers — the top-n of a
+    * seeded hash over (label, id, carried payload), a distributed
+    * top-k like [[range]] (TakeOrdered: no window, no single-partition
+    * sort, at most n rows reach the driver side of the plan). */
+  def sample(n: Int, seed: Long = 42L): Step = {
+    require(n >= 0, s"sample needs n >= 0, got $n")
+    val h = s"_h${Step.nextBranchTag()}"
+    val rest = df.columns.filterNot(c => c == GC.Label || c == GC.Id).sorted
+    val keyed = df.withColumn(h,
+      xxhash64(Seq(col(GC.Label), col(GC.Id), lit(seed)) ++ rest.map(col): _*))
+    copy(df = keyed.orderBy(col(h)).limit(n).drop(h))
+  }
+
   private def namedSideEffect(key: String): (DataFrame, Seq[String]) = {
     require(sideEffects.contains(key),
       s"""no aggregate("$key")/store("$key") in scope""")

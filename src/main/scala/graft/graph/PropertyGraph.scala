@@ -165,6 +165,45 @@ final class PropertyGraph(
     df.join(proj, df(idCol) === proj("_hid")).drop("_hid")
   }
 
+  /** Vertex-induced subgraph — the Gremlin `subgraph()` side-effect step
+    * (inherited step library, reference pom.xml:19-27) re-expressed for
+    * a batch engine: TinkerPop's step collects traversed edges into a
+    * driver-held TinkerGraph; the induced form takes an element SET and
+    * keeps every edge whose BOTH endpoints survive, and the result is a
+    * full [[PropertyGraph]] over filtered frames — traversable,
+    * hydratable, persistable (`GraphLoader.persist`/`persistBucketed`),
+    * never driver-materialized. Each vertex frame is one semi-join and
+    * each adjacency partition two, all equi-joins on the id — the
+    * extraction scales exactly like a hop, so carving a working
+    * neighborhood out of a 100-TB graph and bucketing it for repeated
+    * analysis is one pass over the adjacency.
+    *
+    * @param vertices any (id, label) frame — a traversal frontier, an
+    *   `aggregate()` collection
+    * @param materialize localCheckpoint the element set first: the set
+    *   feeds 2·|specs| + |labels| semi-joins, each of which would
+    *   otherwise re-execute its plan (the q33 materialization
+    *   discipline) — turn on when the set is computed by a non-trivial
+    *   traversal. */
+  def inducedSubgraph(vertices: DataFrame,
+      materialize: Boolean = false): PropertyGraph = {
+    val distinct = vertices.select(col(GC.Id), col(GC.Label))
+      .dropDuplicates(GC.Id, GC.Label)
+    val set = if (materialize) distinct.localCheckpoint() else distinct
+    def labelSet(l: String): DataFrame =
+      set.where(col(GC.Label) === l).select(col(GC.Id).as("_kid"))
+    val vs = vertexFrames.map { case (l, v) =>
+      l -> v.join(labelSet(l), v(GC.Id) === col("_kid"), "left_semi")
+    }
+    val es = edgeFrames.map { case (spec, e) =>
+      val srcKept = e.join(labelSet(spec.srcLabel),
+        e(GC.Src) === col("_kid"), "left_semi")
+      spec -> srcKept.join(labelSet(spec.dstLabel),
+        srcKept(GC.Dst) === col("_kid"), "left_semi")
+    }
+    new PropertyGraph(spark, vs, es)
+  }
+
   /** Generic single-table view of all vertices:
     * `(id: struct<hi,lo>, label: string, props: map<string,string>)` —
     * the reference's untyped property-map model (TorcGraph.java:71-85,

@@ -656,6 +656,25 @@ object Inventory {
       .orderBy("s_suppkey")
   }
 
+  /** Q40: Gremlin `subgraph()` under the oracle — the induced subgraph
+    * of (BUILDING customers ∪ their nations), then a traversal INSIDE
+    * it: per nation, its customer count. Only edges with both endpoints
+    * in the set survive the induction, so the in-subgraph count is the
+    * BUILDING-only count — which is exactly what the SQL twin states.
+    * The induction is semi-joins end to end (one per vertex frame, two
+    * per adjacency partition); nothing driver-side. */
+  def q40_subgraph(s: SparkSession, dir: String): DataFrame = {
+    val G0 = graft.dsl.G(g(s, dir))
+    val seed = G0.V("Customer").has("c_mktsegment", "BUILDING")
+      .union(_.out("IN_NATION", "Nation"), identity)
+    val sub = seed.subgraph()
+    graft.dsl.G(sub).V("Nation").as("n").in("IN_NATION", "Customer")
+      .select("n").toDF
+      .groupBy(col(GC.Id).as("n_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_nationkey")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -453,6 +453,15 @@ object Oracles {
       |   WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9900)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** subgraph() as SQL: the induced edge set (both endpoints in the
+    * BUILDING∪their-nations set) is just the BUILDING filter. */
+  val q40_subgraph: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS n_nationkey,
+      |  count(*) AS n_customers
+      |FROM customer WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY c_nationkey
+      |ORDER BY n_nationkey""".stripMargin
+
   /** range(100, 120) as SQL: ORDER BY + OFFSET/LIMIT on the same key. */
   val q32_range: String =
     """SELECT c_custkey FROM (
@@ -461,6 +470,7 @@ object Oracles {
       |ORDER BY c_custkey""".stripMargin
 
   val all: Map[String, String] = Map(
+    "q40_subgraph" -> q40_subgraph,
     "q39_aggregate" -> q39_aggregate,
     "q38_match" -> q38_match,
     "q37_sack" -> q37_sack,

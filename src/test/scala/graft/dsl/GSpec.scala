@@ -682,6 +682,49 @@ class GSpec extends SparkSpec {
     assert(msD(both.toDF) == msD(start.repeatEmit(2, materialize = true)(hop).toDF))
   }
 
+  test("subgraph() induces: traversals inside == filtered traversals outside (law)") {
+    val L = graft.model.GraphColumns.Label
+    val seed = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .union(_.out("IN_NATION", "Nation"), identity)
+    val sub = seed.subgraph()
+    val gs = G(sub)
+    // vertex frames filtered to the set; untouched labels empty
+    val wantC = tbl("customer").where($"c_mktsegment" === "BUILDING").count()
+    assert(gs.V("Customer").count() == wantC && wantC > 0)
+    assert(gs.V("Supplier").count() == 0 && gs.V("Region").count() == 0)
+    // edges survive only with BOTH endpoints in the set: the in-subgraph
+    // expansion equals the full-graph expansion restricted to the seed
+    val inside = gs.V("Nation").in("IN_NATION", "Customer")
+    val outside = g.V("Nation").in("IN_NATION", "Customer")
+      .has("c_mktsegment", "BUILDING")
+    assert(multisetLI(inside.toDF) == multisetLI(outside.toDF))
+    // customer->order edges dropped entirely (orders not in the set)
+    assert(gs.V("Customer").in("PLACED_BY", "Order").count() == 0)
+  }
+
+  test("coin(p) is per-element deterministic; sample(n) is a stable top-n subset") {
+    val frontier = g.V("Nation").in("IN_NATION") // Customer ∪ Supplier, mixed
+    val total = frontier.count()
+    assert(frontier.coin(1.0).count() == total)
+    assert(frontier.coin(0.0).count() == 0)
+    val kept = frontier.coin(0.5, seed = 7L)
+    // deterministic: same seed, same multiset (evaluated twice)
+    assert(multisetLI(kept.toDF) == multisetLI(frontier.coin(0.5, seed = 7L).toDF))
+    // per-element: an element is entirely kept or entirely dropped
+    val keptEls = kept.dedup().toDF.select(col(graft.model.GraphColumns.Label),
+      col(graft.model.GraphColumns.Id)).as[(String, Long)].collect().toSet
+    val dropEls = frontier.toDF.exceptAll(kept.toDF)
+      .select(col(graft.model.GraphColumns.Label), col(graft.model.GraphColumns.Id))
+      .as[(String, Long)].collect().toSet
+    assert(keptEls.nonEmpty && dropEls.nonEmpty && keptEls.intersect(dropEls).isEmpty)
+    // sample: exact size, subset, deterministic
+    val s1 = frontier.sample(17, seed = 9L)
+    assert(s1.count() == 17)
+    assert(s1.toDF.exceptAll(frontier.toDF).isEmpty)
+    assert(multisetLI(s1.toDF) == multisetLI(frontier.sample(17, seed = 9L).toDF))
+    assert(frontier.sample(1000000).count() == total)
+  }
+
   test("multi-key orderBy matches SQL ordering (law)") {
     val I = graft.model.GraphColumns.Id
     val got = g.V("Customer").has("c_mktsegment", "BUILDING")
