@@ -134,13 +134,20 @@ object Bench {
     // trailing zeros trimmed (0.40 -> 0.4, 5.00 -> 5): with 79 queries
     // the fixed-width line crossed the 1900 B safety margin of the
     // driver's 2000 B tail capture
-    def f2(d: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    def fd(d: Double, dec: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s
     }
-    val qs = results.map { case (k, t) => "\"" + k + "\":" + f2(t.head) }
-      .mkString("{", ",", "}")
+    def renderQs(dec: Int): String =
+      results.map { case (k, t) => "\"" + k + "\":" + fd(t.head, dec) }
+        .mkString("{", ",", "}")
+    // adaptive precision: if 2-decimal entries would push the line past
+    // ~1950 B, fall back to 1 decimal — the committed bench_spread.json
+    // sidecar carries the 6-decimal record either way, and a clipped
+    // artifact line is worse than a coarser one
+    val qs2 = renderQs(2)
+    val qs = if (qs2.length <= 1800) qs2 else renderQs(1)
     val total = results.map { case (_, t) => t.head }.sum
     val medianTotal = results.map { case (_, t) => t(t.size / 2) }.sum
     // Sidecar: per-query latency distribution, mirroring the reference's

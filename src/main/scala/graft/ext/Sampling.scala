@@ -44,6 +44,87 @@ object Sampling {
     df.where(keyHash(key) < lit(hashThreshold(fraction)))
   }
 
+  /** Deterministic corpus MIXING — the mixture-weights leg of a training
+    * pipeline: sample each group (source, language, quality bucket) at
+    * the rate that makes the OUTPUT proportions match `weights`, at the
+    * largest total the data supports. With group sizes n_g and target
+    * fractions w_g (normalized), the achievable total is
+    * T = min_g n_g / w_g: the binding group is kept whole (rate 1) and
+    * every other group hash-downsamples to rate w_g·T / n_g. Membership
+    * is the same per-key 60-bit hash as [[hashSample]] — reproducible
+    * under any partitioning, layout, or rerun, and replayable by the
+    * SQL oracle. Groups absent from `weights` are dropped.
+    *
+    * Scale shape: one tiny per-group count aggregate (collected — the
+    * driver footprint is the GROUP CARDINALITY, sources/languages, not
+    * rows; the `trainCentroids` precedent), its rates broadcast back
+    * onto a codegen'd filter — ONE pass over a 100-TB corpus with no
+    * data shuffle. Output sizes are Bernoulli-approximate; when exact
+    * per-group counts matter, compose [[stratifiedSample]] with
+    * per-group n = w_g·T instead (one window shuffle). */
+  def weightedMix(df: DataFrame, group: Column, key: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and strictly positive")
+    val wSum = weights.values.sum
+    val norm = weights.map { case (g, w) => g -> w / wSum }
+    val counts = df.groupBy(group.as("_g")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = norm.filter { case (g, _) => counts.getOrElse(g, 0L) > 0 }
+    require(present.nonEmpty, s"no weighted group present in the data: ${weights.keys}")
+    val t = present.map { case (g, w) => counts(g) / w }.min
+    val rates = present.toSeq.map { case (g, w) => (g, w * t / counts(g)) }
+    val wDf = broadcast(
+      df.sparkSession.createDataFrame(rates).toDF("_g", "_rate"))
+    df.join(wDf, group === col("_g"))
+      .where(keyHash(key) <
+        (col("_rate") * lit((1L << HashBits).toDouble)).cast("long"))
+      .drop("_g", "_rate")
+  }
+
+  /** Token-budget selection — greedy best-first corpus fill WITHOUT a
+    * global window: keep the highest-`quality` rows whose running token
+    * sum fits `budget`, ties broken by `key` — exactly the SQL
+    * `sum(tokens) OVER (ORDER BY quality DESC, key) <= budget`
+    * contract, which the oracle replays.
+    *
+    * A literal global running sum would serialize a 100-TB corpus
+    * through ONE ordered partition. Instead: (1) token mass per quality
+    * BUCKET (floor(q·1000) — monotone in q, ≤ ~1001 buckets, collected
+    * driver-side like [[weightedMix]]'s group counts); (2) every bucket
+    * strictly above the budget-crossing bucket is kept whole by a
+    * codegen'd filter — no shuffle, no ordering; (3) only the ONE
+    * boundary bucket (~1/1000 of the quality range) pays an ordered
+    * window for the exact top-up. Bucket order agrees with quality
+    * order and the boundary bucket is topped up in exact (quality, key)
+    * order, so the kept set is IDENTICAL to the global greedy. */
+  def budgetSelect(df: DataFrame, quality: Column, tokens: Column,
+      key: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val bucket = floor(quality * 1000).cast("long")
+    val hist = df.groupBy(bucket.as("_b")).agg(sum(tokens).as("_m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var cum = 0L
+    var cutoff = Long.MinValue
+    var before = 0L // token mass strictly above the boundary bucket
+    val it = hist.iterator
+    while (it.hasNext && cutoff == Long.MinValue) {
+      val (b, m) = it.next()
+      if (cum + m > budget) { cutoff = b; before = cum }
+      cum += m
+    }
+    if (cutoff == Long.MinValue) df // the whole corpus fits
+    else {
+      val keepWhole = df.where(bucket > cutoff)
+      val w = Window.orderBy(quality.desc, key) // boundary bucket ONLY
+      val topup = df.where(bucket === cutoff)
+        .withColumn("_cum", sum(tokens).over(w))
+        .where(col("_cum") <= budget - before)
+        .drop("_cum")
+      keepWhole.unionByName(topup)
+    }
+  }
+
   /** Deterministic fixed-size per-stratum sample: the `n` rows of each
     * stratum whose keys hash lowest (hash order = uniform random order,
     * but reproducible). Strata with fewer than `n` rows are kept whole —

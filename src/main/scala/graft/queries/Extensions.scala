@@ -195,6 +195,33 @@ object Extensions {
       .select(col("doc_id"), length(col("text")).as("text_len"))
       .orderBy("doc_id")
 
+  /** Deterministic corpus MIXING to target source weights (src0:src1:
+    * src2 = 2:1:1 — exact binary doubles, so the SQL replay is
+    * bit-identical): the binding group keeps rate 1, the others
+    * hash-downsample to the mixture rate — reproducible mixture
+    * construction in one pass with no data shuffle
+    * ([[graft.ext.Sampling.weightedMix]]). */
+  def e40_weighted_mix(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedMix(docs(s, dir), col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  /** Token-budget selection: the best-quality documents whose running
+    * token sum fits a 12 000-token budget — the greedy
+    * `sum OVER (ORDER BY quality DESC) <= budget` contract computed
+    * WITHOUT a global window ([[graft.ext.Sampling.budgetSelect]]:
+    * bucket histogram + whole-bucket filter + one boundary-bucket
+    * top-up). */
+  def e41_token_budget(s: SparkSession, dir: String): DataFrame =
+    Sampling.budgetSelect(
+        docs(s, dir).select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          Text.qualityScoreCol.as("_q")),
+        col("_q"), col("n_tokens"), col("doc_id"), budget = 12000L)
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+
   /** Deterministic 50-per-event-type stratified sample (balanced-corpus
     * primitive). */
   def e28_stratified_sample(s: SparkSession, dir: String): DataFrame =
@@ -405,6 +432,8 @@ object Extensions {
     "e25_top_tfidf" -> (e25_top_tfidf _),
     "e26_json_extract" -> (e26_json_extract _),
     "e27_hash_sample" -> (e27_hash_sample _),
+    "e40_weighted_mix" -> (e40_weighted_mix _),
+    "e41_token_budget" -> (e41_token_budget _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -867,6 +896,36 @@ object Extensions {
         |  PARTITION BY event_type
         |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 50
         |ORDER BY event_type, event_id""".stripMargin,
+
+    "e41_token_budget" ->
+      """WITH stats AS (
+        |  SELECT doc_id, length(text) AS text_len,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','to','and','in','is','on','for','with'))) AS n_stopwords,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  0.5 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |  + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(text_len AS DOUBLE))
+        |  + 0.2 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) AS q
+        |  FROM stats),
+        |sel AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY q DESC, doc_id) AS cum FROM q)
+        |SELECT doc_id, n_tokens FROM sel WHERE cum <= 12000
+        |ORDER BY doc_id""".stripMargin,
+
+    "e40_weighted_mix" ->
+      """WITH counts AS (SELECT source AS g, count(*) AS n
+        |               FROM documents GROUP BY source),
+        |w(g, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+        |t AS (SELECT min(n / wt) AS t FROM counts JOIN w USING (g)),
+        |rates AS (SELECT g, wt * t.t / n AS rate
+        |          FROM counts JOIN w USING (g) CROSS JOIN t)
+        |SELECT doc_id, source FROM documents d JOIN rates r ON d.source = r.g
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      < CAST(floor(rate * 1152921504606846976) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     "e25_top_tfidf" ->
       """WITH toks AS (

@@ -47,4 +47,55 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("weightedMix keeps the binding group whole, rates the rest, drops the unweighted") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    val mixed = Sampling.weightedMix(docs, col("source"), col("doc_id"), weights)
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    // groups outside the weight map are gone
+    assert(bySrc.keySet == weights.keySet.intersect(full.keySet))
+    // uniform group sizes -> src0 is the binding group: kept whole
+    assert(bySrc("src0") == full("src0"))
+    // the rated groups land near half of src0's size (rate 0.5,
+    // Bernoulli over small strata — allow wide but bounded slack)
+    Seq("src1", "src2").foreach { g =>
+      assert(bySrc.getOrElse(g, 0L) < full(g),
+        s"$g should be downsampled: ${bySrc.get(g)} of ${full(g)}")
+    }
+    // membership is key-determined: partitioning-independent
+    val again = Sampling.weightedMix(docs.repartition(13),
+      col("source"), col("doc_id"), weights)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == mixed.select("doc_id").as[Long].collect().toSet)
+    // weight normalization: scaled weights give the identical sample
+    val scaled = Sampling.weightedMix(docs, col("source"), col("doc_id"),
+      weights.map { case (g, w) => g -> w * 8 })
+      .select("doc_id").as[Long].collect().toSet
+    assert(scaled == again)
+  }
+
+  test("budgetSelect == the global greedy window (law), at several budgets") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        graft.ext.Text.qualityScoreCol.as("q"))
+    val total = base.agg(sum("n")).as[Long].head()
+    // brute-force reference: one global running-sum window
+    def brute(budget: Long): Set[Long] = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("q").desc, col("doc_id"))
+      base.withColumn("c", sum("n").over(w)).where(col("c") <= budget)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    Seq(0L, 500L, 12000L, total - 1, total, total + 10) .foreach { b =>
+      val got = Sampling.budgetSelect(base, col("q"), col("n"), col("doc_id"), b)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == brute(b), s"budget $b: decomposed != global greedy")
+    }
+    // partitioning independence
+    val a = Sampling.budgetSelect(base.repartition(11), col("q"), col("n"),
+      col("doc_id"), 9000L).select("doc_id").as[Long].collect().toSet
+    assert(a == brute(9000L))
+  }
 }
