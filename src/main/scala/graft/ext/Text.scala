@@ -25,6 +25,31 @@ object Text {
   private def countIn(words: Seq[String]): Column =
     size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
 
+  /** Overlapping token-window chunking — the embedding/context prep op:
+    * one row per chunk of `size` tokens starting every `stride` tokens
+    * (stride < size ⇒ overlap of size − stride). Chunk i covers token
+    * positions [i·stride, i·stride + size); starts run while they are
+    * < n_tokens, so the tail emits shorter final chunks rather than
+    * dropping tokens. Row-local (explode of a per-row sequence — no
+    * shuffle, no UDF, scales with the scan), and the slice arithmetic
+    * replays exactly in DuckDB (`list_slice` clamps like `slice`).
+    * Output: (doc_id, chunk_idx, chunk_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    val toks = tokens
+    val nChunks = (floor((org.apache.spark.sql.functions.size(toks) - lit(1))
+      / lit(stride)) + lit(1)).cast("int")
+    docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1), i =>
+          struct(i.as("chunk_idx"),
+            slice(toks, i * stride + 1, lit(size)).as("_ct")))).as("_c"))
+      .select(col("doc_id"),
+        col("_c.chunk_idx").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("_c._ct")).as("chunk_tokens"),
+        array_join(col("_c._ct"), " ").as("chunk_text"))
+  }
+
   /** Token statistics: (doc_id, text_len, n_tokens, n_stopwords,
     * n_punct). Token = single-space split (matches string_split);
     * punctuation = the class [.,!?;:]. */

@@ -222,6 +222,13 @@ object Extensions {
       .select(col("doc_id"), col("n_tokens"))
       .orderBy("doc_id")
 
+  /** Overlapping 32-token chunks every 24 tokens (context-window prep
+    * for embedding/training; [[graft.ext.Text.chunkTokens]] — row-local
+    * explode, no shuffle). */
+  def e42_chunking(s: SparkSession, dir: String): DataFrame =
+    Text.chunkTokens(docs(s, dir), size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Deterministic 50-per-event-type stratified sample (balanced-corpus
     * primitive). */
   def e28_stratified_sample(s: SparkSession, dir: String): DataFrame =
@@ -434,6 +441,7 @@ object Extensions {
     "e27_hash_sample" -> (e27_hash_sample _),
     "e40_weighted_mix" -> (e40_weighted_mix _),
     "e41_token_budget" -> (e41_token_budget _),
+    "e42_chunking" -> (e42_chunking _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -896,6 +904,17 @@ object Extensions {
         |  PARTITION BY event_type
         |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 50
         |ORDER BY event_type, event_id""".stripMargin,
+
+    "e42_chunking" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |        unnest(generate_series(0, CAST(floor((len(t) - 1) / 24) AS BIGINT))) AS i
+        |        FROM toks)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(t, i * 24 + 1, i * 24 + 32)) AS INT) AS chunk_tokens,
+        |  array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+        |FROM idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "e41_token_budget" ->
       """WITH stats AS (

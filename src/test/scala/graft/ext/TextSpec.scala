@@ -89,4 +89,32 @@ class TextSpec extends SparkSpec {
     assert((fps(1L) & fps(3L)).isEmpty)
     assert(run() == fps) // deterministic
   }
+
+  test("chunkTokens: stride==size reconstructs, overlap covers every window") {
+    import org.apache.spark.sql.functions._
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+    // no-overlap chunks concatenate back to the exact original text
+    val rebuilt = Text.chunkTokens(corpus, size = 16, stride = 16)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        s => s.getField("chunk_text")), " ").as("rebuilt"))
+    assert(corpus.join(rebuilt, "doc_id")
+      .where(col("rebuilt") =!= col("text")).count() == 0)
+    // overlapping chunks: count and per-chunk sizes follow the contract
+    val c = Text.chunkTokens(corpus, size = 8, stride = 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
+        min(col("chunk_tokens")).as("min_ct"), max(col("chunk_tokens")).as("max_ct"))
+      .join(corpus.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_toks")), "doc_id")
+    assert(c.where(col("n_chunks") =!= floor((col("n_toks") - 1) / 4) + 1).count() == 0)
+    assert(c.where(col("max_ct") > 8).count() == 0)
+    // a chunk's text is exactly the token slice it claims
+    val one = Text.chunkTokens(corpus, size = 8, stride = 4)
+      .where(col("doc_id") === corpus.select(min(col("doc_id"))).head().getLong(0)
+        && col("chunk_idx") === 1)
+      .select(col("chunk_text")).head().getString(0)
+    val toks = corpus.orderBy("doc_id").select(col("text")).head().getString(0).split(" ")
+    assert(one == toks.slice(4, 12).mkString(" "))
+  }
 }
