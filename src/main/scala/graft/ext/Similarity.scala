@@ -343,4 +343,25 @@ object Similarity {
       .where(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * evaluation harness that turns "tune (bands, bitsPerBand) to the
+    * corpus geometry" from guesswork into a measured number. Both
+    * inputs are (query_id, neighbor_id, ...) top-k frames
+    * ([[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]] shapes); output is
+    * one row per exact-side query: |approx ∩ exact| / k, zero-filled
+    * for queries the approximate index missed entirely. One semi-join
+    * + one aggregate — runs at corpus scale as cheaply as the indexes
+    * themselves. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recall needs k >= 1, got $k")
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("_h"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("_h"), lit(0L)).cast("double") / k).as("recall"))
+  }
 }

@@ -222,6 +222,17 @@ object Extensions {
       .select(col("doc_id"), col("n_tokens"))
       .orderBy("doc_id")
 
+  /** Recall@10 of the banded-LSH index against exact brute force — the
+    * ANN evaluation harness as a first-class query
+    * ([[graft.ext.Similarity.recallAtK]]); the oracle replays BOTH
+    * pipelines and the intersection arithmetic. */
+  def e43_ann_recall(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallAtK(
+        Similarity.lshTopK(emb(s, dir), knnQueryIds, KnnK),
+        Similarity.bruteForceTopK(emb(s, dir), knnQueryIds, KnnK),
+        KnnK)
+      .orderBy("query_id")
+
   /** Overlapping 32-token chunks every 24 tokens (context-window prep
     * for embedding/training; [[graft.ext.Text.chunkTokens]] — row-local
     * explode, no shuffle). */
@@ -442,6 +453,7 @@ object Extensions {
     "e40_weighted_mix" -> (e40_weighted_mix _),
     "e41_token_budget" -> (e41_token_budget _),
     "e42_chunking" -> (e42_chunking _),
+    "e43_ann_recall" -> (e43_ann_recall _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -904,6 +916,47 @@ object Extensions {
         |  PARTITION BY event_type
         |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 50
         |ORDER BY event_type, event_id""".stripMargin,
+
+    "e43_ann_recall" -> {
+      // Replays BOTH ANN pipelines (the e06 exact ranking and the e07
+      // banded-LSH candidates + rescoring, same plane literals) and the
+      // per-query intersection count over k.
+      val planes = 8 * 4
+      val dims = 64
+      val bucketExpr = (0 until planes).map { p =>
+        val lits = (0 until dims).map(d => Similarity.planeComponent(p, d).toString)
+          .mkString(", ")
+        s"(CASE WHEN list_dot_product(v, [$lits]) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n  + ")
+      val qids = knnQueryIds.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ($qids)),
+         |exact AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(qv, c.v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))), 9) AS sim
+         |  FROM e c CROSS JOIN q WHERE query_id <> c.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $KnnK),
+         |bk AS (SELECT vec_id, $bucketExpr AS bucket FROM e),
+         |bands AS (SELECT vec_id, j AS band, (bucket >> (j * 4)) & 15 AS bh
+         |          FROM bk, UNNEST(generate_series(0, 7)) AS t(j)),
+         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM bands qb JOIN bands c ON qb.band = c.band AND qb.bh = c.bh
+         |         WHERE qb.vec_id IN ($qids) AND qb.vec_id <> c.vec_id),
+         |approx AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+         |  FROM cand JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $KnnK),
+         |hits AS (SELECT x.query_id, count(*) AS h
+         |         FROM exact x JOIN approx a
+         |           ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+         |         GROUP BY x.query_id)
+         |SELECT q.query_id, CAST(coalesce(h, 0) AS DOUBLE) / $KnnK AS recall
+         |FROM q LEFT JOIN hits ON hits.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin
+    },
 
     "e42_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
