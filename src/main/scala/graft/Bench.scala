@@ -142,12 +142,14 @@ object Bench {
     def renderQs(dec: Int): String =
       results.map { case (k, t) => "\"" + k + "\":" + fd(t.head, dec) }
         .mkString("{", ",", "}")
-    // adaptive precision: if 2-decimal entries would push the line past
-    // ~1950 B, fall back to 1 decimal — the committed bench_spread.json
-    // sidecar carries the 6-decimal record either way, and a clipped
-    // artifact line is worse than a coarser one
+    // adaptive precision: prefer 2 decimals, then 1 (which still
+    // resolves the 0.x-second majority), and only under extreme query
+    // counts the 0-decimal emergency tier — the committed
+    // bench_spread.json sidecar carries the 6-decimal record either
+    // way, and a clipped artifact line is worse than a coarser one
     val qs2 = renderQs(2)
-    val qs = if (qs2.length <= 1800) qs2 else renderQs(1)
+    val qs1 = if (qs2.length <= 1780) qs2 else renderQs(1)
+    val qs = if (qs1.length <= 1860) qs1 else renderQs(0)
     val total = results.map { case (_, t) => t.head }.sum
     val medianTotal = results.map { case (_, t) => t(t.size / 2) }.sum
     // Sidecar: per-query latency distribution, mirroring the reference's

@@ -876,6 +876,27 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     df.groupBy(col(GC.Label), col(GC.Id))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
 
+  /** Gremlin `groupCount().by(key)`: frontier multiplicity per property
+    * VALUE (the key hydrates per label like [[orderBy]]; labels lacking
+    * it contribute no rows — the has() convention). */
+  def groupCount(key: String): DataFrame =
+    withKeyColumn(key).groupBy(col(key))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+
+  /** Gremlin `dedup().by(key)`: ONE traverser per distinct property
+    * value. TinkerPop keeps the first traverser encountered — an
+    * order-of-arrival accident; the deterministic batch form keeps the
+    * (label, id)-smallest traverser of each value so reruns and
+    * repartitionings agree. Carried columns of the kept traverser
+    * survive. */
+  def dedupBy(key: String): Step = {
+    val rn = s"_rn${Step.nextBranchTag()}"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(GC.Label), col(GC.Id))
+    copy(df = withKeyColumn(key)
+      .withColumn(rn, row_number().over(w)).where(col(rn) === 1).drop(rn))
+  }
+
   /** Gremlin `group().by(key)` (terminal): frontier elements grouped by
     * a property value (hydrated if no longer carried), one row per key
     * with the sorted member list and its size. The member list
@@ -1044,6 +1065,39 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   def paths(): DataFrame = {
     require(df.columns.contains(PathCol), "call withPath() before paths()")
     df.select(col(PathCol).as("path"))
+  }
+
+  /** Gremlin `path().by(key)`: the recorded paths projected through a
+    * property — each element becomes its `key` value as a STRING
+    * (hydrated per label; an element whose label lacks the key projects
+    * null, the valueMap convention; the cast is what lets differently
+    * typed per-label values share one array). Identical projected paths
+    * aggregate with a multiplicity count — the relational form of
+    * one-path-per-traverser, computed over DISTINCT paths so the
+    * element hydration joins touch each unique path once. Output:
+    * (path_values: array<string>, n_traversers). Requires
+    * [[withPath]]. */
+  def pathsBy(key: String): DataFrame = {
+    require(df.columns.contains(PathCol), "call withPath() before pathsBy()")
+    val counted = df.groupBy(col(PathCol))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_traversers"))
+    val exploded = counted
+      .select(col(PathCol), col("n_traversers"),
+        posexplode(col(PathCol)).as(Seq("_pos", "_el")))
+      .select(col(PathCol), col("n_traversers"), col("_pos"),
+        col("_el").getField("label").as("_pl"), col("_el").getField("id").as("_pi"))
+    val kept = graph.vertexLabels.filter(l => graph.vertices(l).columns.contains(key))
+    val lookup = nonEmptyUnion2(kept.map { l =>
+      graph.vertices(l).select(lit(l).as("_ll"), col(GC.Id).cast("bigint").as("_li"),
+        col(key).cast("string").as("_lv"))
+    }, exploded.select(col("_pl").as("_ll"), col("_pi").as("_li"),
+      lit(null).cast("string").as("_lv")).where(lit(false)))
+    exploded
+      .join(lookup, col("_pl") === col("_ll") && col("_pi") === col("_li"), "left")
+      .groupBy(col(PathCol), col("n_traversers"))
+      .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_lv")))),
+        s => s.getField("_lv")).as("path_values"))
+      .select(col("path_values"), col("n_traversers"))
   }
 
   /** Current frontier as (id, label[, eprops]) DataFrame. */

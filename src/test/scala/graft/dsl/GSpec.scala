@@ -736,6 +736,46 @@ class GSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("groupCount(key) and dedupBy(key) follow the SQL group semantics") {
+    // groupCount by a hydrated property == SQL group count
+    val gc = g.V("Customer").in("PLACED_BY", "Order")
+      .groupCount("o_orderpriority")
+      .as[(String, Long)].collect().toMap
+    val want = tbl("orders").groupBy($"o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    assert(gc == want && gc.nonEmpty)
+    // dedupBy keeps exactly one traverser per value — the (label, id)
+    // smallest — deterministically
+    val dd = g.V("Customer").dedupBy("c_mktsegment")
+    assert(dd.count() == tbl("customer").select($"c_mktsegment").distinct().count())
+    val got = dd.toDF.select(col(graft.model.GraphColumns.Id)).as[Long].collect().toSet
+    val wantIds = tbl("customer").groupBy($"c_mktsegment")
+      .agg(min($"c_custkey").as("id")).select($"id".cast("long"))
+      .as[Long].collect().toSet
+    assert(got == wantIds)
+  }
+
+  test("pathsBy(key) projects recorded paths through a property with multiplicity") {
+    val p = g.V("Customer").has("c_mktsegment", "BUILDING").withPath()
+      .out("IN_NATION", "Nation").out("IN_REGION", "Region")
+      .pathsBy("n_name") // Customer/Region lack n_name -> null endpoints
+      .as[(Seq[String], Long)].collect()
+    // every path is [null, nation name, null]
+    assert(p.nonEmpty && p.forall { case (vs, _) =>
+      vs.length == 3 && vs.head == null && vs(2) == null && vs(1) != null })
+    // multiplicities: one path shape per (customer, nation, region)
+    // chain, so totals equal the BUILDING customer count
+    assert(p.map(_._2).sum == tbl("customer")
+      .where($"c_mktsegment" === "BUILDING").count())
+    // per-nation multiplicity == BUILDING customers in that nation
+    val byNation = p.map { case (vs, n) => vs(1) -> n }.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val want = tbl("customer").where($"c_mktsegment" === "BUILDING")
+      .join(tbl("nation"), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name").count().as[(String, Long)].collect().toMap
+    assert(byNation == want)
+  }
+
   test("hasId rejects a multi-label frontier; hasElementId handles it") {
     val mixed = g.V("Nation").in("IN_NATION") // Customer ∪ Supplier
     assertThrows[IllegalArgumentException](mixed.hasId(5L))
