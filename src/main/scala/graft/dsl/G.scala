@@ -701,6 +701,36 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     copy(df = sliced.drop(fp))
   }
 
+  /** Gremlin `local(branch.range(lo, hi))` — the per-ORIGIN scoped
+    * slice: run the branch from each frontier element and keep each
+    * origin's [lo, hi) branch outputs in the deterministic
+    * (label, id, payload-fingerprint) order [[range]] uses
+    * (`local(out().limit(2))` == `localRange(0, 2)(_.out())`). One
+    * window partitioned BY ORIGIN — ~fan-out rows per partition, never
+    * a global sort; the distributed shape of TinkerPop's per-traverser
+    * local scope. `local(count())`-style aggregations are [[project]];
+    * this is the slicing form project cannot express. */
+  def localRange(lo: Int, hi: Int)(branch: Step => Step): Step = {
+    require(0 <= lo && lo <= hi, s"localRange needs 0 <= lo <= hi, got [$lo, $hi)")
+    val cap = s"${CapPrefix}__local${Step.nextBranchTag()}"
+    val tagged = copy(df = df.withColumn(cap,
+      struct(col(GC.Label).as("label"), col(GC.Id).cast("bigint").as("id"))))
+    val out = branch(tagged)
+    val rest = out.df.columns.filterNot(c => c == GC.Label || c == GC.Id || c == cap).sorted
+    val fp = s"_fp${Step.nextBranchTag()}"
+    val keyed =
+      if (rest.isEmpty) out.df.withColumn(fp, lit(0L))
+      else out.df.withColumn(fp, xxhash64(rest.map(col).toSeq: _*))
+    val rn = s"_rn${Step.nextBranchTag()}"
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(cap))
+      .orderBy(col(GC.Label), col(GC.Id), col(fp))
+    out.copy(df = keyed.withColumn(rn, row_number().over(w))
+      .where(col(rn) > lo && col(rn) <= hi).drop(rn, fp, cap))
+  }
+
+  /** `local(branch.limit(n))`: [[localRange]] from 0. */
+  def localLimit(n: Int)(branch: Step => Step): Step = localRange(0, n)(branch)
+
   /** Gremlin `simplePath()`: drop traversers whose recorded path visits
     * any element twice. Requires [[withPath]]. */
   def simplePath(): Step = {

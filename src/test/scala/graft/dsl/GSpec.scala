@@ -776,6 +776,33 @@ class GSpec extends SparkSpec {
     assert(byNation == want)
   }
 
+  test("localRange slices per origin: SQL row_number parity, multiset union law") {
+    val I = graft.model.GraphColumns.Id
+    // first 2 orders per BUILDING customer, deterministic order
+    val got = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .localLimit(2)(_.in("PLACED_BY", "Order"))
+    val want = tbl("orders")
+      .join(tbl("customer").where($"c_mktsegment" === "BUILDING"),
+        $"o_custkey" === $"c_custkey")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderkey")))
+      .where($"rn" <= 2)
+    // counts per customer agree (order frontiers carry no payload, so
+    // the slice order is (label, id) — o_orderkey — on both sides)
+    assert(multisetLI(got.toDF) == multisetLI(
+      want.select($"o_orderkey".cast("long").as(I),
+        lit("Order").as(graft.model.GraphColumns.Label))))
+    // [0, n) ∪ [n, ∞) partitions the branch output per origin
+    val all = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .in("PLACED_BY", "Order")
+    val head = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .localRange(0, 2)(_.in("PLACED_BY", "Order"))
+    val tail = g.V("Customer").has("c_mktsegment", "BUILDING")
+      .localRange(2, Int.MaxValue)(_.in("PLACED_BY", "Order"))
+    assert(head.count() + tail.count() == all.count() && head.count() > 0)
+  }
+
   test("hasId rejects a multi-label frontier; hasElementId handles it") {
     val mixed = g.V("Nation").in("IN_NATION") // Customer ∪ Supplier
     assertThrows[IllegalArgumentException](mixed.hasId(5L))
