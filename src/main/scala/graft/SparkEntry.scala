@@ -55,7 +55,8 @@ object SparkEntry {
     "q37_sack" -> (Inventory.q37_sack _),
     "q38_match" -> (Inventory.q38_match _),
     "q39_aggregate" -> (Inventory.q39_aggregate _),
-    "q40_subgraph" -> (Inventory.q40_subgraph _)) ++ Extensions.all
+    "q40_subgraph" -> (Inventory.q40_subgraph _),
+    "q41_snb_allpaths" -> (Inventory.q41_snb_allpaths _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -1130,6 +1130,82 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
       .select(col("path_values"), col("n_traversers"))
   }
 
+  /** TinkerPop `shortestPath()` — the GraphComputer step from the
+    * inherited library (`/root/reference/pom.xml:19-27`) in its
+    * PATH-returning form. [[graft.analytics.GraphXBridge.hopDistances]]
+    * is the distance map (q26); this enumerates the shortest paths
+    * themselves, per ORIGIN in the current frontier. BFS supersteps
+    * (one distributed join + `localCheckpoint` per level, the
+    * [[untilFixpoint]] discipline) over a per-origin visited set; BFS
+    * first-reach level == distance, so every surviving row's path is
+    * shortest by construction, and prefixes of shortest paths are
+    * shortest — expanding only the surviving rows loses nothing.
+    *
+    * `all = false` (default) keeps ONE deterministic representative per
+    * (origin, vertex) — the id-sequence-smallest path, so reruns agree
+    * under any partitioning — sized like the distance map: the scale
+    * path for bounded origin sets. `all = true` keeps EVERY shortest
+    * path (TinkerPop's contract); row multiplicity per (origin, vertex)
+    * IS the shortest-path count. Path counts on dense graphs are
+    * exponential-by-contract; `maxDepth` is the bound (the e04/e20
+    * discipline, BASELINE.md). Parallel stored edges count separately,
+    * exactly as [[both]] expands them.
+    *
+    * Output: (src_label, src_id, dst_label, dst_id, dist,
+    * path: array<struct<label,id>>), origins included at dist 0.
+    * Level frames are pruned to (element, origin, path) before each
+    * checkpoint; the representative window partitions by
+    * (origin, vertex) — fan-in-sized partitions, never a global
+    * sort. */
+  def shortestPaths(maxDepth: Int, all: Boolean = false)(hop: Step => Step): DataFrame = {
+    require(maxDepth >= 1, s"shortestPaths needs maxDepth >= 1, got $maxDepth")
+    val tag = Step.nextBranchTag()
+    val src = s"${CapPrefix}__sp$tag"
+    val self = struct(col(GC.Label).as("label"), col(GC.Id).cast("bigint").as("id"))
+    val seed = df.select(col(GC.Label), col(GC.Id))
+      .dropDuplicates(GC.Label, GC.Id)
+      .withColumn(src, self).withColumn(PathCol, array(self))
+      .localCheckpoint()
+    val narrow = Seq(col(GC.Label), col(GC.Id), col(src), col(PathCol))
+    var frontier = copy(df = seed)
+    var visited = seed.select(col(src), col(GC.Label), col(GC.Id))
+    val levels = Seq.newBuilder[DataFrame]
+    levels += seed.withColumn(Step.DepthCol, lit(0))
+    var d = 1
+    var drained = false
+    while (d <= maxDepth && !drained) {
+      val next = hop(frontier)
+      val freshAll = next.df.select(narrow: _*)
+        .join(visited, Seq(src, GC.Label, GC.Id), "left_anti")
+      val fresh =
+        if (all) freshAll
+        else {
+          val rn = s"_rn$tag"
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(src), col(GC.Label), col(GC.Id))
+            .orderBy(transform(col(PathCol), e => e.getField("id")),
+              transform(col(PathCol), e => e.getField("label")))
+          freshAll.withColumn(rn, row_number().over(w))
+            .where(col(rn) === 1).drop(rn)
+        }
+      val ck = fresh.localCheckpoint()
+      drained = ck.isEmpty
+      if (!drained) {
+        visited = visited.unionByName(
+          ck.select(col(src), col(GC.Label), col(GC.Id))
+            .dropDuplicates(src, GC.Label, GC.Id)).localCheckpoint()
+        levels += ck.withColumn(Step.DepthCol, lit(d))
+        frontier = next.copy(df = ck)
+        d += 1
+      }
+    }
+    levels.result().reduce(_.unionByName(_))
+      .select(col(src).getField("label").as("src_label"),
+        col(src).getField("id").as("src_id"),
+        col(GC.Label).as("dst_label"), col(GC.Id).cast("bigint").as("dst_id"),
+        col(Step.DepthCol).cast("long").as("dist"), col(PathCol).as("path"))
+  }
+
   /** Current frontier as (id, label[, eprops]) DataFrame. */
   def toDF: DataFrame = df
 

@@ -675,6 +675,29 @@ object Inventory {
       .orderBy("n_nationkey")
   }
 
+  /** Q41: TinkerPop `shortestPath()` under the oracle — LDBC IC14's
+    * core: ALL shortest paths from Person 1 over undirected KNOWS
+    * (depth <= 4), aggregated per target as (distance, path count).
+    * `Step.shortestPaths(all = true)` keeps every first-reach arrival,
+    * so per-target row multiplicity IS the shortest-path count; the
+    * DuckDB twin counts minimal-length WALKS, which equal simple
+    * shortest paths (a minimal walk cannot revisit a vertex — the
+    * repeat would contain a shorter arrival). Parallel stored
+    * directions count separately on BOTH sides (`both` == UNION ALL
+    * of the stored directions). Posts are excluded like q26 so paths
+    * can't detour through HAS_CREATOR. */
+  def q41_snb_allpaths(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    val sub = new PropertyGraph(s,
+      Map("Person" -> Gp.vertexFrames("Person")),
+      Gp.edgeFrames.filter { case (spec, _) => spec.label == "KNOWS" })
+    graft.dsl.G(sub).V("Person", 1L)
+      .shortestPaths(4, all = true)(_.both("KNOWS"))
+      .groupBy(col("dst_id").as("person_id"))
+      .agg(min(col("dist")).as("dist"), count(lit(1)).as("n_shortest"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -469,7 +469,28 @@ object Oracles {
       |  ORDER BY c_custkey LIMIT 20 OFFSET 100)
       |ORDER BY c_custkey""".stripMargin
 
+  /** All-shortest-path counts as SQL: minimal-length WALKS over the
+    * stored-direction multiset (UNION ALL — parallel mutual edges count
+    * separately, matching `both`); a walk of minimal length cannot
+    * revisit a vertex, so walk counts at the min depth ARE simple
+    * shortest-path counts. */
+  val q41_snb_allpaths: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |uka AS (SELECT src, dst FROM knows UNION ALL SELECT dst, src FROM knows),
+       |walk AS (
+       |  SELECT CAST(1 AS BIGINT) AS id, 0 AS d
+       |  UNION ALL
+       |  SELECT u.dst, w.d + 1 FROM walk w JOIN uka u ON u.src = w.id
+       |  WHERE w.d < 4),
+       |agg AS (SELECT id, d, count(*) AS n FROM walk GROUP BY id, d),
+       |dist AS (SELECT id, min(d) AS dist FROM agg GROUP BY id)
+       |SELECT a.id AS person_id, CAST(a.d AS BIGINT) AS dist,
+       |  CAST(a.n AS BIGINT) AS n_shortest
+       |FROM agg a JOIN dist t ON a.id = t.id AND a.d = t.dist
+       |ORDER BY person_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q41_snb_allpaths" -> q41_snb_allpaths,
     "q40_subgraph" -> q40_subgraph,
     "q39_aggregate" -> q39_aggregate,
     "q38_match" -> q38_match,

@@ -462,6 +462,37 @@ class GSpec extends SparkSpec {
     assert(both == sides && both.nonEmpty)
   }
 
+  test("shortestPaths: GraphX distance parity, valid simple paths, all ⊇ one") {
+    val sg = G(GraphLoader.snb(spark, sf0001))
+    val sub = new graft.graph.PropertyGraph(spark,
+      Map("Person" -> sg.graph.vertexFrames("Person")),
+      sg.graph.edgeFrames.filter { case (spec, _) => spec.label == "KNOWS" })
+    val one = G(sub).V("Person", 1L).shortestPaths(4)(_.both("KNOWS"))
+      .select($"dst_id", $"dist", $"path").cache()
+    // 1. distances == the Pregel bridge's BFS map (truncated to 4)
+    val got = one.select($"dst_id", $"dist").as[(Long, Long)].collect().toMap
+    val want = graft.analytics.GraphXBridge.hopDistances(sub, "Person", 1L)
+      .where($"dist" <= 4)
+      .select(col(graft.model.GraphColumns.Id), $"dist".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want && got.nonEmpty)
+    // 2. every path is simple, starts at the origin, ends at dst, and
+    //    its length is the distance
+    val bad = one.where(
+      size(array_distinct($"path")) =!= size($"path") ||
+        element_at($"path", 1).getField("id") =!= 1L ||
+        element_at($"path", -1).getField("id") =!= $"dst_id" ||
+        size($"path") =!= $"dist" + 1).count()
+    assert(bad == 0L)
+    // 3. all=true reaches the same (dst, dist) set, with count >= 1,
+    //    and exactly one row per dst in representative mode
+    val all = G(sub).V("Person", 1L).shortestPaths(4, all = true)(_.both("KNOWS"))
+    val allSet = all.select($"dst_id", $"dist").distinct()
+      .as[(Long, Long)].collect().toMap
+    assert(allSet == got)
+    assert(one.groupBy($"dst_id").count().where($"count" > 1).count() == 0L)
+  }
+
   test("value-aggregation terminals match SQL, multiplicity included") {
     // direct frontier: plain aggregation over the label's rows
     val b = g.V("Customer").has("c_mktsegment", "BUILDING")
