@@ -40,8 +40,13 @@ object Bench {
     * dangle most edges and these timings would measure a broken graph.
     * q25 covers the FoF fan-out family (q26/q27/q29 share its shape);
     * q33 is the reply-tree unroll — the most expensive non-bulk query,
-    * which previously had no at-scale evidence. */
-  private val snbScaleQueries = Seq("q25_snb_fof", "q33_snb_thread")
+    * which previously had no at-scale evidence; q42 is the whole-graph
+    * min-label superstep loop (rounds scale with diameter, which GROWS
+    * only if the replicated graph's does — contiguous replicas keep
+    * per-replica structure, so rounds stay flat and the ratio measures
+    * per-round join cost). */
+  private val snbScaleQueries =
+    Seq("q25_snb_fof", "q33_snb_thread", "q42_snb_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

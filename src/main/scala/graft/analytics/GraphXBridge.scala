@@ -170,6 +170,18 @@ object GraphXBridge {
       .toDF("label_id", GC.Id, "dist")
   }
 
+  /** Fixed-iteration PageRank (GraphX `staticPageRank`, damping 0.85)
+    * — the exact-algorithm twin of
+    * [[graft.analytics.Iterative.pageRank]] for parity testing. Back
+    * as `(label_id, _vid, rank)`. */
+  def pageRankStatic(g: PropertyGraph, iters: Int): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    toGraphX(g).staticPageRank(iters).vertices
+      .map { case (vid, rank) => (unpackLabel(vid), unpackKey(vid), rank) }
+      .toDF("label_id", GC.Id, "rank")
+  }
+
   /** PageRank (graph-wide, damping 0.85), back as
     * `(label_id, _vid, rank)`. */
   def pageRank(g: PropertyGraph, tol: Double = 1e-4): DataFrame = {

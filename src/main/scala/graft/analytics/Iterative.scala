@@ -1,0 +1,162 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+import graft.model.{GraphColumns => GC}
+
+/** DataFrame-native iterative whole-graph analytics — the Tungsten twin
+  * of [[GraphXBridge]] for the two TinkerPop GraphComputer steps a
+  * Gremlin user reaches for by name (`connectedComponent()`,
+  * `pageRank()`; the inherited step library,
+  * `/root/reference/pom.xml:19-27` — the reference itself throws on
+  * `compute()`, TorcGraph.java:315-323, so this is extension surface).
+  *
+  * Both run the superstep discipline the rest of the engine uses
+  * (one distributed join + `localCheckpoint` per round, `Observation`
+  * for the convergence count so each round costs exactly ONE action —
+  * the e29 lesson): rows stay in whole-stage codegen instead of GraphX's
+  * RDD serialization, which is what lets the same loop run against a
+  * 100-TB edge frame. Vertices ride as the packed 64-bit
+  * `labelId << 48 | key` id ([[GraphXBridge.pack]]) so multi-label
+  * graphs fold into one LongType column — comparisons stay primitive,
+  * no struct shuffles. GraphX remains the fallback for adversarially
+  * deep components (Pregel's large-star/small-star halves rounds).
+  */
+object Iterative {
+
+  /** Packed-id expression for a (labelExpr, idExpr) pair under the
+    * graph's label space — a when-chain literal fold (labels are few),
+    * codegen'd, no join. */
+  private def packed(g: PropertyGraph, label: Column, id: Column): Column =
+    g.labelIds.foldLeft(lit(-1L)) { case (acc, (l, lid)) =>
+      when(label === l, lit(lid << GraphXBridge.LabelShift).bitwiseOR(
+        id.cast("bigint"))).otherwise(acc)
+    }
+
+  private def unpackLabelStr(g: PropertyGraph, v: Column): Column = {
+    val byId = g.labelIds.map(_.swap)
+    byId.foldLeft(lit(null).cast("string")) { case (acc, (lid, l)) =>
+      when(shiftrightunsigned(v, GraphXBridge.LabelShift) === lid, lit(l))
+        .otherwise(acc)
+    }
+  }
+
+  private def unpackKey(v: Column): Column =
+    v.bitwiseAND(lit((1L << GraphXBridge.LabelShift) - 1))
+
+  /** Vertices of the given labels (all when empty) as one packed-id
+    * frame `(_v)`. */
+  private def packedVertices(g: PropertyGraph,
+      labels: Set[String] = Set.empty): DataFrame =
+    g.vertexLabels.filter(l => labels.isEmpty || labels.contains(l)).map { l =>
+      g.vertices(l).select(packed(g, lit(l), col(GC.Id)).as("_v"))
+    }.reduce(_.unionByName(_))
+
+  /** Vertex labels incident to the (possibly restricted) edge set —
+    * the only labels the iterative loops need to carry: a vertex whose
+    * label touches no retained edge spec is a singleton (components) /
+    * an isolated 0.15-rank vertex (pageRank) and is emitted directly,
+    * never joined. At 100 TB this is the difference between iterating
+    * over the whole graph and iterating over the queried subgraph. */
+  private def incidentLabels(g: PropertyGraph,
+      edgeLabels: Set[String]): Set[String] =
+    g.edgeSpecs.filter(s => edgeLabels.isEmpty || edgeLabels.contains(s.label))
+      .flatMap(s => Seq(s.srcLabel, s.dstLabel)).toSet
+
+  /** Edge frames (restricted to `edgeLabels` when non-empty) as packed
+    * `(_s, _d)` pairs; `undirected` unions the reverse direction. */
+  private def packedEdges(g: PropertyGraph, edgeLabels: Set[String],
+      undirected: Boolean): DataFrame = {
+    val specs = g.edgeSpecs.filter(s =>
+      edgeLabels.isEmpty || edgeLabels.contains(s.label))
+    require(specs.nonEmpty, s"no edge specs match $edgeLabels")
+    val fwd = specs.map { spec =>
+      g.edgeFrames(spec).select(
+        packed(g, lit(spec.srcLabel), col(GC.Src)).as("_s"),
+        packed(g, lit(spec.dstLabel), col(GC.Dst)).as("_d"))
+    }.reduce(_.unionByName(_))
+    if (undirected) fwd.unionByName(fwd.select(col("_d").as("_s"), col("_s").as("_d")))
+    else fwd
+  }
+
+  /** Connected components (undirected) as the min-label loop over the
+    * packed id space — each round one equi-join + map-side-combined min
+    * aggregation, convergence observed on the round's single checkpoint
+    * action. Rounds are bounded by the longest min-label propagation
+    * chain (graph diameter). Output:
+    * `(label, _vid, component_label, component_id)` — the component
+    * representative is the packed-smallest member, so reruns agree
+    * under any partitioning. */
+  def connectedComponents(g: PropertyGraph,
+      edgeLabels: Set[String] = Set.empty, maxIter: Int = 30): DataFrame = {
+    val edges = packedEdges(g, edgeLabels, undirected = true).localCheckpoint()
+    val touched = incidentLabels(g, edgeLabels)
+    var labels = packedVertices(g, touched)
+      .select(col("_v"), col("_v").as("_lbl")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("_d") === labels("_v"))
+        .groupBy(col("_s")).agg(min(col("_lbl")).as("_nl"))
+      val obs = new org.apache.spark.sql.Observation(s"cc_it_$iter")
+      val updated = labels.join(nbrMin, labels("_v") === nbrMin("_s"), "left")
+        .select(labels("_v"),
+          least(col("_lbl"), coalesce(col("_nl"), col("_lbl"))).as("_lbl"),
+          (coalesce(col("_nl"), col("_lbl")) < col("_lbl")).as("_chg"))
+        .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint()
+      done = obs.get("changed").asInstanceOf[Long] == 0L
+      labels = updated.drop("_chg")
+      iter += 1
+    }
+    val untouched = g.vertexLabels.toSet -- touched
+    if (untouched.nonEmpty)
+      labels = labels.unionByName(
+        packedVertices(g, untouched).select(col("_v"), col("_v").as("_lbl")))
+    labels.select(
+      unpackLabelStr(g, col("_v")).as("label"),
+      unpackKey(col("_v")).as(GC.Id),
+      unpackLabelStr(g, col("_lbl")).as("component_label"),
+      unpackKey(col("_lbl")).as("component_id"))
+  }
+
+  /** Fixed-iteration PageRank (damping 0.85, GraphX `staticPageRank`
+    * semantics: ranks start at 1.0, dangling mass is not redistributed,
+    * `rank' = 0.15 + 0.85 * Σ incoming rank/outDegree`) over the STORED
+    * edge directions. Each iteration is one equi-join + one aggregation
+    * on pre-degreed edges (degrees computed once, checkpointed); ranks
+    * checkpoint per round so lineage stays linear. The per-iteration
+    * shuffle is inherent to power iteration — Pregel pays it too; the
+    * scale lever is partitioning both sides on the join key once.
+    * Output: `(label, _vid, rank)`. */
+  def pageRank(g: PropertyGraph, iters: Int = 20,
+      edgeLabels: Set[String] = Set.empty): DataFrame = {
+    require(iters >= 1, s"pageRank needs iters >= 1, got $iters")
+    val edges = packedEdges(g, edgeLabels, undirected = false)
+    val outDeg = edges.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    val degreed = edges.join(outDeg, "_s").localCheckpoint()
+    val touched = incidentLabels(g, edgeLabels)
+    val verts = packedVertices(g, touched).localCheckpoint()
+    var ranks = verts.withColumn("_r", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = degreed.join(ranks, degreed("_s") === ranks("_v"))
+        .groupBy(col("_d")).agg(sum(col("_r") / col("_deg")).as("_in"))
+      ranks = verts.join(contrib, verts("_v") === contrib("_d"), "left")
+        .select(verts("_v"),
+          (lit(0.15) + lit(0.85) * coalesce(col("_in"), lit(0.0))).as("_r"))
+        .localCheckpoint()
+    }
+    val untouched = g.vertexLabels.toSet -- touched
+    if (untouched.nonEmpty)
+      // a vertex with no incident edges converges to the reset mass
+      // after the first iteration — emit it directly, never joined
+      ranks = ranks.unionByName(
+        packedVertices(g, untouched).withColumn("_r", lit(0.15)))
+    ranks.select(
+      unpackLabelStr(g, col("_v")).as("label"),
+      unpackKey(col("_v")).as(GC.Id),
+      col("_r").as("rank"))
+  }
+}

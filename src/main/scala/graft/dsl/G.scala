@@ -1007,6 +1007,35 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
   def subgraph(materialize: Boolean = false): graft.graph.PropertyGraph =
     graph.inducedSubgraph(df, materialize)
 
+  /** TinkerPop `connectedComponent()` (GraphComputer step) — annotate
+    * each frontier element with its component representative over the
+    * graph's undirected edge set (restricted to `edgeLabels` when
+    * given): the whole-graph component map is computed once
+    * ([[graft.analytics.Iterative.connectedComponents]], the
+    * DataFrame-native min-label supersteps) and joined back — adds
+    * `component_label`/`component_id` columns. The representative is
+    * the packed-smallest member, so reruns agree; TinkerPop writes an
+    * arbitrary cluster id. */
+  def componentId(edgeLabels: String*): Step = {
+    val comp = graft.analytics.Iterative
+      .connectedComponents(graph, edgeLabels.toSet)
+      .withColumnRenamed("label", GC.Label)
+    copy(df = df.join(comp, Seq(GC.Label, GC.Id), "left"))
+  }
+
+  /** TinkerPop `pageRank()` (GraphComputer step) — annotate each
+    * frontier element with its rank (damping 0.85, `iters` fixed power
+    * iterations over the stored edge directions, GraphX
+    * `staticPageRank` semantics) via
+    * [[graft.analytics.Iterative.pageRank]], the DataFrame-native
+    * superstep form. Adds a `rank` column. */
+  def pageRank(iters: Int, edgeLabels: String*): Step = {
+    val pr = graft.analytics.Iterative
+      .pageRank(graph, iters, edgeLabels.toSet)
+      .withColumnRenamed("label", GC.Label)
+    copy(df = df.join(pr, Seq(GC.Label, GC.Id), "left"))
+  }
+
   /** Gremlin `coin(p)` — deterministic per-ELEMENT form: an element's
     * traversers all survive or all drop (seeded hash of (label, id) vs
     * p), so the sample is reproducible under any partitioning, retry,

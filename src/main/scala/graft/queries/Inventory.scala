@@ -698,6 +698,23 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q42: TinkerPop `connectedComponent()` under the oracle — every
+    * person annotated with its KNOWS-component representative (the
+    * min member id, [[graft.dsl.Step.componentId]]'s deterministic
+    * rule) via the DataFrame-native min-label supersteps
+    * ([[graft.analytics.Iterative.connectedComponents]]). The DuckDB
+    * twin materializes the reachability closure (recursive CTE with
+    * UNION dedup) and takes min reachable id per person — undirected
+    * reachability is symmetric, so min-reachable IS the component
+    * min. */
+  def q42_snb_components(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.dsl.G(Gp).V("Person").componentId("KNOWS")
+      .toDF
+      .select(col(GC.Id).as("person_id"), col("component_id").as("component"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -489,7 +489,23 @@ object Oracles {
        |FROM agg a JOIN dist t ON a.id = t.id AND a.d = t.dist
        |ORDER BY person_id""".stripMargin
 
+  /** Components as SQL: the reachability closure via recursive CTE
+    * (UNION dedups (id, best) pairs, so it terminates at the
+    * transitive closure), min reachable id per person == component
+    * representative on an undirected graph. */
+  val q42_snb_components: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |comp AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS id,
+       |    CAST(c_custkey AS BIGINT) AS best FROM customer
+       |  UNION
+       |  SELECT CAST(u.dst AS BIGINT), c.best
+       |  FROM comp c JOIN uk u ON u.src = c.id)
+       |SELECT id AS person_id, min(best) AS component FROM comp
+       |GROUP BY id ORDER BY person_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q42_snb_components" -> q42_snb_components,
     "q41_snb_allpaths" -> q41_snb_allpaths,
     "q40_subgraph" -> q40_subgraph,
     "q39_aggregate" -> q39_aggregate,

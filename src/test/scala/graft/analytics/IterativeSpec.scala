@@ -1,0 +1,80 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.{GraphColumns => GC}
+import graft.sources.GraphLoader
+
+class IterativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val g = GraphLoader.snb(spark, sf0001)
+
+  test("connectedComponents matches GraphX exactly (same representative rule)") {
+    // Both implementations name a component by its packed-smallest
+    // member, so the law is EXACT map equality — two independent
+    // algorithms (min-label DataFrame loop vs GraphX star contraction)
+    // on the full multi-label graph.
+    val ours = Iterative.connectedComponents(g)
+      .select(col("label"), col(GC.Id),
+        col("component_label"), col("component_id"))
+      .as[(String, Long, String, Long)].collect()
+      .map { case (l, i, cl, ci) => (l, i) -> ((cl, ci)) }.toMap
+    val ids = g.labelIds.map(_.swap)
+    val theirs = GraphXBridge.connectedComponents(g)
+      .as[(Long, Long, Long)].collect()
+      .map { case (lid, key, comp) =>
+        (ids(lid), key) -> ((ids(GraphXBridge.unpackLabel(comp)),
+          GraphXBridge.unpackKey(comp)))
+      }.toMap
+    assert(ours.size == theirs.size && ours.nonEmpty)
+    assert(ours == theirs)
+  }
+
+  test("connectedComponents: edge-label restriction keeps KNOWS-only reachability") {
+    val comp = Iterative.connectedComponents(g, Set("KNOWS"))
+      .where(col("label") === "Person")
+    // every KNOWS edge joins endpoints of equal component
+    val knows = g.edgeFrames.collectFirst {
+      case (spec, df) if spec.label == "KNOWS" => df
+    }.get
+    val byId = comp.select(col(GC.Id).as("pid"), col("component_id").as("c"))
+    val inconsistent = knows
+      .join(byId, col(GC.Src) === col("pid"))
+      .withColumnRenamed("c", "c_src").drop("pid")
+      .join(byId, col(GC.Dst) === col("pid"))
+      .where(col("c_src") =!= col("c")).count()
+    assert(inconsistent == 0L)
+    // restriction matters: posts/comments never share a Person component
+    assert(Iterative.connectedComponents(g, Set("KNOWS"))
+      .where(col("label") =!= "Person" &&
+        col("component_label") === "Person").count() == 0L)
+  }
+
+  test("pageRank matches GraphX staticPageRank within float tolerance") {
+    val iters = 30
+    val ours = Iterative.pageRank(g, iters)
+      .select(col("label"), col(GC.Id), col("rank"))
+      .as[(String, Long, Double)].collect()
+      .map { case (l, i, r) => (l, i) -> r }.toMap
+    val ids = g.labelIds.map(_.swap)
+    val theirs = GraphXBridge.pageRankStatic(g, iters)
+      .as[(Long, Long, Double)].collect()
+      .map { case (lid, key, r) => (ids(lid), key) -> r }.toMap
+    assert(ours.keySet == theirs.keySet && ours.nonEmpty)
+    val worst = ours.map { case (k, r) =>
+      math.abs(r - theirs(k)) / math.max(1e-12, math.abs(theirs(k)))
+    }.max
+    assert(worst < 1e-6, s"max relative rank divergence $worst")
+  }
+
+  test("step modulators annotate the frontier") {
+    val G0 = graft.dsl.G(g)
+    val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
+    assert(c.columns.contains("component_id") && c.count() == 2L)
+    val p = G0.V("Person", 0L, 1L).pageRank(5, "KNOWS").toDF
+    assert(p.columns.contains("rank") &&
+      p.where(col("rank") > 0).count() == 2L)
+  }
+}
