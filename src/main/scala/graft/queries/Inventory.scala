@@ -715,6 +715,32 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q43: weighted shortest path — TinkerPop
+    * `shortestPath().with(distance, 'since')` — as a PURE COMPOSITION
+    * of existing steps: `withSack(0)` carries the accumulated edge
+    * weight, `repeatEmit(4).bothE.modifySack(+since)` enumerates every
+    * <=4-hop walk from Person 1 with its cost, and `min(cost)` per
+    * target is the answer. Hop-bounded min-cost is EXACT on both sides
+    * (no visited pruning here and none in the oracle's walk CTE —
+    * identical semantics by construction); weights are non-negative,
+    * so a min-cost walk is a simple path. Integer weights keep the
+    * hash comparison exact. Superstep mode bounds the walk-enumeration
+    * plans; the walk count is the documented exponential-by-contract
+    * bound (the q41 discipline) — unbounded weighted SSSP at scale is
+    * [[graft.analytics.GraphXBridge.hopDistances]]'s Pregel shape with
+    * a min-plus message, not walk enumeration. */
+  def q43_snb_weighted(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.dsl.G(Gp).V("Person", 1L)
+      .withSack(lit(0L))
+      .repeatEmit(4, emitInitial = true, materialize = true)(
+        _.bothE("KNOWS").modifySack(_ + col("since")))
+      .sack()
+      .groupBy(col(GC.Id).as("person_id"))
+      .agg(min(col("sack")).as("cost"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -504,7 +504,27 @@ object Oracles {
        |SELECT id AS person_id, min(best) AS component FROM comp
        |GROUP BY id ORDER BY person_id""".stripMargin
 
+  /** Hop-bounded weighted shortest path as SQL: min walk cost within
+    * <=4 hops over the stored-direction multiset, each direction
+    * carrying the STORED orientation's weight (since = (src*7+dst*3) %
+    * 1000 computed before reversal, exactly as the loader stores it).
+    * No visited pruning on either side — identical walk semantics. */
+  val q43_snb_weighted: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |uka AS (
+       |  SELECT src, dst, (src * 7 + dst * 3) % 1000 AS w FROM knows
+       |  UNION ALL
+       |  SELECT dst, src, (src * 7 + dst * 3) % 1000 AS w FROM knows),
+       |walk AS (
+       |  SELECT CAST(1 AS BIGINT) AS id, 0 AS d, CAST(0 AS BIGINT) AS cost
+       |  UNION ALL
+       |  SELECT CAST(u.dst AS BIGINT), k.d + 1, k.cost + u.w
+       |  FROM walk k JOIN uka u ON u.src = k.id WHERE k.d < 4)
+       |SELECT id AS person_id, min(cost) AS cost FROM walk
+       |GROUP BY id ORDER BY person_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q43_snb_weighted" -> q43_snb_weighted,
     "q42_snb_components" -> q42_snb_components,
     "q41_snb_allpaths" -> q41_snb_allpaths,
     "q40_subgraph" -> q40_subgraph,
