@@ -58,7 +58,8 @@ object SparkEntry {
     "q40_subgraph" -> (Inventory.q40_subgraph _),
     "q41_snb_allpaths" -> (Inventory.q41_snb_allpaths _),
     "q42_snb_components" -> (Inventory.q42_snb_components _),
-    "q43_snb_weighted" -> (Inventory.q43_snb_weighted _)) ++ Extensions.all
+    "q43_snb_weighted" -> (Inventory.q43_snb_weighted _),
+    "q44_snb_triangles" -> (Inventory.q44_snb_triangles _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

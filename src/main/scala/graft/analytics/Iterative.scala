@@ -122,6 +122,43 @@ object Iterative {
       unpackKey(col("_lbl")).as("component_id"))
   }
 
+  /** Per-vertex triangle counts (undirected, parallel edges and
+    * directions collapsed) — the DataFrame-native twin of
+    * [[GraphXBridge.triangleCounts]]: edges canonicalized to `a < b`,
+    * so each triangle `x < y < z` is found exactly once by one wedge
+    * equi-join (`(x,y) ⋈ (y,z)`) closed by one semi-join against the
+    * edge set, then each corner credited via a 3-way union + count.
+    * Two shuffles on vertex keys + one aggregation, all
+    * whole-stage-codegen; the wedge join's fan-out on high-degree
+    * vertices is the known hot spot — AQE skew splitting covers it
+    * here, and the degree-ordered orientation (each edge low→high
+    * degree, bounding wedges by arboricity) is the documented 100-TB
+    * variant of the same plan. Output: `(label, _vid, triangles)` —
+    * vertices in no triangle report 0. */
+  def triangleCounts(g: PropertyGraph,
+      edgeLabels: Set[String] = Set.empty): DataFrame = {
+    val raw = packedEdges(g, edgeLabels, undirected = false)
+    val canon = raw.select(
+      least(col("_s"), col("_d")).as("_a"),
+      greatest(col("_s"), col("_d")).as("_b"))
+      .where(col("_a") =!= col("_b")).distinct().localCheckpoint()
+    val wedges = canon.as("e1")
+      .join(canon.as("e2"), col("e1._b") === col("e2._a"))
+      .select(col("e1._a").as("_x"), col("e1._b").as("_y"), col("e2._b").as("_z"))
+    val tris = wedges.join(canon.as("e3"),
+      col("_x") === col("e3._a") && col("_z") === col("e3._b"), "left_semi")
+    val corners = tris.select(col("_x").as("_v"))
+      .unionByName(tris.select(col("_y").as("_v")))
+      .unionByName(tris.select(col("_z").as("_v")))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_n"))
+    packedVertices(g, incidentLabels(g, edgeLabels))
+      .join(corners, Seq("_v"), "left")
+      .select(
+        unpackLabelStr(g, col("_v")).as("label"),
+        unpackKey(col("_v")).as(GC.Id),
+        coalesce(col("_n"), lit(0L)).as("triangles"))
+  }
+
   /** Fixed-iteration PageRank (damping 0.85, GraphX `staticPageRank`
     * semantics: ranks start at 1.0, dangling mass is not redistributed,
     * `rank' = 0.15 + 0.85 * Σ incoming rank/outDegree`) over the STORED

@@ -741,6 +741,20 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q44: per-person triangle counts over undirected KNOWS — the
+    * clustering-coefficient numerator every social-graph workload
+    * computes, via the DataFrame-native canonical wedge join
+    * ([[graft.analytics.Iterative.triangleCounts]]); persons in no
+    * triangle report 0. The DuckDB twin states the same
+    * canonical-orientation join directly. */
+  def q44_snb_triangles(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative.triangleCounts(Gp, Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id).as("person_id"), col("triangles"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

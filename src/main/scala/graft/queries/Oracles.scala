@@ -523,7 +523,26 @@ object Oracles {
        |SELECT id AS person_id, min(cost) AS cost FROM walk
        |GROUP BY id ORDER BY person_id""".stripMargin
 
+  /** Triangle counts as SQL: canonical a<b edges, one wedge join
+    * closed by a third edge (x<y<z found exactly once), every corner
+    * credited. */
+  val q44_snb_triangles: String =
+    s"""WITH $snbKnowsCtes,
+       |ec AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |       FROM knows WHERE src <> dst),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM ec e1 JOIN ec e2 ON e2.a = e1.b
+       |        JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |corners AS (SELECT x AS v FROM tri UNION ALL
+       |            SELECT y FROM tri UNION ALL SELECT z FROM tri),
+       |cnt AS (SELECT v, count(*) AS n FROM corners GROUP BY v)
+       |SELECT CAST(c_custkey AS BIGINT) AS person_id,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS triangles
+       |FROM customer LEFT JOIN cnt ON v = c_custkey
+       |ORDER BY person_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q44_snb_triangles" -> q44_snb_triangles,
     "q43_snb_weighted" -> q43_snb_weighted,
     "q42_snb_components" -> q42_snb_components,
     "q41_snb_allpaths" -> q41_snb_allpaths,

@@ -69,6 +69,19 @@ class IterativeSpec extends SparkSpec {
     assert(worst < 1e-6, s"max relative rank divergence $worst")
   }
 
+  test("triangleCounts matches GraphX on the full multi-label graph") {
+    val ours = Iterative.triangleCounts(g)
+      .select(col("label"), col(GC.Id), col("triangles"))
+      .as[(String, Long, Long)].collect()
+      .map { case (l, i, n) => (l, i) -> n }.toMap
+    val ids = g.labelIds.map(_.swap)
+    val theirs = GraphXBridge.triangleCounts(g)
+      .as[(Long, Long, Long)].collect()
+      .map { case (lid, key, n) => (ids(lid), key) -> n }.toMap
+    assert(ours.keySet == theirs.keySet && ours.values.sum > 0)
+    assert(ours == theirs)
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
