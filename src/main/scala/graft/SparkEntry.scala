@@ -59,7 +59,8 @@ object SparkEntry {
     "q41_snb_allpaths" -> (Inventory.q41_snb_allpaths _),
     "q42_snb_components" -> (Inventory.q42_snb_components _),
     "q43_snb_weighted" -> (Inventory.q43_snb_weighted _),
-    "q44_snb_triangles" -> (Inventory.q44_snb_triangles _)) ++ Extensions.all
+    "q44_snb_triangles" -> (Inventory.q44_snb_triangles _),
+    "q45_snb_communities" -> (Inventory.q45_snb_communities _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

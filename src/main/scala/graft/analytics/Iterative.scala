@@ -122,6 +122,46 @@ object Iterative {
       unpackKey(col("_lbl")).as("component_id"))
   }
 
+  /** Synchronous label propagation (TinkerPop `peerPressure()`, the
+    * last GraphComputer step; Raghavan et al. 2007) made DETERMINISTIC:
+    * each round every vertex adopts the most frequent label among its
+    * undirected neighbors, ties to the SMALLEST label — GraphX's
+    * [[GraphXBridge.labelPropagation]] breaks ties on hash-map
+    * iteration order, which is why it can't sit under an oracle; this
+    * form reruns identically under any partitioning. Each round is one
+    * equi-join + one (vertex, label) count + one fan-in-sized
+    * row_number window (partitioned by vertex — never a global sort).
+    * Output: `(label, _vid, community_label, community_id)`. */
+  def labelPropagation(g: PropertyGraph, iters: Int = 5,
+      edgeLabels: Set[String] = Set.empty): DataFrame = {
+    require(iters >= 1, s"labelPropagation needs iters >= 1, got $iters")
+    val edges = packedEdges(g, edgeLabels, undirected = true).localCheckpoint()
+    val touched = incidentLabels(g, edgeLabels)
+    var labels = packedVertices(g, touched)
+      .select(col("_v"), col("_v").as("_lbl")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val freq = edges.join(labels, edges("_d") === labels("_v"))
+        .groupBy(col("_s"), col("_lbl")).agg(count(lit(1)).as("_n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_s")).orderBy(desc("_n"), asc("_lbl"))
+      val best = freq.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("_s").as("_bv"), col("_lbl").as("_nl"))
+      labels = labels.join(best, labels("_v") === col("_bv"), "left")
+        .select(labels("_v"), coalesce(col("_nl"), col("_lbl")).as("_lbl"))
+        .localCheckpoint()
+    }
+    val untouched = g.vertexLabels.toSet -- touched
+    if (untouched.nonEmpty)
+      labels = labels.unionByName(
+        packedVertices(g, untouched).select(col("_v"), col("_v").as("_lbl")))
+    labels.select(
+      unpackLabelStr(g, col("_v")).as("label"),
+      unpackKey(col("_v")).as(GC.Id),
+      unpackLabelStr(g, col("_lbl")).as("community_label"),
+      unpackKey(col("_lbl")).as("community_id"))
+  }
+
   /** Per-vertex triangle counts (undirected, parallel edges and
     * directions collapsed) — the DataFrame-native twin of
     * [[GraphXBridge.triangleCounts]]: edges canonicalized to `a < b`,

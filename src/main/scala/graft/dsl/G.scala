@@ -1023,6 +1023,20 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     copy(df = df.join(comp, Seq(GC.Label, GC.Id), "left"))
   }
 
+  /** TinkerPop `peerPressure()` (GraphComputer step) — annotate each
+    * frontier element with its community under deterministic
+    * synchronous label propagation
+    * ([[graft.analytics.Iterative.labelPropagation]]; most-frequent
+    * neighbor label, ties to the smallest — reruns agree where
+    * TinkerPop/GraphX keep an iteration-order accident). Adds
+    * `community_label`/`community_id` columns. */
+  def community(iters: Int, edgeLabels: String*): Step = {
+    val comm = graft.analytics.Iterative
+      .labelPropagation(graph, iters, edgeLabels.toSet)
+      .withColumnRenamed("label", GC.Label)
+    copy(df = df.join(comm, Seq(GC.Label, GC.Id), "left"))
+  }
+
   /** TinkerPop `pageRank()` (GraphComputer step) — annotate each
     * frontier element with its rank (damping 0.85, `iters` fixed power
     * iterations over the stored edge directions, GraphX

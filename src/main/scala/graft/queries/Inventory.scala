@@ -755,6 +755,23 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q45: TinkerPop `peerPressure()` under the oracle — 5 rounds of
+    * deterministic synchronous label propagation over KNOWS
+    * ([[graft.analytics.Iterative.labelPropagation]]: most-frequent
+    * neighbor label, ties to the smallest), which is only
+    * oracle-checkable BECAUSE the tie-break is total — the DuckDB twin
+    * unrolls the same five rounds (neighbor-label frequency over the
+    * stored-direction multiset + row_number argmax) and must agree
+    * bit-for-bit. GraphX's LPA breaks ties on iteration order and
+    * could never sit here. */
+  def q45_snb_communities(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative.labelPropagation(Gp, 5, Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id).as("person_id"), col("community_id").as("community"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

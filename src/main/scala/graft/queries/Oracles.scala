@@ -541,7 +541,34 @@ object Oracles {
        |FROM customer LEFT JOIN cnt ON v = c_custkey
        |ORDER BY person_id""".stripMargin
 
+  /** Five unrolled LPA rounds as SQL: per round, neighbor-label
+    * frequency over the stored-direction multiset (UNION ALL, matching
+    * the engine's undirected edge view), argmax with the same
+    * (count DESC, label ASC) total tie-break, isolated vertices keep
+    * their label. */
+  val q45_snb_communities: String = {
+    val round = (k: Int) => {
+      val p = k - 1
+      s"""f$k AS (SELECT u.src AS v, l.lbl AS lbl, count(*) AS n
+         |        FROM uka u JOIN l$p l ON l.v = u.dst GROUP BY 1, 2),
+         |b$k AS (SELECT v, lbl FROM (
+         |          SELECT v, lbl, row_number() OVER
+         |            (PARTITION BY v ORDER BY n DESC, lbl) AS rn FROM f$k)
+         |        WHERE rn = 1),
+         |l$k AS (SELECT l$p.v, coalesce(b$k.lbl, l$p.lbl) AS lbl
+         |        FROM l$p LEFT JOIN b$k ON b$k.v = l$p.v)""".stripMargin
+    }
+    s"""WITH $snbKnowsCtes,
+       |uka AS (SELECT src, dst FROM knows UNION ALL SELECT dst, src FROM knows),
+       |l0 AS (SELECT CAST(c_custkey AS BIGINT) AS v,
+       |       CAST(c_custkey AS BIGINT) AS lbl FROM customer),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT v AS person_id, lbl AS community FROM l5
+       |ORDER BY person_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "q45_snb_communities" -> q45_snb_communities,
     "q44_snb_triangles" -> q44_snb_triangles,
     "q43_snb_weighted" -> q43_snb_weighted,
     "q42_snb_components" -> q42_snb_components,

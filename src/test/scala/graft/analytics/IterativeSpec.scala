@@ -82,6 +82,25 @@ class IterativeSpec extends SparkSpec {
     assert(ours == theirs)
   }
 
+  test("labelPropagation: deterministic two-clique convergence") {
+    import graft.graph.PropertyGraph
+    import graft.model.EdgeSpec
+    // barbell: cliques {1,2,3} and {4,5,6} bridged by 3-4
+    val vs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF(GC.Id)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF(GC.Src, GC.Dst)
+    val bar = new PropertyGraph(spark,
+      Map("U" -> vs), Map(EdgeSpec("E", "U", "U") -> es))
+    def run(): Map[Long, Long] = Iterative.labelPropagation(bar, 5)
+      .select(col(GC.Id), col("community_id"))
+      .as[(Long, Long)].collect().toMap
+    val r1 = run()
+    assert(r1 == run()) // deterministic under rerun
+    assert(Set(r1(1L), r1(2L), r1(3L)).size == 1)
+    assert(Set(r1(4L), r1(5L), r1(6L)).size == 1)
+    assert(r1(1L) != r1(4L))
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
@@ -89,5 +108,7 @@ class IterativeSpec extends SparkSpec {
     val p = G0.V("Person", 0L, 1L).pageRank(5, "KNOWS").toDF
     assert(p.columns.contains("rank") &&
       p.where(col("rank") > 0).count() == 2L)
+    val m = G0.V("Person", 0L, 1L).community(5, "KNOWS").toDF
+    assert(m.columns.contains("community_id") && m.count() == 2L)
   }
 }
