@@ -26,14 +26,13 @@ import graft.model.{GraphColumns => GC}
   */
 object Iterative {
 
-  /** Packed-id expression for a (labelExpr, idExpr) pair under the
-    * graph's label space — a when-chain literal fold (labels are few),
-    * codegen'd, no join. */
-  private def packed(g: PropertyGraph, label: Column, id: Column): Column =
-    g.labelIds.foldLeft(lit(-1L)) { case (acc, (l, lid)) =>
-      when(label === l, lit(lid << GraphXBridge.LabelShift).bitwiseOR(
-        id.cast("bigint"))).otherwise(acc)
-    }
+  /** Packed-id expression for a STATICALLY-known label — pure literal
+    * arithmetic (`labelId << 48 | key`), codegen'd, no when-chain: the
+    * label of every frame fed to the loops is known from its
+    * vertex-label / edge-spec key, so the pack folds to one OR. */
+  private def packed(g: PropertyGraph, label: String, id: Column): Column =
+    lit(g.labelIds(label) << GraphXBridge.LabelShift)
+      .bitwiseOR(id.cast("bigint"))
 
   private def unpackLabelStr(g: PropertyGraph, v: Column): Column = {
     val byId = g.labelIds.map(_.swap)
@@ -51,7 +50,7 @@ object Iterative {
   private def packedVertices(g: PropertyGraph,
       labels: Set[String] = Set.empty): DataFrame =
     g.vertexLabels.filter(l => labels.isEmpty || labels.contains(l)).map { l =>
-      g.vertices(l).select(packed(g, lit(l), col(GC.Id)).as("_v"))
+      g.vertices(l).select(packed(g, l, col(GC.Id)).as("_v"))
     }.reduce(_.unionByName(_))
 
   /** Vertex labels incident to the (possibly restricted) edge set —
@@ -74,8 +73,8 @@ object Iterative {
     require(specs.nonEmpty, s"no edge specs match $edgeLabels")
     val fwd = specs.map { spec =>
       g.edgeFrames(spec).select(
-        packed(g, lit(spec.srcLabel), col(GC.Src)).as("_s"),
-        packed(g, lit(spec.dstLabel), col(GC.Dst)).as("_d"))
+        packed(g, spec.srcLabel, col(GC.Src)).as("_s"),
+        packed(g, spec.dstLabel, col(GC.Dst)).as("_d"))
     }.reduce(_.unionByName(_))
     if (undirected) fwd.unionByName(fwd.select(col("_d").as("_s"), col("_s").as("_d")))
     else fwd
