@@ -44,9 +44,12 @@ object Bench {
     * min-label superstep loop (rounds scale with diameter, which GROWS
     * only if the replicated graph's does — contiguous replicas keep
     * per-replica structure, so rounds stay flat and the ratio measures
-    * per-round join cost). */
+    * per-round join cost); q44/q45 put the wedge join and the LPA
+    * rounds — the two remaining whole-graph analytics shapes — under
+    * the same 8x lens. */
   private val snbScaleQueries =
-    Seq("q25_snb_fof", "q33_snb_thread", "q42_snb_components")
+    Seq("q25_snb_fof", "q33_snb_thread", "q42_snb_components",
+      "q44_snb_triangles", "q45_snb_communities")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
