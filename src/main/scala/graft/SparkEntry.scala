@@ -60,7 +60,8 @@ object SparkEntry {
     "q42_snb_components" -> (Inventory.q42_snb_components _),
     "q43_snb_weighted" -> (Inventory.q43_snb_weighted _),
     "q44_snb_triangles" -> (Inventory.q44_snb_triangles _),
-    "q45_snb_communities" -> (Inventory.q45_snb_communities _)) ++ Extensions.all
+    "q45_snb_communities" -> (Inventory.q45_snb_communities _),
+    "q46_snb_kcore" -> (Inventory.q46_snb_kcore _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -121,6 +121,58 @@ object Iterative {
       unpackKey(col("_lbl")).as("component_id"))
   }
 
+  /** k-core decomposition (bounded peel): iteratively drop vertices
+    * whose degree over the SURVIVING undirected edge multiset is below
+    * `k`, up to `maxRounds` times or until a round drops nothing
+    * (observed on the round's single checkpoint action). Degree counts
+    * parallel stored directions separately — the same edge view every
+    * loop here uses. The round budget is part of the CONTRACT, not a
+    * heuristic: a bounded peel is deterministic whether or not it has
+    * converged, which is what lets an unrolled SQL twin check it
+    * exactly; at fixture diameters the fixpoint lands well inside the
+    * default. Each round is two semi-joins (edge-endpoint survival) +
+    * one count — all equi-joins on the packed key. Output: survivors
+    * as `(label, _vid, degree)`, degree measured within the final
+    * surviving subgraph. */
+  def kCore(g: PropertyGraph, k: Int,
+      edgeLabels: Set[String] = Set.empty, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    val edges = packedEdges(g, edgeLabels, undirected = true).localCheckpoint()
+    var surv = packedVertices(g, incidentLabels(g, edgeLabels))
+      .localCheckpoint()
+    // one action per round: the observed checkpoint (the e29 lesson) —
+    // the previous round's size rides in a driver var, never re-counted
+    var size = surv.count()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val live = edges
+        .join(surv.select(col("_v").as("_sv")), col("_s") === col("_sv"), "left_semi")
+        .join(surv.select(col("_v").as("_dv")), col("_d") === col("_dv"), "left_semi")
+      val deg = live.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+      val obs = new org.apache.spark.sql.Observation(s"kcore_r$round")
+      val next = surv.join(deg, surv("_v") === deg("_s"), "left")
+        .where(coalesce(col("_deg"), lit(0L)) >= k)
+        .select(col("_v"))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      val after = obs.get("n").asInstanceOf[Long]
+      done = after == size
+      size = after
+      surv = next
+      round += 1
+    }
+    val live = edges
+      .join(surv.select(col("_v").as("_sv")), col("_s") === col("_sv"), "left_semi")
+      .join(surv.select(col("_v").as("_dv")), col("_d") === col("_dv"), "left_semi")
+    val deg = live.groupBy(col("_s").as("_v")).agg(count(lit(1)).as("_deg"))
+    surv.join(deg, Seq("_v"), "left")
+      .select(
+        unpackLabelStr(g, col("_v")).as("label"),
+        unpackKey(col("_v")).as(GC.Id),
+        coalesce(col("_deg"), lit(0L)).as("degree"))
+  }
+
   /** Synchronous label propagation (TinkerPop `peerPressure()`, the
     * last GraphComputer step; Raghavan et al. 2007) made DETERMINISTIC:
     * each round every vertex adopts the most frequent label among its

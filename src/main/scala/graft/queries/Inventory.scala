@@ -772,6 +772,23 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q46: k-core decomposition under the oracle — the 5-core of the
+    * KNOWS graph after a 4-round bounded peel
+    * ([[graft.analytics.Iterative.kCore]]). The round budget is the
+    * CONTRACT on both sides: the DuckDB twin unrolls the same four
+    * peel rounds (degree over the surviving stored-direction multiset,
+    * drop < 3), so the comparison is exact whether or not the peel has
+    * converged — and early convergence is a fixpoint, so stopping
+    * early changes nothing. Output: survivors with their final
+    * in-core degree. */
+  def q46_snb_kcore(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative.kCore(Gp, 5, Set("KNOWS"), maxRounds = 4)
+      .where(col("label") === "Person")
+      .select(col(GC.Id).as("person_id"), col("degree"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -567,7 +567,31 @@ object Oracles {
        |ORDER BY person_id""".stripMargin
   }
 
+  /** Four unrolled peel rounds as SQL: per round, degree over the
+    * surviving stored-direction multiset (both endpoints must survive),
+    * keep >= 3; the final degree is measured within the last surviving
+    * set. Identical bounded semantics to the engine's kCore. */
+  val q46_snb_kcore: String = {
+    val round = (r: Int) => {
+      val p = r - 1
+      s"""d$r AS (SELECT u.src AS v, count(*) AS n FROM uka u
+         |        JOIN s$p a ON a.v = u.src JOIN s$p b ON b.v = u.dst
+         |        GROUP BY 1),
+         |s$r AS (SELECT v FROM d$r WHERE n >= 5)""".stripMargin
+    }
+    s"""WITH $snbKnowsCtes,
+       |uka AS (SELECT src, dst FROM knows UNION ALL SELECT dst, src FROM knows),
+       |s0 AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+       |${(1 to 4).map(round).mkString(",\n")},
+       |fd AS (SELECT u.src AS v, count(*) AS n FROM uka u
+       |       JOIN s4 a ON a.v = u.src JOIN s4 b ON b.v = u.dst GROUP BY 1)
+       |SELECT s4.v AS person_id, CAST(coalesce(fd.n, 0) AS BIGINT) AS degree
+       |FROM s4 LEFT JOIN fd ON fd.v = s4.v
+       |ORDER BY person_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "q46_snb_kcore" -> q46_snb_kcore,
     "q45_snb_communities" -> q45_snb_communities,
     "q44_snb_triangles" -> q44_snb_triangles,
     "q43_snb_weighted" -> q43_snb_weighted,

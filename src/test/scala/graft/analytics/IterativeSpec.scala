@@ -101,6 +101,41 @@ class IterativeSpec extends SparkSpec {
     assert(r1(1L) != r1(4L))
   }
 
+  test("kCore matches a driver-side brute-force peel on the knows graph") {
+    // independent model: collect the undirected stored-direction edge
+    // multiset and peel on the driver until fixpoint
+    val knows = g.edgeFrames.collectFirst {
+      case (spec, df) if spec.label == "KNOWS" => df
+    }.get.select(col(GC.Src).cast("long"), col(GC.Dst).cast("long"))
+      .as[(Long, Long)].collect()
+    val und = knows ++ knows.map { case (a, b) => (b, a) }
+    val all = und.flatMap { case (a, b) => Seq(a, b) }.toSet ++
+      spark.read.parquet(s"$sf0001/customer.parquet")
+        .select(col("c_custkey").cast("long")).as[Long].collect()
+    def model(k: Int): Map[Long, Long] = {
+      var surv = all
+      var changed = true
+      while (changed) {
+        val deg = und.filter { case (a, b) => surv(a) && surv(b) }
+          .groupBy(_._1).map { case (v, es) => v -> es.size }
+        val next = surv.filter(v => deg.getOrElse(v, 0) >= k)
+        changed = next != surv
+        surv = next
+      }
+      val degF = und.filter { case (a, b) => surv(a) && surv(b) }
+        .groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      surv.map(v => v -> degF.getOrElse(v, 0L)).toMap
+    }
+    def got(k: Int): Map[Long, Long] = Iterative.kCore(g, k, Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id), col("degree"))
+      .as[(Long, Long)].collect().toMap
+    val g3 = got(3)
+    assert(g3 == model(3) && g3.nonEmpty)     // non-trivial surviving core
+    assert(g3.valuesIterator.forall(_ >= 3L))
+    assert(got(5) == model(5))                // agreement even when empty
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
