@@ -789,6 +789,26 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q47: bounded closeness centrality from a MULTI-SOURCE frontier —
+    * the per-ORIGIN contract of [[graft.dsl.Step.shortestPaths]] under
+    * the oracle (q41 exercises one origin; this runs five at once, one
+    * BFS sweep total, NOT five): per seed person, the count and
+    * distance-sum of everyone within 4 hops over undirected KNOWS.
+    * Integer outputs keep the hash exact; closeness = n/(dist_sum) is
+    * a client-side division away. */
+  def q47_snb_closeness(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    val sub = new PropertyGraph(s,
+      Map("Person" -> Gp.vertexFrames("Person")),
+      Gp.edgeFrames.filter { case (spec, _) => spec.label == "KNOWS" })
+    graft.dsl.G(sub).V("Person", 0L, 1L, 2L, 3L, 4L)
+      .shortestPaths(4)(_.both("KNOWS"))
+      .where(col("dist") > 0)
+      .groupBy(col("src_id").as("person_id"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("dist_sum"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

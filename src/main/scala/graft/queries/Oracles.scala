@@ -590,7 +590,26 @@ object Oracles {
        |ORDER BY person_id""".stripMargin
   }
 
+  /** Multi-source bounded BFS as SQL: one recursive CTE seeded with
+    * all five origins (dedup per (seed, id, d)), min depth per pair,
+    * aggregated per seed. DuckDB sums BIGINT into HUGEINT — cast
+    * back. */
+  val q47_snb_closeness: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |seeds AS (SELECT CAST(v AS BIGINT) AS s
+       |          FROM (VALUES (0), (1), (2), (3), (4)) t(v)),
+       |bfs AS (
+       |  SELECT s.s AS seed, s.s AS id, CAST(0 AS BIGINT) AS d FROM seeds s
+       |  UNION
+       |  SELECT b.seed, u.dst, b.d + 1 FROM bfs b JOIN uk u ON u.src = b.id
+       |  WHERE b.d < 4),
+       |md AS (SELECT seed, id, min(d) AS dist FROM bfs GROUP BY 1, 2)
+       |SELECT seed AS person_id, count(*) AS n_reached,
+       |  CAST(sum(dist) AS BIGINT) AS dist_sum
+       |FROM md WHERE dist > 0 GROUP BY seed ORDER BY person_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q47_snb_closeness" -> q47_snb_closeness,
     "q46_snb_kcore" -> q46_snb_kcore,
     "q45_snb_communities" -> q45_snb_communities,
     "q44_snb_triangles" -> q44_snb_triangles,
