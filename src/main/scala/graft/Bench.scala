@@ -45,11 +45,14 @@ object Bench {
     * only if the replicated graph's does — contiguous replicas keep
     * per-replica structure, so rounds stay flat and the ratio measures
     * per-round join cost); q44/q45 put the wedge join and the LPA
-    * rounds — the two remaining whole-graph analytics shapes — under
-    * the same 8x lens. */
+    * rounds under the same 8x lens; q46/q47 complete the analytics
+    * family — the k-core peel (two semi-joins + a count per round) and
+    * the multi-source bounded BFS (seeds 0-4 exist in every contiguous
+    * replica, so the frontier sweep reads a valid graph). */
   private val snbScaleQueries =
     Seq("q25_snb_fof", "q33_snb_thread", "q42_snb_components",
-      "q44_snb_triangles", "q45_snb_communities")
+      "q44_snb_triangles", "q45_snb_communities", "q46_snb_kcore",
+      "q47_snb_closeness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
