@@ -809,6 +809,30 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q48: seed-pair stress centrality — the betweenness family with an
+    * EXACT integer contract: for every ordered seed pair (s, t), s != t,
+    * count each interior vertex of each shortest s->t path (within 4
+    * hops over undirected KNOWS). [[graft.dsl.Step.shortestPaths]] with
+    * `all = true` yields one row per shortest path with the full `path`
+    * array, so the interior explode is a projection, not a new
+    * traversal; integer counts hash exactly where the classic
+    * sigma_st(v)/sigma_st ratio would not. Ordered pairs double every
+    * count symmetrically — part of the contract, mirrored in SQL. */
+  def q48_snb_stress(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    val sub = new PropertyGraph(s,
+      Map("Person" -> Gp.vertexFrames("Person")),
+      Gp.edgeFrames.filter { case (spec, _) => spec.label == "KNOWS" })
+    val seeds = Seq(0L, 1L, 2L, 3L, 4L)
+    graft.dsl.G(sub).V("Person", seeds: _*)
+      .shortestPaths(4, all = true)(_.both("KNOWS"))
+      .where(col("dst_id").isin(seeds: _*) && col("dist") > 0)
+      .select(explode(slice(col("path"), lit(2), size(col("path")) - 2)).as("v"))
+      .groupBy(col("v").getField("id").as("person_id"))
+      .agg(count(lit(1)).as("stress"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -608,7 +608,31 @@ object Oracles {
        |  CAST(sum(dist) AS BIGINT) AS dist_sum
        |FROM md WHERE dist > 0 GROUP BY seed ORDER BY person_id""".stripMargin
 
+  /** Stress centrality as SQL: the q41 walk CTE from five seeds with
+    * the path carried as a list (minimal-length walks ARE the simple
+    * shortest paths), restricted to walks landing on ANOTHER seed at
+    * its first-reach depth; interiors via list_slice(p, 2, -2) (empty
+    * for 1-hop paths), counted per vertex. */
+  val q48_snb_stress: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |uka AS (SELECT src, dst FROM knows UNION ALL SELECT dst, src FROM knows),
+       |seeds AS (SELECT CAST(v AS BIGINT) AS s
+       |          FROM (VALUES (0), (1), (2), (3), (4)) t(v)),
+       |walk AS (
+       |  SELECT s.s AS seed, s.s AS id, 0 AS d, [s.s] AS p FROM seeds s
+       |  UNION ALL
+       |  SELECT w.seed, u.dst, w.d + 1, list_append(w.p, u.dst)
+       |  FROM walk w JOIN uka u ON u.src = w.id WHERE w.d < 4),
+       |dist AS (SELECT seed, id, min(d) AS dist FROM walk GROUP BY 1, 2),
+       |sp AS (SELECT w.p FROM walk w
+       |       JOIN dist t ON w.seed = t.seed AND w.id = t.id AND w.d = t.dist
+       |       WHERE w.id IN (SELECT s FROM seeds) AND w.d > 0),
+       |interior AS (SELECT unnest(list_slice(p, 2, -2)) AS v FROM sp)
+       |SELECT v AS person_id, count(*) AS stress FROM interior
+       |GROUP BY v ORDER BY person_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q48_snb_stress" -> q48_snb_stress,
     "q47_snb_closeness" -> q47_snb_closeness,
     "q46_snb_kcore" -> q46_snb_kcore,
     "q45_snb_communities" -> q45_snb_communities,
