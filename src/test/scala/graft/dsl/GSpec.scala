@@ -493,6 +493,35 @@ class GSpec extends SparkSpec {
     assert(one.groupBy($"dst_id").count().where($"count" > 1).count() == 0L)
   }
 
+  test("shortestPaths: multi-source sweep == union of single-source sweeps") {
+    // the q47/q48 contract: per-origin visited sets mean N seeds in one
+    // frontier produce EXACTLY the rows of N independent sweeps — in
+    // both modes (representative paths are per-origin id-smallest, so
+    // they can't differ either)
+    val sg = G(GraphLoader.snb(spark, sf0001))
+    val sub = new graft.graph.PropertyGraph(spark,
+      Map("Person" -> sg.graph.vertexFrames("Person")),
+      sg.graph.edgeFrames.filter { case (spec, _) => spec.label == "KNOWS" })
+    val seeds = Seq(0L, 1L, 2L)
+    for (all <- Seq(false, true)) {
+      def bag(df: org.apache.spark.sql.DataFrame): Map[(Long, Long, Long, Seq[Long]), Long] =
+        df.select($"src_id", $"dst_id", $"dist",
+            transform($"path", e => e.getField("id")).as("p"))
+          .groupBy($"src_id", $"dst_id", $"dist", $"p").count()
+          .as[(Long, Long, Long, Seq[Long], Long)].collect()
+          .map { case (s, t, d, p, n) => (s, t, d, p) -> n }.toMap
+      val multi = bag(G(sub).V("Person", seeds: _*)
+        .shortestPaths(4, all = all)(_.both("KNOWS")))
+      val singles = seeds.map(s => bag(G(sub).V("Person", s)
+        .shortestPaths(4, all = all)(_.both("KNOWS"))))
+        .reduce { (a, b) =>
+          (a.keySet ++ b.keySet).map(k =>
+            k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+        }
+      assert(multi == singles && multi.nonEmpty, s"all=$all")
+    }
+  }
+
   test("value-aggregation terminals match SQL, multiplicity included") {
     // direct frontier: plain aggregation over the label's rows
     val b = g.V("Customer").has("c_mktsegment", "BUILDING")
