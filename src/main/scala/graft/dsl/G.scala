@@ -284,7 +284,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
         // superstep mode: bound lineage AND stop early once a frontier
         // drains — the materialized frame makes the emptiness check
         // free, and every deeper frontier is necessarily empty too
-        cur = cur.copy(df = cur.df.localCheckpoint())
+        cur = cur.copy(df = graft.plans.Supersteps.cut(cur.df))
         drained = cur.df.isEmpty
       }
       frontiers += ((d, cur))
@@ -325,13 +325,13 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     var done = false
     while (!done && iter < maxIter) {
       val next = hop(frontier)
-      val fresh = next.df.select(col(GC.Id), col(GC.Label))
-        .dropDuplicates(GC.Id, GC.Label)
-        .join(visited, Seq(GC.Id, GC.Label), "left_anti")
-        .localCheckpoint()
+      val fresh = graft.plans.Supersteps.cut(
+        next.df.select(col(GC.Id), col(GC.Label))
+          .dropDuplicates(GC.Id, GC.Label)
+          .join(visited, Seq(GC.Id, GC.Label), "left_anti"))
       if (fresh.isEmpty) done = true
       else {
-        visited = visited.unionByName(fresh).localCheckpoint()
+        visited = graft.plans.Supersteps.cut(visited.unionByName(fresh))
         seenLabels ++= next.labels
         frontier = next.copy(df = fresh)
         iter += 1
@@ -371,7 +371,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
         else exited.unionByName(pass, allowMissingColumns = true)
       exitLabels ++= next.labels
       exitCaptures = mergeCaptures(exitCaptures, next.captures)
-      val failCk = fail.localCheckpoint()
+      val failCk = graft.plans.Supersteps.cut(fail)
       drained = failCk.isEmpty
       cur = next.copy(df = failCk)
       iter += 1
@@ -421,7 +421,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
       outs += emitted.withColumn(Step.DepthCol, lit(d))
       outLabels ++= next.labels
       outCaptures = mergeCaptures(outCaptures, next.captures)
-      val stayCk = stay.localCheckpoint()
+      val stayCk = graft.plans.Supersteps.cut(stay)
       drained = stayCk.isEmpty
       cur = next.copy(df = stayCk)
       d += 1
@@ -1231,12 +1231,12 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
           freshAll.withColumn(rn, row_number().over(w))
             .where(col(rn) === 1).drop(rn)
         }
-      val ck = fresh.localCheckpoint()
+      val ck = graft.plans.Supersteps.cut(fresh)
       drained = ck.isEmpty
       if (!drained) {
-        visited = visited.unionByName(
+        visited = graft.plans.Supersteps.cut(visited.unionByName(
           ck.select(col(src), col(GC.Label), col(GC.Id))
-            .dropDuplicates(src, GC.Label, GC.Id)).localCheckpoint()
+            .dropDuplicates(src, GC.Label, GC.Id)))
         levels += ck.withColumn(Step.DepthCol, lit(d))
         frontier = next.copy(df = ck)
         d += 1

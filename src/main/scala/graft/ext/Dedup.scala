@@ -303,9 +303,11 @@ object Dedup {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("_chg"))
         .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint() // the round's ONE action; fires the observation
+        // the round's ONE action; fires the observation. Loop-carried:
+        // cut STATS too, or they compound per round (Supersteps scaladoc)
+      val next = graft.plans.Supersteps.cut(updated)
       done = obs.get("changed").asInstanceOf[Long] == 0L
-      labels = updated.drop("_chg")
+      labels = next.drop("_chg")
       iter += 1
     }
     labels.withColumnRenamed("lbl", "keep_id")
