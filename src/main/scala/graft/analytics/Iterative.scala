@@ -26,6 +26,10 @@ import graft.model.{GraphColumns => GC}
   */
 object Iterative {
 
+  /** Uniquifies Observation names across repeated loop invocations in
+    * one session (the incremental merge runs the loop once per batch). */
+  private val obsTag = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Packed-id expression for a STATICALLY-known label — pure literal
     * arithmetic (`labelId << 48 | key`), codegen'd, no when-chain: the
     * label of every frame fed to the loops is known from its
@@ -88,28 +92,61 @@ object Iterative {
     * `(label, _vid, component_label, component_id)` — the component
     * representative is the packed-smallest member, so reruns agree
     * under any partitioning. */
-  def connectedComponents(g: PropertyGraph,
-      edgeLabels: Set[String] = Set.empty, maxIter: Int = 30): DataFrame = {
-    val edges = packedEdges(g, edgeLabels, undirected = true).localCheckpoint()
-    val touched = incidentLabels(g, edgeLabels)
-    var labels = packedVertices(g, touched)
-      .select(col("_v"), col("_v").as("_lbl")).localCheckpoint()
+  /** The min-label fixpoint loop shared by [[connectedComponents]] and
+    * the incremental merge: `edges` is the undirected-DOUBLED `(_s, _d)`
+    * frame, `init` the starting `(_v, _lbl)` assignment; each round is
+    * one observed checkpoint action (the e29 single-action discipline).
+    * Converges to `_lbl(v)` = min initial label reachable from v.
+    *
+    * Each round does the neighbor-min step AND a POINTER JUMP
+    * (`_lbl := _lbl(_lbl)`, one self-equi-join): a label is always the
+    * id of some member of the same component, so jumping stays in the
+    * component and halves every propagation chain — rounds drop from
+    * O(diameter) to O(log diameter). On a 1000-round-trip chain graph
+    * that is the difference between 1000 supersteps and 11; locally it
+    * is what keeps the per-round job floor from dominating
+    * fragmented-batch merges (q49). Fixpoint detection is unchanged:
+    * zero decreases across BOTH steps is exactly the old loop's
+    * convergence condition (at the fixpoint labels are idempotent). */
+  private[analytics] def minLabelLoop(edges: DataFrame, init: DataFrame,
+      maxIter: Int): DataFrame = {
+    var labels = init
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("_d") === labels("_v"))
         .groupBy(col("_s")).agg(min(col("_lbl")).as("_nl"))
-      val obs = new org.apache.spark.sql.Observation(s"cc_it_$iter")
-      val updated = labels.join(nbrMin, labels("_v") === nbrMin("_s"), "left")
-        .select(labels("_v"),
-          least(col("_lbl"), coalesce(col("_nl"), col("_lbl"))).as("_lbl"),
-          (coalesce(col("_nl"), col("_lbl")) < col("_lbl")).as("_chg"))
+      val stepped = labels.join(nbrMin, labels("_v") === nbrMin("_s"), "left")
+        .select(labels("_v"), col("_lbl").as("_old"),
+          least(col("_lbl"), coalesce(col("_nl"), col("_lbl"))).as("_l1"))
+      val obs = new org.apache.spark.sql.Observation(
+        s"cc_it_${iter}_${obsTag.incrementAndGet()}")
+      val updated = stepped.join(
+          stepped.select(col("_v").as("_jv"), col("_l1").as("_jl")),
+          stepped("_l1") === col("_jv"), "left")
+        .select(stepped("_v"),
+          least(stepped("_l1"), coalesce(col("_jl"), stepped("_l1"))).as("_lbl"),
+          (least(stepped("_l1"), coalesce(col("_jl"), stepped("_l1")))
+            < stepped("_old")).as("_chg"))
         .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint()
+      // loop-carried: cut stats, not just lineage (Supersteps scaladoc —
+      // this round references `labels` 4x, so carried stats compound 4^n)
+      val next = graft.plans.Supersteps.cut(updated)
       done = obs.get("changed").asInstanceOf[Long] == 0L
-      labels = updated.drop("_chg")
+      labels = next.drop("_chg")
       iter += 1
     }
+    labels
+  }
+
+  def connectedComponents(g: PropertyGraph,
+      edgeLabels: Set[String] = Set.empty, maxIter: Int = 30): DataFrame = {
+    val edges = packedEdges(g, edgeLabels, undirected = true).localCheckpoint()
+    val touched = incidentLabels(g, edgeLabels)
+    var labels = minLabelLoop(edges,
+      packedVertices(g, touched)
+        .select(col("_v"), col("_v").as("_lbl")).localCheckpoint(),
+      maxIter)
     val untouched = g.vertexLabels.toSet -- touched
     if (untouched.nonEmpty)
       labels = labels.unionByName(
@@ -119,6 +156,81 @@ object Iterative {
       unpackKey(col("_v")).as(GC.Id),
       unpackLabelStr(g, col("_lbl")).as("component_label"),
       unpackKey(col("_lbl")).as("component_id"))
+  }
+
+  /** Fold ONE batch of undirected edges into a components state — the
+    * incremental-maintenance primitive behind
+    * [[incrementalComponents]] and the streaming merge
+    * ([[graft.streaming.Streams.componentsSink]]). `state` is
+    * `(_v, _lbl)` with the invariant `_lbl(v)` = MIN member of v's
+    * component over the edges folded so far (what [[minLabelLoop]]
+    * produces, so the invariant is self-sustaining); `batch` is a
+    * single-direction `(_s, _d)` bigint edge frame.
+    *
+    * The batch's endpoints are CONTRACTED through the current state
+    * (endpoint -> its representative; unseen endpoints stand for
+    * themselves), the min-label loop runs on that contracted graph
+    * only, and the new representatives relabel the full state with one
+    * join. At 100 TB this is the whole point: per-batch work is sized
+    * by the BATCH (contracted nodes <= 2|batch|), never by the
+    * accumulated graph — the state itself is touched once per batch by
+    * a hash-partitioned equi-join on `_lbl`. Min of mins is the global
+    * min, so merged components keep the invariant exactly. */
+  def mergeComponentsBatch(state: DataFrame, batch: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val mapped = batch
+      .join(state.select(col("_v").as("_s"), col("_lbl").as("_sl")),
+        Seq("_s"), "left")
+      .join(state.select(col("_v").as("_d"), col("_lbl").as("_dl")),
+        Seq("_d"), "left")
+      .select(coalesce(col("_sl"), col("_s")).as("_s"),
+        coalesce(col("_dl"), col("_d")).as("_d"))
+      .localCheckpoint()
+    val nodes = mapped.select(col("_s").as("_v"))
+      .unionByName(mapped.select(col("_d").as("_v")))
+      .dropDuplicates("_v")
+    val doubled = mapped.unionByName(
+      mapped.select(col("_d").as("_s"), col("_s").as("_d")))
+    val reps = minLabelLoop(doubled.localCheckpoint(),
+      nodes.select(col("_v"), col("_v").as("_lbl")).localCheckpoint(),
+      maxIter)
+    // grow the state by the batch's brand-new vertices (they entered
+    // the contracted graph as themselves), then relabel every vertex
+    // whose representative was re-assigned
+    val newVerts = batch.select(col("_s").as("_v"))
+      .unionByName(batch.select(col("_d").as("_v")))
+      .dropDuplicates("_v")
+      .join(state.select("_v"), Seq("_v"), "left_anti")
+    val grown = state.unionByName(
+      newVerts.select(col("_v"), col("_v").as("_lbl")))
+    // loop-carried across batches (and across an UNBOUNDED stream in
+    // ComponentsMaintainer): stats must be cut or they compound per fold
+    graft.plans.Supersteps.cut(
+      grown.join(reps.select(col("_v").as("_old"), col("_lbl").as("_new")),
+          grown("_lbl") === col("_old"), "left")
+        .select(grown("_v"), coalesce(col("_new"), grown("_lbl")).as("_lbl")))
+  }
+
+  /** Connected components by FOLDING edge batches through
+    * [[mergeComponentsBatch]] — the batch twin of the streaming merge,
+    * and the proof obligation that order of arrival doesn't matter
+    * (each fold preserves the min-representative invariant, so any
+    * split of the same edge multiset converges to the same fixpoint as
+    * one [[connectedComponents]] pass). `vertices` seeds the state so
+    * isolated vertices appear as singleton components, exactly like
+    * the whole-graph pass. Frames are raw bigint `(src, dst)` /
+    * `(id)`; multi-label callers pack first. */
+  def incrementalComponents(vertices: DataFrame, batches: Seq[DataFrame],
+      maxIter: Int = 30): DataFrame = {
+    val state0 = vertices.select(col(vertices.columns.head).cast("bigint").as("_v"))
+      .dropDuplicates("_v")
+      .select(col("_v"), col("_v").as("_lbl")).localCheckpoint()
+    batches.foldLeft(state0) { (st, b) =>
+      val cols = b.columns
+      mergeComponentsBatch(st,
+        b.select(col(cols(0)).cast("bigint").as("_s"),
+          col(cols(1)).cast("bigint").as("_d")))
+    }.select(col("_v").as("id"), col("_lbl").as("component"))
   }
 
   /** k-core decomposition (bounded peel): iteratively drop vertices
@@ -151,11 +263,12 @@ object Iterative {
         .join(surv.select(col("_v").as("_dv")), col("_d") === col("_dv"), "left_semi")
       val deg = live.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
       val obs = new org.apache.spark.sql.Observation(s"kcore_r$round")
-      val next = surv.join(deg, surv("_v") === deg("_s"), "left")
-        .where(coalesce(col("_deg"), lit(0L)) >= k)
-        .select(col("_v"))
-        .observe(obs, count(lit(1)).as("n"))
-        .localCheckpoint()
+      // loop-carried: surv is referenced 3x per round — cut stats
+      val next = graft.plans.Supersteps.cut(
+        surv.join(deg, surv("_v") === deg("_s"), "left")
+          .where(coalesce(col("_deg"), lit(0L)) >= k)
+          .select(col("_v"))
+          .observe(obs, count(lit(1)).as("n")))
       val after = obs.get("n").asInstanceOf[Long]
       done = after == size
       size = after
@@ -198,9 +311,9 @@ object Iterative {
       val best = freq.withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1)
         .select(col("_s").as("_bv"), col("_lbl").as("_nl"))
-      labels = labels.join(best, labels("_v") === col("_bv"), "left")
-        .select(labels("_v"), coalesce(col("_nl"), col("_lbl")).as("_lbl"))
-        .localCheckpoint()
+      labels = graft.plans.Supersteps.cut( // loop-carried: cut stats
+        labels.join(best, labels("_v") === col("_bv"), "left")
+          .select(labels("_v"), coalesce(col("_nl"), col("_lbl")).as("_lbl")))
     }
     val untouched = g.vertexLabels.toSet -- touched
     if (untouched.nonEmpty)
@@ -271,10 +384,10 @@ object Iterative {
     for (_ <- 1 to iters) {
       val contrib = degreed.join(ranks, degreed("_s") === ranks("_v"))
         .groupBy(col("_d")).agg(sum(col("_r") / col("_deg")).as("_in"))
-      ranks = verts.join(contrib, verts("_v") === contrib("_d"), "left")
-        .select(verts("_v"),
-          (lit(0.15) + lit(0.85) * coalesce(col("_in"), lit(0.0))).as("_r"))
-        .localCheckpoint()
+      ranks = graft.plans.Supersteps.cut( // loop-carried: cut stats
+        verts.join(contrib, verts("_v") === contrib("_d"), "left")
+          .select(verts("_v"),
+            (lit(0.15) + lit(0.85) * coalesce(col("_in"), lit(0.0))).as("_r")))
     }
     val untouched = g.vertexLabels.toSet -- touched
     if (untouched.nonEmpty)

@@ -833,6 +833,32 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q49: INCREMENTAL connected components — the same answer as q42,
+    * reached by folding the KNOWS edges in three deterministic batches
+    * through [[graft.analytics.Iterative.mergeComponentsBatch]] (each
+    * batch contracts its endpoints through the current state, runs the
+    * min-label loop on the CONTRACTED graph only, and relabels the
+    * state with one join — per-batch work sized by the batch, never
+    * the accumulated graph). Sharing q42's oracle is the point: the
+    * incremental fold must land on the whole-graph fixpoint
+    * regardless of arrival order. The streaming form is the identical
+    * merge under `foreachBatch` ([[graft.streaming.Streams]]), proved
+    * equal in StreamsSpec. */
+  def q49_snb_components_inc(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    val knows = Gp.edgeFrames.collect {
+        case (spec, e) if spec.label == "KNOWS" => e
+      }.reduce(_.unionByName(_))
+      .select(col(GC.Src).cast("bigint").as("src"),
+        col(GC.Dst).cast("bigint").as("dst"))
+    val batches = (0 until 3).map(i =>
+      knows.where(pmod(col("src") + col("dst"), lit(3)) === i))
+    graft.analytics.Iterative
+      .incrementalComponents(Gp.vertexFrames("Person").select(col(GC.Id)), batches)
+      .select(col("id").as("person_id"), col("component"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -632,6 +632,9 @@ object Oracles {
        |GROUP BY v ORDER BY person_id""".stripMargin
 
   val all: Map[String, String] = Map(
+    // q49 folds the same edge set incrementally, so the whole-graph
+    // components SQL is its oracle VERBATIM — that equality is the test
+    "q49_snb_components_inc" -> q42_snb_components,
     "q48_snb_stress" -> q48_snb_stress,
     "q47_snb_closeness" -> q47_snb_closeness,
     "q46_snb_kcore" -> q46_snb_kcore,

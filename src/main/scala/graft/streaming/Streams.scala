@@ -376,6 +376,52 @@ object Streams {
       .select(left.columns.map(l(_)).toSeq ++ rightExtra.map(r(_)): _*)
   }
 
+  /** Streaming incremental connected components: maintains a
+    * `(vertex, component)` assignment across an UNBOUNDED edge stream
+    * by folding each micro-batch through
+    * [[graft.analytics.Iterative.mergeComponentsBatch]] — per-batch
+    * work is sized by the batch's contracted graph, never the
+    * accumulated one, which is what makes graph maintenance viable on
+    * a stream (recomputing components per trigger is quadratic in
+    * stream length). State lives as a `localCheckpoint`ed frame (the
+    * superstep discipline), updated serially by the foreachBatch
+    * callback — Structured Streaming runs one batch at a time, and
+    * `@volatile` publishes the swap to readers. `state` may be read
+    * between triggers; the batch twin
+    * ([[graft.analytics.Iterative.incrementalComponents]]) is the
+    * oracle-checked form (q49), and StreamsSpec proves the streaming
+    * fold lands on the same fixpoint. */
+  final class ComponentsMaintainer(vertices: DataFrame) {
+    @volatile private var st: DataFrame = vertices
+      .select(col(vertices.columns.head).cast("bigint").as("_v"))
+      .dropDuplicates("_v")
+      .select(col("_v"), col("_v").as("_lbl")).localCheckpoint()
+
+    /** Current assignment as `(id, component)`. */
+    def state: DataFrame =
+      st.select(col("_v").as("id"), col("_lbl").as("component"))
+
+    /** foreachBatch callback: fold one `(src, dst)` micro-batch in. */
+    def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val cols = batch.columns
+        st = graft.analytics.Iterative.mergeComponentsBatch(st,
+          batch.select(col(cols(0)).cast("bigint").as("_s"),
+            col(cols(1)).cast("bigint").as("_d")))
+      }
+  }
+
+  /** Start the incremental-components maintenance over a streaming
+    * `(src, dst)` edge frame; read `maintainer.state` any time. */
+  def startIncrementalComponents(edges: DataFrame,
+      maintainer: ComponentsMaintainer,
+      checkpointDir: String): StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(maintainer.sink)
+      .start()
+
   /** `foreachBatch` sink helper: write each micro-batch to
     * `<path>/batch_id=<id>` with overwrite — a replayed batch (after
     * failure/restart) overwrites its own directory instead of appending

@@ -117,6 +117,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental components: streaming fold == batch fold == one-shot, any split") {
+    implicit val sqlCtx = spark.sqlContext
+    // two triangles bridged by (4,5), vertex 9 isolated: components
+    // {1,2,3,4,5,6,7} (rep 1) and {9}
+    val edges = Seq((2L, 3L), (1L, 2L), (1L, 3L), (5L, 6L), (5L, 7L),
+      (6L, 7L), (4L, 5L), (1L, 4L))
+    val verts = (1L to 7L).toDF("id").unionByName(Seq(9L).toDF("id"))
+    def assignment(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.as[(Long, Long)].collect().toMap
+    // one-shot reference: everything in a single batch
+    val oneShot = assignment(graft.analytics.Iterative
+      .incrementalComponents(verts, Seq(edges.toDF("src", "dst"))))
+    assert(oneShot == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L, 9L -> 9L))
+    // batch fold: an adversarial split whose middle batch arrives as
+    // disconnected fragments that only the LAST batch bridges
+    val splits = Seq(edges.take(3), edges.slice(3, 6), edges.drop(6))
+    val folded = assignment(graft.analytics.Iterative
+      .incrementalComponents(verts, splits.map(_.toDF("src", "dst"))))
+    assert(folded == oneShot)
+    // streaming fold: same batches through foreachBatch
+    val mem = MemoryStream[(Long, Long)]
+    val m = new Streams.ComponentsMaintainer(verts)
+    val q = mem.toDF().toDF("src", "dst").writeStream
+      .outputMode("append").foreachBatch(m.sink).start()
+    try {
+      splits.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      assert(assignment(m.state) == oneShot)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment over a JSON directory source matches the batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json_src").toString
     batch.write.mode("overwrite").json(dir)
