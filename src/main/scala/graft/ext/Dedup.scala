@@ -326,6 +326,53 @@ object Dedup {
       .where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Corpus-wide duplicated SPANS (substring-level dedup, the
+    * granularity below whole-document near-dup): every maximal run of
+    * token positions whose k-token windows each occur at >= 2 positions
+    * ANYWHERE in the corpus (other documents or a repeat within the
+    * same one). This is the fixed-granularity form of the
+    * suffix-array ExactSubstr method (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): windows
+    * at stride 1 detect any duplicated passage of >= k tokens, with
+    * boundaries resolved to window granularity, and the work stays
+    * LINEAR in corpus tokens — the 100-TB shape a distributed suffix
+    * array cannot match. Plan: one explode to (doc, pos, md5(window))
+    * [the shuffle moves 32-byte digests], one count-by-hash with
+    * map-side combine, one semi-join back, and a per-document
+    * gaps-and-islands window (partitioned by doc_id — fan-in bounded
+    * by document length, never a global sort). Tokenization = single
+    * space ([[ngrams]]' convention, matching DuckDB string_split).
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) — 1-based
+    * inclusive token positions, all integers so the oracle hashes
+    * exactly. */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"duplicatedSpans needs k >= 2, got $k")
+    val wins = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - k),
+        i => md5(concat_ws(" ",
+          (0 until k).map(j => element_at(col("w"), i + j + 1)): _*))))
+        .as(Seq("_p0", "_h")))
+      .select(col("doc_id"), (col("_p0") + 1).as("_pos"), col("_h"))
+    val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_pos"))
+    wins.join(dup.select("_h"), Seq("_h"), "left_semi")
+      .withColumn("_g", col("_pos") - row_number().over(wnd))
+      .groupBy(col("doc_id"), col("_g"))
+      // bigint outputs: the DuckDB twin's positions are BIGINT and the
+      // oracle hash is width-sensitive
+      .agg(min(col("_pos")).cast("long").as("span_start"),
+        (max(col("_pos")) + lit(k - 1)).cast("long").as("span_end"),
+        (max(col("_pos")) + lit(k) - min(col("_pos"))).cast("long").as("span_tokens"))
+      .drop("_g")
+  }
+
   /** Near-dup survivors under the KEEP-FIRST policy: drop every document
     * that is the greater member of a verified near-dup pair
     * ([[nearDupPairs]]: LSH candidates, exact-Jaccard >= threshold), via

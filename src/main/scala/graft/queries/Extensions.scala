@@ -233,6 +233,14 @@ object Extensions {
         KnnK)
       .orderBy("query_id")
 
+  /** Maximal duplicated token spans at 8-token granularity — the
+    * substring-level dedup pass ([[graft.ext.Dedup.duplicatedSpans]]);
+    * linear in corpus tokens where a suffix array is not
+    * distributable. */
+  def e44_duplicated_spans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(s, dir), k = 8)
+      .orderBy("doc_id", "span_start")
+
   /** Overlapping 32-token chunks every 24 tokens (context-window prep
     * for embedding/training; [[graft.ext.Text.chunkTokens]] — row-local
     * explode, no shuffle). */
@@ -454,6 +462,7 @@ object Extensions {
     "e41_token_budget" -> (e41_token_budget _),
     "e42_chunking" -> (e42_chunking _),
     "e43_ann_recall" -> (e43_ann_recall _),
+    "e44_duplicated_spans" -> (e44_duplicated_spans _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -957,6 +966,26 @@ object Extensions {
          |FROM q LEFT JOIN hits ON hits.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin
     },
+
+    "e44_duplicated_spans" ->
+      // Same window hashing (md5 of the space-joined 8-token slice,
+      // 1-based inclusive list slicing), same >= 2 occurrences rule,
+      // same gaps-and-islands merge (pos - row_number groups a
+      // consecutive run) as Dedup.duplicatedSpans.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |        FROM marked)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |       max(pos) + 8 - min(pos) AS span_tokens
+        |FROM isl GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "e42_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -131,6 +131,26 @@ class DedupSpec extends SparkSpec {
     assert(!kept.contains(2L) && !kept.contains(3L))
   }
 
+  test("duplicatedSpans: maximal k-window runs, cross-doc and within-doc") {
+    // docs A/B share the 10-token prefix; C repeats its own 4-token
+    // phrase twice; D shares nothing at k = 4
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j unique1 tail1 x1 y1"),
+      (2L, "a b c d e f g h i j unique2 tail2 x2 y2"),
+      (3L, "p q r s mid1 mid2 mid3 mid4 mid5 p q r s"),
+      (4L, "entirely fresh words nothing matches anywhere here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // A/B: windows at pos 1..7 all duplicated -> one span 1..10
+    // C: "p q r s" at pos 1 and pos 10 -> two spans of exactly k
+    assert(spans == Set(
+      (1L, 1L, 10L, 10L), (2L, 1L, 10L, 10L),
+      (3L, 1L, 4L, 4L), (3L, 10L, 13L, 4L)))
+    // span_tokens is always >= k, and every doc-4 position is uncovered
+    assert(spans.forall(_._4 >= 4L))
+  }
+
   test("ngrams generalizes shingles; contamination report counts shared grams") {
     val four = Dedup.ngrams(docs.where($"doc_id" === 1L), 4)
       .as[(Long, String)].collect()
