@@ -153,14 +153,30 @@ object Bench {
     def renderQs(dec: Int): String =
       results.map { case (k, t) => "\"" + k + "\":" + fd(t.head, dec) }
         .mkString("{", ",", "}")
-    // adaptive precision: prefer 2 decimals, then 1 (which still
-    // resolves the 0.x-second majority), and only under extreme query
-    // counts the 0-decimal emergency tier — the committed
-    // bench_spread.json sidecar carries the 6-decimal record either
-    // way, and a clipped artifact line is worse than a coarser one
+    // The per-query map must fit the driver's ~2 KiB stdout tail. Past
+    // ~90 queries the NAMES alone exceed it — no precision tier can
+    // save a map that big (the round-8 lesson: 93 queries rendered at
+    // ZERO decimals still hit 1935 B). So: full map at 2 decimals when
+    // it fits, else the TOP-K most expensive queries (the ones a
+    // baseline comparison actually resolves — sub-second entries sit
+    // on the job floor and carry no plan signal) plus an explicit
+    // "_others" rollup (count + summed seconds) so nothing is silently
+    // dropped. The committed bench_spread.json sidecar carries the
+    // full 6-decimal record either way.
     val qs2 = renderQs(2)
-    val qs1 = if (qs2.length <= 1780) qs2 else renderQs(1)
-    val qs = if (qs1.length <= 1860) qs1 else renderQs(0)
+    val qs = if (qs2.length <= 1780) qs2 else {
+      val byCost = results.sortBy { case (_, t) => -t.head }
+      val k = (40 to 1 by -1).find { n =>
+        val top = byCost.take(n)
+        top.map { case (q, t) => q.length + 8 }.sum + 40 <= 1700
+      }.getOrElse(1)
+      val top = byCost.take(k).sortBy(_._1)
+      val restT = byCost.drop(k).map(_._2.head).sum
+      (top.map { case (q, t) => "\"" + q + "\":" + fd(t.head, 2) } :+
+        ("\"_others\":{\"n\":" + (results.size - k) + ",\"sec\":" +
+          fd(restT, 2) + "}"))
+        .mkString("{", ",", "}")
+    }
     val total = results.map { case (_, t) => t.head }.sum
     val medianTotal = results.map { case (_, t) => t(t.size / 2) }.sum
     // Sidecar: per-query latency distribution, mirroring the reference's

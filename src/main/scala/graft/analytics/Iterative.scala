@@ -186,14 +186,17 @@ object Iterative {
       .select(coalesce(col("_sl"), col("_s")).as("_s"),
         coalesce(col("_dl"), col("_d")).as("_d"))
       .localCheckpoint()
+    // nodes/doubled stay LAZY over the checkpointed `mapped`: each
+    // re-evaluation is one narrow map over persisted blocks, cheaper
+    // than the eager checkpoint actions they'd otherwise cost (the
+    // per-action job floor dominates this whole fold locally)
     val nodes = mapped.select(col("_s").as("_v"))
       .unionByName(mapped.select(col("_d").as("_v")))
       .dropDuplicates("_v")
     val doubled = mapped.unionByName(
       mapped.select(col("_d").as("_s"), col("_s").as("_d")))
-    val reps = minLabelLoop(doubled.localCheckpoint(),
-      nodes.select(col("_v"), col("_v").as("_lbl")).localCheckpoint(),
-      maxIter)
+    val reps = minLabelLoop(doubled,
+      nodes.select(col("_v"), col("_v").as("_lbl")), maxIter)
     // grow the state by the batch's brand-new vertices (they entered
     // the contracted graph as themselves), then relabel every vertex
     // whose representative was re-assigned
