@@ -373,6 +373,41 @@ object Dedup {
       .drop("_g")
   }
 
+  /** Rewrite each document with its duplicated spans REMOVED — the
+    * cleaning transform over [[duplicatedSpans]]' report (ExactSubstr
+    * dedup's second half: Lee et al. cut every duplicated passage from
+    * the training corpus, whole-doc dropping being too blunt when only
+    * a boilerplate paragraph repeats). Spans aggregate per document
+    * (collect_list on the doc_id-partitioned span frame — bounded by
+    * spans-per-doc, never corpus-wide), join back on doc_id (hash
+    * partitioned; Catalyst broadcasts when the span side is small),
+    * and the excision itself is ROW-LOCAL codegen: an indexed
+    * `filter` over the token array dropping positions covered by any
+    * span interval. Documents with no spans pass through unchanged
+    * (left join), including sub-k-token ones. Output: (doc_id,
+    * clean_text, n_tokens_removed). */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(docs, k, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("_spans"))
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_w"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // coalesce(false): a doc with NO spans has a null _spans and
+        // exists() yields null — which filter() would DROP, emptying
+        // every clean document
+        filter(col("_w"), (_, i) => !coalesce(exists(col("_spans"),
+          s => (i + 1 >= s.getField("s")) && (i + 1 <= s.getField("e"))),
+          lit(false)))
+          .as("_kept"),
+        size(col("_w")).as("_n"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("_kept")).as("clean_text"),
+        (col("_n") - size(col("_kept"))).cast("long").as("n_tokens_removed"))
+  }
+
   /** Near-dup survivors under the KEEP-FIRST policy: drop every document
     * that is the greater member of a verified near-dup pair
     * ([[nearDupPairs]]: LSH candidates, exact-Jaccard >= threshold), via

@@ -241,6 +241,13 @@ object Extensions {
     Dedup.duplicatedSpans(docs(s, dir), k = 8)
       .orderBy("doc_id", "span_start")
 
+  /** The cleaning transform over e44's report: every duplicated span
+    * excised, untouched documents passed through
+    * ([[graft.ext.Dedup.removeDuplicatedSpans]]). */
+  def e45_span_removal(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(docs(s, dir), k = 8)
+      .orderBy("doc_id")
+
   /** Overlapping 32-token chunks every 24 tokens (context-window prep
     * for embedding/training; [[graft.ext.Text.chunkTokens]] — row-local
     * explode, no shuffle). */
@@ -463,6 +470,7 @@ object Extensions {
     "e42_chunking" -> (e42_chunking _),
     "e43_ann_recall" -> (e43_ann_recall _),
     "e44_duplicated_spans" -> (e44_duplicated_spans _),
+    "e45_span_removal" -> (e45_span_removal _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -986,6 +994,36 @@ object Extensions {
         |       max(pos) + 8 - min(pos) AS span_tokens
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "e45_span_removal" ->
+      // e44's span derivation verbatim, then positional tokens
+      // anti-joined against the intervals and re-joined by position;
+      // docs whose every token is removed (or that produced no keep
+      // rows) coalesce to '' via the outer join on documents.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+        |isl AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |        FROM marked),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |          FROM isl GROUP BY doc_id, g),
+        |tok AS (SELECT doc_id, i AS p, w[i] AS t
+        |        FROM toks, UNNEST(generate_series(1, len(w))) u(i)),
+        |keep AS (SELECT tok.doc_id, p, t FROM tok
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans
+        |           WHERE spans.doc_id = tok.doc_id AND p BETWEEN s AND e)),
+        |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS ct,
+        |               count(*) AS kept
+        |        FROM keep GROUP BY doc_id)
+        |SELECT toks.doc_id, coalesce(ct, '') AS clean_text,
+        |       len(w) - coalesce(kept, 0) AS n_tokens_removed
+        |FROM toks LEFT JOIN agg ON agg.doc_id = toks.doc_id
+        |ORDER BY toks.doc_id""".stripMargin,
 
     "e42_chunking" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -151,6 +151,23 @@ class DedupSpec extends SparkSpec {
     assert(spans.forall(_._4 >= 4L))
   }
 
+  test("removeDuplicatedSpans excises exactly the reported intervals") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j unique1 tail1 x1 y1"),
+      (2L, "a b c d e f g h i j unique2 tail2 x2 y2"),
+      (3L, "p q r s mid1 mid2 mid3 mid4 mid5 p q r s"),
+      (4L, "entirely fresh words nothing matches anywhere here"),
+      (5L, "a b")                                  // < k tokens: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(corpus, k = 4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("unique1 tail1 x1 y1", 10L)))
+    assert(out(2L) == (("unique2 tail2 x2 y2", 10L)))
+    assert(out(3L) == (("mid1 mid2 mid3 mid4 mid5", 8L)))
+    assert(out(4L) == (("entirely fresh words nothing matches anywhere here", 0L)))
+    assert(out(5L) == (("a b", 0L)))
+  }
+
   test("ngrams generalizes shingles; contamination report counts shared grams") {
     val four = Dedup.ngrams(docs.where($"doc_id" === 1L), 4)
       .as[(Long, String)].collect()
