@@ -31,7 +31,10 @@ object Bench {
     * media IVF). */
   private val scaleQueries = Seq("q14_bulk_load", "q24_snb_composite",
     "e03_minhash_pairs", "e04_ngram_jaccard", "e17_near_dup_pipeline",
-    "e29_dedup_clusters", "e31_pipeline", "e32_media_ivf")
+    "e29_dedup_clusters", "e31_pipeline", "e32_media_ivf",
+    // e44: the span-dedup digest shuffle is the linear-work claim —
+    // the 8x curve is the evidence it holds off the job floor
+    "e44_duplicated_spans")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via
@@ -52,7 +55,10 @@ object Bench {
   private val snbScaleQueries =
     Seq("q25_snb_fof", "q33_snb_thread", "q42_snb_components",
       "q44_snb_triangles", "q45_snb_communities", "q46_snb_kcore",
-      "q47_snb_closeness")
+      "q47_snb_closeness",
+      // q49: the incremental fold's contract is per-batch-sized work —
+      // its 8x growth vs q42's is the direct test of that claim
+      "q49_snb_components_inc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -170,6 +170,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("span dedup (e44/e45) scans are pruned to (doc_id, text)") {
+    // e44 explodes stride-1 windows and e45 scans documents again for
+    // the excision join — every documents scan in both plans must read
+    // only (doc_id, text): dragging lang/source/n_chars through an
+    // O(corpus tokens) explode is exactly the 100-TB mistake the
+    // pruning gate exists to catch.
+    for (q <- Seq("e44_duplicated_spans", "e45_span_removal")) {
+      val schemas = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(plans(q)).map(_.group(1)).toSeq
+      assert(schemas.nonEmpty, s"no parquet scans found in $q plan")
+      schemas.foreach { s =>
+        val colsRead = s.split(",").map(_.split(":").head.trim).toSet
+        assert(colsRead.subsetOf(Set("doc_id", "text")),
+          s"$q scan reads extra columns: $colsRead")
+      }
+    }
+  }
+
   test("column pruning reaches the scan for the JSON-extraction query") {
     val p = SparkEntry.queries("e26_json_extract")(spark, sf0001)
       .queryExecution.executedPlan.toString
