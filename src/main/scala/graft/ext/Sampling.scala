@@ -82,6 +82,44 @@ object Sampling {
       .drop("_g", "_rate")
   }
 
+  /** Deterministic train/validation/test split assignment: each row's
+    * split depends ONLY on its key's 60-bit hash position inside the
+    * cumulative weight intervals — stable across runs, partitionings,
+    * and shard additions (the [[hashSample]] membership discipline,
+    * extended from one threshold to an interval partition of the hash
+    * space). A document can never migrate between splits when the
+    * corpus grows, which is the leakage guarantee a training pipeline
+    * actually needs from its splitter. Pure codegen'd CASE over the
+    * key hash — no shuffle, one pass. `splits` are (name, weight),
+    * weights normalized; interval boundaries are integer literals so
+    * the SQL oracle assigns the identical split. Output: input columns
+    * + `split`. */
+  def assignSplits(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).forall(_ > 0),
+      "splits must be non-empty with strictly positive weights")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split names: ${splits.map(_._1)}")
+    val bounds = splitBounds(splits)
+    val h = keyHash(key)
+    // last interval is unbounded above: rounding must never drop a row
+    val expr = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, hi), rest) => when(h < lit(hi), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** (name, exclusive upper hash bound) per split, cumulative in the
+    * given order; the last bound is 2^60 (whole space). Public so the
+    * oracle SQL inlines the same literals. */
+  def splitBounds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val wSum = splits.map(_._2).sum
+    val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / wSum }.tail
+    splits.zip(cums).map { case ((name, _), c) =>
+      name -> (if (c >= 1.0) 1L << HashBits else (c * (1L << HashBits)).toLong)
+    }
+  }
+
   /** Token-budget selection — greedy best-first corpus fill WITHOUT a
     * global window: keep the highest-`quality` rows whose running token
     * sum fits `budget`, ties broken by `key` — exactly the SQL

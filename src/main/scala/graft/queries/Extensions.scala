@@ -248,6 +248,17 @@ object Extensions {
     Dedup.removeDuplicatedSpans(docs(s, dir), k = 8)
       .orderBy("doc_id")
 
+  /** The canonical 80/10/10 split over doc_id ([[Sampling.assignSplits]]
+    * — membership is a pure key-hash interval, so a document can never
+    * migrate splits as the corpus grows). */
+  val splitWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  def e46_split_assign(s: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplits(docs(s, dir), col("doc_id"), splitWeights)
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
   /** Overlapping 32-token chunks every 24 tokens (context-window prep
     * for embedding/training; [[graft.ext.Text.chunkTokens]] — row-local
     * explode, no shuffle). */
@@ -471,6 +482,7 @@ object Extensions {
     "e43_ann_recall" -> (e43_ann_recall _),
     "e44_duplicated_spans" -> (e44_duplicated_spans _),
     "e45_span_removal" -> (e45_span_removal _),
+    "e46_split_assign" -> (e46_split_assign _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -994,6 +1006,20 @@ object Extensions {
         |       max(pos) + 8 - min(pos) AS span_tokens
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "e46_split_assign" -> {
+      // the SAME cumulative hash-interval literals the Spark side
+      // computes (Sampling.splitBounds) over the e27 key-hash formula
+      val bounds = Sampling.splitBounds(splitWeights)
+      val cases = bounds.init
+        .map { case (n, hi) => s"WHEN h < $hi THEN '$n'" }
+        .mkString(" ")
+      s"""WITH k AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id, CASE $cases ELSE '${bounds.last._1}' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
 
     "e45_span_removal" ->
       // e44's span derivation verbatim, then positional tokens

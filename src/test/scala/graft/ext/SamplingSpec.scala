@@ -17,6 +17,28 @@ class SamplingSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("assignSplits: total partition, growth-stable, ~weight proportions") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.assignSplits(docs, col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    // every row gets exactly one split; proportions near the weights
+    assert(assigned.length == docs.count())
+    val byS = assigned.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") / assigned.length > 0.7)
+    assert(byS("val") / assigned.length < 0.2)
+    // growth stability: assignment on a SUBSET matches the full corpus
+    // row-for-row (membership depends only on the key hash)
+    val sub = Sampling.assignSplits(docs.where(col("doc_id") < 100),
+        col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = assigned.toMap
+    assert(sub.forall { case (id, s) => full(id) == s } && sub.nonEmpty)
+    // hash-interval boundaries partition the space exactly
+    val b = Sampling.splitBounds(splits)
+    assert(b.last._2 == (1L << Sampling.HashBits) && b.map(_._2) == b.map(_._2).sorted)
+  }
+
   test("hashSample fraction is approximately honored and monotone in fraction") {
     val n = docs.count().toDouble
     val k20 = Sampling.hashSample(docs, col("doc_id"), 0.2).count().toDouble
