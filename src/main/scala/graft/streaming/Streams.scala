@@ -422,6 +422,29 @@ object Streams {
       .foreachBatch(maintainer.sink)
       .start()
 
+  /** STREAMING decontamination — drop arriving documents sharing any
+    * n-gram with the static benchmark set, at ingest. Contamination is
+    * PER-DOCUMENT against a static frame, so the exact batch operator
+    * ([[graft.ext.Dedup.decontaminate]]) applies verbatim to each
+    * micro-batch under `foreachBatch` — no cross-batch state, no
+    * approximation (the production shortcut here is a broadcast Bloom
+    * filter over benchmark grams, which trades false-positive drops
+    * for memory; the exact join needs no such trade at benchmark-set
+    * sizes, which are small by construction). The idempotent
+    * batch_id-dir sink makes the pipeline effectively exactly-once
+    * ([[startForeachBatchParquet]]'s contract); StreamsSpec proves any
+    * batch split yields exactly the batch operator's output. */
+  def startDecontaminate(docs: DataFrame, benchmark: DataFrame, n: Int,
+      path: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ext.Dedup.decontaminate(batch, benchmark, n)
+          .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
+
   /** `foreachBatch` sink helper: write each micro-batch to
     * `<path>/batch_id=<id>` with overwrite — a replayed batch (after
     * failure/restart) overwrites its own directory instead of appending

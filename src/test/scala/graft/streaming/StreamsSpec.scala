@@ -148,6 +148,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination == batch decontaminate, any split") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "clean a b c d e f g h"),
+      (2L, "has w1 w2 w3 w4 w5 w6 w7 w8 inside"),   // contaminated
+      (3L, "also clean i j k l m n o p"),
+      (4L, "w3 w4 w5 w6 w7 w8 tail words here"))     // contaminated
+    val expect = graft.ext.Dedup
+      .decontaminate(corpus.toDF("doc_id", "text"), bench, n = 6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expect == Set(1L, 3L))
+    val out = java.nio.file.Files.createTempDirectory("graft_decon_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_decon_ck").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.startDecontaminate(
+      mem.toDF().toDF("doc_id", "text"), bench, n = 6, out, ckpt)
+    try {
+      corpus.grouped(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment over a JSON directory source matches the batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json_src").toString
     batch.write.mode("overwrite").json(dir)
