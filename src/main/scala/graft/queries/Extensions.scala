@@ -18,14 +18,25 @@ object Extensions {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
-  /** The events fixture stores TIMESTAMP(NANOS), which Spark's vectorized
-    * Parquet reader rejects; read nanos as long and floor-divide to
-    * microseconds (exactly DuckDB's nanos->micros truncation). Integer
-    * `div`, not `/`: epoch nanos (~1.7e18) overflow double precision. */
+  /** Normalizes `events.ts` to session-timezone TIMESTAMP regardless of
+    * how the fixture stored it. Earlier generations wrote
+    * TIMESTAMP(NANOS), which Spark's vectorized Parquet reader rejects —
+    * those are read as long nanos and floor-divided to microseconds
+    * (exactly DuckDB's nanos->micros truncation; integer `div`, not `/`:
+    * epoch nanos ~1.7e18 overflow double precision). Current fixtures
+    * store TIMESTAMP(MICROS) without a zone, which Spark infers as
+    * TIMESTAMP_NTZ — cast to TIMESTAMP (session tz is UTC everywhere, so
+    * the cast is value-preserving and keeps `.as[java.sql.Timestamp]`
+    * encoders and watermark arithmetic working unchanged). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   val knnQueryIds: Seq[Long] = 0L until 20L
