@@ -23,6 +23,36 @@ object GraftSqlShims {
   def catalystExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Rebuild a localCheckpoint'd DataFrame on a STATS-FREE copy of its
+    * `LogicalRDD` leaf, staying on the checkpointed InternalRow RDD.
+    *
+    * `localCheckpoint` rewrites the parent plan's estimated Statistics
+    * onto the checkpointed leaf (`LogicalRDD.fromDataset` ->
+    * `rewriteStatsAndConstraints`), which compounds geometrically in
+    * loops (graft.plans.Supersteps scaladoc). The portable fix —
+    * `createDataFrame(ck.rdd, schema)` — drops the stats but detours
+    * every downstream evaluation through a Row <-> InternalRow
+    * conversion AND forgets the leaf's output partitioning, so each
+    * loop round re-pays one exchange plus a per-row serde tax
+    * (measured ~2x on the SNB superstep queries at sf0.1). This shim
+    * keeps the checkpointed internal rows and partitioning, replacing
+    * only the carried `originStats`/`originConstraints` with None — the
+    * leaf reports the session-default size again and broadcast
+    * decisions fall to AQE's runtime sizes, with zero conversion cost.
+    * Returns None when the plan is not a bare LogicalRDD leaf (caller
+    * falls back to the portable path). */
+  def statsFreeLogicalRddCopy(df: Dataset[Row]): Option[Dataset[Row]] = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    cds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val clean = new org.apache.spark.sql.execution.LogicalRDD(
+          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+          lr.isStreaming, lr.stream)(cds.sparkSession, None, None)
+        Some(classic.Dataset.ofRows(cds.sparkSession, clean))
+      case _ => None
+    }
+  }
+
   /** Register a native expression in the session's FunctionRegistry so
     * it is callable from SQL text (runtime twin of the
     * `spark.sql.extensions` injection path). */
