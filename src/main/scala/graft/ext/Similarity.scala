@@ -264,6 +264,58 @@ object Similarity {
     centroids
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv 2303.09540):
+    * embedding-level dedup that finds near-duplicates by MEANING, where
+    * MinHash/SimHash ([[Dedup]]) see only surface n-grams. The paper's
+    * construction, unchanged: k-means-cluster the corpus, compare pairs
+    * only WITHIN a cluster, and drop one member of every pair above the
+    * cosine threshold.
+    *
+    * Scale shape — this is [[embeddingNearDupPairs]]' scale path: the
+    * clustering bounds the quadratic. Assignment is the broadcast-k +
+    * map-side argmax agg (linear, one shuffle on vec_id); pair work is
+    * sum of per-cell squares, controlled by choosing k ~ n/targetCell
+    * (FAISS-style sqrt(n) clusters at web scale); the pair join is an
+    * equi-join on the cell key, so AQE's skew split covers an
+    * unbalanced cell. Cross-cluster duplicates are missed BY CONTRACT
+    * (the paper's recall trade; the oracle replays the same clustering,
+    * so parity is exact).
+    *
+    * Keep policy: the established keep-first discipline
+    * ([[Dedup.dropNearDuplicates]]) — a vector is DROPPED iff some
+    * same-cell vector with a SMALLER id matches it at >= threshold.
+    * Output: the dropped rows `(vec_id, kept_by, sim)` with `kept_by`
+    * the smallest such partner (deterministic), ordered by the caller.
+    * `roundDecimals` pins the k-means means for oracle portability
+    * (e32's discipline; -1 = full precision). */
+  def semDedup(embeddings: DataFrame, k: Int, iters: Int,
+      threshold: Double, roundDecimals: Int = -1): DataFrame = {
+    val cen = trainCentroids(embeddings, k, iters, roundDecimals)
+    val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
+    val assigned = embeddings.join(broadcast(cen))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best"),
+        first(col("embedding")).as("emb"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cell"), col("emb"))
+    // Hoisted norms (the e20 lesson: one fold per vector, one per pair).
+    val withNorm = assigned.select(col("vec_id"), col("cell"), col("emb"),
+      sqrt(aggregate(col("emb"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))).as("nrm"))
+    val a = withNorm.select(col("cell"), col("vec_id").as("id_a"),
+      col("emb").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("cell"), col("vec_id").as("id_b"),
+      col("emb").as("vb"), col("nrm").as("nb"))
+    val sim = round(dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 9)
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
+      .where(col("sim") >= threshold)
+    val w = Window.partitionBy("id_b").orderBy(asc("id_a"))
+    pairs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("id_b").as("vec_id"), col("id_a").as("kept_by"), col("sim"))
+  }
+
   /** Random-hyperplane LSH signature (Charikar, STOC 2002: sign of the
     * dot product with random hyperplanes estimates angular similarity):
     * `planes` pseudo-random hyperplanes

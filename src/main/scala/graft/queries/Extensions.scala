@@ -270,6 +270,26 @@ object Extensions {
       .select(col("doc_id"), col("split"))
       .orderBy("doc_id")
 
+  /** SemDeDup parameters: 8 clusters, 2 pinned Lloyd rounds (means
+    * rounded to 6 decimals — the e32 portability discipline), cosine
+    * 0.44 — sized so the sf0.01 fixture yields a nonempty dropped set
+    * under balanced ~60-vector cells. */
+  val E47K = 8
+  val E47Iters = 2
+  val E47Threshold = 0.44
+
+  /** e47: semantic dedup (SemDeDup, Abbas et al. 2023) over the
+    * embeddings corpus — k-means clustering bounds the pair work,
+    * within-cluster cosine >= threshold drops the greater id under the
+    * keep-first policy ([[Similarity.semDedup]]). The oracle replays
+    * the ENTIRE pipeline in SQL: both Lloyd rounds (the e32 CTE
+    * pattern), final assignment, within-cell pairs, min-partner
+    * selection. */
+  def e47_semdedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(emb(s, dir), k = E47K, iters = E47Iters,
+      threshold = E47Threshold, roundDecimals = 6)
+      .orderBy("vec_id")
+
   /** Overlapping 32-token chunks every 24 tokens (context-window prep
     * for embedding/training; [[graft.ext.Text.chunkTokens]] — row-local
     * explode, no shuffle). */
@@ -494,6 +514,7 @@ object Extensions {
     "e44_duplicated_spans" -> (e44_duplicated_spans _),
     "e45_span_removal" -> (e45_span_removal _),
     "e46_split_assign" -> (e46_split_assign _),
+    "e47_semdedup" -> (e47_semdedup _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1017,6 +1038,54 @@ object Extensions {
         |       max(pos) + 8 - min(pos) AS span_tokens
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "e47_semdedup" -> {
+      // Full SemDeDup replay: deterministic stride init, both pinned
+      // Lloyd rounds (argmax-cosine assignment + per-(cell, dim) mean
+      // rounded to 6 decimals, FLOAT cast — trainCentroids(roundDecimals
+      // = 6) verbatim, the e32 CTE pattern over the embeddings table
+      // directly), final assignment, within-cell a < b pairs at the e20
+      // sim expression, keep-first min-partner per dropped id.
+      def cos(a: String, b: String) =
+        s"""round(list_dot_product($a, $b) /
+           |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)""".stripMargin
+      val dims = 64
+      def kmeansRound(cen: String, tag: String, next: String) =
+        s"""asg$tag AS (
+           |  SELECT vec_id, cid AS cell, v FROM (
+           |    SELECT e.vec_id, c.cid, e.v, ${cos("e.v", "CAST(c.cv AS DOUBLE[])")} AS sim
+           |    FROM emb e CROSS JOIN $cen c)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+           |upd$tag AS (
+           |  SELECT cell AS cid, pos, CAST(round(avg(v[pos]), 6) AS FLOAT) AS m
+           |  FROM asg$tag, UNNEST(generate_series(1, $dims)) AS t(pos)
+           |  GROUP BY cell, pos),
+           |$next AS (SELECT cid, list(m ORDER BY pos) AS cv FROM upd$tag GROUP BY cid)"""
+          .stripMargin
+      val rounds = (1 to E47Iters)
+        .map(i => kmeansRound(s"cen${i - 1}", i.toString, s"cen$i"))
+        .mkString(",\n")
+      s"""WITH
+         |embf AS (SELECT vec_id, embedding AS cvf FROM embeddings),
+         |emb AS (SELECT vec_id, CAST(cvf AS DOUBLE[]) AS v FROM embf),
+         |nn AS (SELECT count(*) AS n FROM embf),
+         |cen0 AS (SELECT vec_id AS cid, cvf AS cv FROM embf, nn
+         |         WHERE vec_id % greatest(1, n // $E47K) = 0
+         |         ORDER BY vec_id LIMIT $E47K),
+         |$rounds,
+         |fasg AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid, ${cos("e.v", "CAST(c.cv AS DOUBLE[])")} AS sim
+         |    FROM emb e CROSS JOIN cen$E47Iters c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cos("ea.v", "eb.v")} AS sim
+         |  FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN emb ea ON ea.vec_id = a.vec_id JOIN emb eb ON eb.vec_id = b.vec_id
+         |  WHERE ${cos("ea.v", "eb.v")} >= $E47Threshold)
+         |SELECT id_b AS vec_id, id_a AS kept_by, sim FROM pairs
+         |QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY id_a) = 1
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "e46_split_assign" -> {
       // the SAME cumulative hash-interval literals the Spark side

@@ -21,9 +21,12 @@ class PlanAuditSpec extends SparkSpec {
     * untouched, linear at any scale). */
   // (q33 is NOT here: its 1-row-count NLJ runs inside the superstep
   // checkpoints, so the final unroll plan contains no NLJ at all.)
-  // e43 composes bruteForceTopK, so it carries e06's query-vector NLJ
+  // e43 composes bruteForceTopK, so it carries e06's query-vector NLJ;
+  // e47's NLJ is the k-centroid broadcast of its k-means assignment
+  // (the e23/e32 class — k rows against the corpus, linear)
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
-    "e43_ann_recall", "q25_snb_fof", "q27_bothe", "q29_snb_posts", "q38_match")
+    "e43_ann_recall", "e47_semdedup", "q25_snb_fof", "q27_bothe",
+    "q29_snb_posts", "q38_match")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

@@ -116,4 +116,37 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect().toSet
     assert(ivf == bf)
   }
+
+  test("semDedup equals the window-assigned brute-force reference") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (k, iters, thr) = (4, 1, 0.35)
+    val dropped = Similarity.semDedup(emb, k, iters, thr, roundDecimals = 6)
+      .select("vec_id", "kept_by", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(dropped.nonEmpty) // 257 brute pairs >= 0.35 on this fixture
+
+    // Independent reference: same trained centroids, but assignment via
+    // a per-vector WINDOW rank (not the argmax agg), pair scoring via
+    // the all-pairs operator filtered to same-cell, keep-first by
+    // groupBy-min (not a window).
+    val cen = Similarity.trainCentroids(emb, k, iters, roundDecimals = 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val cells = emb.crossJoin(cen)
+      .withColumn("csim", round(cosineSimilarity(col("embedding"), col("cv")), 9))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val pairs = Similarity.embeddingNearDupPairs(emb, thr)
+      .join(cells.select(col("vec_id").as("id_a"), col("cell").as("ca")), "id_a")
+      .join(cells.select(col("vec_id").as("id_b"), col("cell").as("cb")), "id_b")
+      .where(col("ca") === col("cb"))
+    val ref = pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(min(struct(col("id_a"), col("sim"))).as("m"))
+      .select(col("vec_id"), col("m.id_a").as("kept_by"), col("m.sim").as("sim"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(dropped == ref)
+
+    // Survivors' law: no dropped id ever appears as a keeper of a
+    // SMALLER id (keep-first drops strictly greater pair members).
+    dropped.foreach { case (v, kept, _) => assert(kept < v) }
+  }
 }
