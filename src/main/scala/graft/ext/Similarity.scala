@@ -316,6 +316,105 @@ object Similarity {
       .select(col("id_b").as("vec_id"), col("id_a").as("kept_by"), col("sim"))
   }
 
+  /** Product quantization (Jégou/Douze/Schmid, TPAMI 2011): the
+    * COMPRESSION path of the ANN family. Vectors split into `m`
+    * subspaces; a per-subspace L2 k-means codebook (`ks` centroids)
+    * quantizes each subvector to one code — the corpus collapses from
+    * `dims` floats to `m` small ints per vector (64x here), and search
+    * runs over the CODES via asymmetric distance computation (ADC): the
+    * query precomputes its distance to every (subspace, centroid) once,
+    * then each candidate's approximate distance is an m-term lookup
+    * sum. At 100 TB this is the point — the scan touches the code
+    * table and a broadcast |Q| x m x ks lookup grid; raw vectors move
+    * only for the query side.
+    *
+    * All m codebooks train in ONE frame (the `sub` column rides along),
+    * so each Lloyd round is one broadcast-assign + one (sub, cid, pos)
+    * mean — m-way training adds no extra shuffles. Distances are
+    * `||a||^2 + ||b||^2 - 2ab` over the codegen'd [[dotProduct]] (no
+    * interpreted zip_with fold on the hot path), rounded to 9 for
+    * engine-portable ordering; `roundDecimals` pins the centroid means
+    * (the e32 discipline) so the WHOLE pipeline — training, encoding,
+    * ADC — replays as a SQL oracle. */
+  def pqCodebooks(embeddings: DataFrame, m: Int, ks: Int, iters: Int,
+      dims: Int, roundDecimals: Int = -1): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val subLen = dims / m
+    val n = embeddings.count()
+    require(ks > 0 && n > 0, s"need ks > 0 and a non-empty corpus, got ks=$ks n=$n")
+    val stride = math.max(1L, n / ks)
+    val base = subVectors(embeddings, m, subLen)
+    val picks = embeddings.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id").limit(ks).select("vec_id")
+    var cb = base.join(picks, "vec_id")
+      .select(col("sub"), col("vec_id").as("cid"), col("v").as("cv"))
+      .localCheckpoint()
+    def mean(x: Column): Column =
+      if (roundDecimals >= 0) round(x, roundDecimals) else x
+    for (_ <- 1 to iters) {
+      cb = pqAssign(base, cb)
+        .select(col("sub"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos").agg(avg("x").as("mx"))
+        .groupBy("sub", "cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pm"))
+        .select(col("sub"), col("cid"),
+          transform(col("pm"), x => mean(x("mx")).cast("float")).as("cv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** `(vec_id, sub, v)` subvector frame — row-local slice explode. */
+  private def subVectors(embeddings: DataFrame, m: Int, subLen: Int): DataFrame =
+    embeddings.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("embedding"), s * subLen + 1, subLen).as("v"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.sub").as("sub"), col("s.v").as("v"))
+
+  /** Nearest codebook entry per (vec_id, sub) by rounded L2, ties to the
+    * smallest cid — the argmin as a map-side-combinable max-of-struct
+    * agg (the [[ivfTopKWith]] trick). Keeps the subvector for training
+    * rounds. */
+  private def pqAssign(base: DataFrame, cb: DataFrame): DataFrame = {
+    val d = round(dotProduct(col("v"), col("v"))
+      + dotProduct(col("cv"), col("cv"))
+      - lit(2.0) * dotProduct(col("v"), col("cv")), 9)
+    base.join(broadcast(cb), Seq("sub"))
+      .groupBy(col("sub"), col("vec_id"))
+      .agg(max(struct((-d).as("nd"), (-col("cid")).as("ncid"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("sub"), col("vec_id"), (-col("best.ncid")).as("cid"), col("v"))
+  }
+
+  /** PQ ANN top-k via ADC. Approximate distance = exact sum (DECIMAL
+    * accumulation — the q15 float-sum discipline) of the query's
+    * precomputed rounded L2 to each subspace's assigned centroid.
+    * Output: `(query_id, neighbor_id, adist)`, k per query by
+    * (adist asc, neighbor_id asc). Self-matches excluded. */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 4, ks: Int = 4, iters: Int = 2, dims: Int = 64,
+      roundDecimals: Int = -1): DataFrame = {
+    val subLen = dims / m
+    val cb = pqCodebooks(embeddings, m, ks, iters, dims, roundDecimals)
+    val base = subVectors(embeddings, m, subLen)
+    val codes = pqAssign(base, cb).select(col("sub"), col("vec_id"), col("cid"))
+    val qd = round(dotProduct(col("v"), col("v"))
+      + dotProduct(col("cv"), col("cv"))
+      - lit(2.0) * dotProduct(col("v"), col("cv")), 9)
+    val qdist = base.where(col("vec_id").isin(queryIds: _*))
+      .select(col("sub"), col("vec_id").as("query_id"), col("v"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("sub"), col("query_id"), col("cid"),
+        qd.cast("decimal(28,9)").as("qd"))
+    val adist = codes.join(broadcast(qdist), Seq("sub", "cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).cast("double").as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("vec_id"))
+    adist.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
+  }
+
   /** Random-hyperplane LSH signature (Charikar, STOC 2002: sign of the
     * dot product with random hyperplanes estimates angular similarity):
     * `planes` pseudo-random hyperplanes

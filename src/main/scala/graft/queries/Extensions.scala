@@ -290,6 +290,23 @@ object Extensions {
       threshold = E47Threshold, roundDecimals = 6)
       .orderBy("vec_id")
 
+  /** PQ parameters: 4 subspaces x 4 centroids (a 4-byte code per
+    * 64-float vector), 2 pinned Lloyd rounds, top-5 for queries 0..9. */
+  val E48M = 4
+  val E48Ks = 4
+  val E48Iters = 2
+  val E48TopK = 5
+  val E48QueryIds: Seq[Long] = 0L until 10L
+
+  /** e48: product-quantization ANN ([[Similarity.pqTopK]]) — per-subspace
+    * L2 codebooks, 4-code encoding, asymmetric-distance top-k. The
+    * oracle replays codebook training, encoding, and the ADC lookup sum
+    * (DECIMAL-exact) in SQL. */
+  def e48_knn_pq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(emb(s, dir), E48QueryIds, E48TopK,
+      m = E48M, ks = E48Ks, iters = E48Iters, dims = 64, roundDecimals = 6)
+      .orderBy("query_id", "neighbor_id")
+
   /** Overlapping 32-token chunks every 24 tokens (context-window prep
     * for embedding/training; [[graft.ext.Text.chunkTokens]] — row-local
     * explode, no shuffle). */
@@ -515,6 +532,7 @@ object Extensions {
     "e45_span_removal" -> (e45_span_removal _),
     "e46_split_assign" -> (e46_split_assign _),
     "e47_semdedup" -> (e47_semdedup _),
+    "e48_knn_pq" -> (e48_knn_pq _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1085,6 +1103,61 @@ object Extensions {
          |SELECT id_b AS vec_id, id_a AS kept_by, sim FROM pairs
          |QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY id_a) = 1
          |ORDER BY vec_id""".stripMargin
+    },
+
+    "e48_knn_pq" -> {
+      // Full PQ replay: subvector slices, per-subspace stride-init L2
+      // Lloyd rounds (means rounded to 6, FLOAT cast — pqCodebooks
+      // verbatim), encoding by final-codebook argmin, then the ADC
+      // lookup sum in DECIMAL(28,9) (the q15 float-sum discipline).
+      val subLen = 64 / E48M
+      def l2(a: String, b: String) =
+        s"""round(list_dot_product($a, $a) + list_dot_product($b, $b)
+           |      - 2 * list_dot_product($a, $b), 9)""".stripMargin
+      def argmin(cb: String, out: String, keepV: Boolean) =
+        s"""$out AS (
+           |  SELECT sub, vec_id, cid${if (keepV) ", v" else ""} FROM (
+           |    SELECT b.sub, b.vec_id, c.cid, b.v,
+           |      ${l2("b.v", "CAST(c.cv AS DOUBLE[])")} AS d
+           |    FROM base b JOIN $cb c ON c.sub = b.sub)
+           |  QUALIFY row_number() OVER (PARTITION BY sub, vec_id ORDER BY d, cid) = 1)"""
+          .stripMargin
+      def lloydRound(prev: String, tag: String, next: String) =
+        s"""${argmin(prev, s"asg$tag", keepV = true)},
+           |upd$tag AS (
+           |  SELECT sub, cid, pos, CAST(round(avg(v[pos]), 6) AS FLOAT) AS mx
+           |  FROM asg$tag, UNNEST(generate_series(1, $subLen)) AS t(pos)
+           |  GROUP BY sub, cid, pos),
+           |$next AS (SELECT sub, cid, list(mx ORDER BY pos) AS cv
+           |          FROM upd$tag GROUP BY sub, cid)""".stripMargin
+      val rounds = (1 to E48Iters)
+        .map(i => lloydRound(s"cb${i - 1}", i.toString, s"cb$i"))
+        .mkString(",\n")
+      val qids = E48QueryIds.mkString(", ")
+      s"""WITH
+         |base AS (SELECT vec_id, sb AS sub,
+         |    (CAST(embedding AS DOUBLE[]))[sb * $subLen + 1 : (sb + 1) * $subLen] AS v
+         |  FROM embeddings, UNNEST(generate_series(0, ${E48M - 1})) AS t(sb)),
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |picks AS (SELECT vec_id FROM embeddings, nn
+         |          WHERE vec_id % greatest(1, n // $E48Ks) = 0
+         |          ORDER BY vec_id LIMIT $E48Ks),
+         |cb0 AS (SELECT b.sub, b.vec_id AS cid, b.v AS cv
+         |        FROM base b JOIN picks p USING (vec_id)),
+         |$rounds,
+         |${argmin(s"cb$E48Iters", "codes", keepV = false)},
+         |qdist AS (
+         |  SELECT b.sub, b.vec_id AS query_id, c.cid,
+         |    CAST(${l2("b.v", "CAST(c.cv AS DOUBLE[])")} AS DECIMAL(28,9)) AS qd
+         |  FROM base b JOIN cb$E48Iters c ON c.sub = b.sub
+         |  WHERE b.vec_id IN ($qids)),
+         |ad AS (SELECT q.query_id, s.vec_id, CAST(sum(q.qd) AS DOUBLE) AS adist
+         |       FROM codes s JOIN qdist q ON q.sub = s.sub AND q.cid = s.cid
+         |       WHERE s.vec_id <> q.query_id
+         |       GROUP BY 1, 2)
+         |SELECT query_id, vec_id AS neighbor_id, adist FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $E48TopK
+         |ORDER BY query_id, neighbor_id""".stripMargin
     },
 
     "e46_split_assign" -> {

@@ -149,4 +149,51 @@ class SimilaritySpec extends SparkSpec {
     // SMALLER id (keep-first drops strictly greater pair members).
     dropped.foreach { case (v, kept, _) => assert(kept < v) }
   }
+
+  test("pq with one subspace and a per-vector codebook is exact L2 search") {
+    // m=1, ks=n, 0 Lloyd rounds: every vector is its own centroid, so
+    // each code IS the vector and the ADC "approximation" collapses to
+    // the exact rounded L2 distance — PQ must equal brute force.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
+      .localCheckpoint()
+    val n = emb.count().toInt
+    val qids = (0L until 5L).toSeq
+    val pq = Similarity.pqTopK(emb, qids, 10, m = 1, ks = n, iters = 0)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Double)].collect().toSet
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val d2 = round(
+      graft.functions.dotProduct(col("qv"), col("qv"))
+        + graft.functions.dotProduct(col("embedding"), col("embedding"))
+        - lit(2.0) * graft.functions.dotProduct(col("qv"), col("embedding")), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(asc("d"), asc("vec_id"))
+    val bf = q.crossJoin(e).where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        d2.cast("decimal(28,9)").cast("double").as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(asc("d"), asc("neighbor_id"))))
+      .where(col("rn") <= 10).select("query_id", "neighbor_id", "d")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pq == bf)
+  }
+
+  test("pq codes compress to m entries per vector with codebook-bounded ids") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qids = (0L until 3L).toSeq
+    val topk = Similarity.pqTopK(emb, qids, 5, m = 4, ks = 4, iters = 2,
+      roundDecimals = 6)
+    assert(topk.count() == qids.size * 5)
+    val cb = Similarity.pqCodebooks(emb, m = 4, ks = 4, iters = 2, dims = 64,
+      roundDecimals = 6)
+    // codebook: <= ks entries per subspace, 16-dim float means
+    val perSub = cb.groupBy("sub").count().as[(Int, Long)].collect().toMap
+    assert(perSub.keySet == (0 until 4).toSet)
+    assert(perSub.values.forall(c => c >= 1 && c <= 4))
+    val lens = cb.select(size(col("cv"))).distinct().as[Int].collect().toSeq
+    assert(lens == Seq(16))
+  }
 }
