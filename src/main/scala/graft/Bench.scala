@@ -34,7 +34,12 @@ object Bench {
     "e29_dedup_clusters", "e31_pipeline", "e32_media_ivf",
     // e44: the span-dedup digest shuffle is the linear-work claim —
     // the 8x curve is the evidence it holds off the job floor
-    "e44_duplicated_spans")
+    "e44_duplicated_spans",
+    // e47/e48: the embedding-family scale paths — SemDeDup's pair work
+    // is n^2/k (fixed k at 8x shows the documented growth; production
+    // grows k with n), PQ's train/encode/ADC are linear with the code
+    // table as the only scan
+    "e47_semdedup", "e48_knn_pq")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via

@@ -320,6 +320,96 @@ object Streams {
       }
   }
 
+  /** One remembered vector in a cell's semantic-dedup state. */
+  final case class CellMember(id: Long, vec: Array[Float], ts: Long)
+  final case class CellState(members: List[CellMember])
+  final case class SemDupFlag(vec_id: Long, dup_of: Long, sim: Double)
+
+  /** STREAMING semantic dedup — the streaming leg of SemDeDup
+    * ([[graft.ext.Similarity.semDedup]]): arriving embeddings are
+    * assigned to a cell of a FROZEN centroid model and compared against
+    * the cell's remembered members; a vector matching an EARLIER-seen
+    * same-cell member at cosine >= `threshold` is emitted as
+    * `(vec_id, dup_of = earliest matching member, sim)`.
+    *
+    * The model is frozen BY DESIGN: centroids train offline on a corpus
+    * snapshot ([[graft.ext.Similarity.trainCentroids]].collect — k
+    * rows), and ingest assigns against the literal centroid arrays
+    * ROW-LOCALLY (the argmax is one array_max over k struct literals —
+    * the e07 inlined-constants pattern, no join, no shuffle before the
+    * single stateful operator). Re-training inside the stream would
+    * make cell membership arrival-order-dependent — the streaming twin
+    * of e47's determinism contract.
+    *
+    * Match semantics mirror the batch keep-first policy: a vector is
+    * compared against ALL earlier arrivals in its cell (kept or
+    * flagged — in batch, a dropped doc still drops later ones), with
+    * `dup_of` the EARLIEST (ts, id) match. Per-cell state is bounded by
+    * the watermark horizon: the whole cell evicts on event-time
+    * timeout, exactly like the LSH bucket state
+    * ([[streamingNearDupCandidates]]). Cosine is rounded HALF_UP at 9
+    * decimals (the e20 kernel's convention) so batch and stream agree
+    * bit-for-bit. Works identically in batch mode (one group pass). */
+  def streamingSemanticDedup(vecs: DataFrame, centroids: Seq[(Long, Seq[Float])],
+      threshold: Double, delay: String = "10 minutes",
+      horizonMs: Long = 10L * 60 * 1000): Dataset[SemDupFlag] = {
+    require(centroids.nonEmpty, "streamingSemanticDedup needs a trained model")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val watermarked =
+      if (vecs.isStreaming) vecs.withWatermark("ts", delay) else vecs
+    val cands = centroids.map { case (cid, cv) =>
+      struct(
+        round(graft.functions.cosineSimilarity(
+          col("embedding"), typedLit(cv)), 9).as("sim"),
+        lit(-cid).as("ncid"))
+    }
+    val cell = (-array_max(array(cands: _*)).getField("ncid")).as("cell")
+    val assigned = watermarked
+      .select(col("vec_id"), col("ts"), col("embedding"), cell)
+      .select(col("vec_id").as[Long], col("ts").as[Timestamp],
+        col("embedding").as[Array[Float]], col("cell").as[Long])
+    assigned.groupByKey(_._4)
+      .flatMapGroupsWithState[CellState, SemDupFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[CellState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val streaming = eventTimeTimeoutSupported(state)
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._1))
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val out = Seq.newBuilder[SemDupFlag]
+            def cos(a: Array[Float], b: Array[Float]): Double = {
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              while (i < a.length) {
+                dot += a(i).toDouble * b(i).toDouble
+                na += a(i).toDouble * a(i).toDouble
+                nb += b(i).toDouble * b(i).toDouble
+                i += 1
+              }
+              BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+                .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+            sorted.foreach { case (id, ts, vec, _) =>
+              // members is newest-first, so the reverse iteration walks
+              // oldest-first and find() lands on the EARLIEST match
+              val hit = members.reverseIterator
+                .map(m => (m, cos(vec, m.vec)))
+                .find(_._2 >= threshold)
+              hit.foreach { case (m, s) => out += SemDupFlag(id, m.id, s) }
+              members = CellMember(id, vec, ts.getTime) :: members
+            }
+            state.update(CellState(members))
+            if (streaming) {
+              val wm = state.getCurrentWatermarkMs()
+              val lastTs = members.headOption.map(_.ts).getOrElse(0L)
+              state.setTimeoutTimestamp(math.max(lastTs + horizonMs, wm + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment — the most common production streaming
     * shape: a fact stream left-joined to a STATIC dimension frame on
     * `keys`. A stream-static equi-join is STATELESS in Structured

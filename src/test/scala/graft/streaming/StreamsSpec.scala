@@ -578,6 +578,64 @@ class StreamsSpec extends SparkSpec {
     assert(flagged.forall { case (d, of) => pairs.contains((of, d)) || pairs.exists(p => p._2 == d) })
   }
 
+  test("streaming semantic dedup: cross-trigger parity with batch and a frame-computed reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(300)
+      .localCheckpoint()
+    val centroids = graft.ext.Similarity
+      .trainCentroids(emb, k = 4, iters = 1, roundDecimals = 6)
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val thr = 0.35
+    // arrival order = vec_id (one second apart)
+    val base = ts("2024-01-01 10:00:00").getTime
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, new Timestamp(base + id * 1000), v) }
+
+    val batchDf = rows.toSeq.toDF("vec_id", "ts", "embedding")
+    val batchFlags = Streams.streamingSemanticDedup(batchDf, centroids, thr)
+      .collect().map(f => (f.vec_id, f.dup_of, f.sim)).toSet
+    assert(batchFlags.nonEmpty)
+
+    // Frame-computed reference: same literal-centroid assignment, then
+    // within-cell pairs via the all-pairs operator, earliest partner
+    // per flagged id (ids == arrival order here).
+    val cands = centroids.map { case (cid, cv) =>
+      struct(round(graft.functions.cosineSimilarity(
+          col("embedding"), typedLit(cv)), 9).as("sim"),
+        lit(-cid).as("ncid"))
+    }
+    val cells = emb.select(col("vec_id"),
+      (-array_max(array(cands: _*)).getField("ncid")).as("cell"))
+    val ref = graft.ext.Similarity.embeddingNearDupPairs(emb, thr)
+      .join(cells.select(col("vec_id").as("id_a"), col("cell").as("ca")), "id_a")
+      .join(cells.select(col("vec_id").as("id_b"), col("cell").as("cb")), "id_b")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(struct(col("id_a"), col("sim"))).as("m"))
+      .select(col("vec_id"), col("m.id_a"), col("m.sim"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchFlags == ref)
+
+    // Streaming across three triggers must equal the batch pass.
+    val mem = MemoryStream[(Long, Timestamp, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "ts", "embedding")
+    val q = Streams.streamingSemanticDedup(stream, centroids, thr, "1 hour",
+        horizonMs = 24L * 3600 * 1000)
+      .writeStream.format("memory").queryName("semdedup_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, rest) = rows.splitAt(100)
+      val (b2, b3) = rest.splitAt(100)
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+      mem.addData(b3.toSeq); q.processAllAvailable()
+      val got = spark.table("semdedup_stream")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == batchFlags)
+    } finally q.stop()
+  }
+
   test("streaming tumblingCounts over MemoryStream matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
