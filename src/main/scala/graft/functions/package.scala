@@ -73,4 +73,12 @@ package object functions {
   def mulAddWrap(c: Column, a: Long, b: Long): Column =
     org.apache.spark.sql.GraftSqlShims.column(
       MulAddWrapExpr(org.apache.spark.sql.GraftSqlShims.expression(c), a, b))
+
+  /** Z-order (Morton) key of two int columns — a native codegen'd
+    * Catalyst expression ([[InterleaveBitsExpr]]). */
+  def interleaveBits(x: Column, y: Column): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      InterleaveBitsExpr(
+        org.apache.spark.sql.GraftSqlShims.expression(x),
+        org.apache.spark.sql.GraftSqlShims.expression(y)))
 }

@@ -307,6 +307,21 @@ object Extensions {
       m = E48M, ks = E48Ks, iters = E48Iters, dims = 64, roundDecimals = 6)
       .orderBy("query_id", "neighbor_id")
 
+  /** e49: the Z-order (Morton) clustering key over lineitem's
+    * (l_partkey, l_suppkey) — the native codegen'd
+    * [[graft.functions.InterleaveBitsExpr]] that
+    * [[graft.operators.Layout.zorderBy]] sorts the write path by for
+    * multi-dimensional file skipping. Raw (unnormalized) key so the
+    * oracle is pure bit arithmetic: the sign-flip + 64-term interleave
+    * replayed in HUGEINT SQL. */
+  def e49_zorder_key(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_orderkey") % 37 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.interleaveBits(
+          col("l_partkey").cast("int"), col("l_suppkey").cast("int")).as("zval"))
+      .orderBy("zval", "l_orderkey", "l_linenumber")
+
   /** Overlapping 32-token chunks every 24 tokens (context-window prep
     * for embedding/training; [[graft.ext.Text.chunkTokens]] — row-local
     * explode, no shuffle). */
@@ -533,6 +548,7 @@ object Extensions {
     "e46_split_assign" -> (e46_split_assign _),
     "e47_semdedup" -> (e47_semdedup _),
     "e48_knn_pq" -> (e48_knn_pq _),
+    "e49_zorder_key" -> (e49_zorder_key _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1158,6 +1174,32 @@ object Extensions {
          |SELECT query_id, vec_id AS neighbor_id, adist FROM ad
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $E48TopK
          |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+
+    "e49_zorder_key" -> {
+      // InterleaveBitsExpr replayed bit-for-bit: sign-flip = +2^31 on
+      // the BIGINT value (XOR with the sign bit in unsigned space),
+      // then each of x's 32 bits lands at even position 2i and y's at
+      // 2i+1 — a 64-term HUGEINT sum, sign-converted to BIGINT (bit 63
+      // comes from y bit 31, so the long IS negative for y >= 0).
+      val M = "18446744073709551616::HUGEINT" // 2^64
+      val half = "9223372036854775808::HUGEINT" // 2^63
+      val terms = (0 until 32).flatMap { i =>
+        Seq(s"((ux >> $i) & 1)::HUGEINT * ${BigInt(1) << (2 * i)}::HUGEINT",
+          s"((uy >> $i) & 1)::HUGEINT * ${BigInt(1) << (2 * i + 1)}::HUGEINT")
+      }.mkString("\n    + ")
+      s"""WITH f AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(l_partkey AS BIGINT) + 2147483648 AS ux,
+         |    CAST(l_suppkey AS BIGINT) + 2147483648 AS uy
+         |  FROM lineitem WHERE l_orderkey % 37 = 0),
+         |z AS (SELECT l_orderkey, l_linenumber,
+         |    ($terms) AS uz
+         |  FROM f)
+         |SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN uz >= $half THEN (uz - $M)::BIGINT ELSE uz::BIGINT END AS zval
+         |FROM z
+         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
     },
 
     "e46_split_assign" -> {
