@@ -415,6 +415,59 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
   }
 
+  /** IVF-PQ (the FAISS IVFADC composition, Jégou et al. 2011 §IV): the
+    * coarse quantizer routes each query to `nprobe` cells, and ONLY the
+    * vectors in those cells are scored — by their PQ codes, not their
+    * raw floats. The 100-TB search stack in one plan: the inverted file
+    * bounds WHICH codes are read (~nprobe/kc of the corpus), PQ bounds
+    * WHAT a read costs (m code lookups, no vector data).
+    *
+    * The coarse quantizer IS the PQ machinery with one subspace over
+    * the full vector ([[pqCodebooks]] m=1) — same pinned-Lloyd L2
+    * training, so coarse routing and fine scoring share one metric and
+    * ONE oracle discipline. This is the no-residual IVFADC variant
+    * (codes quantize raw vectors); the residual refinement (encode
+    * `x - coarse_centroid`) drops recall loss further at the cost of a
+    * per-cell code distribution and is the documented production
+    * next step. */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      kc: Int = 8, nprobe: Int = 2, m: Int = 4, ks: Int = 4, iters: Int = 2,
+      dims: Int = 64, roundDecimals: Int = -1): DataFrame = {
+    val subLen = dims / m
+    val coarse = pqCodebooks(embeddings, 1, kc, iters, dims, roundDecimals)
+    val baseFull = subVectors(embeddings, 1, dims)
+    val cells = pqAssign(baseFull, coarse)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val cb = pqCodebooks(embeddings, m, ks, iters, dims, roundDecimals)
+    val base = subVectors(embeddings, m, subLen)
+    val codes = pqAssign(base, cb).select(col("sub"), col("vec_id"), col("cid"))
+    val d = round(dotProduct(col("v"), col("v"))
+      + dotProduct(col("cv"), col("cv"))
+      - lit(2.0) * dotProduct(col("v"), col("cv")), 9)
+    val probeW = Window.partitionBy("query_id").orderBy(asc("d"), asc("cell"))
+    val probes = baseFull.where(col("vec_id").isin(queryIds: _*))
+      .select(col("sub"), col("vec_id").as("query_id"), col("v"))
+      .join(broadcast(coarse.withColumnRenamed("cid", "cell")), Seq("sub"))
+      .select(col("query_id"), col("cell"), d.as("d"))
+      .withColumn("_pr", row_number().over(probeW)).where(col("_pr") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    val qdist = base.where(col("vec_id").isin(queryIds: _*))
+      .select(col("sub"), col("vec_id").as("query_id"), col("v"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("sub"), col("query_id"), col("cid"),
+        d.cast("decimal(28,9)").as("qd"))
+    val adist = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(qdist), Seq("sub", "cid", "query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).cast("double").as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("vec_id"))
+    adist.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
+  }
+
   /** Random-hyperplane LSH signature (Charikar, STOC 2002: sign of the
     * dot product with random hyperplanes estimates angular similarity):
     * `planes` pseudo-random hyperplanes

@@ -307,6 +307,22 @@ object Extensions {
       m = E48M, ks = E48Ks, iters = E48Iters, dims = 64, roundDecimals = 6)
       .orderBy("query_id", "neighbor_id")
 
+  /** IVF-PQ parameters: 8 coarse cells probed 2-deep over the e48 code
+    * table. */
+  val E50Kc = 8
+  val E50NProbe = 2
+
+  /** e50: IVF-PQ ([[Similarity.ivfPqTopK]]) — the inverted file bounds
+    * WHICH codes are read, PQ bounds WHAT a read costs. Shares e48's
+    * fine codebook parameters; the coarse quantizer is the same PQ
+    * machinery with one full-vector subspace. Oracle replays BOTH
+    * Lloyd chains, the probe routing, and the ADC sum. */
+  def e50_knn_ivfpq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(emb(s, dir), E48QueryIds, E48TopK,
+      kc = E50Kc, nprobe = E50NProbe, m = E48M, ks = E48Ks,
+      iters = E48Iters, dims = 64, roundDecimals = 6)
+      .orderBy("query_id", "neighbor_id")
+
   /** e49: the Z-order (Morton) clustering key over lineitem's
     * (l_partkey, l_suppkey) — the native codegen'd
     * [[graft.functions.InterleaveBitsExpr]] that
@@ -549,6 +565,7 @@ object Extensions {
     "e47_semdedup" -> (e47_semdedup _),
     "e48_knn_pq" -> (e48_knn_pq _),
     "e49_zorder_key" -> (e49_zorder_key _),
+    "e50_knn_ivfpq" -> (e50_knn_ivfpq _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -595,6 +612,50 @@ object Extensions {
        |sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)""".stripMargin
   }
   private val sigCte = sigCteFrom("documents")
+
+  // ---- PQ oracle generators (shared by e48 and e50) ----
+
+  /** Rounded squared-L2 between two DOUBLE[] expressions. */
+  private def pqL2(a: String, b: String) =
+    s"""round(list_dot_product($a, $a) + list_dot_product($b, $b)
+       |      - 2 * list_dot_product($a, $b), 9)""".stripMargin
+
+  /** Argmin codebook entry per (sub, vec_id) by (rounded L2, cid). */
+  private def pqArgmin(base: String, cb: String, out: String, keepV: Boolean) =
+    s"""$out AS (
+       |  SELECT sub, vec_id, cid${if (keepV) ", v" else ""} FROM (
+       |    SELECT b.sub, b.vec_id, c.cid, b.v,
+       |      ${pqL2("b.v", "CAST(c.cv AS DOUBLE[])")} AS d
+       |    FROM $base b JOIN $cb c ON c.sub = b.sub)
+       |  QUALIFY row_number() OVER (PARTITION BY sub, vec_id ORDER BY d, cid) = 1)"""
+      .stripMargin
+
+  /** A full pinned-Lloyd chain under name prefix `p`: `{p}base`
+    * (subvector frame), `{p}picks`/`{p}cb0` (stride init), and `iters`
+    * rounds ending at `{p}cb{iters}` — pqCodebooks verbatim. Relies on
+    * an `nn AS (SELECT count(*) AS n FROM embeddings)` CTE in scope. */
+  private def pqChain(p: String, m: Int, subLen: Int, ks: Int, iters: Int): String = {
+    def round(prev: String, tag: String, next: String) =
+      s"""${pqArgmin(s"${p}base", prev, s"${p}asg$tag", keepV = true)},
+         |${p}upd$tag AS (
+         |  SELECT sub, cid, pos, CAST(round(avg(v[pos]), 6) AS FLOAT) AS mx
+         |  FROM ${p}asg$tag, UNNEST(generate_series(1, $subLen)) AS t(pos)
+         |  GROUP BY sub, cid, pos),
+         |$next AS (SELECT sub, cid, list(mx ORDER BY pos) AS cv
+         |          FROM ${p}upd$tag GROUP BY sub, cid)""".stripMargin
+    val rounds = (1 to iters)
+      .map(i => round(s"${p}cb${i - 1}", i.toString, s"${p}cb$i"))
+      .mkString(",\n")
+    s"""${p}base AS (SELECT vec_id, sb AS sub,
+       |    (CAST(embedding AS DOUBLE[]))[sb * $subLen + 1 : (sb + 1) * $subLen] AS v
+       |  FROM embeddings, UNNEST(generate_series(0, ${m - 1})) AS t(sb)),
+       |${p}picks AS (SELECT vec_id FROM embeddings, nn
+       |          WHERE vec_id % greatest(1, n // $ks) = 0
+       |          ORDER BY vec_id LIMIT $ks),
+       |${p}cb0 AS (SELECT b.sub, b.vec_id AS cid, b.v AS cv
+       |        FROM ${p}base b JOIN ${p}picks p USING (vec_id)),
+       |$rounds""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "e05_simhash" ->
@@ -1122,54 +1183,66 @@ object Extensions {
     },
 
     "e48_knn_pq" -> {
-      // Full PQ replay: subvector slices, per-subspace stride-init L2
-      // Lloyd rounds (means rounded to 6, FLOAT cast — pqCodebooks
-      // verbatim), encoding by final-codebook argmin, then the ADC
-      // lookup sum in DECIMAL(28,9) (the q15 float-sum discipline).
+      // Full PQ replay via the shared chain generator: per-subspace
+      // stride-init L2 Lloyd rounds (pqCodebooks verbatim), encoding by
+      // final-codebook argmin, then the ADC lookup sum in DECIMAL(28,9)
+      // (the q15 float-sum discipline).
       val subLen = 64 / E48M
-      def l2(a: String, b: String) =
-        s"""round(list_dot_product($a, $a) + list_dot_product($b, $b)
-           |      - 2 * list_dot_product($a, $b), 9)""".stripMargin
-      def argmin(cb: String, out: String, keepV: Boolean) =
-        s"""$out AS (
-           |  SELECT sub, vec_id, cid${if (keepV) ", v" else ""} FROM (
-           |    SELECT b.sub, b.vec_id, c.cid, b.v,
-           |      ${l2("b.v", "CAST(c.cv AS DOUBLE[])")} AS d
-           |    FROM base b JOIN $cb c ON c.sub = b.sub)
-           |  QUALIFY row_number() OVER (PARTITION BY sub, vec_id ORDER BY d, cid) = 1)"""
-          .stripMargin
-      def lloydRound(prev: String, tag: String, next: String) =
-        s"""${argmin(prev, s"asg$tag", keepV = true)},
-           |upd$tag AS (
-           |  SELECT sub, cid, pos, CAST(round(avg(v[pos]), 6) AS FLOAT) AS mx
-           |  FROM asg$tag, UNNEST(generate_series(1, $subLen)) AS t(pos)
-           |  GROUP BY sub, cid, pos),
-           |$next AS (SELECT sub, cid, list(mx ORDER BY pos) AS cv
-           |          FROM upd$tag GROUP BY sub, cid)""".stripMargin
-      val rounds = (1 to E48Iters)
-        .map(i => lloydRound(s"cb${i - 1}", i.toString, s"cb$i"))
-        .mkString(",\n")
       val qids = E48QueryIds.mkString(", ")
       s"""WITH
-         |base AS (SELECT vec_id, sb AS sub,
-         |    (CAST(embedding AS DOUBLE[]))[sb * $subLen + 1 : (sb + 1) * $subLen] AS v
-         |  FROM embeddings, UNNEST(generate_series(0, ${E48M - 1})) AS t(sb)),
          |nn AS (SELECT count(*) AS n FROM embeddings),
-         |picks AS (SELECT vec_id FROM embeddings, nn
-         |          WHERE vec_id % greatest(1, n // $E48Ks) = 0
-         |          ORDER BY vec_id LIMIT $E48Ks),
-         |cb0 AS (SELECT b.sub, b.vec_id AS cid, b.v AS cv
-         |        FROM base b JOIN picks p USING (vec_id)),
-         |$rounds,
-         |${argmin(s"cb$E48Iters", "codes", keepV = false)},
+         |${pqChain("", E48M, subLen, E48Ks, E48Iters)},
+         |${pqArgmin("base", s"cb$E48Iters", "codes", keepV = false)},
          |qdist AS (
          |  SELECT b.sub, b.vec_id AS query_id, c.cid,
-         |    CAST(${l2("b.v", "CAST(c.cv AS DOUBLE[])")} AS DECIMAL(28,9)) AS qd
+         |    CAST(${pqL2("b.v", "CAST(c.cv AS DOUBLE[])")} AS DECIMAL(28,9)) AS qd
          |  FROM base b JOIN cb$E48Iters c ON c.sub = b.sub
          |  WHERE b.vec_id IN ($qids)),
          |ad AS (SELECT q.query_id, s.vec_id, CAST(sum(q.qd) AS DOUBLE) AS adist
          |       FROM codes s JOIN qdist q ON q.sub = s.sub AND q.cid = s.cid
          |       WHERE s.vec_id <> q.query_id
+         |       GROUP BY 1, 2)
+         |SELECT query_id, vec_id AS neighbor_id, adist FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $E48TopK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+
+    "e50_knn_ivfpq" -> {
+      // IVF-PQ replay: TWO pinned-Lloyd chains — the coarse quantizer
+      // (prefix c, one full-vector subspace, kc cells) and the fine PQ
+      // codebooks (prefix f, e48's parameters) — then probe routing by
+      // rounded L2 to the coarse centroids, candidate restriction to
+      // probed cells, and the e48 ADC sum over candidates only.
+      val subLen = 64 / E48M
+      val qids = E48QueryIds.mkString(", ")
+      s"""WITH
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |${pqChain("c", 1, 64, E50Kc, E48Iters)},
+         |${pqChain("f", E48M, subLen, E48Ks, E48Iters)},
+         |cells AS (SELECT vec_id, cid AS cell FROM (
+         |    SELECT b.sub, b.vec_id, c.cid,
+         |      ${pqL2("b.v", "CAST(c.cv AS DOUBLE[])")} AS d
+         |    FROM cbase b JOIN ccb$E48Iters c ON c.sub = b.sub)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+         |${pqArgmin("fbase", s"fcb$E48Iters", "codes", keepV = false)},
+         |probes AS (SELECT query_id, cell FROM (
+         |    SELECT b.vec_id AS query_id, c.cid AS cell,
+         |      ${pqL2("b.v", "CAST(c.cv AS DOUBLE[])")} AS d
+         |    FROM cbase b JOIN ccb$E48Iters c ON c.sub = b.sub
+         |    WHERE b.vec_id IN ($qids))
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cell) <= $E50NProbe),
+         |qdist AS (
+         |  SELECT b.sub, b.vec_id AS query_id, c.cid,
+         |    CAST(${pqL2("b.v", "CAST(c.cv AS DOUBLE[])")} AS DECIMAL(28,9)) AS qd
+         |  FROM fbase b JOIN fcb$E48Iters c ON c.sub = b.sub
+         |  WHERE b.vec_id IN ($qids)),
+         |cand AS (SELECT p.query_id, cl.vec_id
+         |         FROM cells cl JOIN probes p ON p.cell = cl.cell
+         |         WHERE cl.vec_id <> p.query_id),
+         |ad AS (SELECT c.query_id, c.vec_id, CAST(sum(q.qd) AS DOUBLE) AS adist
+         |       FROM cand c JOIN codes s ON s.vec_id = c.vec_id
+         |       JOIN qdist q ON q.sub = s.sub AND q.cid = s.cid
+         |                  AND q.query_id = c.query_id
          |       GROUP BY 1, 2)
          |SELECT query_id, vec_id AS neighbor_id, adist FROM ad
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $E48TopK

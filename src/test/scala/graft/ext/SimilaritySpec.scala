@@ -181,6 +181,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == bf)
   }
 
+  test("ivf-pq probing every cell equals plain pq") {
+    // nprobe = kc removes the inverted-file restriction entirely — the
+    // candidate set is the whole corpus and IVF-PQ must reproduce
+    // pqTopK's ADC ranking exactly (same codebooks, same sums).
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qids = (0L until 5L).toSeq
+    val pq = Similarity.pqTopK(emb, qids, 5, m = 4, ks = 4, iters = 2,
+        roundDecimals = 6)
+      .as[(Long, Long, Double)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, qids, 5, kc = 4, nprobe = 4,
+        m = 4, ks = 4, iters = 2, roundDecimals = 6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pq == ivfpq && pq.nonEmpty)
+  }
+
   test("pq codes compress to m entries per vector with codebook-bounded ids") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qids = (0L until 3L).toSeq
