@@ -64,7 +64,8 @@ object SparkEntry {
     "q46_snb_kcore" -> (Inventory.q46_snb_kcore _),
     "q47_snb_closeness" -> (Inventory.q47_snb_closeness _),
     "q48_snb_stress" -> (Inventory.q48_snb_stress _),
-    "q49_snb_components_inc" -> (Inventory.q49_snb_components_inc _)) ++ Extensions.all
+    "q49_snb_components_inc" -> (Inventory.q49_snb_components_inc _),
+    "q50_snb_pagerank" -> (Inventory.q50_snb_pagerank _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -403,4 +403,54 @@ object Iterative {
       unpackKey(col("_v")).as(GC.Id),
       col("_r").as("rank"))
   }
+
+  /** PageRank in FIXED-POINT integer arithmetic — the oracle-exact twin
+    * of [[pageRank]] (which can only be parity-checked against GraphX
+    * within float tolerance: double sums depend on partition order).
+    * Ranks are scaled longs (`scale` = 1.0); each iteration is
+    *
+    * `rank' = (15 * scale) div 100 + (85 * Σ (rank div outDeg)) div 100`
+    *
+    * — every operation an integer floor-division or an exact long sum,
+    * so the result is IDENTICAL under any partitioning, shuffle order,
+    * or engine (the e25 rational-score discipline applied to power
+    * iteration). The quantization error vs float PageRank is bounded by
+    * iters * maxDeg / scale — at scale = 1e12, noise in the 9th decimal,
+    * while the plan shape (pre-degreed edge join + sum per target per
+    * round) is [[pageRank]]'s exactly. Overflow headroom: total mass
+    * <= n * scale, so n * scale * 85 must stay under 2^63 — holds to
+    * ~10^5 vertices at 1e12 and the default is asserted. Output:
+    * `(label, _vid, rank_fp)` with rank_fp the scaled long. */
+  def pageRankFixedPoint(g: PropertyGraph, iters: Int = 10,
+      edgeLabels: Set[String] = Set.empty,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"pageRankFixedPoint needs iters >= 1, got $iters")
+    val edges = packedEdges(g, edgeLabels, undirected = false)
+    val outDeg = edges.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    val degreed = edges.join(outDeg, "_s").localCheckpoint()
+    val touched = incidentLabels(g, edgeLabels)
+    val verts = packedVertices(g, touched).localCheckpoint()
+    val nVerts = verts.count()
+    require(BigInt(nVerts) * scale * 85 < BigInt(Long.MaxValue),
+      s"fixed-point overflow: n=$nVerts scale=$scale")
+    var ranks = verts.withColumn("_r", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = degreed.join(ranks, degreed("_s") === ranks("_v"))
+        .groupBy(col("_d"))
+        .agg(sum(expr("_r div _deg")).as("_in"))
+      ranks = graft.plans.Supersteps.cut(
+        verts.join(contrib, verts("_v") === contrib("_d"), "left")
+          .select(verts("_v"),
+            (expr(s"(15 * ${scale}L) div 100")
+              + expr("(85 * coalesce(_in, 0L)) div 100")).as("_r")))
+    }
+    val untouched = g.vertexLabels.toSet -- touched
+    if (untouched.nonEmpty)
+      ranks = ranks.unionByName(packedVertices(g, untouched)
+        .withColumn("_r", expr(s"(15 * ${scale}L) div 100")))
+    ranks.select(
+      unpackLabelStr(g, col("_v")).as("label"),
+      unpackKey(col("_v")).as(GC.Id),
+      col("_r").as("rank_fp"))
+  }
 }

@@ -859,6 +859,24 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q50: PageRank under the HASH-EXACT oracle gate — the fixed-point
+    * integer formulation ([[graft.analytics.Iterative.pageRankFixedPoint]]):
+    * every operation an integer floor-division or exact long sum, so
+    * the ranks are identical under any partitioning and replay
+    * verbatim as an unrolled SQL iteration chain. The float
+    * [[graft.analytics.Iterative.pageRank]] stays GraphX-parity-checked
+    * (double sums are partition-order-dependent and can never hash);
+    * this is the same determinism trade as e25's rational tf-idf.
+    * Stored KNOWS directions, 10 iterations, scale 1e12. */
+  def q50_snb_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative
+      .pageRankFixedPoint(Gp, iters = 10, edgeLabels = Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id).as("person_id"), col("rank_fp"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -631,10 +631,42 @@ object Oracles {
        |SELECT v AS person_id, count(*) AS stress FROM interior
        |GROUP BY v ORDER BY person_id""".stripMargin
 
+  /** Fixed-point PageRank unrolled: 10 iteration CTEs over the stored
+    * KNOWS directions, every step an integer floor-division (`//`) or
+    * an exact BIGINT sum — pageRankFixedPoint's arithmetic verbatim
+    * (scale 1e12, reset term (15 * scale) // 100 folded to a literal). */
+  val q50_snb_pagerank: String = {
+    val scale = 1000000000000L
+    val reset = 15L * scale / 100L
+    val iters = (1 to 10).map { i =>
+      // MATERIALIZED: each round references the previous one twice, so
+      // DuckDB's default CTE inlining would expand the chain 2^10-fold
+      s"""r$i AS MATERIALIZED (
+         |  SELECT p.v,
+         |    CAST($reset + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} p LEFT JOIN (
+         |    -- sum(BIGINT) promotes to HUGEINT; pin the exact value back
+         |    SELECT e.dst AS v, CAST(sum(r.r // e.d) AS BIGINT) AS m
+         |    FROM ke e JOIN r${i - 1} r ON r.v = e.src GROUP BY e.dst) s
+         |  ON s.v = p.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $snbKnowsCtes,
+       |odeg AS (SELECT src, count(*) AS d FROM knows GROUP BY src),
+       |ke AS MATERIALIZED (
+       |  SELECT k.src, k.dst, o.d FROM knows k JOIN odeg o ON o.src = k.src),
+       |r0 AS MATERIALIZED (
+       |  SELECT CAST(c_custkey AS BIGINT) AS v, CAST($scale AS BIGINT) AS r
+       |  FROM customer),
+       |$iters
+       |SELECT v AS person_id, r AS rank_fp FROM r10
+       |ORDER BY person_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     // q49 folds the same edge set incrementally, so the whole-graph
     // components SQL is its oracle VERBATIM — that equality is the test
     "q49_snb_components_inc" -> q42_snb_components,
+    "q50_snb_pagerank" -> q50_snb_pagerank,
     "q48_snb_stress" -> q48_snb_stress,
     "q47_snb_closeness" -> q47_snb_closeness,
     "q46_snb_kcore" -> q46_snb_kcore,

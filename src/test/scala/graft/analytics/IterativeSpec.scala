@@ -69,6 +69,38 @@ class IterativeSpec extends SparkSpec {
     assert(worst < 1e-6, s"max relative rank divergence $worst")
   }
 
+  test("fixed-point pageRank tracks the float ranks and is partitioning-exact") {
+    val iters = 10
+    val scale = 1000000000000L
+    val float = Iterative.pageRank(g, iters)
+      .select(col("label"), col(GC.Id), col("rank"))
+      .as[(String, Long, Double)].collect()
+      .map { case (l, i, r) => (l, i) -> r }.toMap
+    val fixed = Iterative.pageRankFixedPoint(g, iters, scale = scale)
+      .select(col("label"), col(GC.Id), col("rank_fp"))
+      .as[(String, Long, Long)].collect()
+      .map { case (l, i, r) => (l, i) -> r }.toMap
+    assert(fixed.keySet == float.keySet && fixed.nonEmpty)
+    // quantization bound: each of the iters rounds floors at most
+    // (deg + 2) units per vertex — at scale 1e12 the drift vs the float
+    // ranks stays far below any ranking-relevant difference
+    fixed.foreach { case (k, fp) =>
+      assert(math.abs(fp.toDouble / scale - float(k)) < 1e-6,
+        s"$k: fp=${fp.toDouble / scale} float=${float(k)}")
+    }
+    // the exactness contract: IDENTICAL longs under a different
+    // shuffle-partition count (a float PR run cannot promise this)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = Iterative.pageRankFixedPoint(g, iters, scale = scale)
+        .select(col("label"), col(GC.Id), col("rank_fp"))
+        .as[(String, Long, Long)].collect()
+        .map { case (l, i, r) => (l, i) -> r }.toMap
+      assert(again == fixed)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("triangleCounts matches GraphX on the full multi-label graph") {
     val ours = Iterative.triangleCounts(g)
       .select(col("label"), col(GC.Id), col("triangles"))
