@@ -57,8 +57,11 @@ object Bench {
     * family — the k-core peel (two semi-joins + a count per round) and
     * the multi-source bounded BFS (seeds 0-4 exist in every contiguous
     * replica, so the frontier sweep reads a valid graph). */
+  // q50 rides along: the fixed-point PageRank pays iters shuffles per
+  // run — the 8x curve shows the per-round join cost scaling, the same
+  // lens as q42's min-label loop
   private val snbScaleQueries =
-    Seq("q25_snb_fof", "q33_snb_thread", "q42_snb_components",
+    Seq("q25_snb_fof", "q33_snb_thread", "q42_snb_components", "q50_snb_pagerank",
       "q44_snb_triangles", "q45_snb_communities", "q46_snb_kcore",
       "q47_snb_closeness",
       // q49: the incremental fold's contract is per-batch-sized work —
