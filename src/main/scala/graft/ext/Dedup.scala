@@ -453,6 +453,51 @@ object Dedup {
       contaminationReport(train, benchmark, n).select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[decontaminate]] with a Bloom-filter prefilter on the training
+    * side — the 100-TB shape of n-gram decontamination.
+    *
+    * [[decontaminate]] shuffles every distinct training n-gram into the
+    * verify join; at corpus scale that shuffle IS the job. Here the
+    * benchmark side (small by definition — a benchmark suite, not a
+    * corpus) is folded once into a Bloom filter using Spark's own
+    * runtime-filter machinery (`BloomFilterAggregate` over
+    * `xxhash64(gram)`, the exact aggregate `InjectRuntimeFilter` plants
+    * for join pruning), and the filter blob rides the plan as a literal
+    * so every executor drops non-candidate grams MAP-SIDE via the
+    * codegen'd `BloomFilterMightContain` probe. Only the ~fpp false
+    * positives plus true hits pay the exact-verify semi-join, so the
+    * result is EXACTLY [[decontaminate]] (Bloom filters have no false
+    * negatives; the verify join removes the false positives) — which is
+    * why the oracle for this operator is the plain exact SQL.
+    *
+    * The one driver-side action folds the benchmark grams to a bounded
+    * blob (`optimalNumOfBits(est, fpp)` bits; ~1.2 MiB at 1 M grams /
+    * 1% fpp) — the same footprint class as a broadcast dimension.
+    * Empty benchmark => train passes through unchanged. */
+  def bloomDecontaminate(train: DataFrame, benchmark: DataFrame, n: Int,
+      fpp: Double = 0.01, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShims.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, XxHash64, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val bench = ngrams(benchmark, n).select(col("s")).distinct()
+    val est = bench.count()
+    if (est == 0L) return train
+    val numBits = math.max(64L, BloomFilter.optimalNumOfBits(est, fpp))
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(expression(col("s")))),
+      CatLit(est), CatLit(numBits)).toAggregateExpression()
+    val bloomBytes = bench.select(column(bloomAgg)).head().getAs[Array[Byte]](0)
+
+    val candidates = ngrams(train, n, idCol).where(column(
+      BloomFilterMightContain(CatLit(bloomBytes),
+        new XxHash64(Seq(expression(col("s")))))))
+    val contaminated = candidates.join(bench, Seq("s"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** [[dedupClusters]] with the connected components delegated to
     * GraphX's Pregel implementation — identical output contract
     * `(doc_id, keep_id = min id in component)`. The label-propagation

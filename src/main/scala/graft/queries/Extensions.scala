@@ -437,6 +437,23 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e51: Bloom-prefiltered decontamination
+    * ([[graft.ext.Dedup.bloomDecontaminate]]) — the 100-TB shape of the
+    * e34 check: benchmark 3-grams fold into a native
+    * `BloomFilterAggregate` blob, training grams are dropped MAP-SIDE by
+    * the codegen'd `BloomFilterMightContain` probe, and only survivors
+    * pay the exact-verify semi-join. Output = the decontaminated corpus
+    * (docs with zero benchmark-gram overlap), which equals the exact
+    * pipeline's output bit-for-bit — the oracle is the plain exact SQL. */
+  def e51_bloom_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.bloomDecontaminate(
+        d.where(col("doc_id") % 40 =!= 1),
+        d.where(col("doc_id") % 40 === 1), n = 3)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -566,6 +583,7 @@ object Extensions {
     "e48_knn_pq" -> (e48_knn_pq _),
     "e49_zorder_key" -> (e49_zorder_key _),
     "e50_knn_ivfpq" -> (e50_knn_ivfpq _),
+    "e51_bloom_decontaminate" -> (e51_bloom_decontaminate _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -977,6 +995,18 @@ object Extensions {
          |FROM train t JOIN bench b ON t.s = b.s
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "e51_bloom_decontaminate" ->
+      // The exact-decontamination SQL: the Bloom stage is a lossless
+      // prefilter (no false negatives; verify join removes the false
+      // positives), so the oracle replays only the exact semantics.
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 40 = 1),
+         |dirty AS (SELECT DISTINCT doc_id FROM sh
+         |          WHERE doc_id % 40 <> 1 AND s IN (SELECT s FROM bench))
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id % 40 <> 1 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+         |ORDER BY doc_id""".stripMargin,
 
     "e35_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

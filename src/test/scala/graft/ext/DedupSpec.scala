@@ -187,6 +187,21 @@ class DedupSpec extends SparkSpec {
     assert(clean == Set(4L))
   }
 
+  test("bloomDecontaminate == decontaminate (lossless prefilter law)") {
+    val bench = docs.where($"doc_id" === 1L)
+    val train = docs.where($"doc_id".isin(3L, 4L, 5L))
+    val exact = Dedup.decontaminate(train, bench, 4)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.bloomDecontaminate(train, bench, 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == exact)
+    assert(bloom == Set(4L, 5L)) // doc 3 shares 4-grams with bench doc 1
+    // empty benchmark: train passes through untouched
+    val all = Dedup.bloomDecontaminate(train, bench.where(lit(false)), 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(3L, 4L, 5L))
+  }
+
   test("stop-shingle DF filter removes boilerplate candidates, keeps real near-dups") {
     // every doc carries the same LONG footer (it dominates the shingle
     // set, as site boilerplate does); docs 1/2 are also REAL near-dups
