@@ -175,4 +175,65 @@ object Sampling {
       .where(col("_rn") <= n)
       .drop("_rn")
   }
+
+  /** Fixed-point multiplier for [[dsirScores]]' log-likelihood-ratio
+    * quantization: bucket probabilities are scaled to `(cnt+1) * 2^40
+    * div total` before the integer floor-log2, so buckets stay >= 1 for
+    * corpora up to 2^40 grams and products stay inside a signed long
+    * for corpora up to 2^22 grams per side at the default bucket count
+    * (beyond that, widen to DECIMAL(38,0) — same arithmetic). */
+  val DsirScale: Long = 1L << 40
+
+  /** Hashed-n-gram importance scores for data selection — DSIR (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"), in engine-portable fixed-point arithmetic.
+    *
+    * DSIR fits bag-of-hashed-n-gram models on a small TARGET corpus
+    * (the domain you want more of) and the RAW corpus, then scores each
+    * raw document by its log-likelihood ratio under the two models:
+    * score(d) = sum over d's gram instances of [log p_target(bucket) -
+    * log p_raw(bucket)]. High scorers look like the target domain;
+    * selection keeps the top slice (the paper resamples with Gumbel
+    * noise; the deterministic variant here ranks plainly).
+    *
+    * The logs are quantized to integer floor-log2 — `length(bin(x)) - 1`
+    * over add-one-smoothed fixed-point probabilities — so every stage
+    * is exact integer arithmetic that the DuckDB oracle replays verbatim
+    * (`bin` renders the same minimal binary string in both engines; no
+    * transcendental ever evaluates). Bucket = md5-derived 60-bit hash
+    * mod `buckets`, the engine's portable hash base.
+    *
+    * Scale shape (100 TB): the target side is small by definition — its
+    * bucket counts collapse to <= `buckets` rows. The raw side is one
+    * map-side-combined count per bucket plus one broadcast join of the
+    * <= `buckets`-row weight table onto the raw gram stream: no shuffle
+    * ever carries grams, only (doc, bucket) pairs into the per-doc sum.
+    * Documents shorter than `n` tokens produce no grams and are not
+    * scored. Output: (idCol, dsir_score) — higher = more target-like. */
+  def dsirScores(raw: DataFrame, target: DataFrame, n: Int = 2,
+      buckets: Int = 256, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val b = pmod(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    val rg = Dedup.ngrams(raw, n, idCol, textCol).select(col("id"), b.as("b"))
+    val tg = Dedup.ngrams(target, n, idCol, textCol).select(b.as("b"))
+    val rCnt = rg.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tCnt = tg.groupBy("b").agg(count(lit(1)).as("ct"))
+    val rTot = rg.agg(count(lit(1)).as("nr"))
+    val tTot = tg.agg(count(lit(1)).as("nt"))
+    // floor(log2(x)) for x >= 1, as the length of the minimal binary
+    // rendering — pure integer ops, identical in Spark and DuckDB. The
+    // -1 cancels in the ratio difference but keeps each term an honest
+    // floor-log2 for reuse.
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val w = rCnt.join(tCnt, Seq("b"), "full")
+      .na.fill(0L, Seq("cr", "ct"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("b"),
+        (flog2(expr(s"(ct + 1) * $DsirScale div nt")) -
+          flog2(expr(s"(cr + 1) * $DsirScale div nr"))).as("w"))
+    rg.join(broadcast(w), Seq("b"))
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("w")).as("dsir_score"))
+  }
 }

@@ -454,6 +454,21 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e52: DSIR importance scores ([[graft.ext.Sampling.dsirScores]]) —
+    * the top 50 raw documents most like the target slice (doc_id % 10
+    * == 7 plays the target domain) under the fixed-point hashed-bigram
+    * log-likelihood ratio. Integer-exact end to end; the oracle replays
+    * bucketing, add-one smoothing, the 2^40 fixed-point scaling, and
+    * the bin()-length floor-log2 verbatim. */
+  def e52_dsir_select(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Sampling.dsirScores(
+        d.where(col("doc_id") % 10 =!= 7),
+        d.where(col("doc_id") % 10 === 7), n = 2, buckets = 256)
+      .orderBy(desc("dsir_score"), col("doc_id"))
+      .limit(50)
+  }
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -584,6 +599,7 @@ object Extensions {
     "e49_zorder_key" -> (e49_zorder_key _),
     "e50_knn_ivfpq" -> (e50_knn_ivfpq _),
     "e51_bloom_decontaminate" -> (e51_bloom_decontaminate _),
+    "e52_dsir_select" -> (e52_dsir_select _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1007,6 +1023,33 @@ object Extensions {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id % 40 <> 1 AND doc_id NOT IN (SELECT doc_id FROM dirty)
          |ORDER BY doc_id""".stripMargin,
+
+    "e52_dsir_select" ->
+      // Full DSIR replay: md5-bucketed bigrams, add-one smoothing, 2^40
+      // fixed-point probabilities, floor-log2 via bin()-length (both
+      // engines render the minimal binary string), per-doc LLR sum.
+      // sum(w) widens to HUGEINT in DuckDB -> cast back to BIGINT.
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+         |      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+         |gb AS (SELECT doc_id,
+         |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 256 AS b
+         |       FROM g),
+         |rg AS (SELECT * FROM gb WHERE doc_id % 10 <> 7),
+         |tg AS (SELECT * FROM gb WHERE doc_id % 10 = 7),
+         |rc AS (SELECT b, count(*) AS cr FROM rg GROUP BY b),
+         |tc AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+         |tot AS (SELECT (SELECT count(*) FROM rg) AS nr,
+         |               (SELECT count(*) FROM tg) AS nt),
+         |wt AS (SELECT coalesce(rc.b, tc.b) AS b,
+         |        (length(bin((coalesce(ct, 0) + 1) * ${Sampling.DsirScale} // nt)) -
+         |         length(bin((coalesce(cr, 0) + 1) * ${Sampling.DsirScale} // nr))) AS w
+         |       FROM rc FULL JOIN tc ON rc.b = tc.b, tot)
+         |SELECT doc_id, CAST(sum(w) AS BIGINT) AS dsir_score
+         |FROM rg JOIN wt USING (b)
+         |GROUP BY doc_id
+         |ORDER BY dsir_score DESC, doc_id
+         |LIMIT 50""".stripMargin,
 
     "e35_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -120,4 +120,23 @@ class SamplingSpec extends SparkSpec {
       col("doc_id"), 9000L).select("doc_id").as[Long].collect().toSet
     assert(a == brute(9000L))
   }
+
+  test("dsirScores ranks target-like docs above unrelated ones, deterministically") {
+    val target = Seq((100L, "spark shuffle join spark shuffle join spark shuffle"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "spark shuffle join spark shuffle plan"),   // target-like
+      (2L, "gardening tulips roses watering can soil"), // unrelated
+      (3L, "spark shuffle something else entirely now")) // partial match
+      .toDF("doc_id", "text")
+    val scores = Sampling.dsirScores(raw, target, n = 2, buckets = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(scores.keySet == Set(1L, 2L, 3L))
+    assert(scores(1L) > scores(2L))
+    assert(scores(1L) > scores(3L) && scores(3L) > scores(2L))
+    // partitioning independence (pure integer arithmetic, no seeds)
+    val again = Sampling.dsirScores(raw.repartition(7), target.repartition(3),
+      n = 2, buckets = 64).as[(Long, Long)].collect().toMap
+    assert(again == scores)
+  }
 }
