@@ -323,6 +323,17 @@ object Extensions {
       iters = E48Iters, dims = 64, roundDecimals = 6)
       .orderBy("query_id", "neighbor_id")
 
+  /** e53: SQ8 scalar-quantization ANN ([[Similarity.sq8TopK]]) — uint8
+    * codes from per-dim min/max ranges, integer code-dot-product
+    * candidate generation (top-30), exact cosine re-rank to top-5. The
+    * quantized score is integer-exact in both engines (float-exact code
+    * values, exactly-summable products), so the oracle replays range
+    * training, encoding, candidate selection, and the re-rank. */
+  def e53_knn_sq8(s: SparkSession, dir: String): DataFrame =
+    Similarity.sq8TopK(emb(s, dir), E48QueryIds, E48TopK,
+      rerank = 30, dims = 64)
+      .orderBy("query_id", "neighbor_id")
+
   /** e49: the Z-order (Morton) clustering key over lineitem's
     * (l_partkey, l_suppkey) — the native codegen'd
     * [[graft.functions.InterleaveBitsExpr]] that
@@ -600,6 +611,7 @@ object Extensions {
     "e50_knn_ivfpq" -> (e50_knn_ivfpq _),
     "e51_bloom_decontaminate" -> (e51_bloom_decontaminate _),
     "e52_dsir_select" -> (e52_dsir_select _),
+    "e53_knn_sq8" -> (e53_knn_sq8 _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1489,6 +1501,42 @@ object Extensions {
          |FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "e53_knn_sq8" -> {
+      // Full SQ8 replay: exact per-dim FLOAT min/max ranges, the
+      // clamped floor((x-lo)*255/(hi-lo)) encoding (identical IEEE
+      // association both sides), integer code-dot candidate top-30,
+      // exact cosine re-rank top-5 (the e06 expression verbatim).
+      val ids = E48QueryIds.mkString(", ")
+      s"""WITH embf AS (SELECT vec_id, embedding AS vf FROM embeddings),
+         |rng AS (SELECT t.pos AS pos, min(vf[t.pos]) AS lo, max(vf[t.pos]) AS hi
+         |        FROM embf, UNNEST(generate_series(1, 64)) AS t(pos)
+         |        GROUP BY t.pos),
+         |codes AS (SELECT vec_id, t.pos AS pos,
+         |          CASE WHEN rng.hi = rng.lo THEN 0.0
+         |               ELSE least(255.0, greatest(0.0,
+         |                 floor((CAST(vf[t.pos] AS DOUBLE) - CAST(rng.lo AS DOUBLE)) * 255.0
+         |                       / (CAST(rng.hi AS DOUBLE) - CAST(rng.lo AS DOUBLE))))) END AS c
+         |          FROM embf, UNNEST(generate_series(1, 64)) AS t(pos)
+         |          JOIN rng ON rng.pos = t.pos),
+         |qc AS (SELECT vec_id, pos, c FROM codes WHERE vec_id IN ($ids)),
+         |ascr AS (SELECT qc.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         |                CAST(sum(qc.c * cc.c) AS BIGINT) AS ascore
+         |         FROM qc JOIN codes cc ON cc.pos = qc.pos AND cc.vec_id <> qc.vec_id
+         |         GROUP BY 1, 2),
+         |cand AS (SELECT query_id, neighbor_id FROM ascr
+         |         QUALIFY row_number() OVER
+         |           (PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) <= 30),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id IN ($ids)),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+         |SELECT query_id, neighbor_id,
+         |  round(list_dot_product(qv, cv) /
+         |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS sim
+         |FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $E48TopK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    },
 
     "e06_knn_cosine" -> {
       val ids = knnQueryIds.mkString(", ")

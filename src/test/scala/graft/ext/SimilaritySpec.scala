@@ -117,6 +117,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("sq8 with rerank >= corpus equals brute force; codes stay in [0,255]") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = emb.count().toInt
+    val qids = (0L until 5L).toSeq
+    val sq = Similarity.sq8TopK(emb, qids, 10, rerank = n, dims = 64)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect().toSet
+    val bf = Similarity.bruteForceTopK(emb, qids, 10)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(sq == bf)
+    // encoding invariants: every code integer-valued in [0, 255]
+    val codes = Similarity.sq8Encode(emb, Similarity.sq8Ranges(emb), 64)
+      .select(explode(col("code")).as("c")).as[Float].collect()
+    assert(codes.forall(c => c >= 0f && c <= 255f && c == math.floor(c)))
+    // the narrow rerank window still returns k rows per query
+    val narrow = Similarity.sq8TopK(emb, qids, 5, rerank = 10, dims = 64)
+    assert(narrow.groupBy("query_id").count().select("count")
+      .as[Long].collect().forall(_ == 5L))
+  }
+
   test("semDedup equals the window-assigned brute-force reference") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val (k, iters, thr) = (4, 1, 0.35)
