@@ -281,6 +281,41 @@ object Text {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  /** Corpus-LM surprisal quality scores — the language-model perplexity
+    * filter of CCNet/Gopher-era pipelines (score documents under a
+    * model of the corpus; extremes are noise or boilerplate), with the
+    * LM reduced to its unigram term and the log quantized to integer
+    * floor-log2 so the whole computation is exact, engine-portable
+    * integer arithmetic (no transcendental, no float accumulation —
+    * the e52 `length(bin(x))` discipline).
+    *
+    * Pass 1 counts corpus unigrams (map-side-combined); pass 2 scores
+    * each token instance with s(tok) = floor(log2 N) - floor(log2
+    * cnt(tok)) — the quantized -log2 of its corpus probability (within
+    * ±1 of the real value) — and folds per document: total surprisal
+    * and the fixed-point mean `surprisal * 1000 div n_tokens`.
+    *
+    * Scale shape (100 TB): the vocabulary frame is (token, cnt) —
+    * millions of rows, NOT corpus-scale — and the scoring join shuffles
+    * (doc, token) pairs hash-partitioned by token; with a bounded
+    * vocabulary the join side broadcasts and the whole score is
+    * map-side. Output: (doc_id, n_tokens, surprisal, mean_milli),
+    * all BIGINT. */
+  def surprisalScores(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    def flog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    toks.join(cnt, Seq("tok")).crossJoin(broadcast(tot))
+      .select(col("doc_id"), (flog2(col("n_total")) - flog2(col("cnt"))).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("surprisal"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal"),
+        expr("surprisal * 1000 div n_tokens").as("mean_milli"))
+  }
+
   /** Word 3-gram shingles of `text` as an ordered array column. */
   private def shingleArray: Column = {
     val w = tokens

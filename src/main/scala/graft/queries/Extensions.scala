@@ -323,6 +323,13 @@ object Extensions {
       iters = E48Iters, dims = 64, roundDecimals = 6)
       .orderBy("query_id", "neighbor_id")
 
+  /** e54: corpus-LM surprisal quality scores
+    * ([[graft.ext.Text.surprisalScores]]) — the CCNet/Gopher perplexity
+    * filter reduced to its unigram term with integer floor-log2
+    * quantization; exact BIGINT end to end. */
+  def e54_surprisal(s: SparkSession, dir: String): DataFrame =
+    Text.surprisalScores(docs(s, dir)).orderBy("doc_id")
+
   /** e53: SQ8 scalar-quantization ANN ([[Similarity.sq8TopK]]) — uint8
     * codes from per-dim min/max ranges, integer code-dot-product
     * candidate generation (top-30), exact cosine re-rank to top-5. The
@@ -612,6 +619,7 @@ object Extensions {
     "e51_bloom_decontaminate" -> (e51_bloom_decontaminate _),
     "e52_dsir_select" -> (e52_dsir_select _),
     "e53_knn_sq8" -> (e53_knn_sq8 _),
+    "e54_surprisal" -> (e54_surprisal _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1501,6 +1509,21 @@ object Extensions {
          |FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "e54_surprisal" ->
+      // Unigram surprisal replay: corpus token counts, quantized -log2
+      // probability via bin()-length difference (the -1s cancel), per-doc
+      // sum + fixed-point mean. HUGEINT sums cast back to BIGINT.
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS n_total FROM toks),
+        |s AS (SELECT doc_id, (length(bin(n_total)) - length(bin(cnt))) AS s
+        |      FROM toks JOIN cnt USING (tok), tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(s) AS BIGINT) AS surprisal,
+        |  CAST(CAST(sum(s) AS BIGINT) * 1000 // count(*) AS BIGINT) AS mean_milli
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "e53_knn_sq8" -> {
       // Full SQ8 replay: exact per-dim FLOAT min/max ranges, the

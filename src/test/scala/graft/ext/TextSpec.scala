@@ -117,4 +117,18 @@ class TextSpec extends SparkSpec {
     val toks = corpus.orderBy("doc_id").select(col("text")).head().getString(0).split(" ")
     assert(one == toks.slice(4, 12).mkString(" "))
   }
+
+  test("surprisalScores: rare tokens score high, common low, integers exact") {
+    import spark.implicits._
+    // corpus of 16 tokens: "a" x12, "rare" x1, "mid" x3
+    val corpus = Seq(
+      (1L, "a a a a a a rare"),
+      (2L, "a a a a a a mid mid mid")).toDF("doc_id", "text")
+    val out = Text.surprisalScores(corpus)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // N = 16 -> flog2 = 4; cnt(a)=12 -> 3, cnt(rare)=1 -> 0, cnt(mid)=3 -> 1
+    // doc 1: 6 a's (s=1) + rare (s=4) = 10; doc 2: 6 a's + 3 mids (s=3) = 15
+    assert(out(1L) == ((1L, 7L, 10L, 10L * 1000 / 7)))
+    assert(out(2L) == ((2L, 9L, 15L, 15L * 1000 / 9)))
+  }
 }
