@@ -453,4 +453,61 @@ object Iterative {
       unpackKey(col("_v")).as(GC.Id),
       col("_r").as("rank_fp"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) as an exact
+    * fixed-point power iteration — the [[pageRankFixedPoint]] (q50)
+    * discipline applied to the two-score mutual recursion: a(v) =
+    * sum of h(u) over edges u->v, then h(u) = sum of a(v) over u->v,
+    * each half L1-renormalized to `scale` by integer floor-division
+    * (classical HITS normalizes by L2, which is transcendental; L1
+    * targets the same dominant eigenvector direction and keeps every
+    * intermediate an exact BIGINT, so the oracle can replay the whole
+    * iteration verbatim and the result is partitioning-exact by
+    * construction — no float summation order anywhere).
+    *
+    * Each round is two equi-joins + two map-side-combined sums + two
+    * 1-row total aggregates (broadcast, no extra action), one
+    * [[graft.plans.Supersteps.cut]] checkpoint. Vertices with no
+    * in-edges hold authority 0, no out-edges hub 0.
+    *
+    * Output: (label, id, hub_fp, auth_fp). */
+  def hitsFixedPoint(g: PropertyGraph, iters: Int = 5,
+      edgeLabels: Set[String] = Set.empty,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"hitsFixedPoint needs iters >= 1, got $iters")
+    val edges = packedEdges(g, edgeLabels, undirected = false).localCheckpoint()
+    val touched = incidentLabels(g, edgeLabels)
+    val verts = packedVertices(g, touched).localCheckpoint()
+    val bound = math.max(edges.count(), verts.count())
+    // round-1 worst case: an unnormalized raw sum (<= bound * scale)
+    // times the renormalization factor `scale` must stay in a long
+    require(BigInt(bound) * scale * scale < BigInt(Long.MaxValue),
+      s"fixed-point overflow: bound=$bound scale=$scale")
+    def renorm(raw: DataFrame): DataFrame = {
+      // raw: (_v, _raw) >= 0; rescale so the scores sum to ~scale
+      val tot = raw.agg(greatest(sum(col("_raw")), lit(1L)).as("_t"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("_v"), expr(s"_raw * ${scale}L div _t").as("_x"))
+    }
+    def gather(scores: DataFrame, scoreCol: String, from: Column, to: Column): DataFrame =
+      verts.join(
+        edges.join(scores, from === scores("_v"))
+          .groupBy(to.as("_g")).agg(sum(col(scoreCol)).as("_m")),
+        verts("_v") === col("_g"), "left")
+        .select(verts("_v"), coalesce(col("_m"), lit(0L)).as("_raw"))
+    var scores = verts.select(col("_v"), lit(scale).as("_h"), lit(scale).as("_a"))
+    for (_ <- 1 to iters) {
+      val auth = renorm(gather(scores.select(col("_v"), col("_h")), "_h",
+        edges("_s"), edges("_d"))).withColumnRenamed("_x", "_a")
+      val hub = renorm(gather(auth, "_a", edges("_d"), edges("_s")))
+        .withColumnRenamed("_x", "_h")
+      scores = graft.plans.Supersteps.cut(
+        hub.join(auth, "_v").select(col("_v"), col("_h"), col("_a")))
+    }
+    scores.select(
+      unpackLabelStr(g, col("_v")).as("label"),
+      unpackKey(col("_v")).as(GC.Id),
+      col("_h").as("hub_fp"),
+      col("_a").as("auth_fp"))
+  }
 }

@@ -877,6 +877,20 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q51: HITS hubs & authorities over the directed KNOWS graph under
+    * the q50 fixed-point discipline
+    * ([[graft.analytics.Iterative.hitsFixedPoint]]): L1-renormalized
+    * integer power iteration, 5 rounds — the oracle unrolls both score
+    * chains in exact BIGINT arithmetic. */
+  def q51_snb_hits(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative
+      .hitsFixedPoint(Gp, iters = 5, edgeLabels = Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id).as("person_id"), col("hub_fp"), col("auth_fp"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

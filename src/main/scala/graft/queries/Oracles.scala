@@ -662,11 +662,49 @@ object Oracles {
        |ORDER BY person_id""".stripMargin
   }
 
+  /** Fixed-point HITS unrolled: 5 rounds, each an authority gather +
+    * L1 renormalization then a hub gather + renormalization —
+    * hitsFixedPoint's integer arithmetic verbatim (scale 1e6, floor
+    * division, greatest(total, 1) guard). Rounds MATERIALIZED for the
+    * same CTE-inlining reason as q50. */
+  val q51_snb_hits: String = {
+    val scale = 1000000L
+    val rounds = (1 to 5).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT p.v, CAST(COALESCE(s.m, 0) AS BIGINT) AS raw
+         |  FROM base p LEFT JOIN (
+         |    SELECT k.dst AS v, CAST(sum(h.x) AS BIGINT) AS m
+         |    FROM knows k JOIN h${i - 1} h ON h.v = k.src GROUP BY k.dst) s
+         |  ON s.v = p.v),
+         |at$i AS (SELECT greatest(CAST(sum(raw) AS BIGINT), 1) AS t FROM ar$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT v, CAST(raw * $scale // t AS BIGINT) AS x FROM ar$i, at$i),
+         |hr$i AS MATERIALIZED (
+         |  SELECT p.v, CAST(COALESCE(s.m, 0) AS BIGINT) AS raw
+         |  FROM base p LEFT JOIN (
+         |    SELECT k.src AS v, CAST(sum(a.x) AS BIGINT) AS m
+         |    FROM knows k JOIN a$i a ON a.v = k.dst GROUP BY k.src) s
+         |  ON s.v = p.v),
+         |ht$i AS (SELECT greatest(CAST(sum(raw) AS BIGINT), 1) AS t FROM hr$i),
+         |h$i AS MATERIALIZED (
+         |  SELECT v, CAST(raw * $scale // t AS BIGINT) AS x FROM hr$i, ht$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $snbKnowsCtes,
+       |base AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+       |h0 AS MATERIALIZED (SELECT v, CAST($scale AS BIGINT) AS x FROM base),
+       |$rounds
+       |SELECT b.v AS person_id, h5.x AS hub_fp, a5.x AS auth_fp
+       |FROM base b JOIN h5 ON h5.v = b.v JOIN a5 ON a5.v = b.v
+       |ORDER BY person_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     // q49 folds the same edge set incrementally, so the whole-graph
     // components SQL is its oracle VERBATIM — that equality is the test
     "q49_snb_components_inc" -> q42_snb_components,
     "q50_snb_pagerank" -> q50_snb_pagerank,
+    "q51_snb_hits" -> q51_snb_hits,
     "q48_snb_stress" -> q48_snb_stress,
     "q47_snb_closeness" -> q47_snb_closeness,
     "q46_snb_kcore" -> q46_snb_kcore,

@@ -24,8 +24,15 @@ class PlanAuditSpec extends SparkSpec {
   // e43 composes bruteForceTopK, so it carries e06's query-vector NLJ;
   // e47's NLJ is the k-centroid broadcast of its k-means assignment
   // (the e23/e32 class — k rows against the corpus, linear)
+  // e52/e54 broadcast ONE-ROW corpus totals (gram/token counts) onto
+  // the stream for fixed-point normalization; e53 broadcasts the
+  // ONE-ROW per-dim range frame for encoding — all 1-row NLJs that
+  // stream the probe side untouched, linear at any scale. (q51 is NOT
+  // here: its per-round 1-row renorm joins run inside the superstep
+  // checkpoints, so the final plan contains no NLJ — the q33 class.)
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
-    "e43_ann_recall", "e47_semdedup", "q25_snb_fof", "q27_bothe",
+    "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",
+    "e54_surprisal", "q25_snb_fof", "q27_bothe",
     "q29_snb_posts", "q38_match")
 
   private lazy val plans: Map[String, String] =

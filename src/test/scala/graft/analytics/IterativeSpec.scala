@@ -101,6 +101,46 @@ class IterativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("fixed-point HITS equals a driver-side exact replay and is partitioning-exact") {
+    val iters = 5
+    val scale = 1000000L
+    val out = Iterative.hitsFixedPoint(g, iters, Set("KNOWS"), scale)
+      .where(col("label") === "Person")
+      .select(col(GC.Id), col("hub_fp"), col("auth_fp"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, h, a) => i -> ((h, a)) }.toMap
+    // exact driver-side replay of the same integer iteration
+    val knows = g.edgeFrames.collectFirst {
+      case (spec, df) if spec.label == "KNOWS" => df
+    }.get.select(col(GC.Src), col(GC.Dst)).as[(Long, Long)].collect()
+    val persons = out.keySet
+    var h = persons.map(_ -> scale).toMap
+    var a = persons.map(_ -> scale).toMap
+    def renorm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val t = math.max(raw.values.sum, 1L)
+      raw.map { case (k, v) => k -> v * scale / t }
+    }
+    for (_ <- 1 to iters) {
+      a = renorm(persons.map(v =>
+        v -> knows.filter(_._2 == v).map(e => h(e._1)).sum).toMap)
+      h = renorm(persons.map(v =>
+        v -> knows.filter(_._1 == v).map(e => a(e._2)).sum).toMap)
+    }
+    assert(out.nonEmpty)
+    assert(out == persons.map(v => v -> ((h(v), a(v)))).toMap)
+    // partitioning-exactness: identical longs under a different shuffle width
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = Iterative.hitsFixedPoint(g, iters, Set("KNOWS"), scale)
+        .where(col("label") === "Person")
+        .select(col(GC.Id), col("hub_fp"), col("auth_fp"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, hh, aa) => i -> ((hh, aa)) }.toMap
+      assert(again == out)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("triangleCounts matches GraphX on the full multi-label graph") {
     val ours = Iterative.triangleCounts(g)
       .select(col("label"), col(GC.Id), col("triangles"))
