@@ -66,7 +66,8 @@ object SparkEntry {
     "q48_snb_stress" -> (Inventory.q48_snb_stress _),
     "q49_snb_components_inc" -> (Inventory.q49_snb_components_inc _),
     "q50_snb_pagerank" -> (Inventory.q50_snb_pagerank _),
-    "q51_snb_hits" -> (Inventory.q51_snb_hits _)) ++ Extensions.all
+    "q51_snb_hits" -> (Inventory.q51_snb_hits _),
+    "q52_snb_ppr" -> (Inventory.q52_snb_ppr _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -454,6 +454,52 @@ object Iterative {
       col("_r").as("rank_fp"))
   }
 
+  /** Personalized PageRank under the [[pageRankFixedPoint]] discipline:
+    * the reset mass concentrates on a SEED set instead of spreading
+    * uniformly (Jeh/Widom 2003's topic-sensitive random walk — the
+    * standard recommendation/relatedness primitive over social graphs).
+    * Each seed receives reset `(15 * scale * n) div (100 * |seeds|)` —
+    * the same total reset mass as q50's uniform variant, so magnitudes
+    * stay comparable and the q50 overflow bound covers this too. Ranks
+    * start AT the reset vector (non-seeds 0), so mass flows outward
+    * from the seeds exactly as the walk does; every operation is an
+    * integer floor-division or exact long sum — partitioning-exact,
+    * oracle-replayable. Output: `(label, id, rank_fp)`. */
+  def personalizedPageRankFixedPoint(g: PropertyGraph, seedLabel: String,
+      seedIds: Seq[Long], iters: Int = 10,
+      edgeLabels: Set[String] = Set.empty,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank needs iters >= 1, got $iters")
+    require(seedIds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val edges = packedEdges(g, edgeLabels, undirected = false)
+    val outDeg = edges.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    val degreed = edges.join(outDeg, "_s").localCheckpoint()
+    val touched = incidentLabels(g, edgeLabels)
+    val verts = packedVertices(g, touched).localCheckpoint()
+    val nVerts = verts.count()
+    require(BigInt(nVerts) * scale * 85 < BigInt(Long.MaxValue),
+      s"fixed-point overflow: n=$nVerts scale=$scale")
+    val seedSet = seedIds.map(graft.analytics.GraphXBridge.pack(
+      g.labelIds(seedLabel), _))
+    val resetPerSeed = 15L * scale / 100L * nVerts / seedIds.size
+    val reset = when(col("_v").isin(seedSet: _*), lit(resetPerSeed))
+      .otherwise(lit(0L))
+    var ranks = verts.withColumn("_r", reset)
+    for (_ <- 1 to iters) {
+      val contrib = degreed.join(ranks, degreed("_s") === ranks("_v"))
+        .groupBy(col("_d"))
+        .agg(sum(expr("_r div _deg")).as("_in"))
+      ranks = graft.plans.Supersteps.cut(
+        verts.join(contrib, verts("_v") === contrib("_d"), "left")
+          .select(verts("_v"),
+            (reset + expr("(85 * coalesce(_in, 0L)) div 100")).as("_r")))
+    }
+    ranks.select(
+      unpackLabelStr(g, col("_v")).as("label"),
+      unpackKey(col("_v")).as(GC.Id),
+      col("_r").as("rank_fp"))
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) as an exact
     * fixed-point power iteration — the [[pageRankFixedPoint]] (q50)
     * discipline applied to the two-score mutual recursion: a(v) =

@@ -891,6 +891,22 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q52: personalized PageRank from the five SNB seed persons (the
+    * q47/q48 seed convention) over the directed KNOWS graph
+    * ([[graft.analytics.Iterative.personalizedPageRankFixedPoint]]):
+    * reset mass concentrated on the seeds, same total mass and integer
+    * arithmetic as q50, output restricted to REACHED vertices
+    * (rank_fp > 0 — personalization makes the walk local). */
+  def q52_snb_ppr(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative
+      .personalizedPageRankFixedPoint(Gp, "Person", Seq(0L, 1L, 2L, 3L, 4L),
+        iters = 10, edgeLabels = Set("KNOWS"))
+      .where(col("label") === "Person" && col("rank_fp") > 0)
+      .select(col(GC.Id).as("person_id"), col("rank_fp"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -699,12 +699,47 @@ object Oracles {
        |ORDER BY person_id""".stripMargin
   }
 
+  /** Personalized PageRank unrolled: the q50 iteration with the reset
+    * column seeded on persons 0-4 — `((15 * scale) // 100 * n) // 5`
+    * per seed, 0 elsewhere (left-associative floor chain matches the
+    * Scala constant exactly); r0 = the reset vector. Only reached
+    * vertices (r > 0) are emitted. */
+  val q52_snb_ppr: String = {
+    val scale = 1000000000000L
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT p.v, p.reset,
+         |    CAST(p.reset + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} p LEFT JOIN (
+         |    SELECT e.dst AS v, CAST(sum(r.r // e.d) AS BIGINT) AS m
+         |    FROM ke e JOIN r${i - 1} r ON r.v = e.src GROUP BY e.dst) s
+         |  ON s.v = p.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $snbKnowsCtes,
+       |odeg AS (SELECT src, count(*) AS d FROM knows GROUP BY src),
+       |ke AS MATERIALIZED (
+       |  SELECT k.src, k.dst, o.d FROM knows k JOIN odeg o ON o.src = k.src),
+       |r0 AS MATERIALIZED (
+       |  SELECT CAST(c_custkey AS BIGINT) AS v,
+       |    CAST(CASE WHEN c_custkey IN (0, 1, 2, 3, 4)
+       |         THEN (15 * $scale) // 100 * n.n // 5
+       |         ELSE 0 END AS BIGINT) AS reset,
+       |    CAST(CASE WHEN c_custkey IN (0, 1, 2, 3, 4)
+       |         THEN (15 * $scale) // 100 * n.n // 5
+       |         ELSE 0 END AS BIGINT) AS r
+       |  FROM customer, n),
+       |$iters
+       |SELECT v AS person_id, r AS rank_fp FROM r10
+       |WHERE r > 0 ORDER BY person_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     // q49 folds the same edge set incrementally, so the whole-graph
     // components SQL is its oracle VERBATIM — that equality is the test
     "q49_snb_components_inc" -> q42_snb_components,
     "q50_snb_pagerank" -> q50_snb_pagerank,
     "q51_snb_hits" -> q51_snb_hits,
+    "q52_snb_ppr" -> q52_snb_ppr,
     "q48_snb_stress" -> q48_snb_stress,
     "q47_snb_closeness" -> q47_snb_closeness,
     "q46_snb_kcore" -> q46_snb_kcore,

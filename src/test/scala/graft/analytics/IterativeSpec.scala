@@ -101,6 +101,36 @@ class IterativeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("personalized PageRank equals a driver-side exact replay; mass stays seed-local") {
+    val iters = 10
+    val scale = 1000000000000L
+    val seeds = Seq(0L, 1L, 2L, 3L, 4L)
+    val out = Iterative.personalizedPageRankFixedPoint(
+        g, "Person", seeds, iters, Set("KNOWS"), scale)
+      .where(col("label") === "Person")
+      .select(col(GC.Id), col("rank_fp"))
+      .as[(Long, Long)].collect().toMap
+    // exact driver-side replay
+    val knows = g.edgeFrames.collectFirst {
+      case (spec, df) if spec.label == "KNOWS" => df
+    }.get.select(col(GC.Src), col(GC.Dst)).as[(Long, Long)].collect()
+    val persons = out.keySet
+    val outDeg = knows.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val resetPerSeed = 15L * scale / 100L * persons.size / seeds.size
+    val reset = persons.map(v => v -> (if (seeds.contains(v)) resetPerSeed else 0L)).toMap
+    var r = reset
+    for (_ <- 1 to iters) {
+      val in = knows.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => r(e._1) / outDeg(e._1)).sum
+      }
+      r = persons.map(v => v -> (reset(v) + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(out.nonEmpty && out == r)
+    // personalization concentrates: seeds hold more mass than the median vertex
+    val med = out.values.toSeq.sorted.apply(out.size / 2)
+    assert(seeds.forall(sd => out(sd) > med))
+  }
+
   test("fixed-point HITS equals a driver-side exact replay and is partitioning-exact") {
     val iters = 5
     val scale = 1000000L
