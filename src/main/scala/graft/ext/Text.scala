@@ -316,6 +316,24 @@ object Text {
         expr("surprisal * 1000 div n_tokens").as("mean_milli"))
   }
 
+  /** Driver-side frozen unigram model for [[surprisalScores]]-style
+    * scoring at INGEST time ([[graft.streaming.Streams
+    * .surprisalQualityFilter]]): (token -> corpus count, total tokens).
+    * Training collects the vocabulary to the driver — bounded by
+    * construction when capped to the `maxVocab` most frequent tokens
+    * (ties to the lexicographically smaller token, so the model is
+    * deterministic); tokens outside the model score as count 1
+    * (maximum surprisal), the standard unknown-token floor. */
+  def unigramModel(docs: DataFrame, maxVocab: Int = 100000,
+      textCol: String = "text"): (Map[String, Long], Long) = {
+    val toks = docs.select(explode(split(col(textCol), " ")).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt"))).head().getLong(0)
+    val top = cnt.orderBy(desc("cnt"), asc("tok")).limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (top, total)
+  }
+
   /** Word 3-gram shingles of `text` as an ordered array column. */
   private def shingleArray: Column = {
     val w = tokens

@@ -410,6 +410,42 @@ object Streams {
       }
   }
 
+  /** Quality filtering at INGEST — the streaming face of the e54
+    * surprisal score, under the frozen-offline-model discipline
+    * ([[streamingSemanticDedup]]'s contract): the unigram model is
+    * trained offline ([[graft.ext.Text.unigramModel]]) and rides the
+    * plan as a LITERAL map, so scoring is a stateless row-local
+    * select — no state store, no watermark, no shuffle; each document
+    * is scored and kept/dropped the moment it arrives, and the same
+    * call produces bit-identical output in batch (re-scoring a corpus
+    * under a pinned model version is the reproducibility contract).
+    * Re-deriving counts in-stream would make scores arrival-order-
+    * dependent.
+    *
+    * Tokens outside the model score as count 1 (max surprisal). Kept:
+    * documents whose fixed-point mean surprisal lies in [minMeanMilli,
+    * maxMeanMilli] — the CCNet middle-band rule (too probable =
+    * boilerplate, too surprising = noise). Output: input columns +
+    * (n_tokens, surprisal, mean_milli), all exact BIGINT. */
+  def surprisalQualityFilter(docs: DataFrame, model: Map[String, Long],
+      nTotal: Long, minMeanMilli: Long, maxMeanMilli: Long,
+      textCol: String = "text"): DataFrame = {
+    require(model.nonEmpty, "surprisalQualityFilter needs a trained model")
+    require(nTotal >= 1, s"corpus total must be positive, got $nTotal")
+    val vocab = typedLit(model)
+    def flog2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (length(bin(c)) - 1).cast("long")
+    val toks = split(col(textCol), " ")
+    val surprisal = aggregate(
+      transform(toks, t =>
+        flog2(lit(nTotal)) - flog2(coalesce(element_at(vocab, t), lit(1L)))),
+      lit(0L), (acc, x) => acc + x)
+    docs.withColumn("surprisal", surprisal)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_milli", expr("surprisal * 1000 div n_tokens"))
+      .where(col("mean_milli").between(minMeanMilli, maxMeanMilli))
+  }
+
   /** Stream-static enrichment — the most common production streaming
     * shape: a fact stream left-joined to a STATIC dimension frame on
     * `keys`. A stream-static equi-join is STATELESS in Structured

@@ -172,6 +172,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("surprisal quality filter: stream == batch == e54-derived band, unknowns floor at max surprisal") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = spark.read.parquet(s"$sf0001/documents.parquet")
+    val (model, nTotal) = graft.ext.Text.unigramModel(train)
+    // band chosen around the corpus median so both sides are non-empty
+    val scored = graft.ext.Text.surprisalScores(train)
+    val med = scored.select("mean_milli").as[Long].collect().sorted
+      .apply(scored.count().toInt / 2)
+    val (lo, hi) = (med - 200, med + 200)
+    val batch = Streams.surprisalQualityFilter(train, model, nTotal, lo, hi)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch.nonEmpty && batch.size < train.count())
+    // in-model corpus: the frozen-model score IS the e54 score
+    val e54Band = scored.where(col("mean_milli").between(lo, hi))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == e54Band)
+    // streaming parity under any trigger split
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.surprisalQualityFilter(
+        mem.toDF().toDF("doc_id", "text"), model, nTotal, lo, hi)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("quality_band").outputMode("append")
+      .start()
+    try {
+      val rows = train.select("doc_id", "text").as[(Long, String)].collect()
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = spark.table("quality_band").as[Long].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+    // unknown tokens floor at count 1 = maximum per-token surprisal
+    val unk = Seq((99L, "zzz_never_seen zzz_also_new")).toDF("doc_id", "text")
+    val s = Streams.surprisalQualityFilter(unk, model, nTotal, Long.MinValue,
+      Long.MaxValue).select("surprisal").as[Long].head()
+    val maxS = 2L * (64 - java.lang.Long.numberOfLeadingZeros(nTotal) - 1)
+    assert(s == maxS)
+  }
+
   test("stream-static enrichment over a JSON directory source matches the batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json_src").toString
     batch.write.mode("overwrite").json(dir)
