@@ -453,6 +453,24 @@ object Dedup {
       contaminationReport(train, benchmark, n).select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Leakage-safe train/val/test assignment: split membership is decided
+    * by the near-dup CLUSTER representative, not the document itself —
+    * so a near-duplicate pair can never straddle train and test (the
+    * eval-leakage failure mode hash-per-document splitting cannot
+    * prevent: two near-identical documents hash independently). The
+    * composition is [[dedupClusters]] (keep_id = min id of the
+    * transitive near-dup component) followed by
+    * [[Sampling.assignSplits]] keyed on keep_id; growth-stability is
+    * inherited — a new corpus shard can merge clusters (moving a
+    * cluster wholesale), but never sends two members of one cluster to
+    * different splits. Output: (doc_id, keep_id, split). */
+  def leakageSafeSplits(docs: DataFrame, splits: Seq[(String, Double)],
+      maxIter: Int = 20,
+      maxBucket: Long = graft.operators.Skew.DefaultBucketCap): DataFrame =
+    Sampling.assignSplits(dedupClusters(docs, maxIter, maxBucket),
+        col("keep_id"), splits)
+      .select(col("doc_id"), col("keep_id"), col("split"))
+
   /** [[decontaminate]] with a Bloom-filter prefilter on the training
     * side — the 100-TB shape of n-gram decontamination.
     *

@@ -270,6 +270,15 @@ object Extensions {
       .select(col("doc_id"), col("split"))
       .orderBy("doc_id")
 
+  /** e55: leakage-safe splits ([[graft.ext.Dedup.leakageSafeSplits]]) —
+    * the e46 hash-interval assignment keyed on the e29 near-dup cluster
+    * representative, so no near-duplicate pair straddles train and
+    * test. The oracle composes both replays: the recursive-CTE
+    * transitive closure, then the split CASE over md5(keep_id). */
+  def e55_leakage_safe_splits(s: SparkSession, dir: String): DataFrame =
+    Dedup.leakageSafeSplits(docs(s, dir), splitWeights)
+      .orderBy("doc_id")
+
   /** SemDeDup parameters: 8 clusters, 2 pinned Lloyd rounds (means
     * rounded to 6 decimals — the e32 portability discipline), cosine
     * 0.44 — sized so the sf0.01 fixture yields a nonempty dropped set
@@ -620,6 +629,7 @@ object Extensions {
     "e52_dsir_select" -> (e52_dsir_select _),
     "e53_knn_sq8" -> (e53_knn_sq8 _),
     "e54_surprisal" -> (e54_surprisal _),
+    "e55_leakage_safe_splits" -> (e55_leakage_safe_splits _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -876,6 +886,39 @@ object Extensions {
          |SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id
          |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "e55_leakage_safe_splits" -> {
+      // e29's transitive-closure replay, then e46's split CASE with
+      // md5(keep_id) as the interval key.
+      val bands = (0 until Dedup.NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
+        .mkString("\n  UNION ALL ")
+      val bounds = Sampling.splitBounds(splitWeights)
+      val cases = bounds.init
+        .map { case (n, hi) => s"WHEN h < $hi THEN '$n'" }
+        .mkString(" ")
+      s"""WITH RECURSIVE $sigCte,
+         |bands AS (
+         |  $bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+         |        UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.a, u.v FROM reach r JOIN und u ON u.u = r.b),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+         |         FROM reach GROUP BY a),
+         |assigned AS (SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id
+         |             FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |k AS (SELECT doc_id, keep_id,
+         |  CAST(('0x' || substr(md5(CAST(keep_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM assigned)
+         |SELECT doc_id, keep_id, CASE $cases ELSE '${bounds.last._1}' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin
     },
 
     "e31_pipeline" -> {

@@ -187,6 +187,25 @@ class DedupSpec extends SparkSpec {
     assert(clean == Set(4L))
   }
 
+  test("leakageSafeSplits: no near-dup cluster straddles splits; total partition") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Dedup.leakageSafeSplits(corpus, splits)
+      .select("doc_id", "keep_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == corpus.count())
+    // every member of a cluster lands in its representative's split
+    assert(out.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1))
+    // the property is non-vacuous: the fixture has multi-doc clusters
+    assert(out.groupBy(_._2).values.exists(_.length > 1))
+    // and the assignment is exactly assignSplits on keep_id
+    val byRep = Sampling.assignSplits(
+        out.map(r => (r._1, r._2)).toSeq.toDF("doc_id", "keep_id"),
+        col("keep_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out.forall(r => byRep(r._1) == r._3))
+  }
+
   test("bloomDecontaminate == decontaminate (lossless prefilter law)") {
     val bench = docs.where($"doc_id" === 1L)
     val train = docs.where($"doc_id".isin(3L, 4L, 5L))
