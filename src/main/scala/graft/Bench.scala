@@ -39,7 +39,13 @@ object Bench {
     // is n^2/k (fixed k at 8x shows the documented growth; production
     // grows k with n), PQ's train/encode/ADC are linear with the code
     // table as the only scan
-    "e47_semdedup", "e48_knn_pq")
+    "e47_semdedup", "e48_knn_pq",
+    // e51: the bloom-prefilter claim IS a scale claim — the 8x curve
+    // shows the candidate shuffle staying bounded while the gram
+    // stream grows linearly; e52/e54: the two fixed-point corpus
+    // scorers — one gram/token shuffle each plus a broadcast weight
+    // join, the shapes that must stay linear at corpus scale
+    "e51_bloom_decontaminate", "e52_dsir_select", "e54_surprisal")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via
