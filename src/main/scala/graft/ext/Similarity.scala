@@ -426,10 +426,10 @@ object Similarity {
     * the full vector ([[pqCodebooks]] m=1) — same pinned-Lloyd L2
     * training, so coarse routing and fine scoring share one metric and
     * ONE oracle discipline. This is the no-residual IVFADC variant
-    * (codes quantize raw vectors); the residual refinement (encode
-    * `x - coarse_centroid`) drops recall loss further at the cost of a
-    * per-cell code distribution and is the documented production
-    * next step. */
+    * (codes quantize raw vectors); [[ivfPqResidualTopK]] is the
+    * residual refinement (encode `x - coarse_centroid`), which drops
+    * recall loss further at the cost of a per-probed-cell query
+    * lookup grid. */
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       kc: Int = 8, nprobe: Int = 2, m: Int = 4, ks: Int = 4, iters: Int = 2,
       dims: Int = 64, roundDecimals: Int = -1): DataFrame = {
@@ -567,6 +567,80 @@ object Similarity {
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         (coalesce(col("_h"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
+  /** Residual IVF-PQ — the refinement [[ivfPqTopK]]'s doc names as the
+    * production next step (Jégou et al. 2011 §IV.B, FAISS's default
+    * IVFADC): fine codes quantize the RESIDUAL `x - coarse_centroid
+    * (cell(x))` instead of the raw vector. Residuals concentrate near
+    * the origin regardless of which cell a vector lives in, so the ks
+    * fine centroids model a much tighter distribution — the recall
+    * recovered per code byte is the whole point of the composition.
+    *
+    * The price is query-side: the ADC lookup table becomes
+    * (query, PROBED CELL, sub, cid) — the query's residual differs per
+    * probed cell — so the broadcast grid grows by nprobe, still
+    * |Q| x nprobe x m x ks scalars, nowhere near data-scale. Candidate
+    * reads stay code-only. Residual arithmetic is double-exact (float
+    * casts are value-preserving, subtraction is one IEEE op both
+    * engines agree on), so the e48/e50 oracle discipline extends: BOTH
+    * Lloyd chains, the residual construction, probe routing, and the
+    * per-cell ADC replay in SQL. */
+  def ivfPqResidualTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      kc: Int = 8, nprobe: Int = 2, m: Int = 4, ks: Int = 4, iters: Int = 2,
+      dims: Int = 64, roundDecimals: Int = -1): DataFrame = {
+    val subLen = dims / m
+    val coarse = pqCodebooks(embeddings, 1, kc, iters, dims, roundDecimals)
+    val baseFull = subVectors(embeddings, 1, dims)
+    val resDelta = transform(sequence(lit(1), lit(dims)), i =>
+      element_at(col("v"), i).cast("double")
+        - element_at(col("cv"), i).cast("double"))
+    // (vec_id, cell, residual) — checkpointed: training, encoding, and
+    // candidate restriction all reread it, and each reread would
+    // otherwise replay the whole coarse chain
+    val resid = pqAssign(baseFull, coarse)
+      .join(broadcast(coarse), Seq("sub", "cid"))
+      .select(col("vec_id"), col("cid").as("cell"), resDelta.as("embedding"))
+      .localCheckpoint()
+    val cells = resid.select(col("vec_id"), col("cell"))
+    val resEmb = resid.select(col("vec_id"), col("embedding"))
+    val cb = pqCodebooks(resEmb, m, ks, iters, dims, roundDecimals)
+    val base = subVectors(resEmb, m, subLen)
+    val codes = pqAssign(base, cb).select(col("sub"), col("vec_id"), col("cid"))
+    val d = round(dotProduct(col("v"), col("v"))
+      + dotProduct(col("cv"), col("cv"))
+      - lit(2.0) * dotProduct(col("v"), col("cv")), 9)
+    val probeW = Window.partitionBy("query_id").orderBy(asc("d"), asc("cell"))
+    val qFull = baseFull.where(col("vec_id").isin(queryIds: _*))
+      .select(col("sub"), col("vec_id").as("query_id"), col("v"))
+    val probes = qFull
+      .join(broadcast(coarse.withColumnRenamed("cid", "cell")), Seq("sub"))
+      .select(col("query_id"), col("cell"), d.as("d"))
+      .withColumn("_pr", row_number().over(probeW)).where(col("_pr") <= nprobe)
+      .select(col("query_id"), col("cell"))
+    // per-(query, probed cell) residual, sliced into subvectors
+    val qres = probes
+      .join(qFull.select(col("query_id"), col("v")), Seq("query_id"))
+      .join(broadcast(coarse.select(col("cid").as("cell"), col("cv"))), Seq("cell"))
+      .select(col("query_id"), col("cell"), resDelta.as("qr"))
+    val qsub = qres.select(col("query_id"), col("cell"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col("qr"), s * subLen + 1, subLen).as("v"))): _*)).as("s"))
+      .select(col("query_id"), col("cell"), col("s.sub").as("sub"), col("s.v").as("v"))
+    val qdist = qsub.join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"), col("cid"),
+        d.cast("decimal(28,9)").as("qd"))
+    val adist = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell"), col("vec_id"))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(qdist), Seq("sub", "cid", "query_id", "cell"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).cast("double").as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("vec_id"))
+    adist.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
   }
 
   // ---- SQ8: scalar quantization + exact re-rank ----

@@ -350,6 +350,18 @@ object Extensions {
       rerank = 30, dims = 64)
       .orderBy("query_id", "neighbor_id")
 
+  /** e56: RESIDUAL IVF-PQ ([[Similarity.ivfPqResidualTopK]]) — e50's
+    * composition with the fine codes quantizing `x - coarse_centroid`
+    * (FAISS's default IVFADC; the refinement e50's doc names as the
+    * production next step). Same coarse/fine parameters as e50; the
+    * oracle adds the residual construction and the per-probed-cell ADC
+    * grid to the two-Lloyd-chain replay. */
+  def e56_knn_ivfpq_residual(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqResidualTopK(emb(s, dir), E48QueryIds, E48TopK,
+      kc = E50Kc, nprobe = E50NProbe, m = E48M, ks = E48Ks,
+      iters = E48Iters, dims = 64, roundDecimals = 6)
+      .orderBy("query_id", "neighbor_id")
+
   /** e49: the Z-order (Morton) clustering key over lineitem's
     * (l_partkey, l_suppkey) — the native codegen'd
     * [[graft.functions.InterleaveBitsExpr]] that
@@ -630,6 +642,7 @@ object Extensions {
     "e53_knn_sq8" -> (e53_knn_sq8 _),
     "e54_surprisal" -> (e54_surprisal _),
     "e55_leakage_safe_splits" -> (e55_leakage_safe_splits _),
+    "e56_knn_ivfpq_residual" -> (e56_knn_ivfpq_residual _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -698,7 +711,9 @@ object Extensions {
     * (subvector frame), `{p}picks`/`{p}cb0` (stride init), and `iters`
     * rounds ending at `{p}cb{iters}` — pqCodebooks verbatim. Relies on
     * an `nn AS (SELECT count(*) AS n FROM embeddings)` CTE in scope. */
-  private def pqChain(p: String, m: Int, subLen: Int, ks: Int, iters: Int): String = {
+  private def pqChain(p: String, m: Int, subLen: Int, ks: Int, iters: Int,
+      src: String = "embeddings",
+      vec: String = "CAST(embedding AS DOUBLE[])"): String = {
     def round(prev: String, tag: String, next: String) =
       s"""${pqArgmin(s"${p}base", prev, s"${p}asg$tag", keepV = true)},
          |${p}upd$tag AS (
@@ -711,9 +726,9 @@ object Extensions {
       .map(i => round(s"${p}cb${i - 1}", i.toString, s"${p}cb$i"))
       .mkString(",\n")
     s"""${p}base AS (SELECT vec_id, sb AS sub,
-       |    (CAST(embedding AS DOUBLE[]))[sb * $subLen + 1 : (sb + 1) * $subLen] AS v
-       |  FROM embeddings, UNNEST(generate_series(0, ${m - 1})) AS t(sb)),
-       |${p}picks AS (SELECT vec_id FROM embeddings, nn
+       |    ($vec)[sb * $subLen + 1 : (sb + 1) * $subLen] AS v
+       |  FROM $src, UNNEST(generate_series(0, ${m - 1})) AS t(sb)),
+       |${p}picks AS (SELECT vec_id FROM $src, nn
        |          WHERE vec_id % greatest(1, n // $ks) = 0
        |          ORDER BY vec_id LIMIT $ks),
        |${p}cb0 AS (SELECT b.sub, b.vec_id AS cid, b.v AS cv
@@ -1379,6 +1394,53 @@ object Extensions {
          |       FROM cand c JOIN codes s ON s.vec_id = c.vec_id
          |       JOIN qdist q ON q.sub = s.sub AND q.cid = s.cid
          |                  AND q.query_id = c.query_id
+         |       GROUP BY 1, 2)
+         |SELECT query_id, vec_id AS neighbor_id, adist FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $E48TopK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+
+    "e56_knn_ivfpq_residual" -> {
+      // e50's replay with the residual step: fine chain trained over
+      // `res` (x minus the assigned coarse centroid, double-exact), and
+      // the ADC grid keyed by (query, PROBED CELL, sub, cid) because
+      // the query residual differs per probed cell.
+      val subLen = 64 / E48M
+      val qids = E48QueryIds.mkString(", ")
+      s"""WITH
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |${pqChain("c", 1, 64, E50Kc, E48Iters)},
+         |${pqArgmin("cbase", s"ccb$E48Iters", "ccells", keepV = true)},
+         |res AS (SELECT cl.vec_id, cl.cid AS cell,
+         |        list_transform(generate_series(1, 64),
+         |          i -> cl.v[i] - CAST(cc.cv[i] AS DOUBLE)) AS v
+         |        FROM ccells cl JOIN ccb$E48Iters cc ON cc.cid = cl.cid),
+         |${pqChain("f", E48M, subLen, E48Ks, E48Iters, src = "res", vec = "v")},
+         |${pqArgmin("fbase", s"fcb$E48Iters", "codes", keepV = false)},
+         |probes AS (SELECT query_id, cell FROM (
+         |    SELECT b.vec_id AS query_id, c.cid AS cell,
+         |      ${pqL2("b.v", "CAST(c.cv AS DOUBLE[])")} AS d
+         |    FROM cbase b JOIN ccb$E48Iters c ON c.sub = b.sub
+         |    WHERE b.vec_id IN ($qids))
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cell) <= $E50NProbe),
+         |qres AS (SELECT p.query_id, p.cell,
+         |         list_transform(generate_series(1, 64),
+         |           i -> b.v[i] - CAST(cc.cv[i] AS DOUBLE)) AS v
+         |         FROM probes p JOIN cbase b ON b.vec_id = p.query_id
+         |         JOIN ccb$E48Iters cc ON cc.cid = p.cell),
+         |qsub AS (SELECT query_id, cell, sb AS sub,
+         |           v[sb * $subLen + 1 : (sb + 1) * $subLen] AS v
+         |         FROM qres, UNNEST(generate_series(0, ${E48M - 1})) AS t(sb)),
+         |qdist AS (SELECT q.query_id, q.cell, q.sub, c.cid,
+         |          CAST(${pqL2("q.v", "CAST(c.cv AS DOUBLE[])")} AS DECIMAL(28,9)) AS qd
+         |          FROM qsub q JOIN fcb$E48Iters c ON c.sub = q.sub),
+         |cand AS (SELECT p.query_id, r.cell, r.vec_id
+         |         FROM res r JOIN probes p ON p.cell = r.cell
+         |         WHERE r.vec_id <> p.query_id),
+         |ad AS (SELECT c.query_id, c.vec_id, CAST(sum(q.qd) AS DOUBLE) AS adist
+         |       FROM cand c JOIN codes s ON s.vec_id = c.vec_id
+         |       JOIN qdist q ON q.sub = s.sub AND q.cid = s.cid
+         |            AND q.query_id = c.query_id AND q.cell = c.cell
          |       GROUP BY 1, 2)
          |SELECT query_id, vec_id AS neighbor_id, adist FROM ad
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $E48TopK

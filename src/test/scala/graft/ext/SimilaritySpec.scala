@@ -215,6 +215,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pq == ivfpq && pq.nonEmpty)
   }
 
+  test("residual ivf-pq with one coarse cell equals plain pq on the centered corpus") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qids = (0L until 5L).toSeq
+    val res = Similarity.ivfPqResidualTopK(emb, qids, 5, kc = 1, nprobe = 1,
+        m = 4, ks = 4, iters = 2, dims = 64, roundDecimals = 6)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Double)].collect().toSet
+    // with kc = 1 every Lloyd round re-averages the whole corpus, so the
+    // coarse centroid is the rounded global mean and every residual is
+    // the centered vector — plain PQ over the centered corpus must agree
+    val mean = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(round(avg("x"), 6).cast("float").as("m"))
+      .orderBy("pos").select("m").as[Float].collect()
+    val meanLit = typedLit(mean.toSeq)
+    val centered = emb.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        element_at(col("embedding"), i).cast("double")
+          - element_at(meanLit, i).cast("double")).as("embedding"))
+    val pq = Similarity.pqTopK(centered, qids, 5, m = 4, ks = 4, iters = 2,
+        dims = 64, roundDecimals = 6)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(res.nonEmpty && res == pq)
+  }
+
   test("pq codes compress to m entries per vector with codebook-bounded ids") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qids = (0L until 3L).toSeq
