@@ -643,6 +643,44 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adist"))
   }
 
+  /** Hard-triplet mining for contrastive/metric training (Schroff et
+    * al. 2015, FaceNet §3.2 — the training-data extraction step every
+    * embedding-model pipeline runs): per anchor, the HARDEST positive
+    * (least-similar same-label vector — the pair the model must pull
+    * together) and the k HARDEST negatives (most-similar
+    * different-label vectors — the pairs it must push apart). Rounded
+    * cosine + id tie-breaks make the mined set deterministic.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the anchor set
+    * broadcasts, candidates stream map-side, two windows partitioned by
+    * anchor. At corpus scale, route candidates through [[lshTopK]] /
+    * [[ivfTopK]] prefilters (negatives are top-k by similarity, exactly
+    * the ANN shape) and swap the window for [[TopKAggregator]].
+    *
+    * Output: one row per (anchor, negative rank): (query_id, pos_id,
+    * pos_sim, neg_id, neg_sim); anchors lacking a same-label partner
+    * are dropped (no trainable triple). */
+  def hardTriplets(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val anchors = embeddings.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val cands = embeddings.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("label").as("clabel"))
+    val sim = round(cosineSimilarity(col("qv"), col("cv")), 9)
+    val scored = cands.join(broadcast(anchors), col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("qlabel"), col("cand_id"), col("clabel"),
+        sim.as("sim"))
+    val wPos = Window.partitionBy("query_id").orderBy(asc("sim"), asc("cand_id"))
+    val pos = scored.where(col("qlabel") === col("clabel"))
+      .withColumn("_rn", row_number().over(wPos)).where(col("_rn") === 1)
+      .select(col("query_id"), col("cand_id").as("pos_id"), col("sim").as("pos_sim"))
+    val wNeg = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cand_id"))
+    val neg = scored.where(col("qlabel") =!= col("clabel"))
+      .withColumn("_rn", row_number().over(wNeg)).where(col("_rn") <= k)
+      .select(col("query_id"), col("cand_id").as("neg_id"), col("sim").as("neg_sim"))
+    pos.join(neg, Seq("query_id"))
+  }
+
   // ---- SQ8: scalar quantization + exact re-rank ----
 
   /** Per-dimension (lo, hi) training ranges for SQ8 — ONE row of two

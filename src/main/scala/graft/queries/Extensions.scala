@@ -362,6 +362,15 @@ object Extensions {
       iters = E48Iters, dims = 64, roundDecimals = 6)
       .orderBy("query_id", "neighbor_id")
 
+  /** e57: hard-triplet mining ([[Similarity.hardTriplets]]) — per
+    * anchor the least-similar same-label positive and the 5
+    * most-similar different-label negatives over the labeled
+    * embeddings corpus (FaceNet-style metric-training data
+    * extraction). */
+  def e57_hard_triplets(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardTriplets(emb(s, dir), knnQueryIds, k = 5)
+      .orderBy("query_id", "neg_id")
+
   /** e49: the Z-order (Morton) clustering key over lineitem's
     * (l_partkey, l_suppkey) — the native codegen'd
     * [[graft.functions.InterleaveBitsExpr]] that
@@ -643,6 +652,7 @@ object Extensions {
     "e54_surprisal" -> (e54_surprisal _),
     "e55_leakage_safe_splits" -> (e55_leakage_safe_splits _),
     "e56_knn_ivfpq_residual" -> (e56_knn_ivfpq_residual _),
+    "e57_hard_triplets" -> (e57_hard_triplets _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1398,6 +1408,31 @@ object Extensions {
          |SELECT query_id, vec_id AS neighbor_id, adist FROM ad
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) <= $E48TopK
          |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+
+    "e57_hard_triplets" -> {
+      // e06's cosine expression with label conditions: hardest positive
+      // = min-sim same-label (QUALIFY rn = 1 ascending), hard negatives
+      // = top-5 max-sim different-label; anchors without a same-label
+      // partner drop via the inner join.
+      val ids = knnQueryIds.mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+         |           FROM embeddings WHERE vec_id IN ($ids)),
+         |c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv, label AS clabel
+         |      FROM embeddings),
+         |s AS (SELECT query_id, qlabel, cand_id, clabel,
+         |        round(list_dot_product(qv, cv) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS sim
+         |      FROM c CROSS JOIN q WHERE query_id <> cand_id),
+         |pos AS (SELECT query_id, cand_id AS pos_id, sim AS pos_sim
+         |        FROM s WHERE qlabel = clabel
+         |        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim, cand_id) = 1),
+         |neg AS (SELECT query_id, cand_id AS neg_id, sim AS neg_sim
+         |        FROM s WHERE qlabel <> clabel
+         |        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) <= 5)
+         |SELECT p.query_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+         |FROM pos p JOIN neg n USING (query_id)
+         |ORDER BY query_id, neg_id""".stripMargin
     },
 
     "e56_knn_ivfpq_residual" -> {

@@ -30,9 +30,11 @@ class PlanAuditSpec extends SparkSpec {
   // stream the probe side untouched, linear at any scale. (q51 is NOT
   // here: its per-round 1-row renorm joins run inside the superstep
   // checkpoints, so the final plan contains no NLJ — the q33 class.)
+  // e57 carries e06's query-anchor broadcast NLJ (|Q| rows against the
+  // corpus — the brute-force scoring class)
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
     "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",
-    "e54_surprisal", "q25_snb_fof", "q27_bothe",
+    "e54_surprisal", "e57_hard_triplets", "q25_snb_fof", "q27_bothe",
     "q29_snb_posts", "q38_match")
 
   private lazy val plans: Map[String, String] =

@@ -240,6 +240,28 @@ class SimilaritySpec extends SparkSpec {
     assert(res.nonEmpty && res == pq)
   }
 
+  test("hardTriplets: least-similar same-label positive, most-similar other-label negatives") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 1),
+      (1L, Array(0.95f, 0.1f), 1),  // same label, very similar
+      (2L, Array(0f, 1f), 1),       // same label, dissimilar -> hardest positive
+      (3L, Array(0.99f, 0.05f), 2), // other label, most similar -> rank-1 negative
+      (4L, Array(-1f, 0f), 2))      // other label, far
+      .toDF("vec_id", "embedding", "label")
+    val t = Similarity.hardTriplets(vecs, Seq(0L), k = 2)
+      .select("query_id", "pos_id", "neg_id").as[(Long, Long, Long)].collect()
+    assert(t.length == 2)
+    assert(t.map(_._2).toSet == Set(2L))
+    assert(t.map(_._3).toSet == Set(3L, 4L))
+    val negOrder = Similarity.hardTriplets(vecs, Seq(0L), k = 1)
+      .select("neg_id").as[Long].collect()
+    assert(negOrder.toSeq == Seq(3L))
+    // an anchor with no same-label partner yields no triple
+    val only = Similarity.hardTriplets(
+      vecs.where($"vec_id".isin(0L, 3L, 4L)), Seq(0L), 2)
+    assert(only.count() == 0)
+  }
+
   test("pq codes compress to m entries per vector with codebook-bounded ids") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qids = (0L until 3L).toSeq
