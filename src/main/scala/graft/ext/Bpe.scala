@@ -38,8 +38,31 @@ object Bpe {
     * shorter than 2 symbols stop contributing pairs naturally; training
     * stops early (fewer output rows) if no pair occurs at least twice.
     */
-  def bpeMerges(docs: DataFrame, rounds: Int, textCol: String = "text"): DataFrame = {
-    require(rounds >= 1, s"bpeMerges needs rounds >= 1, got $rounds")
+  def bpeMerges(docs: DataFrame, rounds: Int, textCol: String = "text"): DataFrame =
+    train(docs, rounds, textCol)._1
+
+  /** Per-document BPE token counts under the vocabulary learned by
+    * `rounds` merges — the production tokenization shape: merges apply
+    * to the VOCABULARY table (each distinct word segments once), and
+    * the corpus is tokenized by a dictionary join of its word stream
+    * against the segmented vocab — no per-document merge loop ever
+    * touches corpus-scale data. Output: (idCol, n_bpe_tokens). */
+  def bpeTokenCounts(docs: DataFrame, rounds: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perWord = train(docs, rounds, textCol)._2
+      .groupBy("wid").agg(count(lit(1)).as("t"))
+    docs.select(col(idCol).as(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(perWord, col("w") === col("wid"))
+      .groupBy(idCol).agg(sum(col("t")).as("n_bpe_tokens"))
+  }
+
+  /** Training loop shared by [[bpeMerges]] (returns the merge table)
+    * and [[bpeTokenCounts]] (returns the final per-word segmentation
+    * `(wid, n, pos, sym)`). */
+  private def train(docs: DataFrame, rounds: Int,
+      textCol: String): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"bpe training needs rounds >= 1, got $rounds")
     val spark = docs.sparkSession
     // (wid = the word itself, n, pos 1-based, sym) — character symbols
     val chars = transform(sequence(lit(1), length(col("w"))),
@@ -97,10 +120,12 @@ object Bpe {
         r += 1
       }
     }
-    if (merges.isEmpty) {
-      import spark.implicits._
-      Seq.empty[(Int, String, String, String, Long)]
-        .toDF("round", "lhs", "rhs", "merged", "pair_count")
-    } else merges.reduce(_.unionByName(_)).orderBy("round")
+    val table =
+      if (merges.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(Int, String, String, String, Long)]
+          .toDF("round", "lhs", "rhs", "merged", "pair_count")
+      } else merges.reduce(_.unionByName(_)).orderBy("round")
+    (table, syms)
   }
 }

@@ -370,6 +370,13 @@ object Extensions {
     graft.ext.Bpe.bpeMerges(docs(s, dir), rounds = 8)
       .orderBy("round")
 
+  /** e59: corpus tokenization under the e58-learned BPE vocabulary
+    * ([[graft.ext.Bpe.bpeTokenCounts]]) — merges segment the
+    * vocabulary table once; the corpus tokenizes by dictionary join. */
+  def e59_bpe_tokenize(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Bpe.bpeTokenCounts(docs(s, dir), rounds = 8)
+      .orderBy("doc_id")
+
   /** e57: hard-triplet mining ([[Similarity.hardTriplets]]) — per
     * anchor the least-similar same-label positive and the 5
     * most-similar different-label negatives over the labeled
@@ -662,6 +669,7 @@ object Extensions {
     "e56_knn_ivfpq_residual" -> (e56_knn_ivfpq_residual _),
     "e57_hard_triplets" -> (e57_hard_triplets _),
     "e58_bpe_train" -> (e58_bpe_train _),
+    "e59_bpe_tokenize" -> (e59_bpe_tokenize _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -752,6 +760,52 @@ object Extensions {
        |          ORDER BY vec_id LIMIT $ks),
        |${p}cb0 AS (SELECT b.sub, b.vec_id AS cid, b.v AS cv
        |        FROM ${p}base b JOIN ${p}picks p USING (vec_id)),
+       |$rounds""".stripMargin
+  }
+
+  /** The 8-round BPE-training CTE chain shared by e58/e59: w0 (word
+    * table split to character symbols) plus, per round, weighted
+    * adjacent pair counts (HAVING >= 2 — the no-compression-value
+    * stop), the (count desc, lhs, rhs) argmax, greedy left-to-right
+    * merge as odd ranks within candidate islands, and position
+    * renumbering. Rounds past exhaustion degrade to no-ops (empty best
+    * joins), matching the Scala early stop. */
+  private val bpeChainCtes: String = {
+    val rounds = (1 to 8).map { r =>
+      val p = r - 1
+      s"""pc$r AS (SELECT a.sym AS lhs, b.sym AS rhs, CAST(sum(a.n) AS BIGINT) AS c
+         |         FROM w$p a JOIN w$p b ON b.wid = a.wid AND b.pos = a.pos + 1
+         |         GROUP BY 1, 2 HAVING sum(a.n) >= 2),
+         |best$r AS MATERIALIZED (SELECT lhs, rhs, c FROM pc$r
+         |         ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |cand$r AS (SELECT a.wid, a.pos
+         |           FROM w$p a JOIN w$p b ON b.wid = a.wid AND b.pos = a.pos + 1
+         |           JOIN best$r ON a.sym = best$r.lhs AND b.sym = best$r.rhs),
+         |isl$r AS (SELECT wid, pos,
+         |          pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS g
+         |          FROM cand$r),
+         |sel$r AS (SELECT wid, pos FROM (
+         |            SELECT wid, pos,
+         |              row_number() OVER (PARTITION BY wid, g ORDER BY pos) AS rk
+         |            FROM isl$r)
+         |          WHERE rk % 2 = 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT wid, n, row_number() OVER (PARTITION BY wid ORDER BY op) AS pos, sym
+         |  FROM (
+         |    SELECT a.wid, a.n, a.pos AS op,
+         |      CASE WHEN s.pos IS NOT NULL THEN a.sym || nxt.sym ELSE a.sym END AS sym
+         |    FROM w$p a
+         |    LEFT JOIN sel$r s ON s.wid = a.wid AND s.pos = a.pos
+         |    LEFT JOIN sel$r s2 ON s2.wid = a.wid AND s2.pos = a.pos - 1
+         |    LEFT JOIN w$p nxt ON nxt.wid = a.wid AND nxt.pos = a.pos + 1
+         |    WHERE s2.pos IS NULL))""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w AS wid, n, i AS pos, substr(w, i, 1) AS sym
+       |  FROM (SELECT w, count(*) AS n
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE w <> '' GROUP BY w) words,
+       |  UNNEST(generate_series(1, length(w))) AS t(i)),
        |$rounds""".stripMargin
   }
 
@@ -1420,55 +1474,25 @@ object Extensions {
     },
 
     "e58_bpe_train" -> {
-      // Full BPE-training replay, 8 unrolled rounds: weighted adjacent
-      // pair counts (HAVING >= 2 — the no-compression-value stop),
-      // argmax with the (count desc, lhs, rhs) total order, greedy
-      // left-to-right merge as odd ranks within candidate islands,
-      // position renumbering. Rounds past exhaustion degrade to no-ops
-      // (empty best joins), matching the Scala early stop.
-      val rounds = (1 to 8).map { r =>
-        val p = r - 1
-        s"""pc$r AS (SELECT a.sym AS lhs, b.sym AS rhs, CAST(sum(a.n) AS BIGINT) AS c
-           |         FROM w$p a JOIN w$p b ON b.wid = a.wid AND b.pos = a.pos + 1
-           |         GROUP BY 1, 2 HAVING sum(a.n) >= 2),
-           |best$r AS MATERIALIZED (SELECT lhs, rhs, c FROM pc$r
-           |         ORDER BY c DESC, lhs, rhs LIMIT 1),
-           |cand$r AS (SELECT a.wid, a.pos
-           |           FROM w$p a JOIN w$p b ON b.wid = a.wid AND b.pos = a.pos + 1
-           |           JOIN best$r ON a.sym = best$r.lhs AND b.sym = best$r.rhs),
-           |isl$r AS (SELECT wid, pos,
-           |          pos - row_number() OVER (PARTITION BY wid ORDER BY pos) AS g
-           |          FROM cand$r),
-           |sel$r AS (SELECT wid, pos FROM (
-           |            SELECT wid, pos,
-           |              row_number() OVER (PARTITION BY wid, g ORDER BY pos) AS rk
-           |            FROM isl$r)
-           |          WHERE rk % 2 = 1),
-           |w$r AS MATERIALIZED (
-           |  SELECT wid, n, row_number() OVER (PARTITION BY wid ORDER BY op) AS pos, sym
-           |  FROM (
-           |    SELECT a.wid, a.n, a.pos AS op,
-           |      CASE WHEN s.pos IS NOT NULL THEN a.sym || nxt.sym ELSE a.sym END AS sym
-           |    FROM w$p a
-           |    LEFT JOIN sel$r s ON s.wid = a.wid AND s.pos = a.pos
-           |    LEFT JOIN sel$r s2 ON s2.wid = a.wid AND s2.pos = a.pos - 1
-           |    LEFT JOIN w$p nxt ON nxt.wid = a.wid AND nxt.pos = a.pos + 1
-           |    WHERE s2.pos IS NULL))""".stripMargin
-      }.mkString(",\n")
       val union = (1 to 8)
         .map(r => s"SELECT $r AS round, lhs, rhs, c FROM best$r")
         .mkString("\n  UNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT w AS wid, n, i AS pos, substr(w, i, 1) AS sym
-         |  FROM (SELECT w, count(*) AS n
-         |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |        WHERE w <> '' GROUP BY w) words,
-         |  UNNEST(generate_series(1, length(w))) AS t(i)),
-         |$rounds
+      s"""WITH $bpeChainCtes
          |SELECT round, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM (
          |  $union)
          |ORDER BY round""".stripMargin
     },
+
+    "e59_bpe_tokenize" ->
+      // the e58 chain's FINAL segmentation (w8) tokenizes the corpus by
+      // dictionary join: tokens-per-word = the word's symbol count.
+      s"""WITH $bpeChainCtes,
+         |wl AS (SELECT wid, count(*) AS t FROM w8 GROUP BY wid),
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN wl ON wl.wid = dw.w
+         |WHERE dw.w <> ''
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive

@@ -22,6 +22,17 @@ class BpeSpec extends SparkSpec {
     assert(exhausted == m) // stops when no pair occurs twice
   }
 
+  test("bpeTokenCounts: merges compress counts, bounded by chars and words") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab aaab")).toDF("doc_id", "text")
+    // 0 merges impossible (rounds >= 1); after 1 merge (a,a):
+    // aaab -> [aa,a,b] (3), ab -> [a,b] (2): doc1 = 3+3+2, doc2 = 2+3
+    val one = Bpe.bpeTokenCounts(docs, 1).as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 8L, 2L -> 5L))
+    // after exhaustive merging every word is one token
+    val full = Bpe.bpeTokenCounts(docs, 10).as[(Long, Long)].collect().toMap
+    assert(full == Map(1L -> 3L, 2L -> 2L))
+  }
+
   test("bpeMerges on the fixture corpus is deterministic across partitionings") {
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = Bpe.bpeMerges(corpus, 6)
