@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the corpus — the BM25 inverted-index
+  * ranking a training pipeline uses for RAG candidate mining, benchmark
+  * contamination forensics, and retrieval-based dedup triage.
+  *
+  * The whole score is ENGINE-PORTABLE FIXED-POINT INTEGER arithmetic
+  * (the [[Sampling.dsirScores]] discipline): no float ever evaluates,
+  * so the DuckDB oracle replays every stage verbatim and the result is
+  * bit-stable under any partitioning. BM25's two transcendental-ish
+  * pieces are quantized:
+  *
+  *  - idf: Robertson idf `ln(1 + (N - df + ½)/(df + ½))` becomes an
+  *    eighth-of-a-bit log2 — `x = ((2N-2df+1)·S div (2df+1)) + S` (the
+  *    argument scaled by `S = 2^20`), then `idf8 = 8·⌊log2 x⌋ +
+  *    (8x >> ⌊log2 x⌋) - 8 - 8·20`: exponent from the minimal binary
+  *    rendering's length, mantissa linearly interpolated inside the
+  *    octave (the classic integer-log trick). Monotone in the real idf,
+  *    ≥ 0, and granular to ~1/8 bit — df ties broken exactly the same
+  *    way in both engines.
+  *  - tf saturation: with k1 = 6/5 and b = 3/4 as exact rationals, the
+  *    per-term factor `tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))` clears
+  *    denominators by 10: `(22·tf·S) div (10·tf + 3 + (9·dl·N) div T)`
+  *    where T = total corpus tokens (avgdl = T/N). One floor per
+  *    division, documented order, identical in both engines.
+  *
+  * Overflow bound: `(2N+1)·S·8` must fit a signed long ⇒ N < 2^39 docs
+  * at the default scale — comfortably past a 100-TB corpus; widen S
+  * down or move to DECIMAL(38,0) beyond that.
+  *
+  * Scale shape (100 TB): postings/df/doc-length are one tokenize pass
+  * with map-side-combined counts; the query set is small by definition
+  * and BROADCAST onto the postings stream, so the only shuffles carry
+  * `(term)`-keyed counts and `(query, doc)` partial scores. Top-k is a
+  * per-query window — thousands of concurrent queries partition
+  * cleanly; for top-k over a handful of queries at extreme corpus size,
+  * swap the window for [[TopKAggregator]] (k rows per partition cross
+  * the shuffle instead of every scored candidate).
+  */
+object Retrieval {
+
+  /** Fixed-point unit for the idf argument and the tf factor. */
+  val Scale: Long = 1L << 20
+
+  /** `⌊8·log2 x⌋`-style integer log over the named column, granular to
+    * 1/8 bit: exponent via minimal-binary-string length, mantissa via
+    * linear interpolation inside the octave (shiftright by the
+    * exponent). Exact same rendering in Spark and DuckDB. */
+  private def log8(xCol: String): Column =
+    expr(s"8 * (length(bin($xCol)) - 1) " +
+      s"+ shiftright($xCol * 8, length(bin($xCol)) - 1) - 8")
+
+  /** BM25 top-k: for each `(query_id, q_text)` row, the `k` best
+    * documents by the fixed-point BM25 score above. Query terms are the
+    * DISTINCT tokens of `q_text` (query-side tf is ignored — the
+    * standard short-query simplification). `excludeSelf` drops the
+    * document whose id equals the query id (for corpus-derived query
+    * sets). Output: `(query_id, rank, doc_id, score_fp)`. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      excludeSelf: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", qTextCol: String = "q_text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col(idCol).as("_id"),
+      explode(split(col(textCol), " ")).as("_t"))
+    val dl = toks.groupBy("_id").agg(count(lit(1)).as("_dl"))
+    val postings = toks.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
+    val dfreq = postings.groupBy("_t").agg(count(lit(1)).as("_df"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val nToks = toks.agg(count(lit(1)).as("_tt"))
+    val qterms = queries.select(col(qidCol).as("_qid"),
+      explode(split(col(qTextCol), " ")).as("_t")).distinct()
+    val scored = postings
+      .join(broadcast(qterms), "_t")
+      .where(if (excludeSelf) col("_qid") =!= col("_id") else lit(true))
+      .join(dfreq, "_t")
+      .join(dl, "_id")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(nToks))
+      .withColumn("_x",
+        expr(s"((2 * _n - 2 * _df + 1) * ${Scale}L) div (2 * _df + 1)") + lit(Scale))
+      .withColumn("_idf8", log8("_x") - lit(8L * 20))
+      .withColumn("_contrib", col("_idf8") *
+        expr(s"(22 * _tf * ${Scale}L) div (10 * _tf + 3 + (9 * _dl * _n) div _tt)"))
+    val byQuery = scored.groupBy(col("_qid"), col("_id"))
+      .agg(sum(col("_contrib")).as("score_fp"))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("score_fp").desc, col("_id"))
+    byQuery.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("_qid").as(qidCol), col("rank"),
+        col("_id").as(idCol), col("score_fp"))
+  }
+}

@@ -532,6 +532,44 @@ object Extensions {
       .limit(50)
   }
 
+  /** e60: BM25 top-k retrieval ([[graft.ext.Retrieval.bm25TopK]]) —
+    * inverted-index lexical search in exact fixed-point arithmetic.
+    * Queries are corpus-derived (every doc_id % 101 == 7 document's
+    * first 6 tokens), self-hits excluded; the oracle replays the
+    * eighth-bit integer log2 idf and the cleared-denominator tf
+    * saturation verbatim. */
+  def e60_bm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val qs = d.where(col("doc_id") % 101 === 7)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+    graft.ext.Retrieval.bm25TopK(d, qs, k = 10, excludeSelf = true)
+      .orderBy("query_id", "rank")
+  }
+
+  /** e61 training contract: hashed-bigram buckets, rounds, shared by
+    * the Spark query and the generated oracle chain. */
+  val E61Rounds = 12
+  val E61Buckets = 16384
+
+  /** e61: model-based quality filtering ([[graft.ext.Classify]]) — an
+    * averaged batch perceptron over hashed word-bigram features trained
+    * IN the engine (12 rounds, 16384 buckets, label = lang=='en'; ~88%
+    * training accuracy on the fixture vs a 56% majority class), then
+    * the whole corpus scored under the frozen model. Integer-exact end
+    * to end; the oracle replays all 12 training rounds as chained CTEs
+    * and averages the same round-end weights. */
+  def e61_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val y = when(col("lang") === "en", 1L).otherwise(-1L)
+    val w = graft.ext.Classify.perceptronTrain(d, y,
+      rounds = E61Rounds, buckets = E61Buckets)
+    graft.ext.Classify.score(d, w, buckets = E61Buckets)
+      .join(d.select(col("doc_id"), y.as("label")), "doc_id")
+      .select("doc_id", "margin", "pred", "label")
+      .orderBy("doc_id")
+  }
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -670,6 +708,8 @@ object Extensions {
     "e57_hard_triplets" -> (e57_hard_triplets _),
     "e58_bpe_train" -> (e58_bpe_train _),
     "e59_bpe_tokenize" -> (e59_bpe_tokenize _),
+    "e60_bm25" -> (e60_bm25 _),
+    "e61_quality_classifier" -> (e61_quality_classifier _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -807,6 +847,47 @@ object Extensions {
        |        WHERE w <> '' GROUP BY w) words,
        |  UNNEST(generate_series(1, length(w))) AS t(i)),
        |$rounds""".stripMargin
+  }
+
+  /** e61's generated oracle: replays the WHOLE averaged-perceptron
+    * training run — hashed-bigram binary features (+ the always-on bias
+    * bucket), then [[E61Rounds]] full-batch rounds as a chained CTE
+    * sequence (round 1 is the cold start: w=0 -> every margin 0 -> all
+    * docs update), and finally the round-SUMMED model. DuckDB sums
+    * widen to HUGEINT -> the emitted margin casts back to BIGINT. */
+  private def e61OracleSql: String = {
+    val rounds = (2 to E61Rounds).map { r =>
+      val p = r - 1
+      s"""m$r AS (SELECT fb.doc_id, sum(coalesce(w$p.w, 0)) AS m
+         |       FROM fb LEFT JOIN w$p USING (b) GROUP BY fb.doc_id),
+         |u$r AS (SELECT fb.b, sum(y.y) AS dw FROM fb JOIN y USING (doc_id)
+         |       JOIN m$r ON m$r.doc_id = fb.doc_id
+         |       WHERE y.y * m$r.m <= 0 GROUP BY fb.b),
+         |w$r AS MATERIALIZED (SELECT coalesce(w$p.b, u$r.b) AS b,
+         |         coalesce(w$p.w, 0) + coalesce(u$r.dw, 0) AS w
+         |       FROM w$p FULL JOIN u$r ON w$p.b = u$r.b)""".stripMargin
+    }.mkString(",\n")
+    val wUnion = (1 to E61Rounds).map(r => s"SELECT * FROM w$r")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
+       |      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+       |fb AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $E61Buckets AS b
+       |       FROM g
+       |       UNION ALL SELECT doc_id, $E61Buckets FROM documents),
+       |y AS MATERIALIZED (SELECT doc_id,
+       |       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+       |      FROM documents),
+       |w1 AS MATERIALIZED (SELECT b, sum(y) AS w
+       |      FROM fb JOIN y USING (doc_id) GROUP BY b),
+       |$rounds,
+       |wavg AS (SELECT b, sum(w) AS w FROM ($wUnion) GROUP BY b),
+       |sc AS (SELECT fb.doc_id, sum(coalesce(wavg.w, 0)) AS margin
+       |       FROM fb LEFT JOIN wavg USING (b) GROUP BY fb.doc_id)
+       |SELECT sc.doc_id, CAST(sc.margin AS BIGINT) AS margin,
+       |  CASE WHEN sc.margin > 0 THEN 1 ELSE -1 END AS pred, y.y AS label
+       |FROM sc JOIN y USING (doc_id) ORDER BY sc.doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1174,6 +1255,47 @@ object Extensions {
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id % 40 <> 1 AND doc_id NOT IN (SELECT doc_id FROM dirty)
          |ORDER BY doc_id""".stripMargin,
+
+    "e60_bm25" ->
+      // Full BM25 replay: whitespace postings, df, doc lengths, corpus
+      // totals, the 2^20-scaled idf argument, the eighth-bit integer
+      // log2 (length(bin()) exponent + shifted mantissa), and the
+      // denominator-cleared tf factor — every floor division in the
+      // same order as the Spark plan. `//` == `div` (all operands
+      // positive); >> mirrors shiftright.
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |tk AS (SELECT doc_id, unnest(w) AS t FROM toks),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+         |post AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t),
+         |dfq AS (SELECT t, count(*) AS df FROM post GROUP BY t),
+         |tot AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |               (SELECT count(*) FROM tk) AS tt),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(w[1:6]) AS t
+         |       FROM toks WHERE doc_id % 101 = 7),
+         |idf AS (SELECT t,
+         |         ((2 * n - 2 * df + 1) * ${graft.ext.Retrieval.Scale} // (2 * df + 1))
+         |           + ${graft.ext.Retrieval.Scale} AS x
+         |        FROM dfq, tot),
+         |idf8 AS (SELECT t,
+         |          8 * (length(bin(x)) - 1)
+         |            + ((x * 8) >> (length(bin(x)) - 1)) - 8 - 160 AS idf8
+         |         FROM idf),
+         |sc AS (SELECT qt.query_id, p.doc_id,
+         |         sum(i.idf8 * ((22 * p.tf * ${graft.ext.Retrieval.Scale})
+         |           // (10 * p.tf + 3 + (9 * d.dl * tot.n) // tot.tt))) AS score_fp
+         |       FROM qt JOIN post p USING (t)
+         |         JOIN idf8 i ON i.t = qt.t
+         |         JOIN dl d ON d.doc_id = p.doc_id, tot
+         |       WHERE p.doc_id <> qt.query_id
+         |       GROUP BY qt.query_id, p.doc_id),
+         |rk AS (SELECT query_id, doc_id, CAST(score_fp AS BIGINT) AS score_fp,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score_fp DESC, doc_id) AS rank
+         |       FROM sc)
+         |SELECT query_id, rank, doc_id, score_fp FROM rk
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "e61_quality_classifier" -> e61OracleSql,
 
     "e52_dsir_select" ->
       // Full DSIR replay: md5-bucketed bigrams, add-one smoothing, 2^40

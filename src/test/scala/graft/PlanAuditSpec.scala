@@ -32,7 +32,10 @@ class PlanAuditSpec extends SparkSpec {
   // checkpoints, so the final plan contains no NLJ — the q33 class.)
   // e57 carries e06's query-anchor broadcast NLJ (|Q| rows against the
   // corpus — the brute-force scoring class)
+  // e60 broadcasts the ONE-ROW doc/token totals onto the postings
+  // stream for the fixed-point idf/avgdl normalization (the e52 class)
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
+    "e60_bm25",
     "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",
     "e54_surprisal", "e57_hard_triplets", "q25_snb_fof", "q27_bothe",
     "q29_snb_posts", "q38_match")
