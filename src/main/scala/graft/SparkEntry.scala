@@ -67,7 +67,8 @@ object SparkEntry {
     "q49_snb_components_inc" -> (Inventory.q49_snb_components_inc _),
     "q50_snb_pagerank" -> (Inventory.q50_snb_pagerank _),
     "q51_snb_hits" -> (Inventory.q51_snb_hits _),
-    "q52_snb_ppr" -> (Inventory.q52_snb_ppr _)) ++ Extensions.all
+    "q52_snb_ppr" -> (Inventory.q52_snb_ppr _),
+    "q53_snb_walks" -> (Inventory.q53_snb_walks _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -556,4 +556,67 @@ object Iterative {
       col("_h").as("hub_fp"),
       col("_a").as("auth_fp"))
   }
+
+  /** DETERMINISTIC random walks — DeepWalk/node2vec's corpus-generation
+    * step (Perozzi et al. 2014: truncated random walks fed to a skipgram
+    * model), made reproducible: at every step the walker at vertex v
+    * picks neighbor number `md5(walk_id ":" step) mod deg(v)` from v's
+    * dst-ordered undirected adjacency. Choice depends only on
+    * (walk_id, step) — never on seed state, partitioning, or arrival
+    * order — so reruns, engines, and the SQL oracle all emit the SAME
+    * walks (the [[graft.ext.Sampling.hashSample]] membership discipline
+    * applied to transition sampling; md5 is uniform across the degree
+    * range, so walk statistics match a seeded uniform walker's).
+    *
+    * Walkers stop early at sinks (no undirected neighbors — only
+    * possible for isolated START vertices, since an arrival edge is
+    * always walkable back). One walk starts per `startFilter` vertex,
+    * `walk_id` = that vertex's key.
+    *
+    * Scale shape (100 TB): the ranked adjacency (row_number + count per
+    * source — ONE window shuffle) is built once and checkpointed; each
+    * step is one equi-join of the frontier on `_s` with the rank-choice
+    * residual — supernode sources are a single partition's window at
+    * build time (the AQE/salting caveat of `operators/Skew` applies),
+    * but steps themselves never fan out: one row in, one row out.
+    * Millions of concurrent walks ride the same per-step join.
+    * Output: `(walk_id, step, label, id)`, step 0 = the start vertex. */
+  def deterministicWalks(g: PropertyGraph, startLabel: String,
+      startFilter: Column, steps: Int,
+      edgeLabels: Set[String] = Set.empty): DataFrame = {
+    require(steps >= 1, s"deterministicWalks needs steps >= 1, got $steps")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_s")).orderBy(col("_d"))
+    val degW = org.apache.spark.sql.expressions.Window.partitionBy(col("_s"))
+    // both-direction doubling can duplicate a pair stored both ways —
+    // dedup so ranks and degrees match the oracle's distinct edge set
+    val adj = packedEdges(g, edgeLabels, undirected = true).distinct()
+      .withColumn("_rk", row_number().over(rankW))
+      .withColumn("_deg", count(lit(1)).over(degW))
+      .localCheckpoint()
+    val start = g.vertices(startLabel).where(startFilter)
+      .select(col(GC.Id).as("_wid"),
+        packed(g, startLabel, col(GC.Id)).as("_v"))
+    var frontier = start
+    val perStep = Seq.newBuilder[DataFrame]
+    perStep += start.withColumn("_step", lit(0))
+    for (s <- 1 to steps) {
+      // re-alias the shared adjacency with step-fresh names: step s>1
+      // joins `adj` against a frontier DERIVED from `adj`, and reusing
+      // the original attributes would be an ambiguous self-join
+      val a = adj.select(col("_s").as(s"_s$s"), col("_d").as(s"_d$s"),
+        col("_rk").as(s"_rk$s"), col("_deg").as(s"_deg$s"))
+      val choice = pmod(
+        conv(substring(md5(concat_ws(":", col("_wid"), lit(s))), 1, 15), 16, 10)
+          .cast("long"), col(s"_deg$s"))
+      frontier = frontier.join(a,
+          col(s"_s$s") === col("_v") && col(s"_rk$s") === choice + 1)
+        .select(col("_wid"), col(s"_d$s").as("_v"))
+      perStep += frontier.withColumn("_step", lit(s))
+    }
+    perStep.result().reduce(_.unionByName(_))
+      .select(col("_wid").as("walk_id"), col("_step").as("step"),
+        unpackLabelStr(g, col("_v")).as("label"),
+        unpackKey(col("_v")).as(GC.Id))
+  }
 }

@@ -907,6 +907,20 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q53: deterministic DeepWalk corpus over the KNOWS graph
+    * ([[graft.analytics.Iterative.deterministicWalks]]) — 4-step
+    * truncated random walks from every 20th person, with the
+    * md5(walk, step)-mod-degree transition rule the oracle replays
+    * step by step over the same rank-ordered undirected adjacency. */
+  def q53_snb_walks(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative
+      .deterministicWalks(Gp, "Person", col(GC.Id) % 20 === 3,
+        steps = 4, edgeLabels = Set("KNOWS"))
+      .select(col("walk_id"), col("step"), col(GC.Id).as("person_id"))
+      .orderBy("walk_id", "step")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

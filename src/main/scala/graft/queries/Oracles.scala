@@ -733,7 +733,36 @@ object Oracles {
        |WHERE r > 0 ORDER BY person_id""".stripMargin
   }
 
+  /** Deterministic 4-step DeepWalk replay: the rank-ordered undirected
+    * adjacency (row_number + degree per source), then each step joins
+    * the previous frontier on `rank = 1 + md5(walk ":" step) % degree`
+    * — the exact transition arithmetic of
+    * `Iterative.deterministicWalks`. */
+  val q53_snb_walks: String = {
+    val steps = (1 to 4).map { s =>
+      val p = s - 1
+      s"""s$s AS (SELECT s$p.walk_id, a.dst AS v FROM s$p JOIN adj a
+         |  ON a.src = s$p.v AND a.rk = 1 +
+         |    (CAST(('0x' || substr(md5(CAST(s$p.walk_id AS VARCHAR) || ':$s'), 1, 15))
+         |      AS BIGINT) % a.deg))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to 4).map(s => s"SELECT walk_id, $s AS step, v FROM s$s")
+      .mkString("\n UNION ALL ")
+    s"""WITH $snbKnowsCtes,
+       |adj AS (SELECT src, dst,
+       |          row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+       |          count(*) OVER (PARTITION BY src) AS deg
+       |        FROM uk),
+       |s0 AS (SELECT c_custkey AS walk_id, CAST(c_custkey AS BIGINT) AS v
+       |       FROM customer WHERE c_custkey % 20 = 3),
+       |$steps
+       |SELECT walk_id, step, v AS person_id FROM (
+       | $union)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
+    "q53_snb_walks" -> q53_snb_walks,
     // q49 folds the same edge set incrementally, so the whole-graph
     // components SQL is its oracle VERBATIM — that equality is the test
     "q49_snb_components_inc" -> q42_snb_components,

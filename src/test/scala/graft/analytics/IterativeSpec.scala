@@ -238,6 +238,47 @@ class IterativeSpec extends SparkSpec {
     assert(got(5) == model(5))                // agreement even when empty
   }
 
+  test("deterministicWalks: every step is a real edge, chosen by the hash rule") {
+    val walks = Iterative.deterministicWalks(g, "Person",
+      col(GC.Id) % 10 === 1, steps = 3, edgeLabels = Set("KNOWS"))
+      .select(col("walk_id"), col("step"), col(GC.Id))
+      .as[(Long, Int, Long)].collect()
+    assert(walks.nonEmpty)
+    val byWalk = walks.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // step 0 is the start vertex; contiguous steps 0..n per walk
+    byWalk.foreach { case (wid, path) =>
+      assert(path.head == wid)
+      assert(path.length <= 4)
+    }
+    // undirected KNOWS adjacency, dst-ordered — the transition contract
+    val knows = g.edgeFrames.collectFirst {
+      case (spec, df) if spec.label == "KNOWS" => df
+    }.get.select(col(GC.Src).as("s"), col(GC.Dst).as("d"))
+    val und = knows.unionByName(knows.select(col("d").as("s"), col("s").as("d")))
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    def choose(wid: Long, step: Int, deg: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$wid:$step".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % deg).toInt
+    }
+    byWalk.foreach { case (wid, path) =>
+      path.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+        val nbrs = und(a)
+        assert(nbrs(choose(wid, i + 1, nbrs.length)) == b,
+          s"walk $wid step ${i + 1}: expected hash-chosen neighbor")
+      }
+    }
+    // determinism under repartitioning
+    val again = Iterative.deterministicWalks(g, "Person",
+      col(GC.Id) % 10 === 1, steps = 3, edgeLabels = Set("KNOWS"))
+      .select(col("walk_id"), col("step"), col(GC.Id))
+      .as[(Long, Int, Long)].collect()
+    assert(walks.toSet == again.toSet)
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
