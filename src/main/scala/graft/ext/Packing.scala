@@ -58,6 +58,36 @@ object Packing {
       .drop("_t")
   }
 
+  /** Deterministic EPOCH SHUFFLE + shard export — the step that hands a
+    * finished corpus to the training dataloader: every row gets a
+    * `(shard, pos)` address where `shard = md5(epoch ":" key) mod n`
+    * and `pos` is the row's rank inside its shard under the same hash
+    * (hash order = uniform random order, but a pure function of
+    * `(epoch, key)` — the [[Sampling.hashSample]] membership
+    * discipline applied to PERMUTATION). Re-running an epoch reproduces
+    * the identical global order; bumping `epoch` draws a fresh
+    * independent permutation, which is exactly what per-epoch
+    * shuffling needs. Ties (hash collisions) break by key, so the
+    * order is total and partitioning-independent.
+    *
+    * Scale shape: one shuffle on `shard` (the window partition), one
+    * in-shard sort; `shards` bounds the per-task sort — size it so a
+    * shard fits an executor (the [[contiguousPack]] rule). Writers
+    * compose with `.write.partitionBy("shard")` for one output file
+    * per dataloader worker. Output: input columns + (shard, pos),
+    * pos 1-based within shard. */
+  def shardShuffle(df: DataFrame, key: Column, shards: Int,
+      epoch: Long = 0L): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = conv(substring(md5(concat_ws(":", lit(epoch), key.cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), key)
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .drop("_h")
+  }
+
   def contiguousPack(df: DataFrame, idCol: Column, tokensCol: Column,
       budgetTokens: Long, shards: Int = 64,
       tieBreak: Seq[Column] = Nil): DataFrame = {

@@ -570,6 +570,17 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e62: deterministic epoch shuffle + shard export
+    * ([[graft.ext.Packing.shardShuffle]]) — the dataloader handoff:
+    * every doc gets a (shard, pos) address from the epoch-keyed hash
+    * permutation, reproducible under any partitioning; the oracle
+    * replays hash, shard, and in-shard rank. */
+  def e62_shard_shuffle(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.shardShuffle(docs(s, dir).select("doc_id"),
+        col("doc_id"), shards = 8, epoch = 1L)
+      .select("shard", "pos", "doc_id")
+      .orderBy("shard", "pos")
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -710,6 +721,7 @@ object Extensions {
     "e59_bpe_tokenize" -> (e59_bpe_tokenize _),
     "e60_bm25" -> (e60_bm25 _),
     "e61_quality_classifier" -> (e61_quality_classifier _),
+    "e62_shard_shuffle" -> (e62_shard_shuffle _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1296,6 +1308,18 @@ object Extensions {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "e61_quality_classifier" -> e61OracleSql,
+
+    "e62_shard_shuffle" ->
+      // The epoch-1 permutation hash, shard = hash mod 8, in-shard rank
+      // by (hash, doc_id) — identical arithmetic to shardShuffle.
+      """WITH h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT h % 8 AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos,
+        |  doc_id
+        |FROM h ORDER BY shard, pos""".stripMargin,
 
     "e52_dsir_select" ->
       // Full DSIR replay: md5-bucketed bigrams, add-one smoothing, 2^40

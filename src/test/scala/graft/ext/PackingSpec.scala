@@ -99,4 +99,23 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(run(1) == run(7))
   }
+
+  test("shardShuffle: total addressing, reproducible, epoch-independent draws") {
+    val base = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id")
+    def run(df: org.apache.spark.sql.DataFrame, epoch: Long) =
+      Packing.shardShuffle(df, col("doc_id"), shards = 4, epoch = epoch)
+        .select("doc_id", "shard", "pos").as[(Long, Long, Int)].collect()
+    val a = run(base, 0L)
+    // every row addressed exactly once; positions contiguous per shard
+    assert(a.length == base.count())
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // partitioning-independent
+    assert(run(base.repartition(11), 0L).toSet == a.toSet)
+    // a different epoch is a genuinely different permutation
+    val b = run(base, 1L)
+    val sameAddr = a.toSet.intersect(b.toSet).size
+    assert(sameAddr < a.length / 2, s"epochs too correlated: $sameAddr")
+  }
 }
