@@ -105,6 +105,14 @@ object Classify {
       .groupBy("_id")
       .agg(sum(coalesce(col("_w"), lit(0L))).as("_margin"))
 
+  /** The trained model as a literal map for frozen-model deployment
+    * (the streaming filter's input — `Streams.classifierQualityFilter`).
+    * The model is at most buckets+1 rows, so the collect is the
+    * `trainCentroids` portability discipline: kilobytes to the driver,
+    * never data. */
+  def weightsMap(weights: DataFrame): Map[Long, Long] =
+    weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   /** Scores a corpus under a trained model: `(idCol, margin, pred)` with
     * pred = +1 iff margin > 0 (the perceptron's decision rule; margin 0
     * scores -1, matching the training misclassification test). Feature

@@ -446,6 +446,39 @@ object Streams {
       .where(col("mean_milli").between(minMeanMilli, maxMeanMilli))
   }
 
+  /** Model-based quality filtering at INGEST under a frozen linear
+    * classifier (the e61 averaged perceptron's streaming face, built
+    * like [[surprisalQualityFilter]]): the trained weight table — at
+    * most buckets+1 entries, kilobytes — rides as a LITERAL map, the
+    * hashed-bigram features and the margin evaluate row-locally inside
+    * the stream's projection, and docs below `minMargin` drop at the
+    * edge. STATELESS: no watermark, no state store, no shuffle; batch
+    * and stream emit bit-identical margins (the training arithmetic is
+    * `graft.ext.Classify`'s, integer-exact). Keep rule `margin >=
+    * minMargin`; the perceptron's own accept is minMargin = 1 (margin
+    * > 0). Output: input columns + `margin`. */
+  def classifierQualityFilter(docs: DataFrame, model: Map[Long, Long],
+      buckets: Int = 16384, minMargin: Long = 1L,
+      textCol: String = "text"): DataFrame = {
+    require(model.nonEmpty, "classifierQualityFilter needs a trained model")
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val vocab = typedLit(model)
+    val toks = split(col(textCol), " ")
+    // word bigrams, row-local (empty when the doc has < 2 tokens)
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bs = array_distinct(transform(grams, g =>
+      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong))))
+    val margin = coalesce(element_at(vocab, lit(buckets.toLong)), lit(0L)) +
+      aggregate(bs, lit(0L),
+        (acc, b) => acc + coalesce(element_at(vocab, b), lit(0L)))
+    docs.withColumn("margin", margin)
+      .where(col("margin") >= minMargin)
+  }
+
   /** Stream-static enrichment — the most common production streaming
     * shape: a fact stream left-joined to a STATIC dimension frame on
     * `keys`. A stream-static equi-join is STATELESS in Structured

@@ -211,6 +211,44 @@ class StreamsSpec extends SparkSpec {
     assert(s == maxS)
   }
 
+  test("classifier quality filter: frozen-model stream == batch == Classify.score") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = spark.read.parquet(s"$sf0001/documents.parquet")
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val (buckets, rounds) = (4096, 4)
+    val w = graft.ext.Classify.perceptronTrain(train, label,
+      rounds = rounds, buckets = buckets)
+    val model = graft.ext.Classify.weightsMap(w)
+    // batch face (pass-through margin) == the engine's own scoring
+    val batch = Streams.classifierQualityFilter(train, model, buckets,
+        minMargin = Long.MinValue)
+      .select("doc_id", "margin").as[(Long, Long)].collect().toMap
+    val scored = graft.ext.Classify.score(train, w, buckets)
+      .select("doc_id", "margin").as[(Long, Long)].collect().toMap
+    assert(batch == scored && batch.nonEmpty)
+    assert(batch.valuesIterator.exists(_ != 0L))
+    // the default keep rule is exactly the perceptron accept (margin > 0)
+    val kept = Streams.classifierQualityFilter(train, model, buckets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == scored.filter(_._2 >= 1L).keySet)
+    // streaming parity under any trigger split
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.classifierQualityFilter(
+        mem.toDF().toDF("doc_id", "text"), model, buckets,
+        minMargin = Long.MinValue)
+      .select("doc_id", "margin")
+      .writeStream.format("memory").queryName("clf_keep").outputMode("append")
+      .start()
+    try {
+      val rows = train.select("doc_id", "text").as[(Long, String)].collect()
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = spark.table("clf_keep").as[(Long, Long)].collect().toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment over a JSON directory source matches the batch twin") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json_src").toString
     batch.write.mode("overwrite").json(dir)
