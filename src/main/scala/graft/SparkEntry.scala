@@ -68,7 +68,8 @@ object SparkEntry {
     "q50_snb_pagerank" -> (Inventory.q50_snb_pagerank _),
     "q51_snb_hits" -> (Inventory.q51_snb_hits _),
     "q52_snb_ppr" -> (Inventory.q52_snb_ppr _),
-    "q53_snb_walks" -> (Inventory.q53_snb_walks _)) ++ Extensions.all
+    "q53_snb_walks" -> (Inventory.q53_snb_walks _),
+    "q54_snb_scc" -> (Inventory.q54_snb_scc _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -557,6 +557,72 @@ object Iterative {
       col("_a").as("auth_fp"))
   }
 
+  /** STRONGLY connected components over the DIRECTED edge set — the
+    * cyclic-structure twin of [[connectedComponents]] (mutual, not
+    * one-way, reachability; the condensation input for dependency and
+    * influence analysis over follows/knows-style directed graphs).
+    *
+    * Algorithm: min-label FORWARD-BACKWARD PEELING. Each outer round
+    * runs [[minLabelLoop]] twice over the active subgraph — once on the
+    * directed edges (fixpoint F(v) = min label v REACHES) and once on
+    * their reversal (B(v) = min label that reaches v). F(v) = B(v) = m
+    * certifies mutual reachability with m, so v joins SCC(m); resolved
+    * vertices peel off and the edge frame restricts to the remainder.
+    * Every round resolves at least the SCC of the smallest active label
+    * (its members can reach nothing smaller — smaller labels are
+    * peeled, their edges gone), and in practice every "locally minimal"
+    * SCC of the condensation resolves simultaneously. `maxOuter` is the
+    * bounded-peel contract (the q46 kCore discipline): adversarial
+    * label-decreasing chains need one round per chain link, and the
+    * `require` fails loudly instead of returning a wrong partition.
+    *
+    * Scale shape: inherits [[minLabelLoop]]'s one-action-per-round
+    * superstep discipline (pointer jumping included — O(log diameter)
+    * rounds per fixpoint); the peel's semi-joins shuffle only
+    * `(vertex)` keys. Output: `(label, _vid id, scc_label, scc_id)`,
+    * the representative being the packed-smallest member. */
+  def stronglyConnectedComponents(g: PropertyGraph,
+      edgeLabels: Set[String] = Set.empty, maxOuter: Int = 20,
+      maxIter: Int = 30): DataFrame = {
+    val edges0 = packedEdges(g, edgeLabels, undirected = false)
+      .distinct().localCheckpoint()
+    val touched = incidentLabels(g, edgeLabels)
+    var active = packedVertices(g, touched).localCheckpoint()
+    var nActive = active.count()
+    var edges = edges0
+    val done = Seq.newBuilder[DataFrame]
+    var outer = 0
+    while (nActive > 0 && outer < maxOuter) {
+      val init = active.select(col("_v"), col("_v").as("_lbl"))
+      val fwd = minLabelLoop(edges, init, maxIter)
+      val bwd = minLabelLoop(
+        edges.select(col("_d").as("_s"), col("_s").as("_d")), init, maxIter)
+        .select(col("_v").as("_bv"), col("_lbl").as("_bl"))
+      val sccRound = fwd.join(bwd, col("_v") === col("_bv"))
+        .where(col("_lbl") === col("_bl"))
+        .select(col("_v"), col("_lbl").as("_scc"))
+        .localCheckpoint()
+      done += sccRound
+      val peeled = sccRound.select(col("_v").as("_pv"))
+      active = active.join(peeled, col("_v") === col("_pv"), "left_anti")
+        .localCheckpoint()
+      nActive = active.count()
+      if (nActive > 0)
+        edges = edges
+          .join(active, edges("_s") === active("_v"), "left_semi")
+          .join(active, col("_d") === active("_v"), "left_semi")
+          .localCheckpoint()
+      outer += 1
+    }
+    require(nActive == 0,
+      s"SCC peel did not converge in $maxOuter rounds ($nActive vertices left)")
+    done.result().reduce(_.unionByName(_)).select(
+      unpackLabelStr(g, col("_v")).as("label"),
+      unpackKey(col("_v")).as(GC.Id),
+      unpackLabelStr(g, col("_scc")).as("scc_label"),
+      unpackKey(col("_scc")).as("scc_id"))
+  }
+
   /** DETERMINISTIC random walks — DeepWalk/node2vec's corpus-generation
     * step (Perozzi et al. 2014: truncated random walks fed to a skipgram
     * model), made reproducible: at every step the walker at vertex v

@@ -921,6 +921,20 @@ object Inventory {
       .orderBy("walk_id", "step")
   }
 
+  /** Q54: strongly connected components of the DIRECTED KNOWS graph
+    * ([[graft.analytics.Iterative.stronglyConnectedComponents]]) —
+    * min-label forward/backward peeling; the oracle derives each
+    * person's SCC id as the smallest mutually-reachable person over
+    * the recursive reachability closure. */
+  def q54_snb_scc(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative
+      .stronglyConnectedComponents(Gp, edgeLabels = Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id).as("person_id"), col("scc_id"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -761,8 +761,23 @@ object Oracles {
        |ORDER BY walk_id, step""".stripMargin
   }
 
+  /** SCC by definition: the reachability closure (recursive CTE with
+    * UNION dedup — cycle-safe), self-pairs added so singletons resolve,
+    * then scc_id(v) = min u with reach(v,u) AND reach(u,v). */
+  val q54_snb_scc: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |r AS (SELECT src AS a, dst AS b FROM knows
+       |      UNION
+       |      SELECT r.a, k.dst FROM r JOIN knows k ON k.src = r.b),
+       |rs AS (SELECT p AS a, CAST(p AS BIGINT) AS b FROM deg
+       |       UNION SELECT a, b FROM r)
+       |SELECT x.a AS person_id, min(x.b) AS scc_id
+       |FROM rs x JOIN rs y ON y.a = x.b AND y.b = x.a
+       |GROUP BY x.a ORDER BY person_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q53_snb_walks" -> q53_snb_walks,
+    "q54_snb_scc" -> q54_snb_scc,
     // q49 folds the same edge set incrementally, so the whole-graph
     // components SQL is its oracle VERBATIM — that equality is the test
     "q49_snb_components_inc" -> q42_snb_components,

@@ -279,6 +279,51 @@ class IterativeSpec extends SparkSpec {
     assert(walks.toSet == again.toSet)
   }
 
+  test("stronglyConnectedComponents matches driver-side Tarjan with min-member ids") {
+    val got = Iterative.stronglyConnectedComponents(g, Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id), col("scc_id"))
+      .as[(Long, Long)].collect().toMap
+    // reference: Tarjan over the collected directed KNOWS edge set
+    val knows = g.edgeFrames.collectFirst {
+      case (spec, df) if spec.label == "KNOWS" => df
+    }.get.select(col(GC.Src), col(GC.Dst)).distinct()
+      .as[(Long, Long)].collect()
+    val verts = g.vertices("Person").select(col(GC.Id)).as[Long].collect()
+    val succ = knows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val index = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.Stack[Long]()
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    var counter = 0
+    def strongconnect(v: Long): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      succ.getOrElse(v, Nil).foreach { w =>
+        if (!index.contains(w)) { strongconnect(w); low(v) = low(v) min low(w) }
+        else if (onStack(w)) low(v) = low(v) min index(w)
+      }
+      if (low(v) == index(v)) {
+        val members = scala.collection.mutable.Buffer[Long]()
+        var w = -1L
+        while ({ w = stack.pop(); onStack -= w; members += w; w != v }) ()
+        val rep = members.min
+        members.foreach(m => comp(m) = rep)
+      }
+    }
+    verts.foreach(v => if (!index.contains(v)) strongconnect(v))
+    assert(got.size == verts.length && got.nonEmpty)
+    assert(got == comp.toMap)
+    // sanity: directed SCC refines the undirected components
+    val und = Iterative.connectedComponents(g, Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id), col("component_id")).as[(Long, Long)].collect().toMap
+    got.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(und).toSet.size == 1)
+    }
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
