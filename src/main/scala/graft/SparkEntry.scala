@@ -69,7 +69,8 @@ object SparkEntry {
     "q51_snb_hits" -> (Inventory.q51_snb_hits _),
     "q52_snb_ppr" -> (Inventory.q52_snb_ppr _),
     "q53_snb_walks" -> (Inventory.q53_snb_walks _),
-    "q54_snb_scc" -> (Inventory.q54_snb_scc _)) ++ Extensions.all
+    "q54_snb_scc" -> (Inventory.q54_snb_scc _),
+    "q55_snb_node2vec" -> (Inventory.q55_snb_node2vec _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

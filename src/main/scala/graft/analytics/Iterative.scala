@@ -623,6 +623,95 @@ object Iterative {
       unpackKey(col("_scc")).as("scc_id"))
   }
 
+  /** Second-order (node2vec) DETERMINISTIC walks — Grover & Leskovec
+    * 2016's biased transition, with integer weights and the
+    * [[deterministicWalks]] hash-choice discipline. At step s >= 2 a
+    * walker at `cur` (having come from `prev`) weights each undirected
+    * neighbor x of `cur`:
+    *
+    *  - `retWeight` if x == prev (the 1/p "return" bias),
+    *  - `inWeight`  if x is also a neighbor of prev (distance 1 — BFS),
+    *  - `outWeight` otherwise (distance 2 — the 1/q DFS bias),
+    *
+    * then picks the neighbor whose cumulative-weight interval (in dst
+    * order) contains `md5(walk ":" step) mod totalWeight` — exact
+    * integer replay of weighted sampling, reproducible anywhere. Step 1
+    * has no predecessor and chooses uniformly (the first-order rule).
+    *
+    * Scale shape: unlike the first-order walk, each step must CLASSIFY
+    * the frontier's neighborhoods — per-step work is one frontier
+    * expansion (Σ deg(cur) rows) plus a semi-join against the adjacency
+    * to mark common neighbors and one per-walker window for the
+    * cumulative weights. That is the price of second-order bias at any
+    * scale (node2vec's alias tables trade it for O(E·maxDeg) memory);
+    * the expansion rows carry only (walk, prev, candidate). */
+  def node2vecWalks(g: PropertyGraph, startLabel: String,
+      startFilter: Column, steps: Int, retWeight: Long = 1L,
+      inWeight: Long = 2L, outWeight: Long = 1L,
+      edgeLabels: Set[String] = Set.empty): DataFrame = {
+    require(steps >= 1, s"node2vecWalks needs steps >= 1, got $steps")
+    require(retWeight >= 0 && inWeight >= 0 && outWeight >= 0
+      && retWeight + inWeight + outWeight > 0,
+      "weights must be non-negative with a positive total")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_s")).orderBy(col("_d"))
+    val degW = org.apache.spark.sql.expressions.Window.partitionBy(col("_s"))
+    val adj = packedEdges(g, edgeLabels, undirected = true).distinct()
+      .withColumn("_rk", row_number().over(rankW))
+      .withColumn("_deg", count(lit(1)).over(degW))
+      .localCheckpoint()
+    val start = g.vertices(startLabel).where(startFilter)
+      .select(col(GC.Id).as("_wid"),
+        packed(g, startLabel, col(GC.Id)).as("_v"))
+    def hashChoice(s: Int): Column = pmod(
+      conv(substring(md5(concat_ws(":", col("_wid"), lit(s))), 1, 15), 16, 10)
+        .cast("long"), col("_tot"))
+    val perStep = Seq.newBuilder[DataFrame]
+    perStep += start.withColumn("_step", lit(0))
+    // step 1: uniform over cur's neighbors (no predecessor yet)
+    var frontier = start.join(
+        adj.select(col("_s").as("_s1"), col("_d").as("_d1"),
+          col("_rk").as("_rk1"), col("_deg").as("_tot")),
+        col("_s1") === col("_v") && col("_rk1") === hashChoice(1) + 1)
+      .select(col("_wid"), col("_v").as("_prev"), col("_d1").as("_v"))
+    perStep += frontier.select(col("_wid"), col("_v"))
+      .withColumn("_step", lit(1))
+    for (s <- 2 to steps) {
+      val cand = adj.select(col("_s").as(s"_cs$s"), col("_d").as(s"_cd$s"))
+      val mark = adj.select(col("_s").as(s"_ms$s"), col("_d").as(s"_md$s"))
+      // expand cur's neighborhood, mark prev-adjacency, weight, pick
+      val nbrs = frontier.join(cand, col(s"_cs$s") === col("_v"))
+        .join(mark,
+          col(s"_ms$s") === col("_prev") && col(s"_md$s") === col(s"_cd$s"),
+          "left")
+        .select(col("_wid"), col("_prev"), col("_v"),
+          col(s"_cd$s").as("_x"),
+          when(col(s"_cd$s") === col("_prev"), lit(retWeight))
+            .when(col(s"_ms$s").isNotNull, lit(inWeight))
+            .otherwise(lit(outWeight)).as("_w"))
+      val cumW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_wid")).orderBy(col("_x"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val totW = org.apache.spark.sql.expressions.Window.partitionBy(col("_wid"))
+      val weighted = nbrs
+        .withColumn("_cum", sum(col("_w")).over(cumW))
+        .withColumn("_tot", sum(col("_w")).over(totW))
+        .where(col("_tot") > 0)
+      frontier = weighted
+        .where(hashChoice(s) >= col("_cum") - col("_w") &&
+          hashChoice(s) < col("_cum"))
+        .select(col("_wid"), col("_v").as("_prev"), col("_x").as("_v"))
+      perStep += frontier.select(col("_wid"), col("_v"))
+        .withColumn("_step", lit(s))
+    }
+    perStep.result().map(_.select(col("_wid"), col("_step"), col("_v")))
+      .reduce(_.unionByName(_))
+      .select(col("_wid").as("walk_id"), col("_step").as("step"),
+        unpackLabelStr(g, col("_v")).as("label"),
+        unpackKey(col("_v")).as(GC.Id))
+  }
+
   /** DETERMINISTIC random walks — DeepWalk/node2vec's corpus-generation
     * step (Perozzi et al. 2014: truncated random walks fed to a skipgram
     * model), made reproducible: at every step the walker at vertex v

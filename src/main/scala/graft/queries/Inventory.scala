@@ -935,6 +935,20 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q55: node2vec second-order biased walks
+    * ([[graft.analytics.Iterative.node2vecWalks]]) — 3-step walks from
+    * every 20th person with integer (return, BFS, DFS) weights
+    * (1, 2, 1); the oracle replays the uniform first hop and both
+    * weighted-interval selections over the same ranked adjacency. */
+  def q55_snb_node2vec(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative
+      .node2vecWalks(Gp, "Person", col(GC.Id) % 20 === 7,
+        steps = 3, edgeLabels = Set("KNOWS"))
+      .select(col("walk_id"), col("step"), col(GC.Id).as("person_id"))
+      .orderBy("walk_id", "step")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

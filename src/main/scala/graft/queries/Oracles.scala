@@ -775,9 +775,50 @@ object Oracles {
        |FROM rs x JOIN rs y ON y.a = x.b AND y.b = x.a
        |GROUP BY x.a ORDER BY person_id""".stripMargin
 
+  /** node2vec replay: uniform first hop, then per-step neighborhood
+    * classification (return / common-neighbor / far), cumulative-weight
+    * intervals in dst order, and the hash-mod-total pick — the exact
+    * `Iterative.node2vecWalks` arithmetic with weights (1, 2, 1). */
+  val q55_snb_node2vec: String = {
+    def h(s: Int) =
+      s"CAST(('0x' || substr(md5(CAST(walk_id AS VARCHAR) || ':$s'), 1, 15)) AS BIGINT)"
+    val biased = (2 to 3).map { s =>
+      val p = s - 1
+      s"""n$s AS (SELECT s$p.walk_id, s$p.prev, s$p.v, a.dst AS x,
+         |    CASE WHEN a.dst = s$p.prev THEN 1
+         |         WHEN m.src IS NOT NULL THEN 2
+         |         ELSE 1 END AS w
+         |  FROM s$p JOIN adj a ON a.src = s$p.v
+         |  LEFT JOIN uk m ON m.src = s$p.prev AND m.dst = a.dst),
+         |w$s AS (SELECT *,
+         |    sum(w) OVER (PARTITION BY walk_id ORDER BY x
+         |                 ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(w) OVER (PARTITION BY walk_id) AS tot FROM n$s),
+         |s$s AS (SELECT walk_id, v AS prev, x AS v FROM w$s
+         |  WHERE (${h(s)} % tot) >= cum - w AND (${h(s)} % tot) < cum)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $snbKnowsCtes,
+       |adj AS (SELECT src, dst,
+       |          row_number() OVER (PARTITION BY src ORDER BY dst) AS rk,
+       |          count(*) OVER (PARTITION BY src) AS deg
+       |        FROM uk),
+       |s0 AS (SELECT c_custkey AS walk_id, CAST(c_custkey AS BIGINT) AS v
+       |       FROM customer WHERE c_custkey % 20 = 7),
+       |s1 AS (SELECT s0.walk_id, s0.v AS prev, a.dst AS v FROM s0 JOIN adj a
+       |       ON a.src = s0.v AND a.rk = 1 + (${h(1)} % a.deg)),
+       |$biased
+       |SELECT walk_id, step, v AS person_id FROM (
+       | SELECT walk_id, 0 AS step, v FROM s0
+       | UNION ALL SELECT walk_id, 1, v FROM s1
+       | UNION ALL SELECT walk_id, 2, v FROM s2
+       | UNION ALL SELECT walk_id, 3, v FROM s3)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q53_snb_walks" -> q53_snb_walks,
     "q54_snb_scc" -> q54_snb_scc,
+    "q55_snb_node2vec" -> q55_snb_node2vec,
     // q49 folds the same edge set incrementally, so the whole-graph
     // components SQL is its oracle VERBATIM — that equality is the test
     "q49_snb_components_inc" -> q42_snb_components,

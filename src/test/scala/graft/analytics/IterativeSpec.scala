@@ -324,6 +324,57 @@ class IterativeSpec extends SparkSpec {
     }
   }
 
+  test("node2vecWalks: uniform weights degenerate exactly to the first-order walk") {
+    // with w=1 for every class, each neighbor's cumulative interval is
+    // [rank-1, rank) and tot == deg, so the hash pick IS deterministicWalks'
+    def cols(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("walk_id"), col("step"), col(GC.Id))
+        .as[(Long, Int, Long)].collect().toSet
+    val n2v = cols(Iterative.node2vecWalks(g, "Person",
+      col(GC.Id) % 10 === 4, steps = 3, retWeight = 1L, inWeight = 1L,
+      outWeight = 1L, edgeLabels = Set("KNOWS")))
+    val first = cols(Iterative.deterministicWalks(g, "Person",
+      col(GC.Id) % 10 === 4, steps = 3, edgeLabels = Set("KNOWS")))
+    assert(n2v == first && n2v.nonEmpty)
+  }
+
+  test("node2vecWalks: biased steps traverse real edges and respond to the bias") {
+    val walks = Iterative.node2vecWalks(g, "Person", col(GC.Id) % 5 === 2,
+      steps = 3, edgeLabels = Set("KNOWS"))
+      .select(col("walk_id"), col("step"), col(GC.Id))
+      .as[(Long, Int, Long)].collect()
+    assert(walks.nonEmpty)
+    val knows = g.edgeFrames.collectFirst {
+      case (spec, df) if spec.label == "KNOWS" => df
+    }.get.select(col(GC.Src).as("s"), col(GC.Dst).as("d"))
+    val und = knows.unionByName(knows.select(col("d").as("s"), col("s").as("d")))
+      .distinct().as[(Long, Long)].collect().toSet
+    walks.groupBy(_._1).foreach { case (wid, rows) =>
+      val path = rows.sortBy(_._2).map(_._3).toSeq
+      assert(path.head == wid)
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(und((a, b)), s"($a,$b) not an edge (walk $wid)")
+        case _ =>
+      }
+    }
+    // determinism
+    val again = Iterative.node2vecWalks(g, "Person", col(GC.Id) % 5 === 2,
+      steps = 3, edgeLabels = Set("KNOWS"))
+      .select(col("walk_id"), col("step"), col(GC.Id))
+      .as[(Long, Int, Long)].collect()
+    assert(walks.toSet == again.toSet)
+    // an extreme return bias forces step 2 back to the start whenever
+    // the step-1 landing keeps the start among its neighbors
+    val bounce = Iterative.node2vecWalks(g, "Person", col(GC.Id) % 5 === 2,
+      steps = 2, retWeight = 1000000L, inWeight = 1L, outWeight = 1L,
+      edgeLabels = Set("KNOWS"))
+      .select(col("walk_id"), col("step"), col(GC.Id))
+      .as[(Long, Int, Long)].collect()
+    val byW = bounce.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+    val returned = byW.collect { case (wid, Seq(a, _, c)) => c == a }
+    assert(returned.nonEmpty && returned.count(identity) > returned.size / 2)
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
