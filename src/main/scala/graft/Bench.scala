@@ -45,7 +45,13 @@ object Bench {
     // stream grows linearly; e52/e54: the two fixed-point corpus
     // scorers — one gram/token shuffle each plus a broadcast weight
     // join, the shapes that must stay linear at corpus scale
-    "e51_bloom_decontaminate", "e52_dsir_select", "e54_surprisal")
+    "e51_bloom_decontaminate", "e52_dsir_select", "e54_surprisal",
+    // e60: the inverted-index claim — postings/df shuffles grow
+    // linearly while the broadcast query set stays fixed; e61: the
+    // trainer's per-round cost is one broadcast join over the feature
+    // stream + one bucket agg — rounds are fixed, so the 8x curve
+    // must track the feature stream alone
+    "e60_bm25", "e61_quality_classifier")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via
@@ -72,7 +78,13 @@ object Bench {
       "q47_snb_closeness",
       // q49: the incremental fold's contract is per-batch-sized work —
       // its 8x growth vs q42's is the direct test of that claim
-      "q49_snb_components_inc")
+      "q49_snb_components_inc",
+      // q53: walks are one-row-in/one-row-out per step — the 8x curve
+      // isolates the ranked-adjacency build (the only data-sized term);
+      // q54: the SCC peel composes two min-label fixpoints per outer
+      // round — its 8x growth vs q42's single fixpoint tests that the
+      // peel adds rounds, not per-round cost
+      "q53_snb_walks", "q54_snb_scc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -623,6 +623,76 @@ object Iterative {
       unpackKey(col("_scc")).as("scc_id"))
   }
 
+  /** MAXIMAL INDEPENDENT SET — Luby's algorithm (1986) with
+    * DETERMINISTIC per-round hash priorities: in round r every active
+    * vertex draws priority `md5(r ":" packed_id)` (fresh each round, as
+    * Luby's analysis requires for the O(log n) expected round bound,
+    * yet a pure function of (round, vertex) — reruns and the SQL oracle
+    * draw identical priorities). A vertex JOINS the set when no active
+    * neighbor beats it under (priority, id) order — strict total order,
+    * so adjacent winners are impossible; winners and their neighbors
+    * peel off and the survivors re-draw. The union over rounds is
+    * maximal and independent by construction. MIS is the classic
+    * symmetry-breaking primitive (scheduling, graph coloring's base
+    * step, landmark selection) and a TinkerPop GraphComputer-family
+    * member the reference cannot run (compute() throws,
+    * TorcGraph.java:315-323).
+    *
+    * `maxRounds` is the bounded-peel contract (q46/q54 discipline):
+    * expected rounds are O(log n) with fresh priorities; the `require`
+    * fails loudly rather than returning a non-maximal set.
+    *
+    * Scale shape: each round is one codegen'd priority comparison over
+    * the active edge frame (losers), two anti-joins, and one semi-join
+    * restriction — everything keyed on vertex ids, nothing ever wider
+    * than the edge frame. Output: `(label, _vid id, mis_round)` — MIS
+    * members only, with the round that admitted them. */
+  def maximalIndependentSet(g: PropertyGraph,
+      edgeLabels: Set[String] = Set.empty, maxRounds: Int = 15): DataFrame = {
+    var edges = packedEdges(g, edgeLabels, undirected = true)
+      .distinct().localCheckpoint()
+    val touched = incidentLabels(g, edgeLabels)
+    var active = packedVertices(g, touched).localCheckpoint()
+    var nActive = active.count()
+    val mis = Seq.newBuilder[DataFrame]
+    var round = 0
+    while (nActive > 0 && round < maxRounds) {
+      round += 1
+      def pri(v: Column): Column =
+        conv(substring(md5(concat_ws(":", lit(round), v)), 1, 15), 16, 10)
+          .cast("long")
+      val ps = pri(col("_s"))
+      val pd = pri(col("_d"))
+      // _s loses when some neighbor _d beats it under (priority, id)
+      val losers = edges
+        .where(pd < ps || (pd === ps && col("_d") < col("_s")))
+        .select(col("_s").as("_lv")).distinct()
+      val win = active.join(losers, col("_v") === col("_lv"), "left_anti")
+        .localCheckpoint()
+      mis += win.withColumn("_round", lit(round))
+      val removed = win
+        .unionByName(edges
+          .join(win.select(col("_v").as("_wv")), col("_s") === col("_wv"),
+            "left_semi")
+          .select(col("_d").as("_v")))
+        .distinct().localCheckpoint()
+      active = active.join(removed.select(col("_v").as("_rv")),
+        col("_v") === col("_rv"), "left_anti").localCheckpoint()
+      nActive = active.count()
+      if (nActive > 0)
+        edges = edges
+          .join(active, edges("_s") === active("_v"), "left_semi")
+          .join(active, col("_d") === active("_v"), "left_semi")
+          .localCheckpoint()
+    }
+    require(nActive == 0,
+      s"MIS did not converge in $maxRounds rounds ($nActive vertices left)")
+    mis.result().reduce(_.unionByName(_)).select(
+      unpackLabelStr(g, col("_v")).as("label"),
+      unpackKey(col("_v")).as(GC.Id),
+      col("_round").as("mis_round"))
+  }
+
   /** Second-order (node2vec) DETERMINISTIC walks — Grover & Leskovec
     * 2016's biased transition, with integer weights and the
     * [[deterministicWalks]] hash-choice discipline. At step s >= 2 a

@@ -949,6 +949,19 @@ object Inventory {
       .orderBy("walk_id", "step")
   }
 
+  /** Q56: maximal independent set over the undirected KNOWS graph
+    * ([[graft.analytics.Iterative.maximalIndependentSet]]) — Luby
+    * rounds with deterministic per-round hash priorities; the oracle
+    * unrolls every round over the same packed-id hash arithmetic. */
+  def q56_snb_mis(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative
+      .maximalIndependentSet(Gp, edgeLabels = Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id).as("person_id"), col("mis_round"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -815,10 +815,49 @@ object Oracles {
        |ORDER BY walk_id, step""".stripMargin
   }
 
+  /** Person vertices pack as `labelId << 48 | key` with labelId from
+    * the sorted snb label registry (Comment=1, Person=2, Post=3 — the
+    * q18 sorted-label rule), so the MIS priority hash input replays as
+    * `round ":" (PersonPack + key)`. */
+  private val PersonPack = 2L << 48
+
+  /** Luby-MIS replay: 15 unrolled rounds (the engine's maxRounds bound)
+    * of draw-priorities / pick-unbeaten / peel-winners-and-neighbors,
+    * with the identical md5 priority arithmetic. Converged rounds are
+    * no-ops (empty actives), so over-unrolling is harmless. */
+  val q56_snb_mis: String = {
+    def h(r: Int, v: String) =
+      s"CAST(('0x' || substr(md5('$r:' || CAST($PersonPack + $v AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val rounds = (1 to 15).map { r =>
+      val p = r - 1
+      s"""l$r AS MATERIALIZED (SELECT DISTINCT e.src AS v FROM e$p e
+         |  WHERE ${h(r, "e.dst")} < ${h(r, "e.src")}
+         |     OR (${h(r, "e.dst")} = ${h(r, "e.src")} AND e.dst < e.src)),
+         |w$r AS MATERIALIZED (SELECT v FROM a$p
+         |  WHERE v NOT IN (SELECT v FROM l$r)),
+         |rm$r AS MATERIALIZED (SELECT v FROM w$r UNION
+         |  SELECT e.dst FROM e$p e JOIN w$r w ON w.v = e.src),
+         |a$r AS MATERIALIZED (SELECT v FROM a$p
+         |  WHERE v NOT IN (SELECT v FROM rm$r)),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e$p e
+         |  JOIN a$r x ON x.v = e.src JOIN a$r y ON y.v = e.dst)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 15).map(r =>
+      s"SELECT v, $r AS mis_round FROM w$r").mkString("\n UNION ALL ")
+    s"""WITH $snbKnowsCtes,
+       |a0 AS MATERIALIZED (SELECT CAST(p AS BIGINT) AS v FROM deg),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM uk),
+       |$rounds
+       |SELECT v AS person_id, mis_round FROM (
+       | $union)
+       |ORDER BY person_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q53_snb_walks" -> q53_snb_walks,
     "q54_snb_scc" -> q54_snb_scc,
     "q55_snb_node2vec" -> q55_snb_node2vec,
+    "q56_snb_mis" -> q56_snb_mis,
     // q49 folds the same edge set incrementally, so the whole-graph
     // components SQL is its oracle VERBATIM — that equality is the test
     "q49_snb_components_inc" -> q42_snb_components,

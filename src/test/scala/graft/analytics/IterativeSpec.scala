@@ -375,6 +375,32 @@ class IterativeSpec extends SparkSpec {
     assert(returned.nonEmpty && returned.count(identity) > returned.size / 2)
   }
 
+  test("maximalIndependentSet: independent, maximal, deterministic") {
+    val mis = Iterative.maximalIndependentSet(g, Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id)).as[Long].collect().toSet
+    assert(mis.nonEmpty)
+    val knows = g.edgeFrames.collectFirst {
+      case (spec, df) if spec.label == "KNOWS" => df
+    }.get.select(col(GC.Src).as("s"), col(GC.Dst).as("d"))
+    val und = knows.unionByName(knows.select(col("d").as("s"), col("s").as("d")))
+      .distinct().as[(Long, Long)].collect()
+    // independence: no KNOWS edge joins two members
+    assert(!und.exists { case (a, b) => mis(a) && mis(b) })
+    // maximality: every non-member has a member neighbor
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val verts = g.vertices("Person").select(col(GC.Id)).as[Long].collect()
+    verts.filterNot(mis).foreach { v =>
+      assert(nbrs.getOrElse(v, Set.empty).exists(mis),
+        s"non-member $v has no MIS neighbor")
+    }
+    // determinism
+    val again = Iterative.maximalIndependentSet(g, Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id)).as[Long].collect().toSet
+    assert(again == mis)
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
