@@ -581,6 +581,18 @@ object Extensions {
       .select("shard", "pos", "doc_id")
       .orderBy("shard", "pos")
 
+  /** e63: unigram-LM (SentencePiece-style) tokenizer training
+    * ([[graft.ext.Unigram.train]]) — 2 hard-EM rounds of Viterbi
+    * segmentation + usage recount over the word-frequency table; the
+    * top 200 learned pieces by final unigram mass. The oracle replays
+    * BOTH rounds relationally: seed substring counts, fixed-point
+    * costs, the position-unrolled DP with its smallest-last-piece tie
+    * break, the backtracks, and the recounts. */
+  def e63_unigram_train(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Unigram.train(docs(s, dir), rounds = 2)
+      .orderBy(desc("cnt"), col("s"))
+      .limit(200)
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -722,6 +734,7 @@ object Extensions {
     "e60_bm25" -> (e60_bm25 _),
     "e61_quality_classifier" -> (e61_quality_classifier _),
     "e62_shard_shuffle" -> (e62_shard_shuffle _),
+    "e63_unigram_train" -> (e63_unigram_train _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -902,7 +915,87 @@ object Extensions {
        |FROM sc JOIN y USING (doc_id) ORDER BY sc.doc_id""".stripMargin
   }
 
+  /** e63's generated oracle: replays `Unigram.train(rounds = 2)` —
+    * seed substring counts, then per round the fixed-point costs, the
+    * candidate frame, the position-unrolled Viterbi DP (16 chained
+    * CTEs), the smallest-k backpointer table, the 16-hop backtrack
+    * (each hop emits the consumed piece), and the usage recount with
+    * the single-char floor. The engine's DP is row-local; this is the
+    * same arithmetic in relational shape — results match because every
+    * tie-break (min cost, then smallest last piece) is pinned. All
+    * CTEs MATERIALIZED (the e61 inlining lesson). */
+  private def e63OracleSql: String = {
+    import graft.ext.Unigram.{MaxWordLen, MaxPieceLen, Scale, Inf}
+    def round(r: Int): String = {
+      val dp = (1 to MaxWordLen).map { j =>
+        val branches = (1 to math.min(MaxPieceLen, j)).map { k =>
+          s"""SELECT b.w, b.c + cd.cost AS c
+             |      FROM b${r}_${j - k} b JOIN cand$r cd
+             |        ON cd.w = b.w AND cd.j = $j AND cd.k = $k
+             |      WHERE length(b.w) >= $j""".stripMargin
+        }.mkString("\n      UNION ALL ")
+        s"""b${r}_$j AS MATERIALIZED (SELECT w, min(c) AS c FROM (
+           |      $branches) GROUP BY w)""".stripMargin
+      }.mkString(",\n")
+      val chBranches = (1 to MaxWordLen).flatMap { j =>
+        (1 to math.min(MaxPieceLen, j)).map { k =>
+          s"""SELECT b.w, $j AS j, $k AS k
+             |      FROM b${r}_${j - k} b
+             |      JOIN cand$r cd ON cd.w = b.w AND cd.j = $j AND cd.k = $k
+             |      JOIN b${r}_$j e ON e.w = b.w AND e.c = b.c + cd.cost
+             |      WHERE length(b.w) >= $j""".stripMargin
+        }
+      }.mkString("\n      UNION ALL ")
+      val hops = (1 to MaxWordLen).map { i =>
+        s"""t${r}_$i AS MATERIALIZED (
+           |  SELECT t.w, t.pos - ch.k AS pos,
+           |         substr(t.w, t.pos - ch.k + 1, ch.k) AS piece
+           |  FROM t${r}_${i - 1} t JOIN ch$r ch
+           |    ON ch.w = t.w AND ch.j = t.pos
+           |  WHERE t.pos > 0)""".stripMargin
+      }.mkString(",\n")
+      val emitted = (1 to MaxWordLen).map(i => s"SELECT w, piece FROM t${r}_$i")
+        .mkString(" UNION ALL ")
+      s"""c$r AS MATERIALIZED (SELECT s,
+         |    length(bin(CAST(t.tot AS BIGINT) * $Scale
+         |      // CAST(cnt AS BIGINT))) - 1 AS cost
+         |  FROM v$r, (SELECT sum(cnt) AS tot FROM v$r) t),
+         |cand$r AS MATERIALIZED (SELECT w, j, k,
+         |    coalesce(c.cost, $Inf) AS cost
+         |  FROM (SELECT w, i AS j, k
+         |        FROM words, UNNEST(generate_series(1, length(w))) s(i),
+         |             UNNEST(generate_series(1, least($MaxPieceLen, i))) u(k))
+         |  LEFT JOIN c$r c ON c.s = substr(w, j - k + 1, k)),
+         |b${r}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS c FROM words),
+         |$dp,
+         |ch$r AS MATERIALIZED (SELECT w, j, min(k) AS k FROM (
+         |      $chBranches) GROUP BY w, j),
+         |t${r}_0 AS MATERIALIZED (SELECT w, CAST(length(w) AS INT) AS pos,
+         |  '' AS piece FROM words),
+         |$hops,
+         |u$r AS MATERIALIZED (SELECT piece AS s, sum(freq) AS cnt
+         |  FROM ($emitted) e JOIN words USING (w) GROUP BY piece),
+         |v${r + 1} AS MATERIALIZED (SELECT coalesce(u.s, ch.s) AS s,
+         |    coalesce(u.cnt, 1) AS cnt
+         |  FROM u$r u FULL JOIN chars ch ON u.s = ch.s)""".stripMargin
+    }
+    s"""WITH words AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |chars AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS s
+       |  FROM words, UNNEST(generate_series(1, length(w))) t(i)),
+       |v1 AS MATERIALIZED (SELECT substr(w, i, k) AS s, sum(freq) AS cnt
+       |  FROM words, UNNEST(generate_series(1, length(w))) s(i),
+       |       UNNEST(generate_series(1, least($MaxPieceLen, length(w) - i + 1))) u(k)
+       |  GROUP BY 1),
+       |${round(1)},
+       |${round(2)}
+       |SELECT s, CAST(cnt AS BIGINT) AS cnt FROM v3
+       |ORDER BY cnt DESC, s LIMIT 200""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e63_unigram_train" -> e63OracleSql,
     "e05_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

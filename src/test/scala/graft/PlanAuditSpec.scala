@@ -34,6 +34,9 @@ class PlanAuditSpec extends SparkSpec {
   // corpus — the brute-force scoring class)
   // e60 broadcasts the ONE-ROW doc/token totals onto the postings
   // stream for the fixed-point idf/avgdl normalization (the e52 class)
+  // (e63 is NOT here: its 1-row cost-total NLJs all run inside the
+  // per-round superstep checkpoints, so the final plan has none — the
+  // q33/q51 class.)
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
     "e60_bm25",
     "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",
