@@ -593,6 +593,25 @@ object Extensions {
       .orderBy(desc("cnt"), col("s"))
       .limit(200)
 
+  /** e64: corpus tokenization under the e63-learned unigram vocabulary
+    * (the train->apply pair, mirroring e58/e59 for BPE): one more
+    * Viterbi pass segments the word table under the trained costs, and
+    * per-document token counts come from a dictionary join — the word
+    * stream never re-segments per document. */
+  def e64_unigram_tokenize(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocab = graft.ext.Unigram.train(d, rounds = 2)
+    val words = graft.ext.Unigram.wordFreqs(d)
+    val perWord = graft.ext.Unigram
+      .viterbiSegments(words, graft.ext.Unigram.costs(vocab))
+      .groupBy("w").agg(count(lit(1)).as("n_pieces"))
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(perWord, "w")
+      .groupBy("doc_id").agg(sum(col("n_pieces")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -735,6 +754,7 @@ object Extensions {
     "e61_quality_classifier" -> (e61_quality_classifier _),
     "e62_shard_shuffle" -> (e62_shard_shuffle _),
     "e63_unigram_train" -> (e63_unigram_train _),
+    "e64_unigram_tokenize" -> (e64_unigram_tokenize _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -924,7 +944,7 @@ object Extensions {
     * same arithmetic in relational shape — results match because every
     * tie-break (min cost, then smallest last piece) is pinned. All
     * CTEs MATERIALIZED (the e61 inlining lesson). */
-  private def e63OracleSql: String = {
+  private def unigramCtes(nRounds: Int): String = {
     import graft.ext.Unigram.{MaxWordLen, MaxPieceLen, Scale, Inf}
     def round(r: Int): String = {
       val dp = (1 to MaxWordLen).map { j =>
@@ -973,13 +993,14 @@ object Extensions {
          |t${r}_0 AS MATERIALIZED (SELECT w, CAST(length(w) AS INT) AS pos,
          |  '' AS piece FROM words),
          |$hops,
+         |em$r AS MATERIALIZED ($emitted),
          |u$r AS MATERIALIZED (SELECT piece AS s, sum(freq) AS cnt
-         |  FROM ($emitted) e JOIN words USING (w) GROUP BY piece),
+         |  FROM em$r e JOIN words USING (w) GROUP BY piece),
          |v${r + 1} AS MATERIALIZED (SELECT coalesce(u.s, ch.s) AS s,
          |    coalesce(u.cnt, 1) AS cnt
          |  FROM u$r u FULL JOIN chars ch ON u.s = ch.s)""".stripMargin
     }
-    s"""WITH words AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
+    s"""words AS MATERIALIZED (SELECT w, count(*) AS freq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) > 0 GROUP BY w),
        |chars AS MATERIALIZED (SELECT DISTINCT substr(w, i, 1) AS s
@@ -988,14 +1009,32 @@ object Extensions {
        |  FROM words, UNNEST(generate_series(1, length(w))) s(i),
        |       UNNEST(generate_series(1, least($MaxPieceLen, length(w) - i + 1))) u(k)
        |  GROUP BY 1),
-       |${round(1)},
-       |${round(2)}
+       |${(1 to nRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private def e63OracleSql: String =
+    s"""WITH ${unigramCtes(2)}
        |SELECT s, CAST(cnt AS BIGINT) AS cnt FROM v3
        |ORDER BY cnt DESC, s LIMIT 200""".stripMargin
-  }
+
+  /** e64's oracle: a THIRD unrolled segmentation round under the
+    * trained (v3) vocabulary — its em3 pieces ARE the corpus
+    * tokenization — then per-word piece counts joined back onto the
+    * per-document word stream. */
+  private def e64OracleSql: String =
+    s"""WITH ${unigramCtes(3)},
+       |pw AS MATERIALIZED (SELECT w, count(*) AS n_pieces
+       |  FROM em3 GROUP BY w),
+       |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |       FROM documents)
+       |SELECT doc_id, CAST(sum(p.n_pieces) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, w FROM dt WHERE length(w) > 0) d
+       |JOIN pw p USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "e63_unigram_train" -> e63OracleSql,
+    "e64_unigram_tokenize" -> e64OracleSql,
     "e05_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

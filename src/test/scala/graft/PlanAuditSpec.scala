@@ -36,9 +36,11 @@ class PlanAuditSpec extends SparkSpec {
   // stream for the fixed-point idf/avgdl normalization (the e52 class)
   // (e63 is NOT here: its 1-row cost-total NLJs all run inside the
   // per-round superstep checkpoints, so the final plan has none — the
-  // q33/q51 class.)
+  // q33/q51 class. e64 IS here: its APPLY pass computes piece costs
+  // from the checkpointed vocabulary in the live plan, so the 1-row
+  // count-total broadcast survives — the e52 class.)
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
-    "e60_bm25",
+    "e60_bm25", "e64_unigram_tokenize",
     "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",
     "e54_surprisal", "e57_hard_triplets", "q25_snb_fof", "q27_bothe",
     "q29_snb_posts", "q38_match")

@@ -47,6 +47,30 @@ class UnigramSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("apply pass: corpus token mass equals freq-weighted per-word pieces") {
+    val vocab = Unigram.train(docs, rounds = 2)
+    val words = Unigram.wordFreqs(docs)
+    val perWord = Unigram.viterbiSegments(words, Unigram.costs(vocab))
+      .groupBy("w").agg(count(lit(1)).as("n_pieces"))
+    val viaWords = perWord.select(col("w").as("_pw"), col("n_pieces"))
+      .join(words, col("_pw") === col("w"))
+      .agg(sum(col("n_pieces") * col("freq"))).as[Long].head()
+    val viaDocs = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(perWord, "w")
+      .agg(sum(col("n_pieces"))).as[Long].head()
+    assert(viaWords == viaDocs && viaWords > 0)
+    // segmentation never exceeds chars and never beats one piece per
+    // <=MaxPieceLen chars
+    val bad = perWord.select(col("w").as("_pw"), col("n_pieces"))
+      .join(words, col("_pw") === col("w"))
+      .where(col("n_pieces") > length(col("w")) ||
+        col("n_pieces") * Unigram.MaxPieceLen < length(col("w")))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("oversized words are rejected loudly") {
     val bad = Seq((1L, "a" * (Unigram.MaxWordLen + 1))).toDF("doc_id", "text")
     assertThrows[IllegalArgumentException](Unigram.train(bad))
