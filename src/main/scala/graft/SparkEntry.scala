@@ -71,7 +71,8 @@ object SparkEntry {
     "q53_snb_walks" -> (Inventory.q53_snb_walks _),
     "q54_snb_scc" -> (Inventory.q54_snb_scc _),
     "q55_snb_node2vec" -> (Inventory.q55_snb_node2vec _),
-    "q56_snb_mis" -> (Inventory.q56_snb_mis _)) ++ Extensions.all
+    "q56_snb_mis" -> (Inventory.q56_snb_mis _),
+    "q57_snb_linkpred" -> (Inventory.q57_snb_linkpred _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -623,6 +623,55 @@ object Iterative {
       unpackKey(col("_scc")).as("scc_id"))
   }
 
+  /** ADAMIC-ADAR LINK PREDICTION — the classic common-neighbor score
+    * (Adamic & Adar 2003) for generating edge-prediction training
+    * data: for each seed u, every non-adjacent 2-hop candidate v is
+    * scored `Σ_z 1/log(deg z)` over their common neighbors z (high-
+    * degree hubs count less). The log is the engine's eighth-bit
+    * integer log2 (the e60 idf discipline): `w(z) = (2^20·8) div
+    * log8(deg z)` — exact integer arithmetic the SQL oracle replays,
+    * monotone in the real Adamic-Adar (log base is a constant factor).
+    * A common neighbor has degree >= 2, so the divisor is never zero.
+    *
+    * Scale shape: one wedge join from the seed frontier (the q44
+    * triangle-join shape — AQE skew handling covers hub fan-out), one
+    * adjacency anti-join to drop existing edges, a map-side-combined
+    * per-pair sum, and a per-seed top-k window. Seeds bound the
+    * frontier, so cost is Σ_u Σ_{z~u} deg(z), never all-pairs.
+    * Output: `(label, _vid id, cand_label, cand_id, rank, score_fp)`. */
+  def adamicAdar(g: PropertyGraph, seedLabel: String, seedFilter: Column,
+      k: Int = 10, edgeLabels: Set[String] = Set.empty): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val adj = packedEdges(g, edgeLabels, undirected = true).distinct()
+      .localCheckpoint()
+    val deg = adj.groupBy(col("_s").as("_z")).agg(count(lit(1)).as("_deg"))
+    val seeds = g.vertices(seedLabel).where(seedFilter)
+      .select(packed(g, seedLabel, col(GC.Id)).as("_u"))
+    val hop1 = seeds.join(adj.select(col("_s").as("_s1"), col("_d").as("_z")),
+      col("_s1") === col("_u"))
+    val wedges = hop1.join(adj.select(col("_s").as("_s2"), col("_d").as("_v")),
+        col("_s2") === col("_z") && col("_v") =!= col("_u"))
+      .select(col("_u"), col("_z"), col("_v"))
+    val nonAdj = wedges.join(
+      adj.select(col("_s").as("_es"), col("_d").as("_ed")),
+      col("_es") === col("_u") && col("_ed") === col("_v"), "left_anti")
+    val scored = nonAdj.join(deg, "_z")
+      .withColumn("_w", expr(s"(${1L << 20}L * 8) div " +
+        "(8 * (length(bin(_deg)) - 1) " +
+        "+ shiftright(_deg * 8, length(bin(_deg)) - 1) - 8)"))
+      .groupBy(col("_u"), col("_v")).agg(sum(col("_w")).as("score_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_u")).orderBy(col("score_fp").desc, col("_v"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(
+        unpackLabelStr(g, col("_u")).as("label"),
+        unpackKey(col("_u")).as(GC.Id),
+        unpackLabelStr(g, col("_v")).as("cand_label"),
+        unpackKey(col("_v")).as("cand_id"),
+        col("rank"), col("score_fp"))
+  }
+
   /** MAXIMAL INDEPENDENT SET — Luby's algorithm (1986) with
     * DETERMINISTIC per-round hash priorities: in round r every active
     * vertex draws priority `md5(r ":" packed_id)` (fresh each round, as

@@ -962,6 +962,20 @@ object Inventory {
       .orderBy("person_id")
   }
 
+  /** Q57: Adamic-Adar link prediction over the KNOWS graph
+    * ([[graft.analytics.Iterative.adamicAdar]]) — top-10 non-adjacent
+    * 2-hop candidates per seed person, scored by the eighth-bit
+    * integer-log common-neighbor rule the oracle replays. */
+  def q57_snb_linkpred(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative
+      .adamicAdar(Gp, "Person", col(GC.Id) % 25 === 11, k = 10,
+        edgeLabels = Set("KNOWS"))
+      .select(col(GC.Id).as("person_id"), col("rank"),
+        col("cand_id"), col("score_fp"))
+      .orderBy("person_id", "rank")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

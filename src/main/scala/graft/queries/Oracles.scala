@@ -853,11 +853,40 @@ object Oracles {
        |ORDER BY person_id""".stripMargin
   }
 
+  /** Adamic-Adar replay: wedges from the seed set over the undirected
+    * distinct adjacency, existing edges anti-joined away, the
+    * eighth-bit integer-log weight per common neighbor, top-10 per
+    * seed. */
+  val q57_snb_linkpred: String =
+    s"""WITH $snbKnowsCtes,
+       |deg2 AS (SELECT src AS z, count(*) AS d FROM uk GROUP BY src),
+       |s AS (SELECT CAST(c_custkey AS BIGINT) AS u FROM customer
+       |      WHERE c_custkey % 25 = 11),
+       |wedge AS (SELECT s.u, a.dst AS z, b.dst AS v
+       |          FROM s JOIN uk a ON a.src = s.u
+       |          JOIN uk b ON b.src = a.dst
+       |          WHERE b.dst <> s.u),
+       |cand AS (SELECT w.u, w.z, w.v FROM wedge w
+       |         WHERE NOT EXISTS (SELECT 1 FROM uk e
+       |                           WHERE e.src = w.u AND e.dst = w.v)),
+       |aa AS (SELECT c.u, c.v,
+       |         sum((${1L << 20} * 8) // (8 * (length(bin(d)) - 1)
+       |           + ((d * 8) >> (length(bin(d)) - 1)) - 8)) AS score_fp
+       |       FROM cand c JOIN deg2 ON deg2.z = c.z
+       |       GROUP BY c.u, c.v),
+       |rk AS (SELECT u, v, CAST(score_fp AS BIGINT) AS score_fp,
+       |         row_number() OVER (PARTITION BY u
+       |                            ORDER BY score_fp DESC, v) AS rank
+       |       FROM aa)
+       |SELECT u AS person_id, rank, v AS cand_id, score_fp FROM rk
+       |WHERE rank <= 10 ORDER BY person_id, rank""".stripMargin
+
   val all: Map[String, String] = Map(
     "q53_snb_walks" -> q53_snb_walks,
     "q54_snb_scc" -> q54_snb_scc,
     "q55_snb_node2vec" -> q55_snb_node2vec,
     "q56_snb_mis" -> q56_snb_mis,
+    "q57_snb_linkpred" -> q57_snb_linkpred,
     // q49 folds the same edge set incrementally, so the whole-graph
     // components SQL is its oracle VERBATIM — that equality is the test
     "q49_snb_components_inc" -> q42_snb_components,

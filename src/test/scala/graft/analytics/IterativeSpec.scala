@@ -401,6 +401,36 @@ class IterativeSpec extends SparkSpec {
     assert(again == mis)
   }
 
+  test("adamicAdar equals a driver-side exact replay") {
+    val got = Iterative.adamicAdar(g, "Person", col(GC.Id) % 7 === 2,
+      k = 5, edgeLabels = Set("KNOWS"))
+      .select(col(GC.Id), col("rank"), col("cand_id"), col("score_fp"))
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val knows = g.edgeFrames.collectFirst {
+      case (spec, df) if spec.label == "KNOWS" => df
+    }.get.select(col(GC.Src).as("s"), col(GC.Dst).as("d"))
+    val und = knows.unionByName(knows.select(col("d").as("s"), col("s").as("d")))
+      .distinct().as[(Long, Long)].collect()
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def log8(d: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(d)
+      8L * e + ((d * 8) >> e) - 8
+    }
+    val seeds = g.vertices("Person").select(col(GC.Id)).as[Long].collect()
+      .filter(_ % 7 == 2).filter(nbrs.contains)
+    val expect = seeds.flatMap { u =>
+      val cand = nbrs(u).toSeq.flatMap(z => nbrs(z) - u)
+        .filterNot(nbrs(u)).distinct
+      cand.map { v =>
+        val common = nbrs(u).intersect(nbrs(v))
+        (u, v, common.toSeq.map(z => (1L << 20) * 8 / log8(nbrs(z).size.toLong)).sum)
+      }.sortBy { case (_, v, s) => (-s, v) }.take(5)
+        .zipWithIndex.map { case ((_, v, s), i) => (u, i + 1, v, s) }
+    }.toSet
+    assert(got.toSet == expect)
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
