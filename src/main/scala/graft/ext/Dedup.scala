@@ -193,19 +193,27 @@ object Dedup {
       maxBucket: Long = Skew.DefaultBucketCap): DataFrame =
     candidatePairsFromSignatures(minhashSignatures(docs), maxBucket, "minhash_band")
 
-  /** Banding + capped bucket self-join over an explicit signature frame
-    * — shared by the plain and DF-filtered pipelines. */
-  private def candidatePairsFromSignatures(sig: DataFrame, maxBucket: Long,
+  /** Capped banded buckets `(doc_id, band, bh)` for a signature frame —
+    * shared by the self-join pair generator and the cross-corpus
+    * [[fuzzyJoin]]. */
+  private def bandBuckets(sig: DataFrame, maxBucket: Long,
       capTag: String): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat(col(s"h${2 * b}").cast("string"),
           col(s"h${2 * b + 1}").cast("string"))).as("bh"))
     }
-    val bands = Skew.capBuckets(
+    Skew.capBuckets(
       sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh")),
       Seq("band", "bh"), maxBucket, capTag)
+  }
+
+  /** Banding + capped bucket self-join over an explicit signature frame
+    * — shared by the plain and DF-filtered pipelines. */
+  private def candidatePairsFromSignatures(sig: DataFrame, maxBucket: Long,
+      capTag: String): DataFrame = {
+    val bands = bandBuckets(sig, maxBucket, capTag)
     val a = bands.alias("a")
     val b = bands.alias("b")
     a.join(b,
@@ -213,6 +221,38 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** CROSS-CORPUS fuzzy join — entity matching between two document
+    * frames (match scraped pages to canonical sources, link corpus
+    * versions, align translations' shared boilerplate): LSH banding on
+    * each side proposes candidates where band hashes collide ACROSS the
+    * frames (never within one — no self-pairs, no within-corpus work),
+    * then exact n-gram Jaccard verifies only those candidates, exactly
+    * the [[nearDupPairs]] discipline. Both sides' buckets are
+    * independently capped ([[graft.operators.Skew.capBuckets]]), so a
+    * boilerplate band on either side cannot blow up the join. Output:
+    * `(left_id, right_id, jaccard)` with jaccard >= threshold. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, threshold: Double,
+      maxBucket: Long = Skew.DefaultBucketCap): DataFrame = {
+    val la = bandBuckets(minhashSignatures(left), maxBucket, "fuzzy_left")
+      .select(col("doc_id").as("left_id"), col("band"), col("bh"))
+    val rb = bandBuckets(minhashSignatures(right), maxBucket, "fuzzy_right")
+      .select(col("doc_id").as("right_id"), col("band"), col("bh"))
+    val cands = la.join(rb, Seq("band", "bh"))
+      .select("left_id", "right_id").distinct()
+    val tl = shingles(left).distinct().select(col("id").as("left_id"), col("s"))
+    val tr = shingles(right).distinct().select(col("id").as("right_id"), col("s"))
+    val nl = tl.groupBy("left_id").agg(count(lit(1)).as("_szl"))
+    val nr = tr.groupBy("right_id").agg(count(lit(1)).as("_szr"))
+    val inter = cands.join(tl, "left_id").join(tr, Seq("right_id", "s"))
+      .groupBy("left_id", "right_id").agg(count(lit(1)).as("_inter"))
+    inter.join(nl, "left_id").join(nr, "right_id")
+      .select(col("left_id"), col("right_id"),
+        (col("_inter").cast("double") /
+          (col("_szl") + col("_szr") - col("_inter")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard similarity over distinct shingle sets for all

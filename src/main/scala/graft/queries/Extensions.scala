@@ -612,6 +612,20 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e65: cross-corpus fuzzy join ([[graft.ext.Dedup.fuzzyJoin]]) —
+    * entity matching between two corpora (even vs odd doc ids play the
+    * two sources): band collisions ACROSS the frames propose
+    * candidates, exact Jaccard verifies. The oracle computes one
+    * signature table and splits it, which equals per-side signatures
+    * because a signature depends only on the doc's own shingles. */
+  def e65_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.fuzzyJoin(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1), threshold = 0.5)
+      .orderBy("left_id", "right_id")
+  }
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -755,6 +769,7 @@ object Extensions {
     "e62_shard_shuffle" -> (e62_shard_shuffle _),
     "e63_unigram_train" -> (e63_unigram_train _),
     "e64_unigram_tokenize" -> (e64_unigram_tokenize _),
+    "e65_fuzzy_join" -> (e65_fuzzy_join _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2145,6 +2160,30 @@ object Extensions {
          |FROM c JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "e65_fuzzy_join" -> {
+      val bands = (0 until Dedup.NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $sigCte,
+         |bands AS (
+         |  $bands),
+         |la AS (SELECT doc_id AS left_id, band, bh FROM bands WHERE doc_id % 2 = 0),
+         |rb AS (SELECT doc_id AS right_id, band, bh FROM bands WHERE doc_id % 2 = 1),
+         |cand AS (SELECT DISTINCT left_id, right_id FROM la JOIN rb USING (band, bh)),
+         |d AS (SELECT DISTINCT doc_id, s FROM sh),
+         |n AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+         |c AS (SELECT left_id, right_id, count(*) AS inter
+         |      FROM cand
+         |      JOIN d da ON da.doc_id = left_id
+         |      JOIN d db ON db.doc_id = right_id AND db.s = da.s
+         |      GROUP BY left_id, right_id)
+         |SELECT left_id, right_id,
+         |  CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) AS jaccard
+         |FROM c JOIN n na ON na.doc_id = left_id JOIN n nb ON nb.doc_id = right_id
+         |WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5
+         |ORDER BY left_id, right_id""".stripMargin
     },
 
     "e18_distinct_users" ->

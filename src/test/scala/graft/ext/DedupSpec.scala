@@ -269,4 +269,20 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("fuzzyJoin equals the cross-side subset of within-corpus near-dup pairs") {
+    val left = docs.where(col("doc_id") % 2 === 0)
+    val right = docs.where(col("doc_id") % 2 === 1)
+    val cross = Dedup.fuzzyJoin(left, right, threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect()
+      .map { case (l, r) => (math.min(l, r), math.max(l, r)) }.toSet
+    val whole = Dedup.nearDupPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => a % 2 != b % 2 }.toSet
+    assert(cross == whole && cross.nonEmpty)
+    // no self/within-side pairs by construction
+    val sides = Dedup.fuzzyJoin(left, right, threshold = 0.0)
+      .select("left_id", "right_id").as[(Long, Long)].collect()
+    assert(sides.forall { case (l, r) => l % 2 == 0 && r % 2 == 1 })
+  }
 }
