@@ -549,15 +549,15 @@ object Extensions {
 
   /** e61 training contract: hashed-bigram buckets, rounds, shared by
     * the Spark query and the generated oracle chain. */
-  val E61Rounds = 12
+  val E61Rounds = 8
   val E61Buckets = 16384
 
   /** e61: model-based quality filtering ([[graft.ext.Classify]]) — an
     * averaged batch perceptron over hashed word-bigram features trained
-    * IN the engine (12 rounds, 16384 buckets, label = lang=='en'; ~88%
+    * IN the engine (8 rounds, 16384 buckets, label = lang=='en'; ~88%
     * training accuracy on the fixture vs a 56% majority class), then
     * the whole corpus scored under the frozen model. Integer-exact end
-    * to end; the oracle replays all 12 training rounds as chained CTEs
+    * to end; the oracle replays all 8 training rounds as chained CTEs
     * and averages the same round-end weights. */
   def e61_quality_classifier(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
