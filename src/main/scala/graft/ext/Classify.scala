@@ -113,6 +113,36 @@ object Classify {
   def weightsMap(weights: DataFrame): Map[Long, Long] =
     weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Threshold-sweep evaluation of a trained model — the
+    * precision/recall table a pipeline reads before picking the keep
+    * threshold (the e43 recall-harness role for the classifier):
+    * for each margin threshold t, counts over the labeled corpus of
+    * true/false positives/negatives under `pred = margin >= t`.
+    * One scoring pass; the sweep is a broadcast of the threshold list
+    * onto the margins (|thresholds| × |docs| counted map-side).
+    * Output: `(threshold, tp, fp, tn, fn)`. */
+  def evaluate(docs: DataFrame, weights: DataFrame, label: Column,
+      thresholds: Seq[Long], buckets: Int = 16384, n: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty, "evaluate needs at least one threshold")
+    val margins = scoreFeatures(hashedFeatures(docs, buckets, n, idCol, textCol),
+        weights)
+      .join(docs.select(col(idCol).as("_id"), label.cast("long").as("_y")), "_id")
+    val ts = docs.sparkSession.createDataFrame(
+      thresholds.map(Tuple1(_))).toDF("threshold")
+    margins.crossJoin(broadcast(ts))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("_margin") >= col("threshold") && col("_y") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("_margin") >= col("threshold") && col("_y") =!= 1L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("_margin") < col("threshold") && col("_y") =!= 1L, 1L)
+          .otherwise(0L)).as("tn"),
+        sum(when(col("_margin") < col("threshold") && col("_y") === 1L, 1L)
+          .otherwise(0L)).as("fn"))
+  }
+
   /** Scores a corpus under a trained model: `(idCol, margin, pred)` with
     * pred = +1 iff margin > 0 (the perceptron's decision rule; margin 0
     * scores -1, matching the training misclassification test). Feature

@@ -626,6 +626,24 @@ object Extensions {
       .orderBy("left_id", "right_id")
   }
 
+  /** e66 threshold sweep — margin cut points bracketing the decision
+    * boundary at the model's magnitude scale. */
+  val E66Thresholds: Seq[Long] = Seq(-100000L, -1000L, 0L, 1L, 1000L, 100000L)
+
+  /** e66: classifier evaluation harness ([[graft.ext.Classify.evaluate]])
+    * — the precision/recall sweep a pipeline reads before picking the
+    * e61 model's keep threshold (the e43 recall-harness role): exact
+    * confusion counts at six margin thresholds, replayed by the oracle
+    * over the shared e61 training chain. */
+  def e66_classifier_eval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val y = when(col("lang") === "en", 1L).otherwise(-1L)
+    val w = graft.ext.Classify.perceptronTrain(d, y,
+      rounds = E61Rounds, buckets = E61Buckets)
+    graft.ext.Classify.evaluate(d, w, y, E66Thresholds, buckets = E61Buckets)
+      .orderBy("threshold")
+  }
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -770,6 +788,7 @@ object Extensions {
     "e63_unigram_train" -> (e63_unigram_train _),
     "e64_unigram_tokenize" -> (e64_unigram_tokenize _),
     "e65_fuzzy_join" -> (e65_fuzzy_join _),
+    "e66_classifier_eval" -> (e66_classifier_eval _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -915,7 +934,10 @@ object Extensions {
     * sequence (round 1 is the cold start: w=0 -> every margin 0 -> all
     * docs update), and finally the round-SUMMED model. DuckDB sums
     * widen to HUGEINT -> the emitted margin casts back to BIGINT. */
-  private def e61OracleSql: String = {
+  /** The e61 training-replay CTE prefix through `sc` (per-doc margins
+    * under the round-summed model) — shared by the e61 scoring oracle
+    * and the e66 threshold-sweep evaluation. */
+  private def e61Ctes: String = {
     val rounds = (2 to E61Rounds).map { r =>
       val p = r - 1
       s"""m$r AS (SELECT fb.doc_id, sum(coalesce(w$p.w, 0)) AS m
@@ -929,7 +951,7 @@ object Extensions {
     }.mkString(",\n")
     val wUnion = (1 to E61Rounds).map(r => s"SELECT * FROM w$r")
       .mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS s
        |      FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
        |fb AS MATERIALIZED (SELECT DISTINCT doc_id,
@@ -943,11 +965,33 @@ object Extensions {
        |      FROM fb JOIN y USING (doc_id) GROUP BY b),
        |$rounds,
        |wavg AS (SELECT b, sum(w) AS w FROM ($wUnion) GROUP BY b),
-       |sc AS (SELECT fb.doc_id, sum(coalesce(wavg.w, 0)) AS margin
-       |       FROM fb LEFT JOIN wavg USING (b) GROUP BY fb.doc_id)
+       |sc AS MATERIALIZED (SELECT fb.doc_id, sum(coalesce(wavg.w, 0)) AS margin
+       |       FROM fb LEFT JOIN wavg USING (b) GROUP BY fb.doc_id)""".stripMargin
+  }
+
+  private def e61OracleSql: String =
+    s"""WITH $e61Ctes
        |SELECT sc.doc_id, CAST(sc.margin AS BIGINT) AS margin,
        |  CASE WHEN sc.margin > 0 THEN 1 ELSE -1 END AS pred, y.y AS label
        |FROM sc JOIN y USING (doc_id) ORDER BY sc.doc_id""".stripMargin
+
+  /** e66's oracle: the shared e61 margins swept over the threshold
+    * list — confusion counts per threshold. */
+  private def e66OracleSql: String = {
+    val ts = E66Thresholds.mkString(", ")
+    s"""WITH $e61Ctes,
+       |th AS (SELECT unnest([$ts]) AS threshold)
+       |SELECT th.threshold,
+       |  CAST(sum(CASE WHEN sc.margin >= th.threshold AND y.y = 1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN sc.margin >= th.threshold AND y.y <> 1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN sc.margin < th.threshold AND y.y <> 1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST(sum(CASE WHEN sc.margin < th.threshold AND y.y = 1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |FROM sc JOIN y USING (doc_id), th
+       |GROUP BY th.threshold ORDER BY th.threshold""".stripMargin
   }
 
   /** e63's generated oracle: replays `Unigram.train(rounds = 2)` —
@@ -1455,6 +1499,7 @@ object Extensions {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "e61_quality_classifier" -> e61OracleSql,
+    "e66_classifier_eval" -> e66OracleSql,
 
     "e62_shard_shuffle" ->
       // The epoch-1 permutation hash, shard = hash mod 8, in-shard rank

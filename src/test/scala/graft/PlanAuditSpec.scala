@@ -39,8 +39,10 @@ class PlanAuditSpec extends SparkSpec {
   // q33/q51 class. e64 IS here: its APPLY pass computes piece costs
   // from the checkpointed vocabulary in the live plan, so the 1-row
   // count-total broadcast survives — the e52 class.)
+  // e66 broadcasts the LITERAL six-row threshold list onto the margins
+  // for the confusion sweep — constant-bounded by construction
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
-    "e60_bm25", "e64_unigram_tokenize",
+    "e60_bm25", "e64_unigram_tokenize", "e66_classifier_eval",
     "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",
     "e54_surprisal", "e57_hard_triplets", "q25_snb_fof", "q27_bothe",
     "q29_snb_posts", "q38_match")

@@ -58,6 +58,30 @@ class ClassifySpec extends SparkSpec {
     assert(one == manual)
   }
 
+  test("evaluate: confusion counts partition the corpus and sweep monotonically") {
+    val w = Classify.perceptronTrain(docs, label, rounds = 4, buckets = 4096)
+    val ts = Seq(Long.MinValue, -100L, 0L, 1L, 100L, Long.MaxValue)
+    val ev = Classify.evaluate(docs, w, label, ts, buckets = 4096)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (t, tp, fp, tn, fn) => t -> ((tp, fp, tn, fn)) }.toMap
+    val n = docs.count()
+    assert(ev.keySet == ts.toSet)
+    // every threshold partitions the corpus
+    ev.values.foreach { case (tp, fp, tn, fn) => assert(tp + fp + tn + fn == n) }
+    // at -inf everything is positive; at +inf nothing is
+    val nPos = docs.where(label === 1L).count()
+    assert(ev(Long.MinValue) == ((nPos, n - nPos, 0L, 0L)))
+    assert(ev(Long.MaxValue) == ((0L, 0L, n - nPos, nPos)))
+    // predicted-positive count is non-increasing in the threshold
+    val pp = ts.map(t => ev(t)._1 + ev(t)._2)
+    assert(pp == pp.sorted.reverse)
+    // threshold 1 row equals score()'s pred=1 confusion
+    val scored = Classify.score(docs, w, buckets = 4096)
+      .join(docs.select(col("doc_id"), label.as("y")), "doc_id")
+    val tp1 = scored.where(col("pred") === 1L && col("y") === 1L).count()
+    assert(ev(1L)._1 == tp1)
+  }
+
   test("bias-only degenerate: empty text still classifies via the bias bucket") {
     val corpus = (0L until 10L).map(i => (i, "", if (i < 7) 1L else -1L))
       .toDF("doc_id", "text", "y")
