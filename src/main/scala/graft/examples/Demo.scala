@@ -194,6 +194,39 @@ object Demo {
       .dedup().count()
     println(s"DEMO snb_friends=${friends.count()} fof=$fof bothE_rows=$knowsEdges until_regions=$untilRegions")
 
+    // 22. BM25 retrieval: a document's own opening retrieves neighbors
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bmQs = docsDf.where(col("doc_id") === 7L)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+    val hits = graft.ext.Retrieval.bm25TopK(docsDf, bmQs, k = 3).count()
+    println(s"DEMO bm25_hits=$hits")
+
+    // 23. train a quality classifier, evaluate it, deploy it frozen
+    val label = when(col("lang") === "en", 1L).otherwise(-1L)
+    val model = graft.ext.Classify.perceptronTrain(docsDf, label,
+      rounds = 4, buckets = 4096)
+    val scored = graft.ext.Classify.score(docsDf, model, buckets = 4096)
+      .join(docsDf.select(col("doc_id"), label.as("y")), "doc_id")
+    val acc = scored.where(col("pred") === col("y")).count().toDouble /
+      scored.count()
+    val kept = graft.streaming.Streams.classifierQualityFilter(
+      docsDf, graft.ext.Classify.weightsMap(model), buckets = 4096).count()
+    println(s"DEMO classifier_acc=${"%.3f".format(acc)} ingest_kept=$kept")
+
+    // 24. unigram tokenizer: learn a piece vocabulary, tile the words
+    val uniVocab = graft.ext.Unigram.train(docsDf, rounds = 2)
+    println(s"DEMO unigram_pieces=${uniVocab.count()}")
+
+    // 25. graph embedding corpus: deterministic DeepWalk + node2vec walks
+    val dw = graft.analytics.Iterative.deterministicWalks(sg, "Person",
+      col(graft.model.GraphColumns.Id) % 50 === 3, steps = 4,
+      edgeLabels = Set("KNOWS")).count()
+    val n2v = graft.analytics.Iterative.node2vecWalks(sg, "Person",
+      col(graft.model.GraphColumns.Id) % 50 === 7, steps = 3,
+      edgeLabels = Set("KNOWS")).count()
+    println(s"DEMO walk_rows=$dw node2vec_rows=$n2v")
+
     spark.stop()
   }
 }
