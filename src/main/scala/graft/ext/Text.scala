@@ -334,6 +334,83 @@ object Text {
     (top, total)
   }
 
+  /** Fixed-point unit for [[phraseScores]] and [[cooccurrence]]. */
+  val PhraseScale: Long = 1L << 20
+
+  /** PHRASE (collocation) DETECTION — word2vec's phrase pass (Mikolov
+    * et al. 2013 §4: `score(a,b) = (count(ab) - δ) · N / (count(a) ·
+    * count(b))`, phrases above a threshold join the vocabulary as
+    * single tokens), in exact fixed point: `score_fp = (c_ab - δ) · N
+    * · 2^20 div (c_a · c_b)` — one floor division, identical in both
+    * engines. δ discounts rare accidental pairs.
+    *
+    * Scale shape: unigram and adjacent-bigram counts are two
+    * map-side-combined aggregations over the token stream; the score
+    * join keys bigrams on their two component words (vocabulary-sized
+    * frames). Output: `(phrase, c_ab, score_fp)` for scores above
+    * `minScoreFp`. Overflow bound: `c_ab · N · 2^20` must fit a long
+    * ⇒ N < 2^21 per count unit — widen to DECIMAL past ~10^12 tokens.
+    */
+  def phraseScores(docs: DataFrame, delta: Long = 3L,
+      minScoreFp: Long = PhraseScale,
+      textCol: String = "text"): DataFrame = {
+    require(delta >= 0, s"delta must be >= 0, got $delta")
+    val toks = docs.select(split(col(textCol), " ").as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("_n"))
+    val bi = docs.select(split(col(textCol), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+        struct(element_at(col("w"), i).as("a"),
+          element_at(col("w"), i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    // c_ab > delta keeps the numerator positive: Spark `div` truncates
+    // where DuckDB `//` floors, so a negative numerator would diverge
+    // (and a non-positive score can never pass a positive threshold)
+    bi.where(col("c_ab") > delta)
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(tot))
+      .select(concat_ws(" ", col("a"), col("b")).as("phrase"), col("c_ab"),
+        expr(s"(c_ab - $delta) * _n * ${PhraseScale}L div (c_a * c_b)")
+          .as("score_fp"))
+      .where(col("score_fp") >= minScoreFp)
+  }
+
+  /** GloVe-style WINDOWED CO-OCCURRENCE counts (Pennington et al.
+    * 2014): for every ordered (center, context) word pair within
+    * `window` positions, the distance-discounted mass `Σ 2^20 div d`
+    * — the matrix GloVe factorizes, in exact integers.
+    *
+    * Scale shape: positions explode once; the pair generator is a
+    * ROW-LOCAL window slide (each position pairs with at most
+    * 2·window neighbors inside the same row's array — no self-join,
+    * no shuffle before the final (center, context) aggregation, which
+    * map-side combines). Output: `(center, context, weight_fp)`. */
+  def cooccurrence(docs: DataFrame, window: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = split(col(textCol), " ")
+    val pairs = docs.select(w.as("w"))
+      .select(explode(transform(sequence(lit(1), size(col("w"))), i =>
+        struct(element_at(col("w"), i).as("center"), i.as("i")))).as("c"),
+        col("w"))
+      .select(col("c.center").as("center"), col("c.i").as("i"), col("w"))
+      .select(col("center"),
+        explode(filter(transform(
+          sequence(lit(-window), lit(window)), d =>
+            when(d =!= 0 && col("i") + d >= 1 && col("i") + d <= size(col("w")),
+              struct(element_at(col("w"), col("i") + d).as("context"),
+                abs(d).cast("long").as("dist")))),
+          x => x.isNotNull)).as("p"))
+      .select(col("center"), col("p.context").as("context"),
+        expr(s"${PhraseScale}L div p.dist").as("_w"))
+    pairs.groupBy("center", "context")
+      .agg(sum(col("_w")).as("weight_fp"))
+  }
+
   /** Word 3-gram shingles of `text` as an ordered array column. */
   private def shingleArray: Column = {
     val w = tokens

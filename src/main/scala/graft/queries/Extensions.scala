@@ -644,6 +644,22 @@ object Extensions {
       .orderBy("threshold")
   }
 
+  /** e67: phrase (collocation) detection ([[Text.phraseScores]]) —
+    * word2vec's phrase pass in fixed point; the top 100 collocations
+    * above the ratio-1 threshold. */
+  def e67_phrases(s: SparkSession, dir: String): DataFrame =
+    Text.phraseScores(docs(s, dir))
+      .orderBy(desc("score_fp"), col("phrase"))
+      .limit(100)
+
+  /** e68: GloVe-style windowed co-occurrence ([[Text.cooccurrence]]) —
+    * distance-discounted (center, context) mass at window 3; the 100
+    * heaviest cells of the matrix GloVe factorizes. */
+  def e68_cooccurrence(s: SparkSession, dir: String): DataFrame =
+    Text.cooccurrence(docs(s, dir), window = 3)
+      .orderBy(desc("weight_fp"), col("center"), col("context"))
+      .limit(100)
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -789,6 +805,8 @@ object Extensions {
     "e64_unigram_tokenize" -> (e64_unigram_tokenize _),
     "e65_fuzzy_join" -> (e65_fuzzy_join _),
     "e66_classifier_eval" -> (e66_classifier_eval _),
+    "e67_phrases" -> (e67_phrases _),
+    "e68_cooccurrence" -> (e68_cooccurrence _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1500,6 +1518,40 @@ object Extensions {
 
     "e61_quality_classifier" -> e61OracleSql,
     "e66_classifier_eval" -> e66OracleSql,
+
+    "e67_phrases" ->
+      // word2vec phrase scores: adjacent-bigram counts over unigram
+      // products, (c_ab - delta) kept positive on both sides so div
+      // and // agree.
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |uni AS (SELECT t, count(*) AS c
+         |        FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+         |bi AS (SELECT w[i] AS a, w[i+1] AS b, count(*) AS c_ab
+         |       FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i)
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT a || ' ' || b AS phrase, c_ab,
+         |         (c_ab - 3) * n * ${Text.PhraseScale} // (ua.c * ub.c) AS score_fp
+         |       FROM bi JOIN uni ua ON ua.t = a JOIN uni ub ON ub.t = b, tot
+         |       WHERE c_ab > 3)
+         |SELECT phrase, CAST(c_ab AS BIGINT) AS c_ab,
+         |  CAST(score_fp AS BIGINT) AS score_fp
+         |FROM sc WHERE score_fp >= ${Text.PhraseScale}
+         |ORDER BY score_fp DESC, phrase LIMIT 100""".stripMargin,
+
+    "e68_cooccurrence" ->
+      // GloVe co-occurrence: every in-window ordered pair weighted
+      // 2^20 div distance, summed per (center, context).
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pos AS (SELECT w, i FROM toks,
+         |        UNNEST(generate_series(1, len(w))) t(i)),
+         |pairs AS (SELECT w[i] AS center, w[i+d] AS context,
+         |            ${Text.PhraseScale} // abs(d) AS wt
+         |          FROM pos, UNNEST([-3, -2, -1, 1, 2, 3]) u(d)
+         |          WHERE i + d >= 1 AND i + d <= len(w))
+         |SELECT center, context, CAST(sum(wt) AS BIGINT) AS weight_fp
+         |FROM pairs GROUP BY center, context
+         |ORDER BY weight_fp DESC, center, context LIMIT 100""".stripMargin,
 
     "e62_shard_shuffle" ->
       // The epoch-1 permutation hash, shard = hash mod 8, in-shard rank

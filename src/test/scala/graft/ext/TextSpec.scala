@@ -131,4 +131,35 @@ class TextSpec extends SparkSpec {
     assert(out(1L) == ((1L, 7L, 10L, 10L * 1000 / 7)))
     assert(out(2L) == ((2L, 9L, 15L, 15L * 1000 / 9)))
   }
+
+  test("phraseScores finds the repeated collocation, hand-exact") {
+    // "new york" appears 5 times adjacently; filler words never pair
+    val corpus = Seq(
+      (1L, "new york new york new york x y z"),
+      (2L, "new york new york q r s t u v")).toDF("doc_id", "text")
+    val scores = Text.phraseScores(corpus, delta = 3L, minScoreFp = 1L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // c(new)=5, c(york)=5, c(new york)=5, N=19 tokens
+    val expect = (5L - 3L) * 19L * Text.PhraseScale / (5L * 5L)
+    assert(scores("new york") == (("new york", 5L, expect)))
+    // "york new" occurs 3 times -> c_ab == delta -> filtered out
+    assert(!scores.contains("york new"))
+  }
+
+  test("cooccurrence: hand-computed window-2 weights, symmetric mass") {
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val co = Text.cooccurrence(corpus, window = 2)
+      .as[(String, String, Long)].collect()
+      .map { case (c, x, w) => (c, x) -> w }.toMap
+    val S = Text.PhraseScale
+    assert(co == Map(
+      ("a", "b") -> S, ("a", "c") -> S / 2,
+      ("b", "a") -> S, ("b", "c") -> S,
+      ("c", "b") -> S, ("c", "a") -> S / 2))
+    // ordered-pair matrix is symmetric by construction
+    val big = Text.cooccurrence(spark.read.parquet(s"$sf0001/documents.parquet"))
+      .as[(String, String, Long)].collect()
+    val m = big.map { case (c, x, w) => (c, x) -> w }.toMap
+    assert(big.forall { case (c, x, w) => m((x, c)) == w })
+  }
 }
