@@ -411,6 +411,68 @@ object Text {
       .agg(sum(col("_w")).as("weight_fp"))
   }
 
+  /** SKIP-GRAM TRAINING PAIRS with deterministic negative sampling —
+    * word2vec's data-generation step (Mikolov et al. 2013): every
+    * in-window (center, context) token pair is a positive; each
+    * positive instance draws `negatives` vocabulary tokens as
+    * negatives. The draw is `md5(doc:pos:offset:j) mod |V|` mapped to
+    * the dst-ordered vocabulary rank — the [[Sampling.hashSample]]
+    * membership discipline applied to negative sampling, so reruns,
+    * partitionings, and the SQL oracle draw identical negatives.
+    * (Uniform over the vocabulary — the freq^(3/4) variant needs the
+    * cumulative-interval pick; uniform is the documented
+    * simplification.) Output: `(center, other, label, cnt)` grouped —
+    * label +1 positives, -1 negatives.
+    *
+    * Scale shape: the positive generator is the [[cooccurrence]]
+    * row-local window slide; negatives add `negatives` rows per
+    * positive instance, each resolved by ONE equi-join against the
+    * |V|-row ranked vocabulary (broadcast); the final count map-side
+    * combines. */
+  def skipgramPairs(docs: DataFrame, window: Int = 3, negatives: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && negatives >= 0,
+      s"window >= 1 and negatives >= 0 required, got $window/$negatives")
+    val w = split(col(textCol), " ")
+    val vocab = docs.select(explode(w).as("t")).distinct()
+    val rankW = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+    val ranked = broadcast(vocab
+      .withColumn("_rk", row_number().over(rankW).cast("long")))
+    val nVocab = broadcast(vocab.agg(count(lit(1)).as("_nv")))
+    // every in-window pair INSTANCE with its (doc, position, offset) key
+    val inst = docs.select(col(idCol).as("_doc"), w.as("w"))
+      .select(col("_doc"),
+        explode(transform(sequence(lit(1), size(col("w"))), i =>
+          struct(element_at(col("w"), i).as("center"), i.as("i")))).as("c"),
+        col("w"))
+      .select(col("_doc"), col("c.center").as("center"), col("c.i").as("i"),
+        explode(filter(transform(
+          sequence(lit(-window), lit(window)), d =>
+            when(d =!= 0 && col("c.i") + d >= 1 &&
+              col("c.i") + d <= size(col("w")),
+              struct(element_at(col("w"), col("c.i") + d).as("context"),
+                d.as("d")))),
+          x => x.isNotNull)).as("p"))
+    val pos = inst.groupBy(col("center"), col("p.context").as("other"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("label", lit(1L))
+    val negs =
+      if (negatives == 0) Seq.empty[DataFrame]
+      else Seq(inst
+        .select(col("_doc"), col("center"), col("i"), col("p.d").as("d"),
+          explode(sequence(lit(1), lit(negatives))).as("j"))
+        .crossJoin(nVocab)
+        .withColumn("_draw", pmod(
+          conv(substring(md5(concat_ws(":", col("_doc"), col("i"), col("d"),
+            col("j"))), 1, 15), 16, 10).cast("long"), col("_nv")) + 1)
+        .join(ranked, col("_rk") === col("_draw"))
+        .groupBy(col("center"), col("t").as("other"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("label", lit(-1L)))
+    (pos +: negs).reduce(_.unionByName(_))
+      .select(col("center"), col("other"), col("label"), col("cnt"))
+  }
+
   /** Word 3-gram shingles of `text` as an ordered array column. */
   private def shingleArray: Column = {
     val w = tokens

@@ -660,6 +660,15 @@ object Extensions {
       .orderBy(desc("weight_fp"), col("center"), col("context"))
       .limit(100)
 
+  /** e69: skip-gram training pairs with deterministic negative
+    * sampling ([[Text.skipgramPairs]]) — every in-window pair over a
+    * corpus slice plus 2 hash-drawn vocabulary negatives per instance,
+    * grouped to (center, other, label, cnt). */
+  def e69_skipgram_pairs(s: SparkSession, dir: String): DataFrame =
+    Text.skipgramPairs(docs(s, dir).where(col("doc_id") % 20 === 5),
+        window = 3, negatives = 2)
+      .orderBy("center", "other", "label")
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -807,6 +816,7 @@ object Extensions {
     "e66_classifier_eval" -> (e66_classifier_eval _),
     "e67_phrases" -> (e67_phrases _),
     "e68_cooccurrence" -> (e68_cooccurrence _),
+    "e69_skipgram_pairs" -> (e69_skipgram_pairs _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1518,6 +1528,36 @@ object Extensions {
 
     "e61_quality_classifier" -> e61OracleSql,
     "e66_classifier_eval" -> e66OracleSql,
+
+    "e69_skipgram_pairs" ->
+      // positives = in-window instances grouped; negatives = the
+      // md5(doc:pos:offset:j) mod |V| draw resolved against the
+      // name-ordered vocabulary rank — identical arithmetic.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents WHERE doc_id % 20 = 5),
+        |vocab AS (SELECT DISTINCT unnest(w) AS t FROM toks),
+        |rk AS (SELECT t, row_number() OVER (ORDER BY t) AS r FROM vocab),
+        |nv AS (SELECT count(*) AS n FROM vocab),
+        |inst AS (SELECT doc_id, w[i] AS center, i, d, w[i+d] AS context
+        |         FROM toks,
+        |              UNNEST(generate_series(1, len(w))) t1(i),
+        |              UNNEST([-3, -2, -1, 1, 2, 3]) t2(d)
+        |         WHERE i + d >= 1 AND i + d <= len(w)),
+        |pos AS (SELECT center, context AS other, 1 AS label, count(*) AS cnt
+        |        FROM inst GROUP BY 1, 2),
+        |neg AS (SELECT i.center, rk.t AS other, -1 AS label, count(*) AS cnt
+        |        FROM inst i
+        |        CROSS JOIN UNNEST([1, 2]) t3(j)
+        |        CROSS JOIN nv
+        |        JOIN rk ON rk.r = 1 + (CAST(('0x' || substr(md5(
+        |            CAST(i.doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)
+        |            || ':' || CAST(i.d AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+        |          ), 1, 15)) AS BIGINT) % nv.n)
+        |        GROUP BY 1, 2)
+        |SELECT center, other, CAST(label AS BIGINT) AS label,
+        |  CAST(cnt AS BIGINT) AS cnt
+        |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        |ORDER BY center, other, label""".stripMargin,
 
     "e67_phrases" ->
       // word2vec phrase scores: adjacent-bigram counts over unigram

@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.{col, explode, split}
+
 import graft.SparkSpec
 
 class TextSpec extends SparkSpec {
@@ -144,6 +146,29 @@ class TextSpec extends SparkSpec {
     assert(scores("new york") == (("new york", 5L, expect)))
     // "york new" occurs 3 times -> c_ab == delta -> filtered out
     assert(!scores.contains("york new"))
+  }
+
+  test("skipgramPairs: symmetric positives, negative mass conservation, determinism") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 5 === 1)
+    val pairs = Text.skipgramPairs(corpus, window = 2, negatives = 3)
+      .as[(String, String, Long, Long)].collect()
+    val pos = pairs.filter(_._3 == 1L)
+    val neg = pairs.filter(_._3 == -1L)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // the window is symmetric: (a, b) and (b, a) carry equal positive mass
+    val pm = pos.map(p => (p._1, p._2) -> p._4).toMap
+    assert(pos.forall(p => pm((p._2, p._1)) == p._4))
+    // every positive instance draws exactly `negatives` negatives
+    assert(neg.map(_._4).sum == 3L * pos.map(_._4).sum)
+    // negatives come from the corpus vocabulary
+    val vocab = corpus.select(explode(split(col("text"), " "))).as[String]
+      .collect().toSet
+    assert(neg.forall(n => vocab(n._2)))
+    // reruns under a different partitioning agree exactly
+    val again = Text.skipgramPairs(corpus.repartition(7), window = 2,
+      negatives = 3).as[(String, String, Long, Long)].collect()
+    assert(pairs.toSet == again.toSet)
   }
 
   test("cooccurrence: hand-computed window-2 weights, symmetric mass") {
