@@ -51,7 +51,12 @@ object Bench {
     // trainer's per-round cost is one broadcast join over the feature
     // stream + one bucket agg — rounds are fixed, so the 8x curve
     // must track the feature stream alone
-    "e60_bm25", "e61_quality_classifier")
+    "e60_bm25", "e61_quality_classifier",
+    // e68: the co-occurrence claim — the pair generator is row-local,
+    // so the only data-sized term is the (center, context) aggregation;
+    // e65: the cross-corpus band join must track the banded candidate
+    // volume, never |A|x|B|
+    "e65_fuzzy_join", "e68_cooccurrence")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via
@@ -84,7 +89,10 @@ object Bench {
       // q54: the SCC peel composes two min-label fixpoints per outer
       // round — its 8x growth vs q42's single fixpoint tests that the
       // peel adds rounds, not per-round cost
-      "q53_snb_walks", "q54_snb_scc")
+      "q53_snb_walks", "q54_snb_scc",
+      // q57: the wedge join's fan-out is Σ_seed Σ_{z~seed} deg(z) —
+      // the 8x curve tests that seeds bound it (never all-pairs)
+      "q57_snb_linkpred")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

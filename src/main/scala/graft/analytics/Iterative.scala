@@ -616,11 +616,33 @@ object Iterative {
     }
     require(nActive == 0,
       s"SCC peel did not converge in $maxOuter rounds ($nActive vertices left)")
-    done.result().reduce(_.unionByName(_)).select(
+    // empty vertex set -> the loop never ran; emit the (empty) schema
+    // instead of reducing an empty builder (the connectedComponents
+    // empty-graph contract)
+    val resolved = done.result()
+      .reduceOption(_.unionByName(_))
+      .getOrElse(active.withColumn("_scc", col("_v")))
+    resolved.select(
       unpackLabelStr(g, col("_v")).as("label"),
       unpackKey(col("_v")).as(GC.Id),
       unpackLabelStr(g, col("_scc")).as("scc_label"),
       unpackKey(col("_scc")).as("scc_id"))
+  }
+
+  /** The walk generators' shared transition table: the dst-RANKED
+    * undirected distinct adjacency with per-source degree, checkpointed
+    * once per call (both-direction doubling can duplicate a pair stored
+    * both ways — the dedup keeps ranks/degrees equal to the oracles'
+    * distinct edge set). `(_s, _d, _rk, _deg)`. */
+  private def rankedUndirectedAdjacency(g: PropertyGraph,
+      edgeLabels: Set[String]): DataFrame = {
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_s")).orderBy(col("_d"))
+    val degW = org.apache.spark.sql.expressions.Window.partitionBy(col("_s"))
+    packedEdges(g, edgeLabels, undirected = true).distinct()
+      .withColumn("_rk", row_number().over(rankW))
+      .withColumn("_deg", count(lit(1)).over(degW))
+      .localCheckpoint()
   }
 
   /** ADAMIC-ADAR LINK PREDICTION — the classic common-neighbor score
@@ -657,8 +679,7 @@ object Iterative {
       col("_es") === col("_u") && col("_ed") === col("_v"), "left_anti")
     val scored = nonAdj.join(deg, "_z")
       .withColumn("_w", expr(s"(${1L << 20}L * 8) div " +
-        "(8 * (length(bin(_deg)) - 1) " +
-        "+ shiftright(_deg * 8, length(bin(_deg)) - 1) - 8)"))
+        graft.ext.Retrieval.log8Sql("_deg")))
       .groupBy(col("_u"), col("_v")).agg(sum(col("_w")).as("score_fp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_u")).orderBy(col("score_fp").desc, col("_v"))
@@ -736,10 +757,14 @@ object Iterative {
     }
     require(nActive == 0,
       s"MIS did not converge in $maxRounds rounds ($nActive vertices left)")
-    mis.result().reduce(_.unionByName(_)).select(
-      unpackLabelStr(g, col("_v")).as("label"),
-      unpackKey(col("_v")).as(GC.Id),
-      col("_round").as("mis_round"))
+    // empty vertex set -> no rounds ran; emit the (empty) schema
+    mis.result()
+      .reduceOption(_.unionByName(_))
+      .getOrElse(active.withColumn("_round", lit(0)))
+      .select(
+        unpackLabelStr(g, col("_v")).as("label"),
+        unpackKey(col("_v")).as(GC.Id),
+        col("_round").as("mis_round"))
   }
 
   /** Second-order (node2vec) DETERMINISTIC walks — Grover & Leskovec
@@ -772,13 +797,7 @@ object Iterative {
     require(retWeight >= 0 && inWeight >= 0 && outWeight >= 0
       && retWeight + inWeight + outWeight > 0,
       "weights must be non-negative with a positive total")
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_s")).orderBy(col("_d"))
-    val degW = org.apache.spark.sql.expressions.Window.partitionBy(col("_s"))
-    val adj = packedEdges(g, edgeLabels, undirected = true).distinct()
-      .withColumn("_rk", row_number().over(rankW))
-      .withColumn("_deg", count(lit(1)).over(degW))
-      .localCheckpoint()
+    val adj = rankedUndirectedAdjacency(g, edgeLabels)
     val start = g.vertices(startLabel).where(startFilter)
       .select(col(GC.Id).as("_wid"),
         packed(g, startLabel, col(GC.Id)).as("_v"))
@@ -859,15 +878,7 @@ object Iterative {
       startFilter: Column, steps: Int,
       edgeLabels: Set[String] = Set.empty): DataFrame = {
     require(steps >= 1, s"deterministicWalks needs steps >= 1, got $steps")
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_s")).orderBy(col("_d"))
-    val degW = org.apache.spark.sql.expressions.Window.partitionBy(col("_s"))
-    // both-direction doubling can duplicate a pair stored both ways —
-    // dedup so ranks and degrees match the oracle's distinct edge set
-    val adj = packedEdges(g, edgeLabels, undirected = true).distinct()
-      .withColumn("_rk", row_number().over(rankW))
-      .withColumn("_deg", count(lit(1)).over(degW))
-      .localCheckpoint()
+    val adj = rankedUndirectedAdjacency(g, edgeLabels)
     val start = g.vertices(startLabel).where(startFilter)
       .select(col(GC.Id).as("_wid"),
         packed(g, startLabel, col(GC.Id)).as("_v"))

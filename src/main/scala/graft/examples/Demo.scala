@@ -195,7 +195,7 @@ object Demo {
     println(s"DEMO snb_friends=${friends.count()} fof=$fof bothE_rows=$knowsEdges until_regions=$untilRegions")
 
     // 22. BM25 retrieval: a document's own opening retrieves neighbors
-    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docsDf = docs // the frame scenario 12 already loaded
     val bmQs = docsDf.where(col("doc_id") === 7L)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))

@@ -68,7 +68,12 @@ object Packing {
     * the identical global order; bumping `epoch` draws a fresh
     * independent permutation, which is exactly what per-epoch
     * shuffling needs. Ties (hash collisions) break by key, so the
-    * order is total and partitioning-independent.
+    * order is total and partitioning-independent — PROVIDED the key is
+    * unique per row (the [[contiguousPack]] determinism contract): rows
+    * sharing a key tie on both sort columns and their relative `pos`
+    * would fall to partition arrival order. Shuffle at the document
+    * grain, or extend the key with a disambiguator, before sharding
+    * duplicate-keyed rows.
     *
     * Scale shape: one shuffle on `shard` (the window partition), one
     * in-shard sort; `shards` bounds the per-task sort — size it so a

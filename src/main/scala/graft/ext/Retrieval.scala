@@ -49,10 +49,15 @@ object Retrieval {
   /** `⌊8·log2 x⌋`-style integer log over the named column, granular to
     * 1/8 bit: exponent via minimal-binary-string length, mantissa via
     * linear interpolation inside the octave (shiftright by the
-    * exponent). Exact same rendering in Spark and DuckDB. */
-  private def log8(xCol: String): Column =
-    expr(s"8 * (length(bin($xCol)) - 1) " +
-      s"+ shiftright($xCol * 8, length(bin($xCol)) - 1) - 8")
+    * exponent). Exact same rendering in Spark and DuckDB. Shared by
+    * the BM25 idf and `Iterative.adamicAdar`'s neighbor discount —
+    * any precision change must stay in lockstep with the q57/e60
+    * oracle SQL, which inlines the same formula in DuckDB dialect. */
+  private[graft] def log8Sql(xCol: String): String =
+    s"(8 * (length(bin($xCol)) - 1) " +
+      s"+ shiftright($xCol * 8, length(bin($xCol)) - 1) - 8)"
+
+  private def log8(xCol: String): Column = expr(log8Sql(xCol))
 
   /** BM25 top-k: for each `(query_id, q_text)` row, the `k` best
     * documents by the fixed-point BM25 score above. Query terms are the

@@ -156,6 +156,16 @@ object Unigram {
     val words = wordFreqs(docs, textCol).localCheckpoint()
     require(words.where(length(col("w")) > MaxWordLen).isEmpty,
       s"words longer than $MaxWordLen are not segmentable by the unrolled DP")
+    // overflow headroom for costs(): every round's count total is
+    // bounded by the seed substring mass <= MaxPieceLen * sum(freq*len),
+    // and `T * Scale` must stay inside a signed long (T < 2^43) — fail
+    // loudly instead of letting bin() of a wrapped negative silently
+    // flatten the piece costs (the q50 fixed-point discipline)
+    val mass = words.agg(sum(col("freq") * length(col("w"))))
+      .head().getLong(0) * MaxPieceLen
+    require(BigInt(mass) * Scale < BigInt(Long.MaxValue),
+      s"fixed-point overflow: substring mass $mass * 2^20 exceeds a long; " +
+        "shrink Scale or shard the corpus")
     val chars = words
       .select(explode(sequence(lit(1), length(col("w")))).as("_i"), col("w"))
       .select(col("w").substr(col("_i"), lit(1)).as("s"))
