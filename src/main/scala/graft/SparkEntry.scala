@@ -72,7 +72,8 @@ object SparkEntry {
     "q54_snb_scc" -> (Inventory.q54_snb_scc _),
     "q55_snb_node2vec" -> (Inventory.q55_snb_node2vec _),
     "q56_snb_mis" -> (Inventory.q56_snb_mis _),
-    "q57_snb_linkpred" -> (Inventory.q57_snb_linkpred _)) ++ Extensions.all
+    "q57_snb_linkpred" -> (Inventory.q57_snb_linkpred _),
+    "q58_snb_clustering" -> (Inventory.q58_snb_clustering _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

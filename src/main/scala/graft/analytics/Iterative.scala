@@ -366,6 +366,30 @@ object Iterative {
         coalesce(col("_n"), lit(0L)).as("triangles"))
   }
 
+  /** LOCAL CLUSTERING COEFFICIENTS in fixed point — Watts & Strogatz
+    * 1998's per-vertex transitivity `C(v) = 2·T(v) / (d(v)·(d(v)-1))`,
+    * the standard "how clique-like is this neighborhood" signal,
+    * quantized to `2·T·2^20 div (d·(d-1))` so it hashes exactly
+    * (vertices of degree < 2 score 0). Composes [[triangleCounts]]'s
+    * canonical wedge join with one undirected-degree aggregation.
+    * Output: `(label, _vid id, triangles, degree, coeff_fp)`. */
+  def clusteringCoefficients(g: PropertyGraph,
+      edgeLabels: Set[String] = Set.empty,
+      scale: Long = 1L << 20): DataFrame = {
+    val tris = triangleCounts(g, edgeLabels)
+    val deg = packedEdges(g, edgeLabels, undirected = true).distinct()
+      .groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+      .select(unpackLabelStr(g, col("_s")).as("_dl"),
+        unpackKey(col("_s")).as("_dk"), col("_deg"))
+    tris.join(deg,
+        tris("label") === col("_dl") && tris(GC.Id) === col("_dk"), "left")
+      .select(tris("label"), tris(GC.Id), col("triangles"),
+        coalesce(col("_deg"), lit(0L)).as("degree"),
+        when(coalesce(col("_deg"), lit(0L)) >= 2,
+          expr(s"2 * triangles * ${scale}L div (_deg * (_deg - 1))"))
+          .otherwise(lit(0L)).as("coeff_fp"))
+  }
+
   /** Fixed-iteration PageRank (damping 0.85, GraphX `staticPageRank`
     * semantics: ranks start at 1.0, dangling mass is not redistributed,
     * `rank' = 0.15 + 0.85 * Σ incoming rank/outDegree`) over the STORED

@@ -976,6 +976,21 @@ object Inventory {
       .orderBy("person_id", "rank")
   }
 
+  /** Q58: local clustering coefficients over the KNOWS graph
+    * ([[graft.analytics.Iterative.clusteringCoefficients]]) — the q44
+    * triangle counts against undirected degrees as the fixed-point
+    * Watts-Strogatz transitivity; the oracle replays the ratio over
+    * the same canonical triangle join. */
+  def q58_snb_clustering(s: SparkSession, dir: String): DataFrame = {
+    val Gp = GraphLoader.snb(s, dir)
+    graft.analytics.Iterative
+      .clusteringCoefficients(Gp, edgeLabels = Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id).as("person_id"), col("triangles"),
+        col("degree"), col("coeff_fp"))
+      .orderBy("person_id")
+  }
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -881,7 +881,33 @@ object Oracles {
        |SELECT u AS person_id, rank, v AS cand_id, score_fp FROM rk
        |WHERE rank <= 10 ORDER BY person_id, rank""".stripMargin
 
+  /** Clustering-coefficient replay: the q44 canonical triangle chain
+    * plus undirected degrees and the fixed-point transitivity ratio
+    * (degree < 2 scores 0). */
+  val q58_snb_clustering: String =
+    s"""WITH $snbKnowsCtes,
+       |ec AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |       FROM knows WHERE src <> dst),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM ec e1 JOIN ec e2 ON e2.a = e1.b
+       |        JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |corners AS (SELECT x AS v FROM tri UNION ALL
+       |            SELECT y FROM tri UNION ALL SELECT z FROM tri),
+       |cnt AS (SELECT v, count(*) AS n FROM corners GROUP BY v),
+       |udeg AS (SELECT src AS v, count(*) AS d FROM uk GROUP BY src)
+       |SELECT CAST(c_custkey AS BIGINT) AS person_id,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS triangles,
+       |  CAST(coalesce(d, 0) AS BIGINT) AS degree,
+       |  CAST(CASE WHEN coalesce(d, 0) >= 2
+       |    THEN 2 * coalesce(n, 0) * ${1L << 20} // (d * (d - 1))
+       |    ELSE 0 END AS BIGINT) AS coeff_fp
+       |FROM customer
+       |LEFT JOIN cnt ON cnt.v = c_custkey
+       |LEFT JOIN udeg ON udeg.v = c_custkey
+       |ORDER BY person_id""".stripMargin
+
   val all: Map[String, String] = Map(
+    "q58_snb_clustering" -> q58_snb_clustering,
     "q53_snb_walks" -> q53_snb_walks,
     "q54_snb_scc" -> q54_snb_scc,
     "q55_snb_node2vec" -> q55_snb_node2vec,

@@ -431,6 +431,31 @@ class IterativeSpec extends SparkSpec {
     assert(got.toSet == expect)
   }
 
+  test("clusteringCoefficients: driver-side exact replay; bounds hold") {
+    val got = Iterative.clusteringCoefficients(g, Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id), col("triangles"), col("degree"), col("coeff_fp"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val knows = g.edgeFrames.collectFirst {
+      case (spec, df) if spec.label == "KNOWS" => df
+    }.get.select(col(GC.Src).as("s"), col(GC.Dst).as("d"))
+    val und = knows.unionByName(knows.select(col("d").as("s"), col("s").as("d")))
+      .distinct().as[(Long, Long)].collect()
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (v, t, d, c) =>
+      val ns = nbrs.getOrElse(v, Set.empty)
+      assert(d == ns.size)
+      val tris = ns.toSeq.combinations(2).count {
+        case Seq(a, b) => nbrs(a)(b)
+      }
+      assert(t == tris, s"vertex $v: triangles $t != $tris")
+      val expect = if (d >= 2) 2L * tris * (1L << 20) / (d * (d - 1)) else 0L
+      assert(c == expect)
+      assert(c <= (1L << 20), s"coefficient above 1.0 for $v")
+    }
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
