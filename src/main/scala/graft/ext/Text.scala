@@ -419,10 +419,12 @@ object Text {
     * the dst-ordered vocabulary rank — the [[Sampling.hashSample]]
     * membership discipline applied to negative sampling, so reruns,
     * partitionings, and the SQL oracle draw identical negatives.
-    * (Uniform over the vocabulary — the freq^(3/4) variant needs the
-    * cumulative-interval pick; uniform is the documented
-    * simplification.) Output: `(center, other, label, cnt)` grouped —
-    * label +1 positives, -1 negatives.
+    * `freqWeighted = false` draws uniformly over the vocabulary;
+    * `freqWeighted = true` draws from the UNIGRAM distribution
+    * (word2vec's default family) by resolving `hash mod totalMass`
+    * against banded cumulative-mass intervals — see the inline note.
+    * Output: `(center, other, label, cnt)` grouped — label +1
+    * positives, -1 negatives.
     *
     * Scale shape: the positive generator is the [[cooccurrence]]
     * row-local window slide; negatives add `negatives` rows per
@@ -430,6 +432,7 @@ object Text {
     * |V|-row ranked vocabulary (broadcast); the final count map-side
     * combines. */
   def skipgramPairs(docs: DataFrame, window: Int = 3, negatives: Int = 2,
+      freqWeighted: Boolean = false,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1 && negatives >= 0,
       s"window >= 1 and negatives >= 0 required, got $window/$negatives")
@@ -456,19 +459,56 @@ object Text {
     val pos = inst.groupBy(col("center"), col("p.context").as("other"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("label", lit(1L))
-    val negs =
-      if (negatives == 0) Seq.empty[DataFrame]
-      else Seq(inst
+    val drawBase =
+      if (negatives == 0) None
+      else Some(inst
         .select(col("_doc"), col("center"), col("i"), col("p.d").as("d"),
           explode(sequence(lit(1), lit(negatives))).as("j"))
-        .crossJoin(nVocab)
-        .withColumn("_draw", pmod(
-          conv(substring(md5(concat_ws(":", col("_doc"), col("i"), col("d"),
-            col("j"))), 1, 15), 16, 10).cast("long"), col("_nv")) + 1)
-        .join(ranked, col("_rk") === col("_draw"))
+        .withColumn("_h", conv(substring(
+          md5(concat_ws(":", col("_doc"), col("i"), col("d"), col("j"))),
+          1, 15), 16, 10).cast("long")))
+    val negs = drawBase.toSeq.map { draws =>
+      val resolved =
+        if (!freqWeighted)
+          draws.crossJoin(nVocab)
+            .withColumn("_draw", pmod(col("_h"), col("_nv")) + 1)
+            .join(ranked, col("_rk") === col("_draw"))
+        else {
+          // FREQUENCY-weighted draw (word2vec's unigram distribution):
+          // each token owns the cumulative-mass interval [lo, hi) of
+          // its corpus count in t-order; a draw r = hash mod totalMass
+          // resolves to its owner. Intervals are BANDED (RangeJoin's
+          // discipline) at width ~ mean token mass: each interval
+          // explodes into the <= (mass div width + 2) bands it covers,
+          // the draw joins its single band equi-key, and a residual
+          // range filter picks the owner — ~3|V| banded rows total,
+          // never a draws x vocab scan.
+          val counts = docs.select(explode(split(col(textCol), " ")).as("t"))
+            .groupBy("t").agg(count(lit(1)).as("_c"))
+          val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          val stats = broadcast(counts.agg(sum(col("_c")).as("_n"),
+            count(lit(1)).as("_v")))
+          val banded = broadcast(counts
+            .withColumn("_hi", sum(col("_c")).over(cumW))
+            .withColumn("_lo", col("_hi") - col("_c"))
+            .crossJoin(stats)
+            .withColumn("_wd", expr("greatest(1L, _n div _v)"))
+            .withColumn("_band",
+              explode(sequence(expr("_lo div _wd"), expr("(_hi - 1) div _wd"))))
+            .select(col("t"), col("_lo"), col("_hi"), col("_band")))
+          draws.crossJoin(stats)
+            .withColumn("_r", pmod(col("_h"), col("_n")))
+            .withColumn("_band", expr("_r div greatest(1L, _n div _v)"))
+            .join(banded, Seq("_band"))
+            .where(col("_r") >= col("_lo") && col("_r") < col("_hi"))
+        }
+      resolved
         .groupBy(col("center"), col("t").as("other"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("label", lit(-1L)))
+        .withColumn("label", lit(-1L))
+    }
     (pos +: negs).reduce(_.unionByName(_))
       .select(col("center"), col("other"), col("label"), col("cnt"))
   }

@@ -669,6 +669,17 @@ object Extensions {
         window = 3, negatives = 2)
       .orderBy("center", "other", "label")
 
+  /** e70: frequency-weighted skip-gram negatives
+    * ([[Text.skipgramPairs]] with `freqWeighted = true`) — the same
+    * corpus slice as e69 but negatives drawn from the unigram
+    * distribution via banded cumulative-mass intervals; the oracle
+    * resolves each draw by plain interval membership (banding is
+    * resolution mechanics, not semantics). */
+  def e70_skipgram_weighted(s: SparkSession, dir: String): DataFrame =
+    Text.skipgramPairs(docs(s, dir).where(col("doc_id") % 20 === 5),
+        window = 3, negatives = 2, freqWeighted = true)
+      .orderBy("center", "other", "label")
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -817,6 +828,7 @@ object Extensions {
     "e67_phrases" -> (e67_phrases _),
     "e68_cooccurrence" -> (e68_cooccurrence _),
     "e69_skipgram_pairs" -> (e69_skipgram_pairs _),
+    "e70_skipgram_weighted" -> (e70_skipgram_weighted _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1528,6 +1540,44 @@ object Extensions {
 
     "e61_quality_classifier" -> e61OracleSql,
     "e66_classifier_eval" -> e66OracleSql,
+
+    "e70_skipgram_weighted" ->
+      // e69's instance generator with unigram-weighted negatives: the
+      // draw r = md5(...) mod totalMass resolves by cumulative-mass
+      // interval membership in t-order.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents WHERE doc_id % 20 = 5),
+        |cnts AS (SELECT t, count(*) AS c
+        |         FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+        |iv AS (SELECT t,
+        |         sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hi,
+        |         sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - c AS lo
+        |       FROM cnts),
+        |st AS (SELECT sum(c) AS n FROM cnts),
+        |inst AS (SELECT doc_id, w[i] AS center, i, d, w[i+d] AS context
+        |         FROM toks,
+        |              UNNEST(generate_series(1, len(w))) t1(i),
+        |              UNNEST([-3, -2, -1, 1, 2, 3]) t2(d)
+        |         WHERE i + d >= 1 AND i + d <= len(w)),
+        |pos AS (SELECT center, context AS other, 1 AS label, count(*) AS cnt
+        |        FROM inst GROUP BY 1, 2),
+        |neg AS (SELECT i.center, iv.t AS other, -1 AS label, count(*) AS cnt
+        |        FROM inst i
+        |        CROSS JOIN UNNEST([1, 2]) t3(j)
+        |        CROSS JOIN st
+        |        JOIN iv ON (CAST(('0x' || substr(md5(
+        |            CAST(i.doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)
+        |            || ':' || CAST(i.d AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+        |          ), 1, 15)) AS BIGINT) % st.n) >= iv.lo
+        |          AND (CAST(('0x' || substr(md5(
+        |            CAST(i.doc_id AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)
+        |            || ':' || CAST(i.d AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+        |          ), 1, 15)) AS BIGINT) % st.n) < iv.hi
+        |        GROUP BY 1, 2)
+        |SELECT center, other, CAST(label AS BIGINT) AS label,
+        |  CAST(cnt AS BIGINT) AS cnt
+        |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        |ORDER BY center, other, label""".stripMargin,
 
     "e69_skipgram_pairs" ->
       // positives = in-window instances grouped; negatives = the

@@ -171,6 +171,36 @@ class TextSpec extends SparkSpec {
     assert(pairs.toSet == again.toSet)
   }
 
+  test("freqWeighted negatives follow the unigram mass, banded == interval law") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("doc_id") % 5 === 1)
+    def negCounts(weighted: Boolean): Map[String, Long] =
+      Text.skipgramPairs(corpus, window = 2, negatives = 3,
+          freqWeighted = weighted)
+        .where(col("label") === -1L)
+        .groupBy("other").agg(org.apache.spark.sql.functions.sum("cnt").as("n"))
+        .as[(String, Long)].collect().toMap
+    val wtd = negCounts(true)
+    val uni = negCounts(false)
+    // same total negative mass either way
+    assert(wtd.values.sum == uni.values.sum && wtd.nonEmpty)
+    // the weighted draw tracks corpus frequency: the most frequent
+    // token receives a larger share than under the uniform draw
+    val freq = corpus.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    val top = freq.maxBy(_._2)._1
+    assert(wtd.getOrElse(top, 0L) > uni.getOrElse(top, 0L),
+      s"'$top' weighted ${wtd.get(top)} <= uniform ${uni.get(top)}")
+    // determinism under repartitioning
+    val again = Text.skipgramPairs(corpus.repartition(9), window = 2,
+        negatives = 3, freqWeighted = true)
+      .as[(String, String, Long, Long)].collect().toSet
+    val first = Text.skipgramPairs(corpus, window = 2, negatives = 3,
+        freqWeighted = true)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(first == again)
+  }
+
   test("cooccurrence: hand-computed window-2 weights, symmetric mass") {
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
     val co = Text.cooccurrence(corpus, window = 2)
