@@ -136,6 +136,15 @@ object Iterative {
       labels = next.drop("_chg")
       iter += 1
     }
+    // a silent cap exit is UNSOUND for every caller: connected
+    // components would under-merge, and the SCC peel would certify
+    // F == B from non-minimal labels (caught by the q54 thinned-graph
+    // fixture: directed chains where the pointer jump cannot shortcut
+    // — jump targets can be their own minima — need diameter rounds,
+    // and capping mid-flight mislabeled 2.4% of vertices). Converge or
+    // throw.
+    require(done,
+      s"min-label loop did not converge in $maxIter rounds; raise maxIter")
     labels
   }
 
@@ -607,7 +616,19 @@ object Iterative {
     * the representative being the packed-smallest member. */
   def stronglyConnectedComponents(g: PropertyGraph,
       edgeLabels: Set[String] = Set.empty, maxOuter: Int = 20,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 60): DataFrame = {
+    val resolved = sccAssignments(g, edgeLabels, maxOuter, maxIter)
+    resolved.select(
+      unpackLabelStr(g, col("_v")).as("label"),
+      unpackKey(col("_v")).as(GC.Id),
+      unpackLabelStr(g, col("_scc")).as("scc_label"),
+      unpackKey(col("_scc")).as("scc_id"))
+  }
+
+  /** The packed `(_v, _scc)` SCC map [[stronglyConnectedComponents]]
+    * unpacks — shared with [[condensation]]. */
+  private def sccAssignments(g: PropertyGraph, edgeLabels: Set[String],
+      maxOuter: Int, maxIter: Int): DataFrame = {
     val edges0 = packedEdges(g, edgeLabels, undirected = false)
       .distinct().localCheckpoint()
     val touched = incidentLabels(g, edgeLabels)
@@ -643,14 +664,35 @@ object Iterative {
     // empty vertex set -> the loop never ran; emit the (empty) schema
     // instead of reducing an empty builder (the connectedComponents
     // empty-graph contract)
-    val resolved = done.result()
+    done.result()
       .reduceOption(_.unionByName(_))
       .getOrElse(active.withColumn("_scc", col("_v")))
-    resolved.select(
-      unpackLabelStr(g, col("_v")).as("label"),
-      unpackKey(col("_v")).as(GC.Id),
-      unpackLabelStr(g, col("_scc")).as("scc_label"),
-      unpackKey(col("_scc")).as("scc_id"))
+  }
+
+  /** The CONDENSATION DAG — the deliverable SCC feeds: one vertex per
+    * strongly connected component, one edge per pair of components a
+    * directed edge crosses (self-loops collapse away). Always acyclic,
+    * which is what makes it the dependency-ordering / influence-flow
+    * view of a cyclic graph. One edge scan joined twice against the
+    * broadcastable SCC map, then a distinct on component pairs.
+    * Output: `(src_scc_label, src_scc_id, dst_scc_label, dst_scc_id)`.
+    */
+  def condensation(g: PropertyGraph, edgeLabels: Set[String] = Set.empty,
+      maxOuter: Int = 20, maxIter: Int = 60): DataFrame = {
+    val m = sccAssignments(g, edgeLabels, maxOuter, maxIter).localCheckpoint()
+    val edges = packedEdges(g, edgeLabels, undirected = false).distinct()
+    edges
+      .join(m.select(col("_v").as("_mv1"), col("_scc").as("_sc")),
+        col("_mv1") === col("_s"))
+      .join(m.select(col("_v").as("_mv2"), col("_scc").as("_dc")),
+        col("_mv2") === col("_d"))
+      .where(col("_sc") =!= col("_dc"))
+      .select(col("_sc"), col("_dc")).distinct()
+      .select(
+        unpackLabelStr(g, col("_sc")).as("src_scc_label"),
+        unpackKey(col("_sc")).as("src_scc_id"),
+        unpackLabelStr(g, col("_dc")).as("dst_scc_label"),
+        unpackKey(col("_dc")).as("dst_scc_id"))
   }
 
   /** The walk generators' shared transition table: the dst-RANKED

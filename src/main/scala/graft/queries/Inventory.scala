@@ -921,19 +921,37 @@ object Inventory {
       .orderBy("walk_id", "step")
   }
 
-  /** Q54: strongly connected components of the DIRECTED KNOWS graph
-    * ([[graft.analytics.Iterative.stronglyConnectedComponents]]) —
-    * min-label forward/backward peeling; the oracle derives each
+  /** The q54/q59 fixture: the full KNOWS graph is ONE giant SCC (every
+    * person mutually reachable), so both queries run on a
+    * deterministically THINNED directed subgraph — keep an edge iff
+    * `(src*7 + dst*13) % 5 < 3` (~60%) — which fractures it into ~300
+    * components with a ~300-edge condensation at sf0.01: a non-trivial
+    * DAG that still peels in 2 outer rounds with shallow (<20-round)
+    * reachability chains. (The 40% variant was rejected: its ~900
+    * label-decreasing-chain components need 21 peel rounds and
+    * >30-round inner fixpoints — it is the adversarial case the
+    * bounded-peel contract documents.) Same arithmetic in the oracle. */
+  private def snbThinnedKnows(s: SparkSession, dir: String): graft.graph.PropertyGraph = {
+    val Gp = GraphLoader.snb(s, dir)
+    val spec = graft.model.EdgeSpec("KNOWS", "Person", "Person")
+    val thinned = Gp.edgeFrames(spec)
+      .where((col(GC.Src) * 7 + col(GC.Dst) * 13) % 5 < 3)
+    new graft.graph.PropertyGraph(s, Gp.vertexFrames,
+      Gp.edgeFrames.updated(spec, thinned))
+  }
+
+  /** Q54: strongly connected components of the thinned directed KNOWS
+    * graph ([[graft.analytics.Iterative.stronglyConnectedComponents]])
+    * — min-label forward/backward peeling; the oracle derives each
     * person's SCC id as the smallest mutually-reachable person over
     * the recursive reachability closure. */
-  def q54_snb_scc(s: SparkSession, dir: String): DataFrame = {
-    val Gp = GraphLoader.snb(s, dir)
+  def q54_snb_scc(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Iterative
-      .stronglyConnectedComponents(Gp, edgeLabels = Set("KNOWS"))
+      .stronglyConnectedComponents(snbThinnedKnows(s, dir),
+        edgeLabels = Set("KNOWS"))
       .where(col("label") === "Person")
       .select(col(GC.Id).as("person_id"), col("scc_id"))
       .orderBy("person_id")
-  }
 
   /** Q55: node2vec second-order biased walks
     * ([[graft.analytics.Iterative.node2vecWalks]]) — 3-step walks from
@@ -990,6 +1008,16 @@ object Inventory {
         col("degree"), col("coeff_fp"))
       .orderBy("person_id")
   }
+
+  /** Q59: the SCC condensation DAG of the directed KNOWS graph
+    * ([[graft.analytics.Iterative.condensation]]) — one edge per
+    * component pair a KNOWS edge crosses; the oracle maps both
+    * endpoints through the q54 mutual-reachability SCC ids. */
+  def q59_snb_condensation(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Iterative
+      .condensation(snbThinnedKnows(s, dir), edgeLabels = Set("KNOWS"))
+      .select(col("src_scc_id"), col("dst_scc_id"))
+      .orderBy("src_scc_id", "dst_scc_id")
 
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the

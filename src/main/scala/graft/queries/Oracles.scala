@@ -761,14 +761,20 @@ object Oracles {
        |ORDER BY walk_id, step""".stripMargin
   }
 
-  /** SCC by definition: the reachability closure (recursive CTE with
-    * UNION dedup — cycle-safe), self-pairs added so singletons resolve,
-    * then scc_id(v) = min u with reach(v,u) AND reach(u,v). */
+  /** SCC by definition over the THINNED knows subgraph (the q54 query
+    * doc): the reachability closure (recursive CTE with UNION dedup —
+    * cycle-safe), self-pairs added so singletons resolve, then
+    * scc_id(v) = min u with reach(v,u) AND reach(u,v). */
+  private val thinnedKnowsCte: String =
+    """tk AS (SELECT src, dst FROM knows
+      |       WHERE (src * 7 + dst * 13) % 5 < 3)""".stripMargin
+
   val q54_snb_scc: String =
     s"""WITH RECURSIVE $snbKnowsCtes,
-       |r AS (SELECT src AS a, dst AS b FROM knows
+       |$thinnedKnowsCte,
+       |r AS (SELECT src AS a, dst AS b FROM tk
        |      UNION
-       |      SELECT r.a, k.dst FROM r JOIN knows k ON k.src = r.b),
+       |      SELECT r.a, k.dst FROM r JOIN tk k ON k.src = r.b),
        |rs AS (SELECT p AS a, CAST(p AS BIGINT) AS b FROM deg
        |       UNION SELECT a, b FROM r)
        |SELECT x.a AS person_id, min(x.b) AS scc_id
@@ -906,8 +912,29 @@ object Oracles {
        |LEFT JOIN udeg ON udeg.v = c_custkey
        |ORDER BY person_id""".stripMargin
 
+  /** Condensation replay: the q54 SCC map applied to both endpoints of
+    * every directed KNOWS edge, self-component edges dropped. */
+  val q59_snb_condensation: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |$thinnedKnowsCte,
+       |r AS (SELECT src AS a, dst AS b FROM tk
+       |      UNION
+       |      SELECT r.a, k.dst FROM r JOIN tk k ON k.src = r.b),
+       |rs AS (SELECT p AS a, CAST(p AS BIGINT) AS b FROM deg
+       |       UNION SELECT a, b FROM r),
+       |sccmap AS (SELECT x.a AS v, min(x.b) AS scc
+       |           FROM rs x JOIN rs y ON y.a = x.b AND y.b = x.a
+       |           GROUP BY x.a)
+       |SELECT DISTINCT sa.scc AS src_scc_id, sb.scc AS dst_scc_id
+       |FROM tk k
+       |JOIN sccmap sa ON sa.v = k.src
+       |JOIN sccmap sb ON sb.v = k.dst
+       |WHERE sa.scc <> sb.scc
+       |ORDER BY src_scc_id, dst_scc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q58_snb_clustering" -> q58_snb_clustering,
+    "q59_snb_condensation" -> q59_snb_condensation,
     "q53_snb_walks" -> q53_snb_walks,
     "q54_snb_scc" -> q54_snb_scc,
     "q55_snb_node2vec" -> q55_snb_node2vec,

@@ -54,7 +54,10 @@ class PlanAuditSpec extends SparkSpec {
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon
     // checkpoint)
-    "q29_snb_posts", "q38_match", "q58_snb_clustering")
+    // (q59's condensation edge scan reads the live generated KNOWS
+    // frame too — same 1-row generator-broadcast class)
+    "q29_snb_posts", "q38_match", "q58_snb_clustering",
+    "q59_snb_condensation")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

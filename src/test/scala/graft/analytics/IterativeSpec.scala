@@ -456,6 +456,36 @@ class IterativeSpec extends SparkSpec {
     }
   }
 
+  test("condensation: matches Tarjan SCC mapping and is acyclic") {
+    // thin the knows graph deterministically so multiple SCCs exist
+    // (the full graph is one giant SCC — the q54 fixture note)
+    val spec = graft.model.EdgeSpec("KNOWS", "Person", "Person")
+    val thinned = g.edgeFrames(spec)
+      .where((col(GC.Src) * 7 + col(GC.Dst) * 13) % 5 < 3)
+    val tg = new graft.graph.PropertyGraph(spark, g.vertexFrames,
+      g.edgeFrames.updated(spec, thinned))
+    val cond = Iterative.condensation(tg, Set("KNOWS"))
+      .select(col("src_scc_id"), col("dst_scc_id"))
+      .as[(Long, Long)].collect().toSet
+    val scc = Iterative.stronglyConnectedComponents(tg, Set("KNOWS"))
+      .where(col("label") === "Person")
+      .select(col(GC.Id), col("scc_id")).as[(Long, Long)].collect().toMap
+    // condensation == the SCC map applied to the thinned edges
+    val edges = thinned.select(col(GC.Src), col(GC.Dst)).distinct()
+      .as[(Long, Long)].collect()
+    val expect = edges.map { case (s, d) => (scc(s), scc(d)) }
+      .filter { case (a, b) => a != b }.toSet
+    assert(cond == expect && cond.nonEmpty)
+    // acyclic: no back-reachability among condensation vertices
+    val succ = cond.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def reaches(from: Long, to: Long, seen: Set[Long]): Boolean =
+      from == to || succ.getOrElse(from, Set.empty).exists(n =>
+        !seen(n) && reaches(n, to, seen + n))
+    cond.foreach { case (a, b) =>
+      assert(!reaches(b, a, Set(b)), s"cycle via condensation edge ($a,$b)")
+    }
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF
