@@ -74,7 +74,8 @@ object SparkEntry {
     "q56_snb_mis" -> (Inventory.q56_snb_mis _),
     "q57_snb_linkpred" -> (Inventory.q57_snb_linkpred _),
     "q58_snb_clustering" -> (Inventory.q58_snb_clustering _),
-    "q59_snb_condensation" -> (Inventory.q59_snb_condensation _)) ++ Extensions.all
+    "q59_snb_condensation" -> (Inventory.q59_snb_condensation _),
+    "q60_snb_layers" -> (Inventory.q60_snb_layers _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

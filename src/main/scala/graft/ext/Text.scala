@@ -411,26 +411,40 @@ object Text {
       .agg(sum(col("_w")).as("weight_fp"))
   }
 
+  /** Vocabulary-rank shard count for [[skipgramPairs]]'s two-phase
+    * global rank: tokens hash into `RankBuckets` shards, rank within a
+    * shard is a PARTITIONED window, and the ≤ `RankBuckets`-row shard
+    * histogram supplies the cross-shard offsets — so the engine never
+    * plans a partition-less window over the vocabulary (the
+    * PlanAuditSpec gate). 64 shards keep the per-shard sort ~|V|/64
+    * while the offset triangular join stays a 64×64 constant. */
+  val RankBuckets: Long = 64L
+
   /** SKIP-GRAM TRAINING PAIRS with deterministic negative sampling —
     * word2vec's data-generation step (Mikolov et al. 2013): every
     * in-window (center, context) token pair is a positive; each
     * positive instance draws `negatives` vocabulary tokens as
     * negatives. The draw is `md5(doc:pos:offset:j) mod |V|` mapped to
-    * the dst-ordered vocabulary rank — the [[Sampling.hashSample]]
-    * membership discipline applied to negative sampling, so reruns,
-    * partitionings, and the SQL oracle draw identical negatives.
-    * `freqWeighted = false` draws uniformly over the vocabulary;
-    * `freqWeighted = true` draws from the UNIGRAM distribution
-    * (word2vec's default family) by resolving `hash mod totalMass`
-    * against banded cumulative-mass intervals — see the inline note.
-    * Output: `(center, other, label, cnt)` grouped — label +1
-    * positives, -1 negatives.
+    * the vocabulary rank in `(md5-shard, t)` order — the
+    * [[Sampling.hashSample]] membership discipline applied to negative
+    * sampling, so reruns, partitionings, and the SQL oracle draw
+    * identical negatives. `freqWeighted = false` draws uniformly over
+    * the vocabulary; `freqWeighted = true` draws from the UNIGRAM
+    * distribution (word2vec's default family) by resolving
+    * `hash mod totalMass` against banded cumulative-mass intervals —
+    * see the inline note. Output: `(center, other, label, cnt)`
+    * grouped — label +1 positives, -1 negatives.
     *
     * Scale shape: the positive generator is the [[cooccurrence]]
     * row-local window slide; negatives add `negatives` rows per
     * positive instance, each resolved by ONE equi-join against the
-    * |V|-row ranked vocabulary (broadcast); the final count map-side
-    * combines. */
+    * |V|-row ranked vocabulary (plain shuffle join — AQE upgrades to
+    * broadcast only when |V| genuinely fits); the final count map-side
+    * combines. The vocabulary rank itself is the TWO-PHASE form
+    * (per-shard partitioned `row_number` + [[RankBuckets]]-bounded
+    * shard offsets), so no stage sorts the vocabulary in one task and
+    * nothing vocabulary-sized is broadcast — a 10⁹-token web-corpus
+    * vocabulary ranks in |V|/64-row tasks. */
   def skipgramPairs(docs: DataFrame, window: Int = 3, negatives: Int = 2,
       freqWeighted: Boolean = false,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -438,9 +452,29 @@ object Text {
       s"window >= 1 and negatives >= 0 required, got $window/$negatives")
     val w = split(col(textCol), " ")
     val vocab = docs.select(explode(w).as("t")).distinct()
-    val rankW = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
-    val ranked = broadcast(vocab
-      .withColumn("_rk", row_number().over(rankW).cast("long")))
+    // md5 shard of a token — phase 1 of the two-phase rank. The
+    // vocabulary ORDER is (shard, t): arbitrary but total, shared with
+    // the oracle, and rankable without a global window.
+    def shardOf(c: Column): Column =
+      pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"),
+        lit(RankBuckets))
+    // cross-shard offsets: triangular join over the ≤ RankBuckets-row
+    // shard histogram (a bounded NLJ — the e66 literal-list class),
+    // NOT a partition-less window.
+    def shardOffsets(hist: DataFrame, massCol: String): DataFrame =
+      hist.join(
+          hist.select(col("_b").as("_b2"), col(massCol).as("_m2")),
+          col("_b2") < col("_b"), "left")
+        .groupBy("_b").agg(coalesce(sum(col("_m2")), lit(0L)).as("_off"))
+    val bucketed = vocab.withColumn("_b", shardOf(col("t")))
+    val rnW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("t"))
+    val offs = shardOffsets(
+      bucketed.groupBy("_b").agg(count(lit(1)).as("_bc")), "_bc")
+    val ranked = bucketed
+      .withColumn("_rn", row_number().over(rnW).cast("long"))
+      .join(offs, Seq("_b"))
+      .select(col("t"), (col("_off") + col("_rn")).as("_rk"))
     val nVocab = broadcast(vocab.agg(count(lit(1)).as("_nv")))
     // every in-window pair INSTANCE with its (doc, position, offset) key
     val inst = docs.select(col(idCol).as("_doc"), w.as("w"))
@@ -476,22 +510,31 @@ object Text {
         else {
           // FREQUENCY-weighted draw (word2vec's unigram distribution):
           // each token owns the cumulative-mass interval [lo, hi) of
-          // its corpus count in t-order; a draw r = hash mod totalMass
-          // resolves to its owner. Intervals are BANDED (RangeJoin's
-          // discipline) at width ~ mean token mass: each interval
-          // explodes into the <= (mass div width + 2) bands it covers,
-          // the draw joins its single band equi-key, and a residual
-          // range filter picks the owner — ~3|V| banded rows total,
-          // never a draws x vocab scan.
+          // its corpus count in (shard, t)-order; a draw
+          // r = hash mod totalMass resolves to its owner. Intervals
+          // are BANDED (RangeJoin's discipline) at width ~ mean token
+          // mass: each interval explodes into the
+          // <= (mass div width + 2) bands it covers, the draw joins
+          // its single band equi-key, and a residual range filter
+          // picks the owner — ~3|V| banded rows total, never a
+          // draws x vocab scan. The cumulative mass is the same
+          // two-phase form as the rank: per-shard partitioned running
+          // sum + RankBuckets-bounded shard mass offsets.
           val counts = docs.select(explode(split(col(textCol), " ")).as("t"))
             .groupBy("t").agg(count(lit(1)).as("_c"))
-          val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+            .withColumn("_b", shardOf(col("t")))
+          val cumW = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_b")).orderBy(col("t"))
             .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
               org.apache.spark.sql.expressions.Window.currentRow)
           val stats = broadcast(counts.agg(sum(col("_c")).as("_n"),
             count(lit(1)).as("_v")))
-          val banded = broadcast(counts
-            .withColumn("_hi", sum(col("_c")).over(cumW))
+          val moffs = shardOffsets(
+            counts.groupBy("_b").agg(sum(col("_c")).as("_bm")), "_bm")
+          val banded = (counts
+            .withColumn("_cum", sum(col("_c")).over(cumW))
+            .join(moffs, Seq("_b"))
+            .withColumn("_hi", col("_off") + col("_cum"))
             .withColumn("_lo", col("_hi") - col("_c"))
             .crossJoin(stats)
             .withColumn("_wd", expr("greatest(1L, _n div _v)"))

@@ -161,9 +161,13 @@ object Unigram {
     // and `T * Scale` must stay inside a signed long (T < 2^43) — fail
     // loudly instead of letting bin() of a wrapped negative silently
     // flatten the piece costs (the q50 fixed-point discipline)
-    val mass = words.agg(sum(col("freq") * length(col("w"))))
-      .head().getLong(0) * MaxPieceLen
-    require(BigInt(mass) * Scale < BigInt(Long.MaxValue),
+    // coalesce: sum() is null on an empty corpus (getLong would NPE
+    // before the guard); multiply in BigInt so the headroom product
+    // cannot itself wrap before the comparison
+    val mass = BigInt(words
+      .agg(coalesce(sum(col("freq") * length(col("w"))), lit(0L)))
+      .head().getLong(0)) * MaxPieceLen
+    require(mass * Scale < BigInt(Long.MaxValue),
       s"fixed-point overflow: substring mass $mass * 2^20 exceeds a long; " +
         "shrink Scale or shard the corpus")
     val chars = words

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Sampling, Similarity, Sketches, Text}
+import graft.ext.{Dedup, Glove, Sampling, Similarity, Sketches, Text}
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.Streams
 
@@ -362,6 +362,35 @@ object Extensions {
       iters = E48Iters, dims = 64, roundDecimals = 6)
       .orderBy("query_id", "neighbor_id")
 
+  /** e72: unified ANN evaluation ([[Similarity.recallScoreboard]]) —
+    * every index family scored against exact brute force at its own
+    * e-query configuration (LSH/IVF at the e07/e23 setting: queries
+    * 0..19, k = 10; PQ/SQ8/residual-IVF-PQ at the e48/e53/e56 setting:
+    * queries 0..9, k = 5). One row per method with exact-integer hits
+    * and the deterministic single-division recall; the oracle replays
+    * ALL five approximate pipelines plus both brute-force baselines
+    * and the intersection arithmetic. */
+  def e72_ann_recall_harness(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val bf10 = Similarity.bruteForceTopK(e, knnQueryIds, KnnK).localCheckpoint()
+    val bf5 = Similarity.bruteForceTopK(e, E48QueryIds, E48TopK).localCheckpoint()
+    Similarity.recallScoreboard(Seq(
+        ("ivf", KnnK, bf10,
+          Similarity.ivfTopK(e, IvfCentroidIds, knnQueryIds, KnnK, IvfNProbe)),
+        ("ivfpq_residual", E48TopK, bf5,
+          Similarity.ivfPqResidualTopK(e, E48QueryIds, E48TopK,
+            kc = E50Kc, nprobe = E50NProbe, m = E48M, ks = E48Ks,
+            iters = E48Iters, dims = 64, roundDecimals = 6)),
+        ("lsh", KnnK, bf10, Similarity.lshTopK(e, knnQueryIds, KnnK)),
+        ("pq", E48TopK, bf5,
+          Similarity.pqTopK(e, E48QueryIds, E48TopK,
+            m = E48M, ks = E48Ks, iters = E48Iters, dims = 64,
+            roundDecimals = 6)),
+        ("sq8", E48TopK, bf5,
+          Similarity.sq8TopK(e, E48QueryIds, E48TopK, rerank = 30, dims = 64))))
+      .orderBy("method")
+  }
+
   /** e58: BPE tokenizer training ([[graft.ext.Bpe.bpeMerges]]) — 8
     * merge rounds learned from the corpus word-frequency table; the
     * oracle unrolls every round (pair count -> argmax -> greedy
@@ -552,6 +581,14 @@ object Extensions {
   val E61Rounds = 8
   val E61Buckets = 16384
 
+  /** e71 GloVe hyperparameters: 4-dim vectors, 8 full-batch rounds at
+    * learning rate 2^-6 — the setting where the fixture's fixed-point
+    * loss descends monotonically (GloveSpec law) while `|v|` stays
+    * under the 2^24 overflow bound. */
+  val E71Dims = 4
+  val E71Rounds = 8
+  val E71EtaShift = 6
+
   /** e61: model-based quality filtering ([[graft.ext.Classify]]) — an
     * averaged batch perceptron over hashed word-bigram features trained
     * IN the engine (8 rounds, 16384 buckets, label = lang=='en'; ~88%
@@ -679,6 +716,20 @@ object Extensions {
     Text.skipgramPairs(docs(s, dir).where(col("doc_id") % 20 === 5),
         window = 3, negatives = 2, freqWeighted = true)
       .orderBy("center", "other", "label")
+
+  /** e71: GloVe-style word-vector TRAINING ([[graft.ext.Glove.train]])
+    * — [[E71Rounds]] fixed-point gradient-descent rounds factorizing
+    * the log2 co-occurrence matrix of the e69/e70 corpus slice into
+    * [[E71Dims]]-dim word + context vectors; the capstone that
+    * CONSUMES the corpora the e67–e70 generators produce. The oracle
+    * replays the entire run (init + every round) as chained CTEs in
+    * exact `>>`-floor arithmetic. */
+  def e71_glove_train(s: SparkSession, dir: String): DataFrame =
+    Glove.train(
+        Text.cooccurrence(docs(s, dir).where(col("doc_id") % 20 === 5),
+          window = 3),
+        dims = E71Dims, rounds = E71Rounds, etaShift = E71EtaShift)
+      .orderBy("side", "t", "k")
 
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
@@ -829,6 +880,8 @@ object Extensions {
     "e68_cooccurrence" -> (e68_cooccurrence _),
     "e69_skipgram_pairs" -> (e69_skipgram_pairs _),
     "e70_skipgram_weighted" -> (e70_skipgram_weighted _),
+    "e71_glove_train" -> (e71_glove_train _),
+    "e72_ann_recall_harness" -> (e72_ann_recall_harness _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -968,15 +1021,15 @@ object Extensions {
        |$rounds""".stripMargin
   }
 
-  /** e61's generated oracle: replays the WHOLE averaged-perceptron
-    * training run — hashed-bigram binary features (+ the always-on bias
-    * bucket), then [[E61Rounds]] full-batch rounds as a chained CTE
-    * sequence (round 1 is the cold start: w=0 -> every margin 0 -> all
-    * docs update), and finally the round-SUMMED model. DuckDB sums
-    * widen to HUGEINT -> the emitted margin casts back to BIGINT. */
   /** The e61 training-replay CTE prefix through `sc` (per-doc margins
     * under the round-summed model) — shared by the e61 scoring oracle
-    * and the e66 threshold-sweep evaluation. */
+    * and the e66 threshold-sweep evaluation. Replays the WHOLE
+    * averaged-perceptron training run: hashed-bigram binary features
+    * (+ the always-on bias bucket), then [[E61Rounds]] full-batch
+    * rounds as a chained CTE sequence (round 1 is the cold start:
+    * w=0 -> every margin 0 -> all docs update), and finally the
+    * round-SUMMED model. DuckDB sums widen to HUGEINT -> the emitted
+    * margin casts back to BIGINT. */
   private def e61Ctes: String = {
     val rounds = (2 to E61Rounds).map { r =>
       val p = r - 1
@@ -1007,6 +1060,65 @@ object Extensions {
        |wavg AS (SELECT b, sum(w) AS w FROM ($wUnion) GROUP BY b),
        |sc AS MATERIALIZED (SELECT fb.doc_id, sum(coalesce(wavg.w, 0)) AS margin
        |       FROM fb LEFT JOIN wavg USING (b) GROUP BY fb.doc_id)""".stripMargin
+  }
+
+  /** e71's generated oracle: replays the WHOLE GloVe training run —
+    * co-occurrence + floor-log2 targets, the md5 init, then
+    * [[E71Rounds]] rounds of (residuals, per-side gradients, update)
+    * as chained MATERIALIZED CTEs. Every scale division is `>>`
+    * (arithmetic shift, floors like Spark's `shiftright` — integer
+    * `//` would round toward zero instead), sums cast HUGEINT -> BIGINT
+    * before shifting. */
+  private def e71OracleSql: String = {
+    val sh = Glove.Shift
+    val upd = sh + E71EtaShift
+    val rounds = (1 to E71Rounds).map { r =>
+      val p = r - 1
+      s"""e$r AS MATERIALIZED (
+         |  SELECT p.i, p.j, (CAST(sum(wv.v * cv.v) AS BIGINT) >> $sh) - p.tgt AS e
+         |  FROM pairs p
+         |  JOIN v$p wv ON wv.side = 'w' AND wv.t = p.i
+         |  JOIN v$p cv ON cv.side = 'c' AND cv.t = p.j AND cv.k = wv.k
+         |  GROUP BY p.i, p.j, p.tgt),
+         |g$r AS MATERIALIZED (
+         |  SELECT 'w' AS side, e.i AS t, c.k, CAST(sum(e.e * c.v) AS BIGINT) AS g
+         |  FROM e$r e JOIN v$p c ON c.side = 'c' AND c.t = e.j
+         |  GROUP BY e.i, c.k
+         |  UNION ALL
+         |  SELECT 'c', e.j, w.k, CAST(sum(e.e * w.v) AS BIGINT)
+         |  FROM e$r e JOIN v$p w ON w.side = 'w' AND w.t = e.i
+         |  GROUP BY e.j, w.k),
+         |v$r AS MATERIALIZED (
+         |  SELECT s.side, s.t, s.k, s.v - (coalesce(g.g, 0) >> $upd) AS v
+         |  FROM v$p s LEFT JOIN g$r g
+         |    ON g.side = s.side AND g.t = s.t AND g.k = s.k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+       |              FROM documents WHERE doc_id % 20 = 5),
+       |co AS MATERIALIZED (
+       |  SELECT center, context, CAST(sum(wt) AS BIGINT) AS wfp FROM (
+       |    SELECT w[i] AS center, w[i+d] AS context,
+       |      ${Text.PhraseScale} // abs(d) AS wt
+       |    FROM toks, UNNEST(generate_series(1, len(w))) t1(i),
+       |         UNNEST([-3, -2, -1, 1, 2, 3]) t2(d)
+       |    WHERE i + d >= 1 AND i + d <= len(w))
+       |  GROUP BY center, context),
+       |pairs AS MATERIALIZED (
+       |  SELECT center AS i, context AS j,
+       |    CAST(length(bin(wfp)) - 1 - $sh AS BIGINT) * ${1L << sh} AS tgt
+       |  FROM co),
+       |vocab AS (SELECT i AS t FROM pairs UNION SELECT j FROM pairs),
+       |v0 AS MATERIALIZED (
+       |  SELECT side, t, k,
+       |    ((CAST(('0x' || substr(md5(side || ':' || t || ':'
+       |        || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8191) - 4095)
+       |      * 16 AS v
+       |  FROM vocab,
+       |       UNNEST(generate_series(0, ${E71Dims - 1})) dk(k),
+       |       (SELECT unnest(['w', 'c']) AS side)),
+       |$rounds
+       |SELECT side, t, CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
+       |FROM v$E71Rounds ORDER BY side, t, k""".stripMargin
   }
 
   private def e61OracleSql: String =
@@ -1131,7 +1243,65 @@ object Extensions {
        |JOIN pw p USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** Brute-force cosine top-k oracle, parameterized over the query-id
+    * set and k — e06's replay, shared with the e72 harness's two
+    * exact baselines. */
+  private def bfOracleSql(ids: Seq[Long], k: Int): String = {
+    val idList = ids.mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id IN ($idList)),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id,
+       |        round(list_dot_product(qv, cv) /
+       |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS sim
+       |      FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, sim FROM s
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
+  /** e72's generated oracle: the five approximate pipelines' existing
+    * replays (verbatim, minus their presentation ORDER BY) plus the
+    * two brute-force baselines, each as a nested-WITH CTE, then the
+    * per-method intersection counts and the single-division recall. */
+  private def e72OracleSql(base: Map[String, String]): String = {
+    def stripped(sql: String): String = {
+      val i = sql.lastIndexOf("ORDER BY")
+      require(i > 0, "component oracle has no trailing ORDER BY")
+      sql.substring(0, i).trim
+    }
+    val members = Seq(
+      ("ivf", KnnK, "bf10", stripped(base("e23_knn_ivf"))),
+      ("ivfpq_residual", E48TopK, "bf5", stripped(base("e56_knn_ivfpq_residual"))),
+      ("lsh", KnnK, "bf10", stripped(base("e07_knn_lsh"))),
+      ("pq", E48TopK, "bf5", stripped(base("e48_knn_pq"))),
+      ("sq8", E48TopK, "bf5", stripped(base("e53_knn_sq8"))))
+    val ctes = members.map { case (m, _, _, sql) =>
+      s"m_$m AS MATERIALIZED (" + "\n" + sql + ")"
+    }.mkString(",\n")
+    val rows = members.map { case (m, k, bf, _) =>
+      s"""SELECT '$m' AS method, CAST($k AS BIGINT) AS k,
+         |  (SELECT count(DISTINCT query_id) FROM $bf) AS n_queries,
+         |  (SELECT count(*) FROM $bf b JOIN m_$m a
+         |     ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id) AS hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH bf10 AS MATERIALIZED (
+       |${stripped(bfOracleSql(knnQueryIds, KnnK))}),
+       |bf5 AS MATERIALIZED (
+       |${stripped(bfOracleSql(E48QueryIds, E48TopK))}),
+       |$ctes,
+       |sc AS ($rows)
+       |SELECT method, k, CAST(n_queries AS BIGINT) AS n_queries,
+       |  CAST(hits AS BIGINT) AS hits,
+       |  CAST(hits AS DOUBLE) / (n_queries * k) AS recall
+       |FROM sc ORDER BY method""".stripMargin
+  }
+
+  // lazy: oracles0's declaration follows (forward reference at object init)
+  lazy val oracles: Map[String, String] = oracles0 +
+    ("e72_ann_recall_harness" -> e72OracleSql(oracles0))
+
+  private val oracles0: Map[String, String] = Map(
     "e63_unigram_train" -> e63OracleSql,
     "e64_unigram_tokenize" -> e64OracleSql,
     "e05_simhash" ->
@@ -1540,18 +1710,22 @@ object Extensions {
 
     "e61_quality_classifier" -> e61OracleSql,
     "e66_classifier_eval" -> e66OracleSql,
+    "e71_glove_train" -> e71OracleSql,
 
     "e70_skipgram_weighted" ->
       // e69's instance generator with unigram-weighted negatives: the
       // draw r = md5(...) mod totalMass resolves by cumulative-mass
-      // interval membership in t-order.
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+      // interval membership in (md5-shard, t)-order — the same
+      // two-phase order Text.skipgramPairs ranks by.
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |              FROM documents WHERE doc_id % 20 = 5),
-        |cnts AS (SELECT t, count(*) AS c
+        |cnts AS (SELECT t, count(*) AS c,
+        |           CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+        |             % ${Text.RankBuckets} AS b
         |         FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
         |iv AS (SELECT t,
-        |         sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hi,
-        |         sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - c AS lo
+        |         sum(c) OVER (ORDER BY b, t ROWS UNBOUNDED PRECEDING) AS hi,
+        |         sum(c) OVER (ORDER BY b, t ROWS UNBOUNDED PRECEDING) - c AS lo
         |       FROM cnts),
         |st AS (SELECT sum(c) AS n FROM cnts),
         |inst AS (SELECT doc_id, w[i] AS center, i, d, w[i+d] AS context
@@ -1582,11 +1756,16 @@ object Extensions {
     "e69_skipgram_pairs" ->
       // positives = in-window instances grouped; negatives = the
       // md5(doc:pos:offset:j) mod |V| draw resolved against the
-      // name-ordered vocabulary rank — identical arithmetic.
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+      // (md5-shard, name)-ordered vocabulary rank — identical
+      // arithmetic to Text.skipgramPairs's two-phase rank (the oracle
+      // replays the ORDER globally; sharding is plan mechanics, the
+      // order is the semantics).
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |              FROM documents WHERE doc_id % 20 = 5),
         |vocab AS (SELECT DISTINCT unnest(w) AS t FROM toks),
-        |rk AS (SELECT t, row_number() OVER (ORDER BY t) AS r FROM vocab),
+        |rk AS (SELECT t, row_number() OVER (ORDER BY
+        |         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+        |           % ${Text.RankBuckets}, t) AS r FROM vocab),
         |nv AS (SELECT count(*) AS n FROM vocab),
         |inst AS (SELECT doc_id, w[i] AS center, i, d, w[i+d] AS context
         |         FROM toks,
@@ -2265,19 +2444,7 @@ object Extensions {
          |ORDER BY query_id, neighbor_id""".stripMargin
     },
 
-    "e06_knn_cosine" -> {
-      val ids = knnQueryIds.mkString(", ")
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |           FROM embeddings WHERE vec_id IN ($ids)),
-         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-         |s AS (SELECT query_id, neighbor_id,
-         |        round(list_dot_product(qv, cv) /
-         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS sim
-         |      FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
-         |SELECT query_id, neighbor_id, sim FROM s
-         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $KnnK
-         |ORDER BY query_id, neighbor_id""".stripMargin
-    },
+    "e06_knn_cosine" -> bfOracleSql(knnQueryIds, KnnK),
 
     "e08_token_stats" ->
       """SELECT doc_id, length(text) AS text_len,

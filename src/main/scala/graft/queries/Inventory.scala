@@ -1019,6 +1019,18 @@ object Inventory {
       .select(col("src_scc_id"), col("dst_scc_id"))
       .orderBy("src_scc_id", "dst_scc_id")
 
+  /** Q60: topological LAYERING of the q59 condensation DAG
+    * ([[graft.analytics.Iterative.condensationLayers]]) — each SCC's
+    * longest-incoming-path level, the dependency schedule a user runs
+    * right after building the condensation; the oracle recomputes the
+    * longest path by recursive path enumeration over the same
+    * component DAG. */
+  def q60_snb_layers(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Iterative
+      .condensationLayers(snbThinnedKnows(s, dir), edgeLabels = Set("KNOWS"))
+      .select(col("scc_id"), col("layer"))
+      .orderBy("scc_id")
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

@@ -932,9 +932,36 @@ object Oracles {
        |WHERE sa.scc <> sb.scc
        |ORDER BY src_scc_id, dst_scc_id""".stripMargin
 
+  /** Layering replay: the q59 condensation edges, then the longest
+    * incoming path per component by recursive path enumeration (every
+    * path in the DAG is finite, so the recursion terminates; max(lvl)
+    * per component = the longest one). */
+  val q60_snb_layers: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |$thinnedKnowsCte,
+       |r AS (SELECT src AS a, dst AS b FROM tk
+       |      UNION
+       |      SELECT r.a, k.dst FROM r JOIN tk k ON k.src = r.b),
+       |rs AS (SELECT p AS a, CAST(p AS BIGINT) AS b FROM deg
+       |       UNION SELECT a, b FROM r),
+       |sccmap AS (SELECT x.a AS v, min(x.b) AS scc
+       |           FROM rs x JOIN rs y ON y.a = x.b AND y.b = x.a
+       |           GROUP BY x.a),
+       |ce AS (SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+       |       FROM tk k
+       |       JOIN sccmap sa ON sa.v = k.src
+       |       JOIN sccmap sb ON sb.v = k.dst
+       |       WHERE sa.scc <> sb.scc),
+       |lp AS (SELECT DISTINCT scc AS c, 0 AS lvl FROM sccmap
+       |       UNION ALL
+       |       SELECT e.dst, lp.lvl + 1 FROM lp JOIN ce e ON e.src = lp.c)
+       |SELECT c AS scc_id, CAST(max(lvl) AS BIGINT) AS layer
+       |FROM lp GROUP BY c ORDER BY scc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q58_snb_clustering" -> q58_snb_clustering,
     "q59_snb_condensation" -> q59_snb_condensation,
+    "q60_snb_layers" -> q60_snb_layers,
     "q53_snb_walks" -> q53_snb_walks,
     "q54_snb_scc" -> q54_snb_scc,
     "q55_snb_node2vec" -> q55_snb_node2vec,

@@ -456,18 +456,25 @@ object Streams {
     * and stream emit bit-identical margins (the training arithmetic is
     * `graft.ext.Classify`'s, integer-exact). Keep rule `margin >=
     * minMargin`; the perceptron's own accept is minMargin = 1 (margin
-    * > 0). Output: input columns + `margin`. */
+    * > 0). `n` MUST equal the n the model was trained with
+    * ([[graft.ext.Classify.perceptronTrain]]'s `n`) — a mismatched
+    * deployment hashes different features and scores garbage margins
+    * silently, which is why the parameter mirrors the trainer's
+    * instead of hardcoding bigrams. Output: input columns + `margin`. */
   def classifierQualityFilter(docs: DataFrame, model: Map[Long, Long],
-      buckets: Int = 16384, minMargin: Long = 1L,
+      buckets: Int = 16384, minMargin: Long = 1L, n: Int = 2,
       textCol: String = "text"): DataFrame = {
     require(model.nonEmpty, "classifierQualityFilter needs a trained model")
     require(buckets > 0, s"bucket count must be positive, got $buckets")
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
     val vocab = typedLit(model)
     val toks = split(col(textCol), " ")
-    // word bigrams, row-local (empty when the doc has < 2 tokens)
-    val grams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    // word n-grams, row-local (empty when the doc has < n tokens) —
+    // the same gram strings Classify.hashedFeatures builds via
+    // Dedup.ngrams
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
     val bs = array_distinct(transform(grams, g =>
       pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),

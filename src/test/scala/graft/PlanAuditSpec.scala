@@ -59,10 +59,45 @@ class PlanAuditSpec extends SparkSpec {
     "q29_snb_posts", "q38_match", "q58_snb_clustering",
     "q59_snb_condensation")
 
-  private lazy val plans: Map[String, String] =
+  private lazy val dfs: Map[String, org.apache.spark.sql.DataFrame] =
     SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, sf0001).queryExecution.executedPlan.toString
+      name -> fn(spark, sf0001)
     }
+
+  private lazy val plans: Map[String, String] =
+    dfs.map { case (name, df) =>
+      name -> df.queryExecution.executedPlan.toString
+    }
+
+  test("no query plans a partition-less Window (single-task global sort gate)") {
+    // A Window with an empty partitionSpec moves EVERY row to one task
+    // ("WARN WindowExec: No Partition Defined") — the one plan shape
+    // that cannot survive a 100-TB input no matter how the rest of the
+    // query scales. The engine's global-order needs are all expressed
+    // as two-phase forms instead (per-shard partitioned window +
+    // bounded shard offsets: Text.skipgramPairs, Packing.shardShuffle)
+    // — so the gate whitelists ONLY frames with a proven row bound:
+    //  - e41_token_budget: Sampling.budgetSelect's boundary-bucket
+    //    top-up window runs over ONE quality bucket (~1/1000 of the
+    //    corpus by construction; Sampling.scala "boundary bucket ONLY")
+    val boundedFrames = Set("e41_token_budget")
+    val bad = dfs.collect {
+      case (n, df) if !boundedFrames(n) =>
+        val wins = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }
+        n -> wins.size
+    }.filter(_._2 > 0)
+    assert(bad.isEmpty, s"partition-less Window in: ${bad.keys.toSeq.sorted}")
+    // the whitelisted frame is still planned (bound argument stays live)
+    val e41Wins = dfs("e41_token_budget").queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(e41Wins.nonEmpty,
+      "e41 no longer plans its boundary-bucket window; drop it from the whitelist")
+  }
 
   test("no query plans a CartesianProduct") {
     val bad = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }

@@ -486,6 +486,51 @@ class IterativeSpec extends SparkSpec {
     }
   }
 
+  test("condensationLayers: longest-path levels over the condensation DAG") {
+    val spec = graft.model.EdgeSpec("KNOWS", "Person", "Person")
+    val thinned = g.edgeFrames(spec)
+      .where((col(GC.Src) * 7 + col(GC.Dst) * 13) % 5 < 3)
+    val tg = new graft.graph.PropertyGraph(spark, g.vertexFrames,
+      g.edgeFrames.updated(spec, thinned))
+    val got = Iterative.condensationLayers(tg, Set("KNOWS"))
+      .select(col("scc_id"), col("layer")).as[(Long, Long)].collect().toMap
+    val cond = Iterative.condensation(tg, Set("KNOWS"))
+      .select(col("src_scc_id"), col("dst_scc_id"))
+      .as[(Long, Long)].collect().toSet
+    // driver-side longest path by memoized recursion (DAG-safe)
+    val preds = cond.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val memo = scala.collection.mutable.Map[Long, Long]()
+    def lvl(c: Long): Long = memo.getOrElseUpdate(c,
+      preds.get(c).map(_.map(lvl).max + 1).getOrElse(0L))
+    got.foreach { case (c, l) => assert(l == lvl(c), s"component $c") }
+    // complete: one row per SCC of the same thinned graph
+    val sccs = Iterative.stronglyConnectedComponents(tg, Set("KNOWS"))
+      .select(col("scc_id")).distinct().as[Long].collect().toSet
+    assert(got.keySet == sccs)
+    // schedule validity: every condensation edge climbs strictly
+    cond.foreach { case (a, b) =>
+      assert(got(a) < got(b), s"edge ($a,$b) does not climb") }
+    assert(got.values.max > 0, "fixture DAG should be non-trivial")
+  }
+
+  test("condensationLayers: single giant SCC collapses to one layer-0 row") {
+    // the q54 fixture note: the UNTHINNED KNOWS graph is one giant SCC
+    val nScc = Iterative.stronglyConnectedComponents(g, Set("KNOWS"))
+      .select(col("scc_id")).distinct().count()
+    val got = Iterative.condensationLayers(g, Set("KNOWS"))
+      .select(col("scc_id"), col("layer")).as[(Long, Long)].collect()
+    assert(got.length == nScc && nScc == 1L && got.head._2 == 0L)
+  }
+
+  test("condensationLayers: edgeless graph puts every singleton at layer 0") {
+    val spec = graft.model.EdgeSpec("KNOWS", "Person", "Person")
+    val eg = new graft.graph.PropertyGraph(spark, g.vertexFrames,
+      g.edgeFrames.updated(spec, g.edgeFrames(spec).where(lit(false))))
+    val got = Iterative.condensationLayers(eg, Set("KNOWS"))
+      .select(col("layer")).as[Long].collect()
+    assert(got.nonEmpty && got.forall(_ == 0L))
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF

@@ -285,4 +285,30 @@ class DedupSpec extends SparkSpec {
       .select("left_id", "right_id").as[(Long, Long)].collect()
     assert(sides.forall { case (l, r) => l % 2 == 0 && r % 2 == 1 })
   }
+
+  test("fuzzyJoin bucket cap: hot boilerplate bands drop, distinctive pairs survive") {
+    // ADVICE round-9: the e65 fixture never trips Skew.capBuckets, so
+    // the capped path had no gate. This fixture does: 8 identical
+    // boilerplate clones per side put 8 rows in every boilerplate band
+    // bucket; cap 4 drops those buckets WHOLE on both sides, so no
+    // boilerplate pair can be proposed — while the unique near-dup
+    // pair (bucket size 1 per side) is untouched.
+    val boiler = "the quick brown fox jumps over the lazy dog again today"
+    val leftB = (0 until 8).map(i => (100L + i, boiler))
+    val rightB = (0 until 8).map(i => (200L + i, boiler))
+    val uniqL = Seq((1L, "glacier melt accelerates under prolonged arctic heat waves"))
+    val uniqR = Seq((2L, "glacier melt accelerates under prolonged arctic heat events"))
+    val left = (leftB ++ uniqL).toDF("doc_id", "text")
+    val right = (rightB ++ uniqR).toDF("doc_id", "text")
+    val capped = Dedup.fuzzyJoin(left, right, threshold = 0.3, maxBucket = 4L)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)),
+      s"capped join should keep ONLY the distinctive pair, got $capped")
+    // control: uncapped, the boilerplate block reappears in full
+    val uncapped = Dedup.fuzzyJoin(left, right, threshold = 0.3,
+        maxBucket = Long.MaxValue)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val block = (for (l <- 100L until 108L; r <- 200L until 208L) yield (l, r)).toSet
+    assert(uncapped == block + ((1L, 2L)))
+  }
 }

@@ -247,6 +247,19 @@ class StreamsSpec extends SparkSpec {
       val got = spark.table("clf_keep").as[(Long, Long)].collect().toMap
       assert(got == batch)
     } finally q.stop()
+    // n follows the trainer: a trigram-trained model deploys with n = 3
+    // and the filter's margins equal Classify.score's (the mismatch
+    // ADVICE round-9 flags would break this parity)
+    val w3 = graft.ext.Classify.perceptronTrain(train, label,
+      rounds = rounds, buckets = buckets, n = 3)
+    val tri = Streams.classifierQualityFilter(train,
+        graft.ext.Classify.weightsMap(w3), buckets,
+        minMargin = Long.MinValue, n = 3)
+      .select("doc_id", "margin").as[(Long, Long)].collect().toMap
+    val triScored = graft.ext.Classify.score(train, w3, buckets, n = 3)
+      .select("doc_id", "margin").as[(Long, Long)].collect().toMap
+    assert(tri == triScored && tri.nonEmpty)
+    assert(tri != batch, "trigram margins should differ from bigram margins")
   }
 
   test("stream-static enrichment over a JSON directory source matches the batch twin") {
