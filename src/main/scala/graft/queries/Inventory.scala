@@ -1031,6 +1031,17 @@ object Inventory {
       .select(col("scc_id"), col("layer"))
       .orderBy("scc_id")
 
+  /** Q61: reachability closure of the q59 condensation DAG
+    * ([[graft.analytics.Iterative.condensationReachability]]) — every
+    * component pair connected by a directed path, computed semi-naive;
+    * the oracle recomputes the closure with a recursive CTE over the
+    * same component DAG. */
+  def q61_snb_reachability(s: SparkSession, dir: String): DataFrame =
+    graft.analytics.Iterative
+      .condensationReachability(snbThinnedKnows(s, dir), edgeLabels = Set("KNOWS"))
+      .select(col("src_scc_id"), col("dst_scc_id"))
+      .orderBy("src_scc_id", "dst_scc_id")
+
   /** Q18: the generic 128-bit id model (O32, SURVEY §1.2) — every vertex
     * through `unifiedVertices`, ordered by the (hi, lo) unsigned id; the
     * oracle re-derives the label-space ids from the same sorted-label

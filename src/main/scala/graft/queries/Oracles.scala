@@ -958,10 +958,35 @@ object Oracles {
        |SELECT c AS scc_id, CAST(max(lvl) AS BIGINT) AS layer
        |FROM lp GROUP BY c ORDER BY scc_id""".stripMargin
 
+  /** Reachability replay: the q59 condensation edges closed by a
+    * recursive CTE (UNION dedups, the DAG guarantees termination). */
+  val q61_snb_reachability: String =
+    s"""WITH RECURSIVE $snbKnowsCtes,
+       |$thinnedKnowsCte,
+       |r AS (SELECT src AS a, dst AS b FROM tk
+       |      UNION
+       |      SELECT r.a, k.dst FROM r JOIN tk k ON k.src = r.b),
+       |rs AS (SELECT p AS a, CAST(p AS BIGINT) AS b FROM deg
+       |       UNION SELECT a, b FROM r),
+       |sccmap AS (SELECT x.a AS v, min(x.b) AS scc
+       |           FROM rs x JOIN rs y ON y.a = x.b AND y.b = x.a
+       |           GROUP BY x.a),
+       |ce AS (SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+       |       FROM tk k
+       |       JOIN sccmap sa ON sa.v = k.src
+       |       JOIN sccmap sb ON sb.v = k.dst
+       |       WHERE sa.scc <> sb.scc),
+       |reach AS (SELECT src, dst FROM ce
+       |          UNION
+       |          SELECT r.src, e.dst FROM reach r JOIN ce e ON e.src = r.dst)
+       |SELECT src AS src_scc_id, dst AS dst_scc_id
+       |FROM reach ORDER BY src_scc_id, dst_scc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q58_snb_clustering" -> q58_snb_clustering,
     "q59_snb_condensation" -> q59_snb_condensation,
     "q60_snb_layers" -> q60_snb_layers,
+    "q61_snb_reachability" -> q61_snb_reachability,
     "q53_snb_walks" -> q53_snb_walks,
     "q54_snb_scc" -> q54_snb_scc,
     "q55_snb_node2vec" -> q55_snb_node2vec,

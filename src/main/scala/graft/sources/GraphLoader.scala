@@ -316,7 +316,7 @@ object GraphLoader {
     * (tab-separated, values JSON-string-escaped — no JSON parser needed
     * on read). Written even when empty so `open` on a fresh persist
     * never probes a missing file path twice. */
-  private def writeVariables(g: PropertyGraph, path: String): Unit = {
+  private[sources] def writeVariables(g: PropertyGraph, path: String): Unit = {
     def esc(s: String): String = s.flatMap {
       case '\\' => "\\\\"
       case '\n' => "\\n"
@@ -332,7 +332,7 @@ object GraphLoader {
     out.write(body.getBytes("UTF-8")); out.close()
   }
 
-  private def readVariables(g: PropertyGraph, path: String): Unit = {
+  private[sources] def readVariables(g: PropertyGraph, path: String): Unit = {
     def unesc(s: String): String = {
       val b = new StringBuilder
       var i = 0

@@ -41,13 +41,15 @@ class PlanAuditSpec extends SparkSpec {
   // count-total broadcast survives — the e52 class.)
   // e66 broadcasts the LITERAL six-row threshold list onto the margins
   // for the confusion sweep — constant-bounded by construction
+  // e72 composes ALL FIVE ANN pipelines, so it carries every bounded
+  // query/centroid broadcast of the e06/e23/e48/e53/e56 class
   // e67 broadcasts the ONE-ROW token total for the fixed-point phrase
   // ratio (the e52/e60 class); e69/e70 broadcast the ONE-ROW
   // vocabulary count / mass totals for the negative-draw modulus
   // (same class; e70's interval RESOLUTION is a banded equi-join)
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
     "e60_bm25", "e64_unigram_tokenize", "e66_classifier_eval", "e67_phrases",
-    "e69_skipgram_pairs", "e70_skipgram_weighted",
+    "e69_skipgram_pairs", "e70_skipgram_weighted", "e72_ann_recall_harness",
     "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",
     "e54_surprisal", "e57_hard_triplets", "q25_snb_fof", "q27_bothe",
     // q58's degree aggregation reads the live generated KNOWS frame, so
@@ -74,15 +76,14 @@ class PlanAuditSpec extends SparkSpec {
     // ("WARN WindowExec: No Partition Defined") — the one plan shape
     // that cannot survive a 100-TB input no matter how the rest of the
     // query scales. The engine's global-order needs are all expressed
-    // as two-phase forms instead (per-shard partitioned window +
-    // bounded shard offsets: Text.skipgramPairs, Packing.shardShuffle)
-    // — so the gate whitelists ONLY frames with a proven row bound:
-    //  - e41_token_budget: Sampling.budgetSelect's boundary-bucket
-    //    top-up window runs over ONE quality bucket (~1/1000 of the
-    //    corpus by construction; Sampling.scala "boundary bucket ONLY")
-    val boundedFrames = Set("e41_token_budget")
+    // as two-phase or per-bucket forms instead (per-shard partitioned
+    // window + bounded shard offsets: Text.skipgramPairs,
+    // Packing.shardShuffle; Sampling.budgetSelect's boundary-bucket
+    // top-up partitions on the bucket expression) — so the gate holds
+    // with NO whitelist: zero partition-less Windows anywhere in the
+    // suite's optimized plans.
     val bad = dfs.collect {
-      case (n, df) if !boundedFrames(n) =>
+      case (n, df) =>
         val wins = df.queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.partitionSpec.isEmpty => w
@@ -90,13 +91,6 @@ class PlanAuditSpec extends SparkSpec {
         n -> wins.size
     }.filter(_._2 > 0)
     assert(bad.isEmpty, s"partition-less Window in: ${bad.keys.toSeq.sorted}")
-    // the whitelisted frame is still planned (bound argument stays live)
-    val e41Wins = dfs("e41_token_budget").queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window
-        if w.partitionSpec.isEmpty => w
-    }
-    assert(e41Wins.nonEmpty,
-      "e41 no longer plans its boundary-bucket window; drop it from the whitelist")
   }
 
   test("no query plans a CartesianProduct") {

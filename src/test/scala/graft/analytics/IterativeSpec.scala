@@ -513,6 +513,51 @@ class IterativeSpec extends SparkSpec {
     assert(got.values.max > 0, "fixture DAG should be non-trivial")
   }
 
+  test("condensationReachability: equals the driver-side closure; consistent with layers") {
+    val spec = graft.model.EdgeSpec("KNOWS", "Person", "Person")
+    val thinned = g.edgeFrames(spec)
+      .where((col(GC.Src) * 7 + col(GC.Dst) * 13) % 5 < 3)
+    val tg = new graft.graph.PropertyGraph(spark, g.vertexFrames,
+      g.edgeFrames.updated(spec, thinned))
+    val got = Iterative.condensationReachability(tg, Set("KNOWS"))
+      .select(col("src_scc_id"), col("dst_scc_id"))
+      .as[(Long, Long)].collect().toSet
+    val ce = Iterative.condensation(tg, Set("KNOWS"))
+      .select(col("src_scc_id"), col("dst_scc_id"))
+      .as[(Long, Long)].collect().toSet
+    // driver-side closure by BFS from every component
+    val succ = ce.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = succ.keySet.flatMap { s =>
+      val seen = scala.collection.mutable.Set[Long]()
+      var frontier = succ(s)
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(n => succ.getOrElse(n, Set.empty)) -- seen
+      }
+      seen.map(s -> _)
+    }
+    assert(got == want && got.nonEmpty,
+      s"closure ${got.size} vs expected ${want.size} (edges ${ce.size})")
+    // DAG: the closure is irreflexive
+    assert(got.forall { case (a, b) => a != b })
+    // consistency with the layering: reachable ⇒ strictly deeper layer
+    val layers = Iterative.condensationLayers(tg, Set("KNOWS"))
+      .select(col("scc_id"), col("layer")).as[(Long, Long)].collect().toMap
+    got.foreach { case (a, b) =>
+      assert(layers(a) < layers(b), s"reachable pair ($a,$b) does not climb") }
+    // multi-hop evidence (the sf0.001 thinned DAG happens to be depth-1,
+    // so its closure equals its edge set): a 4-chain must close to all 6
+    // ordered pairs, 3 of them multi-hop
+    val chainG = new graft.graph.PropertyGraph(spark,
+      Map("Person" -> Seq(1L, 2L, 3L, 4L).toDF(GC.Id)),
+      Map(spec -> Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF(GC.Src, GC.Dst)))
+    val chain = Iterative.condensationReachability(chainG, Set("KNOWS"))
+      .select(col("src_scc_id"), col("dst_scc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(chain == Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("condensationLayers: single giant SCC collapses to one layer-0 row") {
     // the q54 fixture note: the UNTHINNED KNOWS graph is one giant SCC
     val nScc = Iterative.stronglyConnectedComponents(g, Set("KNOWS"))
