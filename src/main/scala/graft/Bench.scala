@@ -62,12 +62,13 @@ object Bench {
     // partition-less window would grow superlinearly here); e70 adds
     // the banded cumulative-mass resolution to the same lens
     "e69_skipgram_pairs", "e70_skipgram_weighted",
-    // e58/e59/e24: the three closest to the 2x gate in round 9 (all
-    // load-amplified serial/spread classes) — the 8x tier pins their
-    // SHAPE so host-load drift can't masquerade as a plan regression:
-    // e58/e59's data term must stay flat (round-count floor), e24's
-    // exact per-group buffer grows linearly by contract
-    "e58_bpe_train", "e59_bpe_tokenize", "e24_quantiles")
+    // e58/e59: the two serial-floor queries closest to the 2x gate in
+    // round 9 (load-amplified) — the 8x tier pins their SHAPE so host
+    // drift can't masquerade as a plan regression: the data term must
+    // stay flat (round-count floor). e24 is NOT here: it reads the
+    // deliberately-unreplicated events table (its declared scale path
+    // is the Sketches.valueQuantilesApprox twin, not the exact buffer)
+    "e58_bpe_train", "e59_bpe_tokenize")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via
@@ -155,18 +156,29 @@ object Bench {
     * sorted (name, sorted times). */
   private def timeQueries(spark: SparkSession, dir: String,
       names: Seq[String], reps: Int): Seq[(String, Seq[Double])] =
-    names.sorted.map { name =>
+    names.sorted.flatMap { name =>
       val fn = SparkEntry.queries(name)
+      var failed = false
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up, untimed
-      name -> Seq.fill(reps)(once()).sorted
+      val times = Seq.fill(reps)(once()).sorted
+      // A failed run's elapsed time is NOT a datapoint: the round-10
+      // scale tier found q50's 8x overflow failure had been RECORDED
+      // as a ~1 s "timing" since the tier existed — and the
+      // scale_vs_baseline ratio then ratchets against garbage. Failures
+      // are excluded from the map (loudly), never averaged in.
+      if (failed) {
+        System.err.println(s"[bench] $name EXCLUDED from results (failed)")
+        None
+      } else Some(name -> times)
     }
 
   // Locale.ROOT: a comma-decimal default locale would break the JSON

@@ -391,6 +391,43 @@ object Extensions {
       .orderBy("method")
   }
 
+  /** e73: nearest neighbors over the TRAINED e71 vectors — the full
+    * loop corpus → co-occurrence → [[graft.ext.Glove.train]] → cosine
+    * top-3, oracle-gated end to end (the GloveSpec sanity check
+    * promoted to the correctness gate). Trained fixed-point vectors
+    * pivot to float arrays EXACTLY (|v| < 2^24 at a power-of-two
+    * scale, so the float cast is value-preserving and the codegen'd
+    * [[graft.functions.dotProduct]] double fold equals DuckDB's
+    * double-list arithmetic bit for bit); query tokens are an
+    * md5-selected deterministic subset. Brute force is the declared
+    * shape here (the trained vocab is model-sized); at corpus scale
+    * the e72 ANN family indexes the same vectors. */
+  def e73_glove_knn(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Glove.train(
+      Text.cooccurrence(docs(s, dir).where(col("doc_id") % 20 === 5),
+        window = 3),
+      dims = E71Dims, rounds = E71Rounds, etaShift = E71EtaShift)
+    val wv = vecs.where(col("side") === "w")
+      .groupBy(col("t"))
+      .agg(sort_array(collect_list(struct(col("k"), col("v")))).as("_kv"))
+      .select(col("t"), transform(col("_kv"), e =>
+        (e.getField("v").cast("double") / lit(1L << graft.ext.Glove.Shift))
+          .cast("float")).as("vec"))
+      .localCheckpoint() // both sides of the knn join reread the pivot
+    val q = wv.where(pmod(conv(substring(md5(col("t")), 1, 15), 16, 10)
+        .cast("long"), lit(7L)) === 0)
+      .select(col("t").as("qt"), col("vec").as("qv"))
+    val scored = wv.join(broadcast(q), col("qt") =!= col("t"))
+      .select(col("qt"), col("t").as("neighbor"),
+        round(graft.functions.cosineSimilarity(col("qv"), col("vec")), 9)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qt").orderBy(desc("sim"), asc("neighbor"))
+    scored.withColumn("_rn", row_number().over(w)).where(col("_rn") <= 3)
+      .drop("_rn")
+      .orderBy("qt", "neighbor")
+  }
+
   /** e58: BPE tokenizer training ([[graft.ext.Bpe.bpeMerges]]) — 8
     * merge rounds learned from the corpus word-frequency table; the
     * oracle unrolls every round (pair count -> argmax -> greedy
@@ -882,6 +919,7 @@ object Extensions {
     "e70_skipgram_weighted" -> (e70_skipgram_weighted _),
     "e71_glove_train" -> (e71_glove_train _),
     "e72_ann_recall_harness" -> (e72_ann_recall_harness _),
+    "e73_glove_knn" -> (e73_glove_knn _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1069,7 +1107,36 @@ object Extensions {
     * (arithmetic shift, floors like Spark's `shiftright` — integer
     * `//` would round toward zero instead), sums cast HUGEINT -> BIGINT
     * before shifting. */
-  private def e71OracleSql: String = {
+  private def e71OracleSql: String =
+    s"""WITH $e71OracleCtes
+       |SELECT side, t, CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
+       |FROM v$E71Rounds ORDER BY side, t, k""".stripMargin
+
+  /** e73's generated oracle: the e71 training chain, then the trained
+    * w-side vectors pivoted to double lists (exact: |v| < 2^24 and the
+    * scale is a power of two) and brute-force cosine top-3 per
+    * md5-selected query token — the e06 knn replay over LEARNED
+    * vectors. */
+  private def e73OracleSql: String =
+    s"""WITH $e71OracleCtes,
+       |wv AS MATERIALIZED (
+       |  SELECT t, list_transform(list(v ORDER BY k),
+       |           x -> CAST(x AS DOUBLE) / ${1L << Glove.Shift}.0) AS vec
+       |  FROM v$E71Rounds WHERE side = 'w' GROUP BY t),
+       |q AS (SELECT t AS qt, vec AS qv FROM wv
+       |      WHERE (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 7) = 0),
+       |sc AS (SELECT qt, wv.t AS neighbor,
+       |         round(list_dot_product(qv, vec) /
+       |           (sqrt(list_dot_product(qv, qv))
+       |             * sqrt(list_dot_product(vec, vec))), 9) AS sim
+       |       FROM q JOIN wv ON wv.t <> qt)
+       |SELECT qt, neighbor, sim FROM sc
+       |QUALIFY row_number() OVER (PARTITION BY qt ORDER BY sim DESC, neighbor) <= 3
+       |ORDER BY qt, neighbor""".stripMargin
+
+  /** The e71 training-replay CTE body through `v{E71Rounds}` — shared
+    * by the e71 vector dump and the e73 learned-vector knn. */
+  private def e71OracleCtes: String = {
     val sh = Glove.Shift
     val upd = sh + E71EtaShift
     val rounds = (1 to E71Rounds).map { r =>
@@ -1093,8 +1160,8 @@ object Extensions {
          |  FROM v$p s LEFT JOIN g$r g
          |    ON g.side = s.side AND g.t = s.t AND g.k = s.k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
-       |              FROM documents WHERE doc_id % 20 = 5),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents WHERE doc_id % 20 = 5),
        |co AS MATERIALIZED (
        |  SELECT center, context, CAST(sum(wt) AS BIGINT) AS wfp FROM (
        |    SELECT w[i] AS center, w[i+d] AS context,
@@ -1116,9 +1183,7 @@ object Extensions {
        |  FROM vocab,
        |       UNNEST(generate_series(0, ${E71Dims - 1})) dk(k),
        |       (SELECT unnest(['w', 'c']) AS side)),
-       |$rounds
-       |SELECT side, t, CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
-       |FROM v$E71Rounds ORDER BY side, t, k""".stripMargin
+       |$rounds""".stripMargin
   }
 
   private def e61OracleSql: String =
@@ -1711,6 +1776,7 @@ object Extensions {
     "e61_quality_classifier" -> e61OracleSql,
     "e66_classifier_eval" -> e66OracleSql,
     "e71_glove_train" -> e71OracleSql,
+    "e73_glove_knn" -> e73OracleSql,
 
     "e70_skipgram_weighted" ->
       // e69's instance generator with unigram-weighted negatives: the

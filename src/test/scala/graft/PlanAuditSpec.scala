@@ -42,7 +42,9 @@ class PlanAuditSpec extends SparkSpec {
   // e66 broadcasts the LITERAL six-row threshold list onto the margins
   // for the confusion sweep — constant-bounded by construction
   // e72 composes ALL FIVE ANN pipelines, so it carries every bounded
-  // query/centroid broadcast of the e06/e23/e48/e53/e56 class
+  // query/centroid broadcast of the e06/e23/e48/e53/e56 class; e73
+  // broadcasts its md5-selected query-token vectors over the trained
+  // vocabulary (the e06 class on LEARNED vectors)
   // e67 broadcasts the ONE-ROW token total for the fixed-point phrase
   // ratio (the e52/e60 class); e69/e70 broadcast the ONE-ROW
   // vocabulary count / mass totals for the negative-draw modulus
@@ -50,6 +52,7 @@ class PlanAuditSpec extends SparkSpec {
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
     "e60_bm25", "e64_unigram_tokenize", "e66_classifier_eval", "e67_phrases",
     "e69_skipgram_pairs", "e70_skipgram_weighted", "e72_ann_recall_harness",
+    "e73_glove_knn",
     "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",
     "e54_surprisal", "e57_hard_triplets", "q25_snb_fof", "q27_bothe",
     // q58's degree aggregation reads the live generated KNOWS frame, so
