@@ -153,20 +153,34 @@ object Bench {
   }
 
   /** One untimed warm-up + `reps` timed noop-writes per query; returns
-    * sorted (name, sorted times). */
+    * (sorted (name, sorted times), failed-query names). */
   private def timeQueries(spark: SparkSession, dir: String,
-      names: Seq[String], reps: Int): Seq[(String, Seq[Double])] =
-    names.sorted.flatMap { name =>
+      names: Seq[String], reps: Int): (Seq[(String, Seq[Double])], Seq[String]) = {
+    val failures = Seq.newBuilder[String]
+    val results = names.sorted.flatMap { name =>
       val fn = SparkEntry.queries(name)
       var failed = false
       def once(): Double = {
+        // Superstep checkpoints persist blocks for the session lifetime;
+        // without a sweep the 135-query suite strands thousands of
+        // blocks and LATER queries pay eviction/GC (round-10 finding
+        // #2: q01 read 2.8x in-suite vs 0.88x standalone, same plan).
+        // Release everything this run persisted once its write lands —
+        // after the noop write the blocks have no consumer — except
+        // ids pinned by session-lifetime memos.
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try fn(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id) && !graft.plans.Supersteps.isPinned(id))
+            rdd.unpersist(blocking = false)
+        }
+        dt
       }
       once() // warm-up, untimed
       val times = Seq.fill(reps)(once()).sorted
@@ -177,9 +191,12 @@ object Bench {
       // are excluded from the map (loudly), never averaged in.
       if (failed) {
         System.err.println(s"[bench] $name EXCLUDED from results (failed)")
+        failures += name
         None
       } else Some(name -> times)
     }
+    (results, failures.result())
+  }
 
   // Locale.ROOT: a comma-decimal default locale would break the JSON
   // artifacts (ADVICE round 7, flagged on Throughput — same class here)
@@ -199,7 +216,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
-    val results = timeQueries(spark, sfDir, names, reps)
+    val (results, failed) = timeQueries(spark, sfDir, names, reps)
     // The stdout line must stay under the driver's ~2 KiB tail capture
     // (round-3 lesson: inlining the per-query spread overflowed it and
     // the artifact parsed as null), so the line carries ONE 3-decimal
@@ -276,7 +293,15 @@ object Bench {
     // queries_stat (the per-query statistic tag, min since round 5)
     // live in the SIDECAR now for the same reason — the stdout line
     // keeps only what the driver's artifact needs.
-    val line = s"""{"metric":"total_of_mins","value":${f(total)},"unit":"sec","queries":$qs,"sf":"${sfDir.split('/').last}"}"""
+    // Excluded-failure names ride the artifact machine-readably: a
+    // query that REGRESSES into failure would otherwise just shrink
+    // the comparand set and make totals look better (advisor, round
+    // 10) — the only trace being a stderr line the gate never parses.
+    // ("failed":[] always present: an explicit empty list is the
+    // machine-readable "nothing was excluded", 14 B of tail budget.)
+    val failedPart =
+      ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total_of_mins","value":${f(total)},"unit":"sec","queries":$qs$failedPart,"sf":"${sfDir.split('/').last}"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} B exceeds the driver's tail capture budget")
     // Print the driver's artifact FIRST: the sidecar write can throw on a
@@ -326,8 +351,10 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_${k}x_${math.abs(sfDir.hashCode)}"
     replicate(spark, sfDir, outDir, k)
-    val results = (timeQueries(spark, outDir, scaleQueries, reps) ++
-      timeQueries(spark, s"$outDir/snb", snbScaleQueries, reps)).sortBy(_._1)
+    val (mainRes, mainFailed) = timeQueries(spark, outDir, scaleQueries, reps)
+    val (snbRes, snbFailed) = timeQueries(spark, s"$outDir/snb", snbScaleQueries, reps)
+    val results = (mainRes ++ snbRes).sortBy(_._1)
+    val failed = mainFailed ++ snbFailed
     val qs = results.map { case (n, t) => "\"" + n + "\":" + f(t.head) }
       .mkString("{", ",", "}")
     val total = results.map(_._2.head).sum
@@ -356,7 +383,9 @@ object Bench {
             else Some(s""","scale_vs_baseline":${f(shared.map(_._1).sum / prevSum)},"baseline_total":${f(prevSum)},"baseline_shared":${shared.size}""")
           }.getOrElse("")
       } catch { case _: Throwable => "" }
-    val line = s"""{"metric":"scale_total_of_mins","value":${f(total)},"unit":"sec","k":$k,"reps":$reps,"queries_stat":"min","queries":$qs$ratio,"base_sf":"$sfDir"}"""
+    val failedPart =
+      ",\"failed\":" + failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"scale_total_of_mins","value":${f(total)},"unit":"sec","k":$k,"reps":$reps,"queries_stat":"min","queries":$qs$failedPart$ratio,"base_sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_FILE", "bench_scale.json")),

@@ -26,10 +26,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // Release the superstep-checkpoint blocks each query persisted
+      // once its parquet lands (no consumer remains) — the 135-query
+      // session otherwise strands thousands of blocks (round-10
+      // finding #2). Memo-pinned ids survive the sweep.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id) && !graft.plans.Supersteps.isPinned(id))
+          rdd.unpersist(blocking = false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

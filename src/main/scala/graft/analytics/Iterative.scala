@@ -130,8 +130,11 @@ object Iterative {
             < stepped("_old")).as("_chg"))
         .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
       // loop-carried: cut stats, not just lineage (Supersteps scaladoc —
-      // this round references `labels` 4x, so carried stats compound 4^n)
-      val next = graft.plans.Supersteps.cut(updated)
+      // this round references `labels` 4x, so carried stats compound 4^n).
+      // The superseded round's blocks are released once the new cut is
+      // live — but never `init`, which belongs to the caller.
+      val next = graft.plans.Supersteps.cut(updated,
+        if (labels eq init) Nil else Seq(labels))
       done = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.drop("_chg")
       iter += 1
@@ -216,11 +219,16 @@ object Iterative {
     val grown = state.unionByName(
       newVerts.select(col("_v"), col("_v").as("_lbl")))
     // loop-carried across batches (and across an UNBOUNDED stream in
-    // ComponentsMaintainer): stats must be cut or they compound per fold
+    // ComponentsMaintainer): stats must be cut or they compound per fold.
+    // `mapped` (the contracted batch) and `reps` (the loop's final
+    // state) have no consumer once this cut lands — released here, or
+    // an unbounded stream strands two block sets per micro-batch. The
+    // caller's `state` is NOT touched (ownership stays with the fold).
     graft.plans.Supersteps.cut(
       grown.join(reps.select(col("_v").as("_old"), col("_lbl").as("_new")),
           grown("_lbl") === col("_old"), "left")
-        .select(grown("_v"), coalesce(col("_new"), grown("_lbl")).as("_lbl")))
+        .select(grown("_v"), coalesce(col("_new"), grown("_lbl")).as("_lbl")),
+      superseded = Seq(mapped, reps))
   }
 
   /** Connected components by FOLDING edge batches through
@@ -239,9 +247,12 @@ object Iterative {
       .select(col("_v"), col("_v").as("_lbl")).localCheckpoint()
     batches.foldLeft(state0) { (st, b) =>
       val cols = b.columns
-      mergeComponentsBatch(st,
+      val merged = mergeComponentsBatch(st,
         b.select(col(cols(0)).cast("bigint").as("_s"),
           col(cols(1)).cast("bigint").as("_d")))
+      // st is superseded the moment the merge's cut materializes
+      graft.plans.Supersteps.release(st)
+      merged
     }.select(col("_v").as("id"), col("_lbl").as("component"))
   }
 
@@ -275,12 +286,15 @@ object Iterative {
         .join(surv.select(col("_v").as("_dv")), col("_d") === col("_dv"), "left_semi")
       val deg = live.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
       val obs = new org.apache.spark.sql.Observation(s"kcore_r$round")
-      // loop-carried: surv is referenced 3x per round — cut stats
+      // loop-carried: surv is referenced 3x per round — cut stats;
+      // the superseded round's blocks (loop-owned since the seed is our
+      // own checkpoint) are released once the new cut is live
       val next = graft.plans.Supersteps.cut(
         surv.join(deg, surv("_v") === deg("_s"), "left")
           .where(coalesce(col("_deg"), lit(0L)) >= k)
           .select(col("_v"))
-          .observe(obs, count(lit(1)).as("n")))
+          .observe(obs, count(lit(1)).as("n")),
+        superseded = Seq(surv))
       val after = obs.get("n").asInstanceOf[Long]
       done = after == size
       size = after
@@ -325,7 +339,8 @@ object Iterative {
         .select(col("_s").as("_bv"), col("_lbl").as("_nl"))
       labels = graft.plans.Supersteps.cut( // loop-carried: cut stats
         labels.join(best, labels("_v") === col("_bv"), "left")
-          .select(labels("_v"), coalesce(col("_nl"), col("_lbl")).as("_lbl")))
+          .select(labels("_v"), coalesce(col("_nl"), col("_lbl")).as("_lbl")),
+        superseded = Seq(labels)) // seed is loop-owned — releasable
     }
     val untouched = g.vertexLabels.toSet -- touched
     if (untouched.nonEmpty)
@@ -417,13 +432,15 @@ object Iterative {
     val touched = incidentLabels(g, edgeLabels)
     val verts = packedVertices(g, touched).localCheckpoint()
     var ranks = verts.withColumn("_r", lit(1.0))
+    val init = ranks // round-1 state sits on `verts` — never release it
     for (_ <- 1 to iters) {
       val contrib = degreed.join(ranks, degreed("_s") === ranks("_v"))
         .groupBy(col("_d")).agg(sum(col("_r") / col("_deg")).as("_in"))
       ranks = graft.plans.Supersteps.cut( // loop-carried: cut stats
         verts.join(contrib, verts("_v") === contrib("_d"), "left")
           .select(verts("_v"),
-            (lit(0.15) + lit(0.85) * coalesce(col("_in"), lit(0.0))).as("_r")))
+            (lit(0.15) + lit(0.85) * coalesce(col("_in"), lit(0.0))).as("_r")),
+        superseded = if (ranks eq init) Nil else Seq(ranks))
     }
     val untouched = g.vertexLabels.toSet -- touched
     if (untouched.nonEmpty)
@@ -480,6 +497,7 @@ object Iterative {
     require(workScale > 0,
       s"fixed-point overflow: n=$nVerts leaves no usable scale")
     var ranks = verts.withColumn("_r", lit(workScale))
+    val init = ranks // round-1 state sits on `verts` — never release it
     for (_ <- 1 to iters) {
       val contrib = degreed.join(ranks, degreed("_s") === ranks("_v"))
         .groupBy(col("_d"))
@@ -488,7 +506,8 @@ object Iterative {
         verts.join(contrib, verts("_v") === contrib("_d"), "left")
           .select(verts("_v"),
             (expr(s"(15 * ${workScale}L) div 100")
-              + expr("(85 * coalesce(_in, 0L)) div 100")).as("_r")))
+              + expr("(85 * coalesce(_in, 0L)) div 100")).as("_r")),
+        superseded = if (ranks eq init) Nil else Seq(ranks))
     }
     val untouched = g.vertexLabels.toSet -- touched
     if (untouched.nonEmpty)
@@ -531,6 +550,7 @@ object Iterative {
     val reset = when(col("_v").isin(seedSet: _*), lit(resetPerSeed))
       .otherwise(lit(0L))
     var ranks = verts.withColumn("_r", reset)
+    val init = ranks // round-1 state sits on `verts` — never release it
     for (_ <- 1 to iters) {
       val contrib = degreed.join(ranks, degreed("_s") === ranks("_v"))
         .groupBy(col("_d"))
@@ -538,7 +558,8 @@ object Iterative {
       ranks = graft.plans.Supersteps.cut(
         verts.join(contrib, verts("_v") === contrib("_d"), "left")
           .select(verts("_v"),
-            (reset + expr("(85 * coalesce(_in, 0L)) div 100")).as("_r")))
+            (reset + expr("(85 * coalesce(_in, 0L)) div 100")).as("_r")),
+        superseded = if (ranks eq init) Nil else Seq(ranks))
     }
     ranks.select(
       unpackLabelStr(g, col("_v")).as("label"),
@@ -588,13 +609,15 @@ object Iterative {
         verts("_v") === col("_g"), "left")
         .select(verts("_v"), coalesce(col("_m"), lit(0L)).as("_raw"))
     var scores = verts.select(col("_v"), lit(scale).as("_h"), lit(scale).as("_a"))
+    val init = scores // round-1 state sits on `verts` — never release it
     for (_ <- 1 to iters) {
       val auth = renorm(gather(scores.select(col("_v"), col("_h")), "_h",
         edges("_s"), edges("_d"))).withColumnRenamed("_x", "_a")
       val hub = renorm(gather(auth, "_a", edges("_d"), edges("_s")))
         .withColumnRenamed("_x", "_h")
       scores = graft.plans.Supersteps.cut(
-        hub.join(auth, "_v").select(col("_v"), col("_h"), col("_a")))
+        hub.join(auth, "_v").select(col("_v"), col("_h"), col("_a")),
+        superseded = if (scores eq init) Nil else Seq(scores))
     }
     scores.select(
       unpackLabelStr(g, col("_v")).as("label"),
@@ -639,9 +662,17 @@ object Iterative {
   }
 
   /** The packed `(_v, _scc)` SCC map [[stronglyConnectedComponents]]
-    * unpacks — shared with [[condensation]]. */
-  private def sccAssignments(g: PropertyGraph, edgeLabels: Set[String],
-      maxOuter: Int, maxIter: Int): DataFrame = {
+    * unpacks — shared with [[condensation]], [[condensationLayers]] and
+    * [[condensationReachability]], all of which also accept it
+    * PRECOMPUTED via their `assignments` parameter. The map is
+    * deterministic for a given (graph, edgeLabels), so a session that
+    * runs several condensation consumers should compute it once
+    * (checkpoint + [[graft.plans.Supersteps.pin]]) and thread it
+    * through — the peel is the dominant serial-fixpoint cost
+    * (~40 driver actions), and re-running it per consumer was the
+    * main bench noise of the q59 family (round-10 verdict task 5). */
+  def sccAssignments(g: PropertyGraph, edgeLabels: Set[String],
+      maxOuter: Int = 20, maxIter: Int = 60): DataFrame = {
     val edges0 = packedEdges(g, edgeLabels, undirected = false)
       .distinct().localCheckpoint()
     val touched = incidentLabels(g, edgeLabels)
@@ -661,15 +692,24 @@ object Iterative {
         .select(col("_v"), col("_lbl").as("_scc"))
         .localCheckpoint()
       done += sccRound
+      // the two fixpoint states are consumed by sccRound's eager
+      // checkpoint — their blocks are dead from here on
+      graft.plans.Supersteps.release(fwd)
+      graft.plans.Supersteps.release(bwd)
       val peeled = sccRound.select(col("_v").as("_pv"))
+      val prevActive = active
       active = active.join(peeled, col("_v") === col("_pv"), "left_anti")
         .localCheckpoint()
+      graft.plans.Supersteps.release(prevActive)
       nActive = active.count()
-      if (nActive > 0)
+      if (nActive > 0) {
+        val prevEdges = edges
         edges = edges
           .join(active, edges("_s") === active("_v"), "left_semi")
           .join(active, col("_d") === active("_v"), "left_semi")
           .localCheckpoint()
+        graft.plans.Supersteps.release(prevEdges)
+      }
       outer += 1
     }
     require(nActive == 0,
@@ -691,8 +731,13 @@ object Iterative {
     * Output: `(src_scc_label, src_scc_id, dst_scc_label, dst_scc_id)`.
     */
   def condensation(g: PropertyGraph, edgeLabels: Set[String] = Set.empty,
-      maxOuter: Int = 20, maxIter: Int = 60): DataFrame = {
-    val m = sccAssignments(g, edgeLabels, maxOuter, maxIter).localCheckpoint()
+      maxOuter: Int = 20, maxIter: Int = 60,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    val raw = assignments
+      .getOrElse(sccAssignments(g, edgeLabels, maxOuter, maxIter))
+    val m = raw.localCheckpoint()
+    // the checkpoint above consumed the peel's per-round blocks
+    graft.plans.Supersteps.release(raw)
     val edges = packedEdges(g, edgeLabels, undirected = false).distinct()
     edges
       .join(m.select(col("_v").as("_mv1"), col("_scc").as("_sc")),
@@ -728,8 +773,13 @@ object Iterative {
     * `(scc_label, scc_id, layer)` for every component, including
     * isolated ones (layer 0). */
   def condensationLayers(g: PropertyGraph, edgeLabels: Set[String] = Set.empty,
-      maxOuter: Int = 20, maxIter: Int = 60, maxDepth: Int = 40): DataFrame = {
-    val m = sccAssignments(g, edgeLabels, maxOuter, maxIter).localCheckpoint()
+      maxOuter: Int = 20, maxIter: Int = 60, maxDepth: Int = 40,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    val raw = assignments
+      .getOrElse(sccAssignments(g, edgeLabels, maxOuter, maxIter))
+    val m = raw.localCheckpoint()
+    // the checkpoint above consumed the peel's per-round blocks
+    graft.plans.Supersteps.release(raw)
     val edges = packedEdges(g, edgeLabels, undirected = false).distinct()
     val ce = edges
       .join(m.select(col("_v").as("_mv1"), col("_scc").as("_cs")),
@@ -753,11 +803,15 @@ object Iterative {
         .select(col("_c"), col("_l1").as("_lvl"),
           (col("_l1") > col("_old")).as("_chg"))
         .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
-      val next = graft.plans.Supersteps.cut(stepped)
+      // Releasing round 1's superseded state also frees `m`: the seed
+      // layer frame is lazy over the SCC-assignment checkpoint, whose
+      // last consumer is that round-1 evaluation.
+      val next = graft.plans.Supersteps.cut(stepped, superseded = Seq(layers))
       done = obs.get("changed").asInstanceOf[Long] == 0L
       layers = next.drop("_chg")
       iter += 1
     }
+    graft.plans.Supersteps.release(ce) // loop-only input, now consumed
     require(done,
       s"layer relaxation did not converge in $maxDepth rounds; raise maxDepth " +
         "(DAG deeper than the bound — or the SCC map fed a cycle, which " +
@@ -785,8 +839,13 @@ object Iterative {
     * `(src_scc_label, src_scc_id, dst_scc_label, dst_scc_id)`. */
   def condensationReachability(g: PropertyGraph,
       edgeLabels: Set[String] = Set.empty, maxOuter: Int = 20,
-      maxIter: Int = 60, maxDepth: Int = 40): DataFrame = {
-    val m = sccAssignments(g, edgeLabels, maxOuter, maxIter).localCheckpoint()
+      maxIter: Int = 60, maxDepth: Int = 40,
+      assignments: Option[DataFrame] = None): DataFrame = {
+    val raw = assignments
+      .getOrElse(sccAssignments(g, edgeLabels, maxOuter, maxIter))
+    val m = raw.localCheckpoint()
+    // the checkpoint above consumed the peel's per-round blocks
+    graft.plans.Supersteps.release(raw)
     val edges = packedEdges(g, edgeLabels, undirected = false).distinct()
     val ce = edges
       .join(m.select(col("_v").as("_mv1"), col("_scc").as("_cs")),
@@ -795,6 +854,8 @@ object Iterative {
         col("_mv2") === col("_d"))
       .where(col("_cs") =!= col("_cd"))
       .select(col("_cs"), col("_cd")).distinct().localCheckpoint()
+    // the SCC map's last consumer is ce's eager checkpoint above
+    graft.plans.Supersteps.release(m)
     var all = graft.plans.Supersteps.cut(ce)
     var delta = all
     var iter = 0
@@ -810,11 +871,20 @@ object Iterative {
           .observe(obs, count(lit(1)).as("fresh")))
       done = obs.get("fresh").asInstanceOf[Long] == 0L
       if (!done) {
-        all = graft.plans.Supersteps.cut(all.unionByName(fresh))
+        // Supersede the pre-union closure and the CONSUMED delta (the
+        // prior round's fresh set; round 0 aliases `all`, release once).
+        val stale =
+          if (delta eq all) Seq(all) else Seq(all, delta)
+        all = graft.plans.Supersteps.cut(all.unionByName(fresh),
+          superseded = stale)
         delta = fresh
+      } else {
+        graft.plans.Supersteps.release(fresh) // empty terminal delta
+        if (!(delta eq all)) graft.plans.Supersteps.release(delta)
       }
       iter += 1
     }
+    graft.plans.Supersteps.release(ce) // loop-only input, now consumed
     require(done,
       s"reachability closure did not converge in $maxDepth rounds; raise " +
         "maxDepth (DAG longest path exceeds the bound)")

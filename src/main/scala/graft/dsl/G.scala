@@ -329,14 +329,24 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
         next.df.select(col(GC.Id), col(GC.Label))
           .dropDuplicates(GC.Id, GC.Label)
           .join(visited, Seq(GC.Id, GC.Label), "left_anti"))
-      if (fresh.isEmpty) done = true
-      else {
-        visited = graft.plans.Supersteps.cut(visited.unionByName(fresh))
+      if (fresh.isEmpty) {
+        done = true
+        graft.plans.Supersteps.release(fresh) // empty terminal frontier
+      } else {
+        val prevVisited = visited
+        val prevFrontier = frontier.df
+        visited = graft.plans.Supersteps.cut(visited.unionByName(fresh),
+          // the pre-union set and the hopped-from frontier (the prior
+          // round's fresh set) are both dead once the union cut lands;
+          // round 1's frontier IS the initial visited — release once
+          superseded = Seq(prevVisited) ++
+            (if (prevFrontier eq prevVisited) Nil else Seq(prevFrontier)))
         seenLabels ++= next.labels
         frontier = next.copy(df = fresh)
         iter += 1
       }
     }
+    if (!(frontier.df eq visited)) graft.plans.Supersteps.release(frontier.df)
     copy(df = visited, labels = seenLabels.toSeq.sorted)
   }
 
@@ -1212,6 +1222,7 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
     val narrow = Seq(col(GC.Label), col(GC.Id), col(src), col(PathCol))
     var frontier = copy(df = seed)
     var visited = seed.select(col(src), col(GC.Label), col(GC.Id))
+    val initVisited = visited
     val levels = Seq.newBuilder[DataFrame]
     levels += seed.withColumn(Step.DepthCol, lit(0))
     var d = 1
@@ -1234,14 +1245,22 @@ final case class Step(graph: PropertyGraph, df: DataFrame, labels: Seq[String],
       val ck = graft.plans.Supersteps.cut(fresh)
       drained = ck.isEmpty
       if (!drained) {
+        val prevVisited = visited
         visited = graft.plans.Supersteps.cut(visited.unionByName(
           ck.select(col(src), col(GC.Label), col(GC.Id))
-            .dropDuplicates(src, GC.Label, GC.Id)))
+            .dropDuplicates(src, GC.Label, GC.Id)),
+          // the pre-union set is dead once the union cut lands — but
+          // round 1's sits on `seed`, which the level union still needs
+          superseded =
+            if (prevVisited eq initVisited) Nil else Seq(prevVisited))
         levels += ck.withColumn(Step.DepthCol, lit(d))
         frontier = next.copy(df = ck)
         d += 1
-      }
+      } else graft.plans.Supersteps.release(ck) // empty terminal level
     }
+    // the final visited set has no consumer — unless it's still the
+    // seed-backed initial frame, whose blocks the level union reads
+    if (!(visited eq initVisited)) graft.plans.Supersteps.release(visited)
     levels.result().reduce(_.unionByName(_))
       .select(col(src).getField("label").as("src_label"),
         col(src).getField("id").as("src_id"),

@@ -75,57 +75,85 @@ object Bpe {
       .select(col("wid"), col("n"), (col("p0") + 1).as("pos"), col("sym"))
       .localCheckpoint()
     val wWid = Window.partitionBy("wid").orderBy("pos")
-    val wIsl = Window.partitionBy("wid", "g").orderBy("pos")
-    var merges = Seq.empty[DataFrame]
+    // ONE action per round (the round-10 task-7 target; was three jobs:
+    // the argmax checkpoint, its emptiness probe, and the merge cut):
+    //  - adjacent pairs come from a `lead` window, not a positional
+    //    self-join (one shuffle by wid instead of three);
+    //  - the 1-row argmax rides INSIDE the merge-cut plan as a
+    //    broadcast, and its (lhs, rhs, count) is extracted driver-side
+    //    through an `Observation` on that subplan — no separate job;
+    //  - the greedy left-to-right merge is the same gaps-and-islands
+    //    rule expressed in one window pass: within a run of consecutive
+    //    candidate positions, merge exactly the even offsets from the
+    //    run start (== the odd ranks of the old formulation).
+    // The merge table therefore accumulates as DRIVER literals (1 row
+    // per round), and the final e58 plan is a LocalRelation.
+    var merges = Seq.empty[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val pairs = syms.alias("a")
-        .join(syms.alias("b"),
-          col("a.wid") === col("b.wid") && col("b.pos") === col("a.pos") + 1)
-        .select(col("a.wid").as("wid"), col("a.pos").as("pos"),
-          col("a.n").as("n"), col("a.sym").as("lhs"), col("b.sym").as("rhs"))
+      val pairs = syms
+        .withColumn("_nx", lead(col("sym"), 1).over(wWid))
+        .where(col("_nx").isNotNull)
+        .select(col("wid"), col("pos"), col("n"),
+          col("sym").as("lhs"), col("_nx").as("rhs"))
+      val obs = new org.apache.spark.sql.Observation(
+        s"bpe_best_${r}_${obsTag.incrementAndGet()}")
       val best = pairs.groupBy("lhs", "rhs").agg(sum(col("n")).as("pair_count"))
         .where(col("pair_count") >= 2)
         .orderBy(desc("pair_count"), asc("lhs"), asc("rhs")).limit(1)
-        .select(lit(r).as("round"), col("lhs"), col("rhs"),
-          concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
-        .localCheckpoint()
-      if (best.isEmpty) exhausted = true
-      else {
-        merges :+= best
-        // greedy left-to-right: candidate runs -> odd ranks merge
-        val cand = pairs.join(broadcast(best), Seq("lhs", "rhs"))
-          .select(col("wid"), col("pos"))
-        val sel = cand
-          .withColumn("g", col("pos") - row_number().over(wWid))
-          .withColumn("rk", row_number().over(wIsl))
-          .where(col("rk") % 2 === 1)
-          .select(col("wid"), col("pos"))
-        syms = graft.plans.Supersteps.cut(syms.alias("a")
-          .join(sel.alias("s"),
-            col("a.wid") === col("s.wid") && col("a.pos") === col("s.pos"), "left")
-          .join(sel.alias("s2"),
-            col("a.wid") === col("s2.wid") && col("a.pos") === col("s2.pos") + 1, "left")
-          .join(syms.alias("nxt"),
-            col("a.wid") === col("nxt.wid") && col("nxt.pos") === col("a.pos") + 1, "left")
-          .where(col("s2.pos").isNull) // rows merged into their predecessor drop
-          .select(col("a.wid").as("wid"), col("a.n").as("n"),
-            col("a.pos").as("op"),
-            when(col("s.pos").isNotNull, concat(col("a.sym"), col("nxt.sym")))
-              .otherwise(col("a.sym")).as("sym"))
-          .withColumn("pos", row_number().over(
-            Window.partitionBy("wid").orderBy("op")))
-          .select("wid", "n", "pos", "sym"))
+        .select(col("lhs").as("_bl"), col("rhs").as("_br"),
+          col("pair_count").as("_bc"))
+      // empty best -> empty crossJoin -> empty next frame; the observed
+      // rows == 0 routes to the exhausted exit below, which discards it.
+      // The observation sits on the MAIN stream (the crossJoin replicates
+      // the 1-row argmax onto every symbol row), NOT on the broadcast
+      // subplan — metrics inside a broadcast exchange never reach the
+      // observation listener.
+      val merged = syms.crossJoin(broadcast(best))
+        .observe(obs, count(lit(1)).as("rows"), max(col("_bl")).as("lhs"),
+          max(col("_br")).as("rhs"), max(col("_bc")).as("cnt"))
+        .withColumn("_nx", lead(col("sym"), 1).over(wWid))
+        .withColumn("_m", col("sym") === col("_bl") && col("_nx") === col("_br"))
+        .withColumn("_st",
+          col("_m") && !coalesce(lag(col("_m"), 1).over(wWid), lit(false)))
+        .withColumn("_sp",
+          last(when(col("_st"), col("pos")), ignoreNulls = true).over(wWid))
+        .withColumn("_mg",
+          col("_m") && (col("pos") - col("_sp")) % 2 === 0)
+        .withColumn("_dp", coalesce(lag(col("_mg"), 1).over(wWid), lit(false)))
+        .where(!col("_dp"))
+        .select(col("wid"), col("n"), col("pos").as("op"),
+          when(col("_mg"), concat(col("sym"), col("_nx")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("wid").orderBy("op")))
+        .select("wid", "n", "pos", "sym")
+      val next = graft.plans.Supersteps.cut(merged) // the round's ONE action
+      // `get` blocks until the cut's action completes. An EMPTY map is
+      // the exhausted round in disguise: an empty argmax makes AQE
+      // propagate the empty broadcast through the crossJoin and prune
+      // the plan — CollectMetrics included — so no metrics row is ever
+      // produced. A non-empty round always reports (rows >= 1).
+      val m = obs.get
+      if (m.isEmpty || m("rows").asInstanceOf[Long] == 0L) {
+        exhausted = true
+        graft.plans.Supersteps.release(next) // empty — syms stands
+      } else {
+        val (bl, br) = (m("lhs").toString, m("rhs").toString)
+        merges :+= ((r, bl, br, bl + br, m("cnt").asInstanceOf[Long]))
+        // the pre-merge segmentation (incl. the round-1 seed, which is
+        // loop-owned) is dead once the new cut landed
+        graft.plans.Supersteps.release(syms)
+        syms = next
         r += 1
       }
     }
-    val table =
-      if (merges.isEmpty) {
-        import spark.implicits._
-        Seq.empty[(Int, String, String, String, Long)]
-          .toDF("round", "lhs", "rhs", "merged", "pair_count")
-      } else merges.reduce(_.unionByName(_)).orderBy("round")
+    import spark.implicits._
+    val table = merges
+      .toDF("round", "lhs", "rhs", "merged", "pair_count").orderBy("round")
     (table, syms)
   }
+
+  private val obsTag = new java.util.concurrent.atomic.AtomicLong()
 }

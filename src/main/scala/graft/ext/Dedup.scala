@@ -345,11 +345,13 @@ object Dedup {
         .observe(obs, sum(when(col("_chg"), 1L).otherwise(0L)).as("changed"))
         // the round's ONE action; fires the observation. Loop-carried:
         // cut STATS too, or they compound per round (Supersteps scaladoc)
-      val next = graft.plans.Supersteps.cut(updated)
+      val next = graft.plans.Supersteps.cut(updated,
+        superseded = Seq(labels)) // seed is loop-owned — releasable
       done = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.drop("_chg")
       iter += 1
     }
+    graft.plans.Supersteps.release(edges) // loop-only input, now consumed
     labels.withColumnRenamed("lbl", "keep_id")
   }
 

@@ -175,7 +175,9 @@ object Unigram {
       .select(col("w").substr(col("_i"), lit(1)).as("s"))
       .distinct().localCheckpoint()
     var vocab = seedVocab(words)
+    val init = vocab // sits on the caller's words frame — never release
     for (_ <- 1 to rounds) {
+      val prevVocab = vocab
       // alias the segment side: its `w` attribute IS words' (the DP
       // starts from the words frame), so a bare-name join would be an
       // ambiguous self-join
@@ -186,8 +188,10 @@ object Unigram {
       // single-char fallback stays alive at count >= 1
       vocab = graft.plans.Supersteps.cut(
         usage.join(chars, Seq("s"), "full")
-          .select(col("s"), coalesce(col("cnt"), lit(1L)).as("cnt")))
+          .select(col("s"), coalesce(col("cnt"), lit(1L)).as("cnt")),
+        superseded = if (prevVocab eq init) Nil else Seq(prevVocab))
     }
+    graft.plans.Supersteps.release(chars) // loop-only input, now consumed
     vocab
   }
 }

@@ -45,9 +45,23 @@ object Supersteps {
   /** `localCheckpoint` that cuts lineage AND statistics — use for any
     * frame that feeds back into the next round of a loop. Eager: the
     * checkpoint materializes (and fires any attached `Observation`)
-    * before this returns. */
-  def cut(df: DataFrame): DataFrame = {
+    * before this returns.
+    *
+    * `superseded`: prior-round state frames to release once the new
+    * checkpoint is live. A loop only ever needs its LAST state, but
+    * every `localCheckpoint` persists blocks for the session lifetime —
+    * across a long session (the driver's 135-query bench) that is a
+    * memory leak measured in thousands of stranded blocks (round-10
+    * verdict finding #2), and on a real cluster it evicts working
+    * memory. Because the cut is eager, by the time it returns every
+    * partition of the NEW state is materialized and the old blocks have
+    * no remaining consumer — releasing them here is safe even though
+    * localCheckpoint truncates lineage. Callers that genuinely keep all
+    * round states (e.g. GloVe's trainStates history face) simply don't
+    * pass them. */
+  def cut(df: DataFrame, superseded: Seq[DataFrame] = Nil): DataFrame = {
     val ck = df.localCheckpoint()
+    superseded.foreach(release)
     // Zero-copy form: swap the checkpointed leaf for a stats-free twin
     // (same InternalRow RDD, same partitioning). The createDataFrame
     // fallback pays a Row <-> InternalRow conversion per downstream
@@ -57,4 +71,32 @@ object Supersteps {
     org.apache.spark.sql.GraftSqlShims.statsFreeLogicalRddCopy(ck)
       .getOrElse(ck.sparkSession.createDataFrame(ck.rdd, ck.schema))
   }
+
+  /** Release the persisted blocks under every checkpointed leaf of a
+    * [[cut]]/`localCheckpoint` result (or a projection over one). Only
+    * pass frames whose persisted leaves are ALL superseded and fully
+    * consumed — never a frame that still joins a live loop-constant
+    * checkpoint (e.g. the edge set). [[pin]]ned leaves are always
+    * skipped, so a memoized input threaded into a loop state can never
+    * be torn down by the loop's own release. */
+  def release(df: DataFrame): Boolean =
+    org.apache.spark.sql.GraftSqlShims.unpersistLeafRdd(df,
+      skip = isPinned)
+
+  // Session-lifetime memos (e.g. the queries layer's shared SCC
+  // assignments) hold checkpointed frames whose lineage is truncated —
+  // a block-cleanup sweep (Bench/Verify release new blocks after each
+  // query) that unpersisted them would leave LATER consumers nothing to
+  // recompute from. Memo owners pin; sweeps skip pinned ids.
+  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Mark a cut/checkpointed frame's persisted RDD as session-lifetime:
+    * block-cleanup sweeps must not release it. Returns `df`. */
+  def pin(df: DataFrame): DataFrame = {
+    org.apache.spark.sql.GraftSqlShims.leafRddIds(df).foreach(pinned.add(_))
+    df
+  }
+
+  /** Whether an RDD id is exempt from block-cleanup sweeps. */
+  def isPinned(rddId: Int): Boolean = pinned.contains(rddId)
 }

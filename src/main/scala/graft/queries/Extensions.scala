@@ -1108,8 +1108,8 @@ object Extensions {
     * `//` would round toward zero instead), sums cast HUGEINT -> BIGINT
     * before shifting. */
   private def e71OracleSql: String =
-    s"""WITH $e71OracleCtes
-       |SELECT side, t, CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
+    "WITH " + e71OracleCtes + "\n" +
+      s"""SELECT side, t, CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
        |FROM v$E71Rounds ORDER BY side, t, k""".stripMargin
 
   /** e73's generated oracle: the e71 training chain, then the trained
@@ -1118,8 +1118,8 @@ object Extensions {
     * md5-selected query token — the e06 knn replay over LEARNED
     * vectors. */
   private def e73OracleSql: String =
-    s"""WITH $e71OracleCtes,
-       |wv AS MATERIALIZED (
+    "WITH " + e71OracleCtes + ",\n" +
+      s"""wv AS MATERIALIZED (
        |  SELECT t, list_transform(list(v ORDER BY k),
        |           x -> CAST(x AS DOUBLE) / ${1L << Glove.Shift}.0) AS vec
        |  FROM v$E71Rounds WHERE side = 'w' GROUP BY t),
@@ -1177,8 +1177,8 @@ object Extensions {
        |vocab AS (SELECT i AS t FROM pairs UNION SELECT j FROM pairs),
        |v0 AS MATERIALIZED (
        |  SELECT side, t, k,
-       |    ((CAST(('0x' || substr(md5(side || ':' || t || ':'
-       |        || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8191) - 4095)
+       |    ((CAST(('0x' || substr(md5(side || ':' || t || ':' ||
+       |        CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 8191) - 4095)
        |      * 16 AS v
        |  FROM vocab,
        |       UNNEST(generate_series(0, ${E71Dims - 1})) dk(k),
@@ -1187,8 +1187,8 @@ object Extensions {
   }
 
   private def e61OracleSql: String =
-    s"""WITH $e61Ctes
-       |SELECT sc.doc_id, CAST(sc.margin AS BIGINT) AS margin,
+    "WITH " + e61Ctes + "\n" +
+      s"""SELECT sc.doc_id, CAST(sc.margin AS BIGINT) AS margin,
        |  CASE WHEN sc.margin > 0 THEN 1 ELSE -1 END AS pred, y.y AS label
        |FROM sc JOIN y USING (doc_id) ORDER BY sc.doc_id""".stripMargin
 
@@ -1196,8 +1196,8 @@ object Extensions {
     * list — confusion counts per threshold. */
   private def e66OracleSql: String = {
     val ts = E66Thresholds.mkString(", ")
-    s"""WITH $e61Ctes,
-       |th AS (SELECT unnest([$ts]) AS threshold)
+    "WITH " + e61Ctes + ",\n" +
+      s"""th AS (SELECT unnest([$ts]) AS threshold)
        |SELECT th.threshold,
        |  CAST(sum(CASE WHEN sc.margin >= th.threshold AND y.y = 1
        |        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -1289,8 +1289,8 @@ object Extensions {
   }
 
   private def e63OracleSql: String =
-    s"""WITH ${unigramCtes(2)}
-       |SELECT s, CAST(cnt AS BIGINT) AS cnt FROM v3
+    "WITH " + unigramCtes(2) + "\n" +
+      s"""SELECT s, CAST(cnt AS BIGINT) AS cnt FROM v3
        |ORDER BY cnt DESC, s LIMIT 200""".stripMargin
 
   /** e64's oracle: a THIRD unrolled segmentation round under the
@@ -1298,8 +1298,8 @@ object Extensions {
     * tokenization — then per-word piece counts joined back onto the
     * per-document word stream. */
   private def e64OracleSql: String =
-    s"""WITH ${unigramCtes(3)},
-       |pw AS MATERIALIZED (SELECT w, count(*) AS n_pieces
+    "WITH " + unigramCtes(3) + ",\n" +
+      s"""pw AS MATERIALIZED (SELECT w, count(*) AS n_pieces
        |  FROM em3 GROUP BY w),
        |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
        |       FROM documents)
@@ -2202,22 +2202,23 @@ object Extensions {
       val union = (1 to 8)
         .map(r => s"SELECT $r AS round, lhs, rhs, c FROM best$r")
         .mkString("\n  UNION ALL ")
-      s"""WITH $bpeChainCtes
-         |SELECT round, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM (
+      "WITH " + bpeChainCtes + "\n" +
+        s"""SELECT round, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM (
          |  $union)
          |ORDER BY round""".stripMargin
     },
 
-    "e59_bpe_tokenize" ->
+    "e59_bpe_tokenize" -> {
       // the e58 chain's FINAL segmentation (w8) tokenizes the corpus by
       // dictionary join: tokens-per-word = the word's symbol count.
-      s"""WITH $bpeChainCtes,
-         |wl AS (SELECT wid, count(*) AS t FROM w8 GROUP BY wid),
+      "WITH " + bpeChainCtes + ",\n" +
+        s"""wl AS (SELECT wid, count(*) AS t FROM w8 GROUP BY wid),
          |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          |SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_bpe_tokens
          |FROM dw JOIN wl ON wl.wid = dw.w
          |WHERE dw.w <> ''
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive

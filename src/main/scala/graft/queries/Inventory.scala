@@ -940,6 +940,26 @@ object Inventory {
       Gp.edgeFrames.updated(spec, thinned))
   }
 
+  /** The SHARED SCC peel of the thinned KNOWS graph, computed once per
+    * (session, fixture) and threaded into q59/q60/q61 (round-10 verdict
+    * task 5): the peel is deterministic for a given (graph, edgeLabels),
+    * costs ~40 serial driver actions, and re-running it inside each
+    * condensation consumer tripled the family's serial floor. The memo
+    * holds a [[graft.plans.Supersteps.pin]]ned checkpoint so the
+    * Bench/Verify block sweeps (and the consumers' own releases) can
+    * never tear it down mid-session. q54 does NOT use the memo — it IS
+    * the peel measurement, and memoizing it would benchmark a cache. */
+  private val sccMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def thinnedSccAssignments(s: SparkSession, dir: String): DataFrame =
+    sccMemo.computeIfAbsent((System.identityHashCode(s), dir), { _ =>
+      val raw = graft.analytics.Iterative
+        .sccAssignments(snbThinnedKnows(s, dir), Set("KNOWS"))
+      val ck = graft.plans.Supersteps.pin(raw.localCheckpoint())
+      graft.plans.Supersteps.release(raw) // peel blocks now consumed
+      ck
+    })
+
   /** Q54: strongly connected components of the thinned directed KNOWS
     * graph ([[graft.analytics.Iterative.stronglyConnectedComponents]])
     * — min-label forward/backward peeling; the oracle derives each
@@ -1015,7 +1035,8 @@ object Inventory {
     * endpoints through the q54 mutual-reachability SCC ids. */
   def q59_snb_condensation(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Iterative
-      .condensation(snbThinnedKnows(s, dir), edgeLabels = Set("KNOWS"))
+      .condensation(snbThinnedKnows(s, dir), edgeLabels = Set("KNOWS"),
+        assignments = Some(thinnedSccAssignments(s, dir)))
       .select(col("src_scc_id"), col("dst_scc_id"))
       .orderBy("src_scc_id", "dst_scc_id")
 
@@ -1027,7 +1048,8 @@ object Inventory {
     * component DAG. */
   def q60_snb_layers(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Iterative
-      .condensationLayers(snbThinnedKnows(s, dir), edgeLabels = Set("KNOWS"))
+      .condensationLayers(snbThinnedKnows(s, dir), edgeLabels = Set("KNOWS"),
+        assignments = Some(thinnedSccAssignments(s, dir)))
       .select(col("scc_id"), col("layer"))
       .orderBy("scc_id")
 
@@ -1038,7 +1060,9 @@ object Inventory {
     * same component DAG. */
   def q61_snb_reachability(s: SparkSession, dir: String): DataFrame =
     graft.analytics.Iterative
-      .condensationReachability(snbThinnedKnows(s, dir), edgeLabels = Set("KNOWS"))
+      .condensationReachability(snbThinnedKnows(s, dir),
+        edgeLabels = Set("KNOWS"),
+        assignments = Some(thinnedSccAssignments(s, dir)))
       .select(col("src_scc_id"), col("dst_scc_id"))
       .orderBy("src_scc_id", "dst_scc_id")
 

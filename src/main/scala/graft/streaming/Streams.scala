@@ -557,7 +557,14 @@ object Streams {
     * ([[graft.analytics.Iterative.incrementalComponents]]) is the
     * oracle-checked form (q49), and StreamsSpec proves the streaming
     * fold lands on the same fixpoint. */
-  final class ComponentsMaintainer(vertices: DataFrame) {
+  /** @param releaseSuperseded release the previous state's blocks after
+    *   each fold (default). On an unbounded stream the superseded
+    *   checkpoints are otherwise a leak proportional to trigger count.
+    *   A reader holding a LAZY frame derived from [[state]] across a
+    *   trigger boundary must either materialize it before the next
+    *   batch lands or construct the maintainer with `false`. */
+  final class ComponentsMaintainer(vertices: DataFrame,
+      releaseSuperseded: Boolean = true) {
     @volatile private var st: DataFrame = vertices
       .select(col(vertices.columns.head).cast("bigint").as("_v"))
       .dropDuplicates("_v")
@@ -571,9 +578,11 @@ object Streams {
     def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
         val cols = batch.columns
-        st = graft.analytics.Iterative.mergeComponentsBatch(st,
+        val prev = st
+        st = graft.analytics.Iterative.mergeComponentsBatch(prev,
           batch.select(col(cols(0)).cast("bigint").as("_s"),
             col(cols(1)).cast("bigint").as("_d")))
+        if (releaseSuperseded) graft.plans.Supersteps.release(prev)
       }
   }
 

@@ -53,6 +53,38 @@ object GraftSqlShims {
     }
   }
 
+  /** Unpersist EVERY persisted `LogicalRDD` leaf under the frame's
+    * analyzed plan (a `localCheckpoint`/[[statsFreeLogicalRddCopy]]
+    * result, or a projection/filter over one — loop states are often
+    * `cutResult.drop(...)`). Returns true when at least one leaf was
+    * released. Safe ONLY when (a) every consumer of those blocks has
+    * materialized — localCheckpoint truncates lineage, so a recompute
+    * after release has nothing to rebuild from — and (b) every
+    * persisted leaf under the plan is genuinely superseded: do NOT
+    * pass a frame that joins a still-needed checkpoint (e.g. the
+    * loop-constant edge set) into the state. */
+  def unpersistLeafRdd(df: Dataset[Row], blocking: Boolean = false,
+      skip: Int => Boolean = _ => false): Boolean = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val released = cds.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if !skip(lr.rdd.id) &&
+            lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        lr.rdd.unpersist(blocking)
+    }
+    released.nonEmpty
+  }
+
+  /** The ids of every `LogicalRDD` leaf RDD under the frame's analyzed
+    * plan (what localCheckpoint + [[statsFreeLogicalRddCopy]] produce,
+    * possibly under projections). */
+  def leafRddIds(df: Dataset[Row]): Seq[Int] = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    cds.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+  }
+
   /** Register a native expression in the session's FunctionRegistry so
     * it is callable from SQL text (runtime twin of the
     * `spark.sql.extensions` injection path). */
