@@ -68,7 +68,11 @@ object Bench {
     // stay flat (round-count floor). e24 is NOT here: it reads the
     // deliberately-unreplicated events table (its declared scale path
     // is the Sketches.valueQuantilesApprox twin, not the exact buffer)
-    "e58_bpe_train", "e59_bpe_tokenize")
+    "e58_bpe_train", "e59_bpe_tokenize",
+    // e71/e73: the GloVe training chain and its knn consumer — the 8x
+    // curve splits their serial-round floor from the data term
+    // (token-keyed joins must track the co-occurrence volume)
+    "e71_glove_train", "e73_glove_knn")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via
@@ -110,7 +114,9 @@ object Bench {
       // sub-linear (the q54 lens extended to the component DAG; q60's
       // rounds are bounded by DAG depth, which contiguous replicas
       // keep flat)
-      "q59_snb_condensation", "q60_snb_layers")
+      // q61 completes the condensation family: the semi-naive closure's
+      // per-round work must track the growth frontier, not the known set
+      "q59_snb_condensation", "q60_snb_layers", "q61_snb_reachability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,6 +129,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The per-round state releases (Supersteps.cut superseded /
+    // the per-query sweep below) unpersist locally-checkpointed RDDs —
+    // Spark warns once per block that the truncated lineage cannot
+    // recompute, which is exactly the intended contract (the new state
+    // is already materialized). Thousands of those lines would bury
+    // the bench tail the driver captures, so the RDD logger goes to
+    // ERROR for this main only; the library never touches log config.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     // Warm-up: a tiny end-to-end job (scan + shuffle) before any timing.
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // see Bench: the intended checkpoint releases would otherwise emit
+    // one lineage-truncation WARN per block into the driver's log tail
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Declare the fixture RI contracts up front so every query is
     // planned under IDENTICAL optimizer state (q01 would otherwise
     // install them mid-session, making later plans order-dependent).

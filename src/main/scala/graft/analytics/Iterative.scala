@@ -465,12 +465,21 @@ object Iterative {
     * so the result is IDENTICAL under any partitioning, shuffle order,
     * or engine (the e25 rational-score discipline applied to power
     * iteration). The quantization error vs float PageRank is bounded by
-    * iters * maxDeg / scale — at scale = 1e12, noise in the 9th decimal,
-    * while the plan shape (pre-degreed edge join + sum per target per
-    * round) is [[pageRank]]'s exactly. Overflow headroom: total mass
-    * <= n * scale, so n * scale * 85 must stay under 2^63 — holds to
-    * ~10^5 vertices at 1e12 and the default is asserted. Output:
-    * `(label, _vid, rank_fp)` with rank_fp the scaled long. */
+    * iters * maxDeg / workScale, while the plan shape (pre-degreed edge
+    * join + sum per target per round) is [[pageRank]]'s exactly.
+    *
+    * Overflow headroom is ADAPTIVE: total mass <= n * scale, and the
+    * round-1 worst case n * scale * 85 must stay under 2^63, so the
+    * WORKING scale shrinks by powers of 10 until it fits — a
+    * deterministic function of the graph size. At the 1e12 default that
+    * means graphs up to ~10^5 vertices run at the requested scale and
+    * a 10^6-vertex graph drops to 1e11 (one decimal of precision per
+    * 10x vertices, noise moving from the 9th decimal toward the 8th).
+    * The unit of `rank_fp` therefore VARIES with graph size: compare
+    * ranks only within one run, or normalize by the scale. A shrink is
+    * logged and recorded on the graph as the `graft.pagerank.work_scale`
+    * variable so the choice is visible in the output's provenance.
+    * Output: `(label, _vid, rank_fp)` with rank_fp the scaled long. */
   def pageRankFixedPoint(g: PropertyGraph, iters: Int = 10,
       edgeLabels: Set[String] = Set.empty,
       scale: Long = 1000000000000L): DataFrame = {
@@ -496,6 +505,14 @@ object Iterative {
       workScale /= 10
     require(workScale > 0,
       s"fixed-point overflow: n=$nVerts leaves no usable scale")
+    if (workScale != scale) {
+      // rank_fp's unit just changed — say so (advisor, round 10), and
+      // record it on the graph so downstream readers can normalize
+      System.err.println(s"[graft] pageRankFixedPoint: n=$nVerts shrinks " +
+        s"the working scale $scale -> $workScale; rank_fp is in units " +
+        s"of 1/$workScale")
+      g.variables.set("graft.pagerank.work_scale", workScale.toString)
+    }
     var ranks = verts.withColumn("_r", lit(workScale))
     val init = ranks // round-1 state sits on `verts` — never release it
     for (_ <- 1 to iters) {
@@ -683,10 +700,21 @@ object Iterative {
     var outer = 0
     while (nActive > 0 && outer < maxOuter) {
       val init = active.select(col("_v"), col("_v").as("_lbl"))
-      val fwd = minLabelLoop(edges, init, maxIter)
+      // The forward and backward fixpoints are INDEPENDENT — both read
+      // only the `edges` and `init` checkpoints — so they run on two
+      // driver threads and their serial round-chains overlap: each
+      // outer round's wall clock is max(fwd, bwd) instead of the sum.
+      // (Spark schedules jobs from concurrent threads fine; results
+      // are exact integer fixpoints, identical under any scheduling.
+      // The q54-family cost is almost entirely this serial action
+      // floor, so the overlap is worth a ~2x on the whole peel.)
+      val fwdF = scala.concurrent.Future(minLabelLoop(edges, init, maxIter))(
+        scala.concurrent.ExecutionContext.global)
       val bwd = minLabelLoop(
         edges.select(col("_d").as("_s"), col("_s").as("_d")), init, maxIter)
         .select(col("_v").as("_bv"), col("_lbl").as("_bl"))
+      val fwd = scala.concurrent.Await.result(fwdF,
+        scala.concurrent.duration.Duration.Inf)
       val sccRound = fwd.join(bwd, col("_v") === col("_bv"))
         .where(col("_lbl") === col("_bl"))
         .select(col("_v"), col("_lbl").as("_scc"))

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** In-engine WORD-VECTOR TRAINING over the co-occurrence statistics the
@@ -33,14 +33,40 @@ import org.apache.spark.sql.functions._
   * (one action per round, linear lineage). Nothing in the loop sorts
   * globally or broadcasts model state.
   *
-  * Overflow bound: `|v| < 2^24` (asserted by the GloveSpec law on the
-  * fixture) keeps the per-pair product under 2^48 and a 2^14-degree
-  * context sum under 2^62.
+  * Overflow safety is ENFORCED, not hoped for (the round-11 8x tier
+  * caught the hoped-for version overflowing: a high-degree token's
+  * residual grew round over round until `e * c` left the long range):
+  * residuals clamp to ±2^26 ([[EClamp]]), state values clamp to
+  * ±(2^24-1) ([[VCap]]) on every update, gradient sums accumulate in
+  * DECIMAL(38,0) (per-product <= 2^50 fits a long; the DEGREE-sized
+  * sum does not have to), and the summed gradient clamps to ±2^51
+  * ([[GClamp]]) before the long cast + shift. Every clamp is a
+  * deterministic greatest/least the oracle replays verbatim
+  * (GREATEST/LEAST over DuckDB's HUGEINT sum), so bit-exactness is
+  * unchanged — and at fixture scale none of the clamps bind, so
+  * fixture results are identical to the unclamped arithmetic. A
+  * clamped run is saturation, not divergence: rails at the value cap
+  * mean the learning rate is too high for the degree distribution —
+  * production would subsample/cap frequent tokens upstream (standard
+  * word2vec practice), which also bounds the degree term.
   */
 object Glove {
 
   /** Fixed-point scale exponent: values are longs at scale 2^20. */
   val Shift = 20
+
+  /** Residual clamp: ±2^26 (healthy residuals sit near the ~2^24-scale
+    * targets, so this only binds on divergence). */
+  val EClamp = 1L << 26
+
+  /** State value cap: ±(2^24 - 1) — the documented bound, enforced.
+    * Keeps every dot/gradient per-product under 2^50. */
+  val VCap = (1L << 24) - 1
+
+  /** Summed-gradient clamp before the long cast: any |g| >= 2^51 rails
+    * the update far past [[VCap]] anyway, so clamping first loses
+    * nothing and makes the decimal -> long cast safe. */
+  val GClamp = 1L << 51
 
   /** Targets from a [[Text.cooccurrence]] frame: `(i, j, tgt)` with
     * `tgt = (floor(log2(weight_fp)) - Shift) << Shift` — the
@@ -76,7 +102,8 @@ object Glove {
       .groupBy("i", "j", "tgt")
       .agg(sum(col("_wv") * col("_cv")).as("_dot"))
       .select(col("i"), col("j"),
-        (shiftright(col("_dot"), Shift) - col("tgt")).as("e"))
+        greatest(least(shiftright(col("_dot"), Shift) - col("tgt"),
+          lit(EClamp)), lit(-EClamp)).as("e"))
   }
 
   /** Every state of a training run: element r is the state after r
@@ -100,19 +127,26 @@ object Glove {
         .select(col("t").as("i"), col("k"), col("v").as("_wv"))
       val cv = state.where(col("side") === "c")
         .select(col("t").as("j"), col("k"), col("v").as("_cv"))
+      // per-product <= 2^50 (clamped e x capped v) fits a long; the
+      // DEGREE-sized sum accumulates in DECIMAL(38,0), then clamps to
+      // ±GClamp for a safe long cast (scaladoc overflow contract)
+      def gsum(other: Column) = sum((col("e") * other).cast("decimal(38,0)"))
       val gw = err.join(cv, Seq("j"))
         .groupBy(col("i"), col("k"))
-        .agg(sum(col("e") * col("_cv")).as("_g"))
+        .agg(gsum(col("_cv")).as("_g"))
         .select(lit("w").as("side"), col("i").as("t"), col("k"), col("_g"))
       val gc = err.join(wv, Seq("i"))
         .groupBy(col("j"), col("k"))
-        .agg(sum(col("e") * col("_wv")).as("_g"))
+        .agg(gsum(col("_wv")).as("_g"))
         .select(lit("c").as("side"), col("j").as("t"), col("k"), col("_g"))
+      val step = shiftright(
+        greatest(least(coalesce(col("_g"), lit(0L)), lit(GClamp)),
+          lit(-GClamp)).cast("long"),
+        Shift + etaShift)
       state = graft.plans.Supersteps.cut(
         state.join(gw.unionByName(gc), Seq("side", "t", "k"), "left")
           .select(col("side"), col("t"), col("k"),
-            (col("v") - shiftright(coalesce(col("_g"), lit(0L)),
-              Shift + etaShift)).as("v")))
+            greatest(least(col("v") - step, lit(VCap)), lit(-VCap)).as("v")))
       out += state
     }
     out.result()

@@ -153,6 +153,23 @@ object Sampling {
     }
     if (cutoff == Long.MinValue) df // the whole corpus fits
     else {
+      // Runtime guard on the ~1/1000 boundary-bucket bound (advisor,
+      // round 10): the top-up window below is partitioned by bucket,
+      // but the filtered frame holds exactly ONE bucket — a single
+      // sorted task sized by that bucket. The histogram is already on
+      // the driver, so the check is free: a boundary bucket carrying
+      // more than 5% of the corpus mass means the quality score is
+      // quantizing too coarsely (many ties at the cutoff) and the
+      // one-task sort will dominate — warn with the numbers rather
+      // than silently eating the skew.
+      val total = hist.map(_._2).sum
+      val boundaryMass = hist.collectFirst { case (b, m) if b == cutoff => m }
+        .getOrElse(0L)
+      if (total > 0 && boundaryMass * 20 > total)
+        System.err.println(s"[graft] budgetSelect: boundary bucket " +
+          s"$cutoff holds $boundaryMass of $total tokens " +
+          f"(${boundaryMass * 100.0 / total}%.1f%%) — the top-up sort " +
+          "runs as one task; use a finer quality score to spread it")
       val keepWhole = df.where(bucket > cutoff)
       // Partitioned on the bucket expression: within the filtered frame
       // the bucket is the single boundary value, so execution is the

@@ -46,6 +46,12 @@ final class PropertyGraph(
   def vertexLabels: Seq[String] = vertexFrames.keys.toSeq.sorted
   def edgeSpecs: Seq[EdgeSpec] = edgeFrames.keys.toSeq.sortBy(s => (s.label, s.srcLabel, s.dstLabel))
 
+  /** TinkerPop-style capability matrix (`Graph.features()` — the
+    * reference declares its own at TorcGraph.java:1818-2215). Constant
+    * across instances; see [[Features]] for where the engine's flags
+    * deliberately differ from the reference's. */
+  def features: Features.GraftFeatures = Features.matrix
+
   /** All vertices of a label (scan). */
   def vertices(label: String): DataFrame = vertexFrames(label)
 

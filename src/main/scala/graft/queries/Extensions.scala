@@ -1141,22 +1141,33 @@ object Extensions {
     val upd = sh + E71EtaShift
     val rounds = (1 to E71Rounds).map { r =>
       val p = r - 1
+      // clamps mirror Glove's enforced overflow contract (EClamp /
+      // GClamp / VCap); DuckDB's sum(BIGINT) is HUGEINT, so the only
+      // BIGINT-ranged terms are the clamped products themselves
       s"""e$r AS MATERIALIZED (
-         |  SELECT p.i, p.j, (CAST(sum(wv.v * cv.v) AS BIGINT) >> $sh) - p.tgt AS e
+         |  SELECT p.i, p.j,
+         |    GREATEST(LEAST((CAST(sum(wv.v * cv.v) AS BIGINT) >> $sh) - p.tgt,
+         |      ${Glove.EClamp}), -${Glove.EClamp}) AS e
          |  FROM pairs p
          |  JOIN v$p wv ON wv.side = 'w' AND wv.t = p.i
          |  JOIN v$p cv ON cv.side = 'c' AND cv.t = p.j AND cv.k = wv.k
          |  GROUP BY p.i, p.j, p.tgt),
          |g$r AS MATERIALIZED (
-         |  SELECT 'w' AS side, e.i AS t, c.k, CAST(sum(e.e * c.v) AS BIGINT) AS g
+         |  SELECT 'w' AS side, e.i AS t, c.k,
+         |    CAST(GREATEST(LEAST(sum(e.e * c.v), ${Glove.GClamp}),
+         |      -${Glove.GClamp}) AS BIGINT) AS g
          |  FROM e$r e JOIN v$p c ON c.side = 'c' AND c.t = e.j
          |  GROUP BY e.i, c.k
          |  UNION ALL
-         |  SELECT 'c', e.j, w.k, CAST(sum(e.e * w.v) AS BIGINT)
+         |  SELECT 'c', e.j, w.k,
+         |    CAST(GREATEST(LEAST(sum(e.e * w.v), ${Glove.GClamp}),
+         |      -${Glove.GClamp}) AS BIGINT)
          |  FROM e$r e JOIN v$p w ON w.side = 'w' AND w.t = e.i
          |  GROUP BY e.j, w.k),
          |v$r AS MATERIALIZED (
-         |  SELECT s.side, s.t, s.k, s.v - (coalesce(g.g, 0) >> $upd) AS v
+         |  SELECT s.side, s.t, s.k,
+         |    GREATEST(LEAST(s.v - (coalesce(g.g, 0) >> $upd), ${Glove.VCap}),
+         |      -${Glove.VCap}) AS v
          |  FROM v$p s LEFT JOIN g$r g
          |    ON g.side = s.side AND g.t = s.t AND g.k = s.k)""".stripMargin
     }.mkString(",\n")

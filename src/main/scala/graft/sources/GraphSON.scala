@@ -51,8 +51,14 @@ object GraphSON {
     case DoubleType => struct(lit("g:Double").as("@type"), c.as("@value"))
     case FloatType => struct(lit("g:Float").as("@type"),
       c.cast("double").as("@value"))
+    // UTC-normalized: date_format renders in the SESSION timezone, so a
+    // bare 'Z' literal would label local wall-clock digits as UTC for
+    // any non-UTC session (advisor, round 10). to_utc_timestamp shifts
+    // by -offset(sessionTZ) and date_format adds it back — net true-UTC
+    // text regardless of spark.sql.session.timeZone.
     case TimestampType => struct(lit("gx:Instant").as("@type"),
-      date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("@value"))
+      date_format(to_utc_timestamp(c, expr("current_timezone()")),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("@value"))
     case TimestampNTZType => struct(lit("gx:LocalDateTime").as("@type"),
       date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("@value"))
     case DateType => struct(lit("gx:LocalDate").as("@type"),
@@ -76,7 +82,11 @@ object GraphSON {
           case Some("g:Double") => v.cast("double")
           case Some("g:Float") => v.cast("float")
           case Some("gx:Instant") =>
-            to_timestamp(v, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+            // inverse of the writer's UTC normalization: to_timestamp
+            // parses in the session timezone, so shift back
+            from_utc_timestamp(
+              to_timestamp(v, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+              expr("current_timezone()"))
           case Some("gx:LocalDateTime") =>
             to_timestamp_ntz(v, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
           case Some("gx:LocalDate") => to_date(v, "yyyy-MM-dd")
@@ -170,10 +180,226 @@ object GraphSON {
     lineFrames.reduce(_.unionByName(_))
       .write.mode("overwrite").text(s"$path/graphson")
     GraphLoader.writeVariables(g, path)
+    writeManifest(g, path)
   }
 
-  /** Re-open a graph written by [[persistGraphSON]]. */
-  def openGraphSON(spark: SparkSession, path: String): PropertyGraph = {
+  /** Structure manifest rides next to the lines: the writer's
+    * label -> id map, the FULL vertex-label / edge-spec sets, and every
+    * property's exact Spark type. Without it the reader must infer all
+    * of that from lines it happens to observe — and a vertex label with
+    * ZERO rows emits no lines, shifting every higher-sorted label's
+    * re-derived id (wrong decodes / NoSuchElementException), while empty
+    * edge specs and all-null property columns silently vanish (advisor,
+    * round 10 — the documented lossless contract). Foreign GraphSON has
+    * no manifest; [[openGraphSON]] falls back to observation-based
+    * inference for it. */
+  private def writeManifest(g: PropertyGraph, path: String): Unit = {
+    val ids = g.labelIds
+    def esc(s: String) = s.flatMap {
+      case '\t' => "\\t"; case '\n' => "\\n"; case '\\' => "\\\\"
+      case c => c.toString
+    }
+    val rows = Seq.newBuilder[String]
+    g.vertexLabels.foreach { l =>
+      rows += s"VL\t${esc(l)}\t${ids(l)}"
+      g.vertexFrames(l).schema.fields.filter(_.name != GC.Id).sortBy(_.name)
+        .foreach(f => rows += s"VP\t${esc(l)}\t${esc(f.name)}\t${f.dataType.catalogString}")
+    }
+    g.edgeSpecs.foreach { s =>
+      rows += s"ES\t${esc(s.label)}\t${esc(s.srcLabel)}\t${esc(s.dstLabel)}"
+      g.edgeFrames(s).schema.fields
+        .filterNot(f => f.name == GC.Src || f.name == GC.Dst).sortBy(_.name)
+        .foreach(f => rows +=
+          s"EP\t${esc(s.label)}\t${esc(s.srcLabel)}\t${esc(s.dstLabel)}\t${esc(f.name)}\t${f.dataType.catalogString}")
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), g.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_graphson_manifest.tsv"), true)
+    out.write(rows.result().mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private case class Manifest(
+      vertexIds: Seq[(String, Long)],
+      vertexProps: Map[String, Seq[(String, DataType)]],
+      edgeSpecs: Seq[EdgeSpec],
+      edgeProps: Map[EdgeSpec, Seq[(String, DataType)]])
+
+  private def readManifest(spark: SparkSession, path: String): Option[Manifest] = {
+    def unesc(s: String) = {
+      val b = new StringBuilder; var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 't' => b += '\t'; case 'n' => b += '\n'; case c => b += c
+          }; i += 2
+        } else { b += s(i); i += 1 }
+      }
+      b.result()
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path, "_graphson_manifest.tsv")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    in.close()
+    val vIds = Seq.newBuilder[(String, Long)]
+    val vProps = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[(String, DataType)]].withDefaultValue(Nil)
+    val eSpecs = Seq.newBuilder[EdgeSpec]
+    val eProps = scala.collection.mutable.LinkedHashMap
+      .empty[EdgeSpec, Seq[(String, DataType)]].withDefaultValue(Nil)
+    body.linesIterator.filter(_.nonEmpty).foreach { line =>
+      line.split('\t').toSeq.map(unesc) match {
+        case Seq("VL", l, id) => vIds += l -> id.toLong
+        case Seq("VP", l, n, t) =>
+          vProps(l) = vProps(l) :+ (n -> DataType.fromDDL(t))
+        case Seq("ES", el, sl, dl) => eSpecs += EdgeSpec(el, sl, dl)
+        case Seq("EP", el, sl, dl, n, t) =>
+          val k = EdgeSpec(el, sl, dl)
+          eProps(k) = eProps(k) :+ (n -> DataType.fromDDL(t))
+        case other =>
+          throw new IllegalArgumentException(s"bad manifest row: $other")
+      }
+    }
+    Some(Manifest(vIds.result(), vProps.toMap.withDefaultValue(Nil),
+      eSpecs.result(), eProps.toMap.withDefaultValue(Nil)))
+  }
+
+  /** Type-driven decoder for the manifest path: the target Spark type
+    * alone picks the restoring expression (no @type probe needed). `c`
+    * is the raw inferred column (envelope struct or plain scalar). */
+  private def decodeTyped(c: Column, target: DataType): Column = target match {
+    case LongType => c.getField("@value").cast("long")
+    case IntegerType => c.getField("@value").cast("int")
+    case DoubleType => c.getField("@value").cast("double")
+    case FloatType => c.getField("@value").cast("float")
+    case TimestampType =>
+      from_utc_timestamp(
+        to_timestamp(c.getField("@value"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        expr("current_timezone()"))
+    case TimestampNTZType =>
+      to_timestamp_ntz(c.getField("@value"),
+        lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    case DateType => to_date(c.getField("@value"), "yyyy-MM-dd")
+    case StringType => c.cast("string")
+    case BooleanType => c.cast("boolean")
+    case other =>
+      throw new IllegalArgumentException(
+        s"GraphSON codec does not carry $other columns")
+  }
+
+  /** Re-open a graph written by [[persistGraphSON]] (manifest-guided,
+    * lossless — empty labels, empty specs and all-null property columns
+    * included), or a foreign manifest-less GraphSON file (structure
+    * inferred from the observed lines). */
+  def openGraphSON(spark: SparkSession, path: String): PropertyGraph =
+    readManifest(spark, path) match {
+      case Some(m) => openWithManifest(spark, path, m)
+      case None => openByInference(spark, path)
+    }
+
+  private def openWithManifest(spark: SparkSession, path: String,
+      m: Manifest): PropertyGraph = {
+    import spark.implicits._
+    val lines = spark.read.text(s"$path/graphson")
+      .select(col("value"), get_json_object(col("value"), "$.label").as("_l"))
+    val ids = m.vertexIds.toMap
+    var edgeFrames = Map.empty[EdgeSpec, DataFrame]
+    val vertexFrames = m.vertexIds.map { case (label, lid) =>
+      val lid0 = lit(lid * (1L << LabelShift))
+      val raw = spark.read.json(
+        lines.where(col("_l") === label).select("value").as[String])
+      val schema = raw.schema
+      val hasRows = schema.fieldNames.contains("id")
+      val vprops = m.vertexProps(label)
+      def emptyFrame(fields: Seq[(String, DataType)]): DataFrame =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(fields.map { case (n, dt) => StructField(n, dt) }))
+      val inferredVProps: Set[String] = schema.find(_.name == "properties") match {
+        case Some(StructField(_, ps: StructType, _, _)) => ps.fieldNames.toSet
+        case _ => Set.empty
+      }
+      val vdf =
+        if (!hasRows) emptyFrame((GC.Id -> LongType) +: vprops)
+        else raw.select(
+          (col("id.`@value`") - lid0).as(GC.Id) +:
+            vprops.map { case (n, dt) =>
+              // to_json drops null fields, so an all-null column is
+              // absent from the inferred schema — restore it typed
+              if (inferredVProps(n))
+                decodeTyped(
+                  element_at(col(s"properties.`$n`"), 1).getField("value"), dt)
+                  .as(n)
+              else lit(null).cast(dt).as(n)
+            }: _*)
+
+      // edge specs rooted at this label, grouped by edge label (the
+      // writer unions same-(label, src) specs into one adjacency array)
+      val inferredOutE: Set[String] = schema.find(_.name == "outE") match {
+        case Some(StructField(_, oe: StructType, _, _)) => oe.fieldNames.toSet
+        case _ => Set.empty
+      }
+      m.edgeSpecs.filter(_.srcLabel == label).groupBy(_.label).toSeq
+        .sortBy(_._1).foreach { case (elabel, specs) =>
+          val unionProps = specs.flatMap(m.edgeProps(_)).distinct.sortBy(_._1)
+          if (!inferredOutE(elabel)) {
+            // source label empty (or no edges written): every spec of
+            // this group restores as an empty, correctly-typed frame
+            specs.foreach { s =>
+              edgeFrames += s -> emptyFrame(
+                (GC.Src -> LongType) +: (GC.Dst -> LongType) +: m.edgeProps(s))
+            }
+          } else {
+            val entry = schema(schema.fieldIndex("outE")).dataType
+              .asInstanceOf[StructType](elabel).dataType
+              .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+            val inferredEProps: Set[String] =
+              entry.find(_.name == "properties") match {
+                case Some(StructField(_, ps: StructType, _, _)) =>
+                  ps.fieldNames.toSet
+                case _ => Set.empty
+              }
+            val flat = raw
+              .select(col("id.`@value`").as("_ps"),
+                explode(col(s"outE.`$elabel`")).as("_e"))
+              .select(
+                (col("_ps") +:
+                  col("_e").getField("inV").getField("@value").as("_pd") +:
+                  unionProps.map { case (n, dt) =>
+                    if (inferredEProps(n))
+                      decodeTyped(
+                        col("_e").getField("properties").getField(n), dt).as(n)
+                    else lit(null).cast(dt).as(n)
+                  }): _*)
+              .withColumn("_dlid", expr(s"_pd div ${1L << LabelShift}"))
+            specs.foreach { s =>
+              val dlid = ids(s.dstLabel)
+              edgeFrames += s -> flat.where(col("_dlid") === dlid)
+                .select(
+                  (col("_ps") - lid0).as(GC.Src) +:
+                    (col("_pd") - lit(dlid * (1L << LabelShift))).as(GC.Dst) +:
+                    m.edgeProps(s).map { case (n, _) => col(n) }: _*)
+            }
+          }
+        }
+      label -> vdf
+    }.toMap
+
+    val g = new PropertyGraph(spark, vertexFrames, edgeFrames)
+    GraphLoader.readVariables(g, path)
+    g
+  }
+
+  /** Observation-based reader for FOREIGN (manifest-less) GraphSON:
+    * labels, ids, specs and property types are inferred from the lines
+    * present. An empty vertex label is invisible here by construction —
+    * the engine's own round trip always goes through the manifest. */
+  private def openByInference(spark: SparkSession, path: String): PropertyGraph = {
     import spark.implicits._
     val lines = spark.read.text(s"$path/graphson")
       .select(col("value"), get_json_object(col("value"), "$.label").as("_l"))

@@ -84,4 +84,66 @@ class GraphSONRoundTripSpec extends SparkSpec {
       .head()
     assert(o.getString(0) == "gx:LocalDateTime")
   }
+
+  test("GraphSON round-trip keeps empty labels, empty specs, all-null columns") {
+    // The advisor's round-10 scenario: a zero-row vertex label emits no
+    // lines, so an observation-based reader would shift every
+    // higher-sorted label's re-derived id and drop the empty spec and
+    // the all-null column entirely. The manifest makes these lossless.
+    import spark.implicits._
+    import graft.model.EdgeSpec
+    val people = Seq((1L, "ann", null.asInstanceOf[java.lang.Double]),
+      (2L, "bob", null.asInstanceOf[java.lang.Double]))
+      .toDF(GC.Id, "name", "score") // score: ALL null
+    val zombies = people.where(lit(false)) // zero-row label, sorts LAST
+    val follows = Seq((1L, 2L, 7L)).toDF(GC.Src, GC.Dst, "weight")
+    val haunts = follows.where(lit(false)).toDF(GC.Src, GC.Dst, "weight")
+    val g = new graft.graph.PropertyGraph(spark,
+      Map("Person" -> people, "Zombie" -> zombies),
+      Map(EdgeSpec("FOLLOWS", "Person", "Person") -> follows,
+        EdgeSpec("HAUNTS", "Zombie", "Person") -> haunts))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gson_empty").toString
+    GraphSON.persistGraphSON(g, tmp)
+    val back = GraphSON.openGraphSON(spark, tmp)
+    assert(back.vertexLabels == Seq("Person", "Zombie"))
+    assert(back.edgeSpecs == g.edgeSpecs)
+    assert(back.labelIds == g.labelIds) // ids must NOT shift
+    assert(back.vertices("Zombie").count() == 0)
+    // name/type equality (nullability differs by construction: decode
+    // arithmetic is nullable, the local test fixture's ids are not)
+    assert(back.vertices("Zombie").schema.map(f => (f.name, f.dataType)) ==
+      g.vertices("Zombie").schema.map(f => (f.name, f.dataType)))
+    assert(back.edgeFrames(EdgeSpec("HAUNTS", "Zombie", "Person")).count() == 0)
+    val p = back.vertices("Person").orderBy(GC.Id)
+    assert(p.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(p.select("score").collect().forall(_.isNullAt(0)))
+    assert(p.select("name").as[String].collect().toSeq == Seq("ann", "bob"))
+    val f = back.edgeFrames(EdgeSpec("FOLLOWS", "Person", "Person")).head()
+    assert((f.getLong(0), f.getLong(1), f.getLong(2)) == ((1L, 2L, 7L)))
+  }
+
+  test("gx:Instant text is true UTC under a non-UTC session timezone") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ts = java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-06-01T12:00:00Z"))
+      val g = new graft.graph.PropertyGraph(spark,
+        Map("Event" -> Seq((1L, ts)).toDF(GC.Id, "at")),
+        Map.empty)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gson_tz").toString
+      GraphSON.persistGraphSON(g, tmp)
+      // the interchange TEXT must carry the UTC instant, not NY wall clock
+      val txt = spark.read.text(s"$tmp/graphson")
+        .select(get_json_object(col("value"),
+          "$.properties.at[0].value.@value")).as[String].head()
+      assert(txt == "2024-06-01T12:00:00.000000Z", txt)
+      // and the round trip restores the same micros under the same TZ
+      val back = GraphSON.openGraphSON(spark, tmp)
+      val got = back.vertices("Event").select("at")
+        .as[java.sql.Timestamp].head()
+      assert(got.toInstant == ts.toInstant)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
