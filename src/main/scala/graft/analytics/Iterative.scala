@@ -108,6 +108,11 @@ object Iterative {
     * fragmented-batch merges (q49). Fixpoint detection is unchanged:
     * zero decreases across BOTH steps is exactly the old loop's
     * convergence condition (at the fixpoint labels are idempotent). */
+  // (A 2-steps-per-cut fusion was tried in round 11 and MEASURED SLOWER
+  // — q42 3.1 -> 5.7 s, q54 5.5 -> 8.0 s: the family's cost is the
+  // per-step shuffle stages, not the job-launch floor, so halving the
+  // action count while doubling per-action shuffles loses to the
+  // coarser convergence granularity. One observed step per cut stands.)
   private[analytics] def minLabelLoop(edges: DataFrame, init: DataFrame,
       maxIter: Int): DataFrame = {
     var labels = init
@@ -273,11 +278,15 @@ object Iterative {
       edgeLabels: Set[String] = Set.empty, maxRounds: Int = 20): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
     val edges = packedEdges(g, edgeLabels, undirected = true).localCheckpoint()
+    val obs0 = new org.apache.spark.sql.Observation(
+      s"kcore_init_${obsTag.incrementAndGet()}")
     var surv = packedVertices(g, incidentLabels(g, edgeLabels))
+      .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
     // one action per round: the observed checkpoint (the e29 lesson) —
     // the previous round's size rides in a driver var, never re-counted
-    var size = surv.count()
+    // (the seed count rides the seed checkpoint the same way)
+    var size = obs0.get("n").asInstanceOf[Long]
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -693,8 +702,11 @@ object Iterative {
     val edges0 = packedEdges(g, edgeLabels, undirected = false)
       .distinct().localCheckpoint()
     val touched = incidentLabels(g, edgeLabels)
-    var active = packedVertices(g, touched).localCheckpoint()
-    var nActive = active.count()
+    val obs0 = new org.apache.spark.sql.Observation(
+      s"scc_active_init_${obsTag.incrementAndGet()}")
+    var active = packedVertices(g, touched)
+      .observe(obs0, count(lit(1)).as("n")).localCheckpoint()
+    var nActive = obs0.get("n").asInstanceOf[Long]
     var edges = edges0
     val done = Seq.newBuilder[DataFrame]
     var outer = 0
@@ -726,10 +738,15 @@ object Iterative {
       graft.plans.Supersteps.release(bwd)
       val peeled = sccRound.select(col("_v").as("_pv"))
       val prevActive = active
+      // the survivor count rides the checkpoint action (the kCore /
+      // e29 one-action discipline) instead of a separate count() job
+      val obs = new org.apache.spark.sql.Observation(
+        s"scc_active_${outer}_${obsTag.incrementAndGet()}")
       active = active.join(peeled, col("_v") === col("_pv"), "left_anti")
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
       graft.plans.Supersteps.release(prevActive)
-      nActive = active.count()
+      nActive = obs.get("n").asInstanceOf[Long]
       if (nActive > 0) {
         val prevEdges = edges
         edges = edges

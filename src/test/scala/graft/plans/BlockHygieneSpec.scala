@@ -83,4 +83,44 @@ class BlockHygieneSpec extends SparkSpec {
     assert(!Supersteps.release(df), "release must skip pinned leaves")
     assert(df.count() == 3)
   }
+
+  test("BPE training leaves O(1) persisted RDDs over 8 rounds") {
+    import spark.implicits._
+    val docs = Seq("low low low lower lower newest newest newest widest",
+      "new newer newest wide wider widest low").toDF("text")
+    val (rows, added) = leakOf(graft.ext.Bpe.bpeMerges(docs, rounds = 8))
+    assert(rows > 0)
+    assert(added <= 4, s"bpeMerges stranded $added persisted RDDs")
+  }
+
+  test("dedupClusters leaves O(1) persisted RDDs") {
+    import spark.implicits._
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "the quick brown fox jumps over it"
+        else s"unique text number $i with different words entirely"))
+      .toDF("doc_id", "text")
+    val (rows, added) = leakOf(graft.ext.Dedup.dedupClusters(docs))
+    assert(rows > 0)
+    assert(added <= 4, s"dedupClusters stranded $added persisted RDDs")
+  }
+
+  test("streaming components fold releases each superseded state") {
+    import spark.implicits._
+    val m = new graft.streaming.Streams.ComponentsMaintainer(
+      (1L to 10L).toDF("id"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // drive the foreachBatch callback directly with three micro-batches
+    Seq(Seq((1L, 2L)), Seq((2L, 3L)), Seq((4L, 5L))).zipWithIndex
+      .foreach { case (b, i) => m.sink(b.toDF("src", "dst"), i.toLong) }
+    assert(m.state.where(col("component") === 1L).count() == 3)
+    val after = spark.sparkContext.getPersistentRDDs
+    val added = after.keySet.diff(before).size
+    after.foreach { case (id, rdd) =>
+      if (!before.contains(id) && !Supersteps.isPinned(id))
+        rdd.unpersist(blocking = false)
+    }
+    // per-fold growth must not accumulate: only the LIVE state (plus
+    // its construction constant) may remain after 3 folds
+    assert(added <= 4, s"streaming fold stranded $added persisted RDDs")
+  }
 }
