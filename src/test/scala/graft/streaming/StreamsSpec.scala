@@ -137,6 +137,20 @@ class StreamsSpec extends SparkSpec {
     val folded = assignment(graft.analytics.Iterative
       .incrementalComponents(verts, splits.map(_.toDF("src", "dst"))))
     assert(folded == oneShot)
+    // the two merge paths must agree: the driver union-find (every
+    // fixture batch is under the size bound) vs the distributed
+    // min-label fixpoint, forced here via smallBatchEdges = 0 — the
+    // 100-TB path must not rot just because fixtures never reach it
+    val distFolded = assignment(splits.foldLeft(
+      verts.select(col("id").cast("bigint").as("_v"))
+        .select(col("_v"), col("_v").as("_lbl")).localCheckpoint()) {
+      (st, b) => graft.analytics.Iterative.mergeComponentsBatch(st,
+        b.toDF("src", "dst")
+          .select(col("src").cast("bigint").as("_s"),
+            col("dst").cast("bigint").as("_d")),
+        smallBatchEdges = 0L)
+    }.select(col("_v").as("id"), col("_lbl").as("component")))
+    assert(distFolded == oneShot)
     // streaming fold: same batches through foreachBatch
     val mem = MemoryStream[(Long, Long)]
     val m = new Streams.ComponentsMaintainer(verts)
