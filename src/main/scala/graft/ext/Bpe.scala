@@ -48,9 +48,16 @@ object Bpe {
     * against the segmented vocab — no per-document merge loop ever
     * touches corpus-scale data. Output: (idCol, n_bpe_tokens). */
   def bpeTokenCounts(docs: DataFrame, rounds: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    tokenCountsFrom(docs, train(docs, rounds, textCol)._2, idCol, textCol)
+
+  /** Per-document token counts from an ALREADY-TRAINED segmentation
+    * (the second element of [[train]]): merges apply to the vocabulary
+    * once, the corpus tokenizes by dictionary join. Lets a session
+    * train once and tokenize many times (the e58/e59 memo path). */
+  def tokenCountsFrom(docs: DataFrame, segmentation: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val perWord = train(docs, rounds, textCol)._2
-      .groupBy("wid").agg(count(lit(1)).as("t"))
+    val perWord = segmentation.groupBy("wid").agg(count(lit(1)).as("t"))
     docs.select(col(idCol).as(idCol), explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
       .join(perWord, col("w") === col("wid"))
@@ -59,9 +66,10 @@ object Bpe {
 
   /** Training loop shared by [[bpeMerges]] (returns the merge table)
     * and [[bpeTokenCounts]] (returns the final per-word segmentation
-    * `(wid, n, pos, sym)`). */
-  private def train(docs: DataFrame, rounds: Int,
-      textCol: String): (DataFrame, DataFrame) = {
+    * `(wid, n, pos, sym)`). Public so a session can compute BOTH
+    * artifacts once and share them across queries. */
+  def train(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"bpe training needs rounds >= 1, got $rounds")
     val spark = docs.sparkSession
     // (wid = the word itself, n, pos 1-based, sym) — character symbols
