@@ -127,6 +127,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only reclaims broadcasts/accumulators when the
+      // DRIVER GCs; the default 30 min periodic GC never fires inside a
+      // ~10 min suite, so late queries inherit ~10k queries' worth of
+      // uncollected driver state (the round-11 residual in-suite tax on
+      // the serial q5x family after the block sweep landed).
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The per-round state releases (Supersteps.cut superseded /
