@@ -37,9 +37,12 @@ object Bpe {
     * merged, pair_count), round 1-based in learning order. Words
     * shorter than 2 symbols stop contributing pairs naturally; training
     * stops early (fewer output rows) if no pair occurs at least twice.
+    * `likelihood = true` trains WORDPIECE instead of BPE — same merge
+    * machinery, different argmax (see [[train]]).
     */
-  def bpeMerges(docs: DataFrame, rounds: Int, textCol: String = "text"): DataFrame =
-    train(docs, rounds, textCol)._1
+  def bpeMerges(docs: DataFrame, rounds: Int, textCol: String = "text",
+      likelihood: Boolean = false): DataFrame =
+    train(docs, rounds, textCol, likelihood)._1
 
   /** Per-document BPE token counts under the vocabulary learned by
     * `rounds` merges — the production tokenization shape: merges apply
@@ -67,9 +70,26 @@ object Bpe {
   /** Training loop shared by [[bpeMerges]] (returns the merge table)
     * and [[bpeTokenCounts]] (returns the final per-word segmentation
     * `(wid, n, pos, sym)`). Public so a session can compute BOTH
-    * artifacts once and share them across queries. */
+    * artifacts once and share them across queries.
+    *
+    * `likelihood = true` switches the per-round argmax from raw pair
+    * frequency (BPE, Sennrich 2016) to the WORDPIECE criterion (Schuster
+    * & Nakajima 2012; the BERT tokenizer): merge the pair maximizing
+    * `count(lhs,rhs) / (count(lhs)·count(rhs))` — the training-corpus
+    * likelihood gain of the merge. The ratio is quantized to the
+    * engine's eighth-bit integer log2 ([[Retrieval.log8Sql]]):
+    * `s8 = log8(pair) - log8(c(lhs)) - log8(c(rhs))`, which is exact,
+    * overflow-free at any corpus size (log-space — no `c(lhs)·c(rhs)`
+    * product ever evaluates), and replayed verbatim by the DuckDB
+    * oracle; ties break (pair_count desc, lhs, rhs) — a total order.
+    * Everything else — pair counting, the ≥2 frequency floor, the
+    * greedy gaps-and-islands merge, the one-action-per-round loop —
+    * is shared with BPE, which is the honest relationship between the
+    * two algorithms. The extra per-round cost is one symbol-count
+    * aggregate (vocabulary-sized) joined onto the pair argmax. */
   def train(docs: DataFrame, rounds: Int,
-      textCol: String = "text"): (DataFrame, DataFrame) = {
+      textCol: String = "text",
+      likelihood: Boolean = false): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"bpe training needs rounds >= 1, got $rounds")
     val spark = docs.sparkSession
     // (wid = the word itself, n, pos 1-based, sym) — character symbols
@@ -107,9 +127,22 @@ object Bpe {
           col("sym").as("lhs"), col("_nx").as("rhs"))
       val obs = new org.apache.spark.sql.Observation(
         s"bpe_best_${r}_${obsTag.incrementAndGet()}")
-      val best = pairs.groupBy("lhs", "rhs").agg(sum(col("n")).as("pair_count"))
+      val pairAgg = pairs.groupBy("lhs", "rhs")
+        .agg(sum(col("n")).as("pair_count"))
         .where(col("pair_count") >= 2)
-        .orderBy(desc("pair_count"), asc("lhs"), asc("rhs")).limit(1)
+      val ranked =
+        if (!likelihood) pairAgg.orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
+        else {
+          val cnts = syms.groupBy("sym").agg(sum(col("n")).as("_c1"))
+          def log8(c: String) = expr(Retrieval.log8Sql(c))
+          pairAgg
+            .join(cnts.select(col("sym").as("lhs"), col("_c1").as("_cl")), "lhs")
+            .join(cnts.select(col("sym").as("rhs"), col("_c1").as("_cr")), "rhs")
+            .withColumn("_s8",
+              log8("pair_count") - log8("_cl") - log8("_cr"))
+            .orderBy(desc("_s8"), desc("pair_count"), asc("lhs"), asc("rhs"))
+        }
+      val best = ranked.limit(1)
         .select(col("lhs").as("_bl"), col("rhs").as("_br"),
           col("pair_count").as("_bc"))
       // empty best -> empty crossJoin -> empty next frame; the observed

@@ -99,4 +99,71 @@ object Retrieval {
       .select(col("_qid").as(qidCol), col("rank"),
         col("_id").as(idCol), col("score_fp"))
   }
+
+  /** Dense retrieval ranks for a DATA-DERIVED query set: exact cosine
+    * top-k of `embeddings` (`vec_id`, `embedding`) for every id in
+    * `queryIds` (single column `query_id`), self-hits excluded. Same
+    * scoring discipline as [[Similarity.bruteForceTopK]] — similarity
+    * rounded to 9 decimals before ranking, ties on candidate id — but
+    * the query set is a frame, not a literal list, so the op composes
+    * with corpus-derived query selections (the [[bm25TopK]] shape) at
+    * any scale factor. Output: `(query_id, rank, doc_id)`.
+    *
+    * Scale: the query frame is small by definition and BROADCAST onto
+    * the candidate scan; ranking partitions by query. At extreme corpus
+    * size swap the window for [[Similarity.TopKAggregator]] exactly as
+    * in `bruteForceTopKAgg`; for corpus-scale query sets use the e72
+    * index families instead of brute force. */
+  def denseRanks(embeddings: DataFrame, queryIds: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val queries = embeddings
+      .join(broadcast(queryIds.select(col("query_id"))),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("embedding").as("qv"))
+    val cands = embeddings.select(col("vec_id").as("doc_id"),
+      col("embedding").as("cv"))
+    val sim = round(graft.functions.cosineSimilarity(col("qv"), col("cv")), 9)
+    val scored = cands.join(broadcast(queries), col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"), sim.as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+  }
+
+  /** Reciprocal-rank fusion of a lexical and a dense ranking — the
+    * standard hybrid-retrieval combiner (Cormack et al., SIGIR'09):
+    * `score(q, d) = Σ_lists 1 / (kRrf + rank_list(d))`, here in exact
+    * 2^20 fixed point (`S div (kRrf + rank)` per list, absent list
+    * contributes 0) so both engines agree bit-for-bit. RRF needs only
+    * RANKS, never the incomparable raw scores — which is exactly why
+    * it is the production default for BM25 + embedding fusion in RAG
+    * candidate mining.
+    *
+    * Inputs are two `(query_id, rank, doc_id)` rankings (extra columns
+    * ignored); output the fused top-`k` per query:
+    * `(query_id, rank, doc_id, score_rrf)`, ties on doc id.
+    *
+    * Scale: both inputs are top-k-per-query sized — |Q|·k rows — so the
+    * full-outer join and the per-query re-rank window shuffle only
+    * candidate-list-sized data regardless of corpus size; the corpus
+    * never appears here. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(k > 0 && kRrf >= 0, s"need k > 0, kRrf >= 0; got $k, $kRrf")
+    def contrib(side: DataFrame, name: String): DataFrame = side.select(
+      col("query_id"), col("doc_id"),
+      expr(s"${Scale}L div (${kRrf}L + rank)").as(name))
+    val fused = contrib(lex, "c_lex")
+      .join(contrib(dense, "c_dense"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("c_lex"), lit(0L)) +
+          coalesce(col("c_dense"), lit(0L))).as("score_rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_rrf"))
+  }
 }

@@ -316,6 +316,77 @@ object Text {
         expr("surprisal * 1000 div n_tokens").as("mean_milli"))
   }
 
+  /** Interpolated BIGRAM language-model surprisal — the CCNet/KenLM
+    * perplexity-filter shape one model order up from
+    * [[surprisalScores]]: train n-gram counts on a held-in corpus
+    * split, score EVERY document under the frozen counts, and flag the
+    * extremes (gibberish scores high, boilerplate scores low). The
+    * model is Jelinek-Mercer interpolation with λ = 3/4 in exact 2^20
+    * fixed point:
+    *
+    *   p_fp(w2|w1) = (3·(c2(w1,w2)·S div cl(w1)) + c1(w2)·S div N) div 4
+    *
+    * where c2 = train bigram count, cl(w1) = count of w1 as a bigram
+    * left (so the bigram term sums to exactly S over w2), c1/N the
+    * train unigram counts — unseen events contribute 0 and the whole
+    * probability clamps to ≥ 1 (the unknown-token floor). Surprisal is
+    * the eighth-bit integer -log2 ([[Retrieval.log8Sql]] discipline):
+    * `s8 = 8·20 - log8(p_fp)` per bigram, summed per document with the
+    * fixed-point mean `surprisal8 * 1000 div n_bigrams`. Every stage is
+    * integer, so the DuckDB oracle replays it verbatim and the result
+    * is bit-stable under any partitioning.
+    *
+    * Bigrams are ROW-LOCAL (an index-transform over the token array —
+    * no self-join, no window); documents with fewer than two tokens
+    * have no bigram events and are absent from the output by
+    * construction.
+    *
+    * Scale shape (100 TB): both count frames are map-side-combined and
+    * bounded by the observed vocabulary (unigrams) / observed bigram
+    * set — far below corpus scale after combining; scoring is two
+    * token-keyed equi-joins AQE can broadcast when the model fits, and
+    * the final fold is a per-doc aggregate. Output:
+    * `(doc_id, n_bigrams, surprisal8, mean_milli)`, all BIGINT. */
+  def bigramSurprisal(docs: DataFrame, trainFilter: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val S = Retrieval.Scale
+    // sequence(1, 0) DESCENDS in Spark — guard short docs explicitly.
+    // The extraction runs twice (all docs / train split) instead of
+    // semi-joining a corpus-sized id set: both passes are row-local
+    // scans, and nothing model-sized ever shuffles by doc.
+    def pairsOf(frame: DataFrame): DataFrame = frame
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_a"))
+      .select(col("doc_id"), explode(when(size(col("_a")) >= 2,
+        expr("transform(sequence(1, size(_a) - 1), " +
+          "i -> struct(_a[i-1] AS w1, _a[i] AS w2))"))
+        .otherwise(expr("array()"))).as("_p"))
+      .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val pairs = pairsOf(docs)
+    val train = pairsOf(docs.where(trainFilter))
+    val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val left = big.groupBy("w1").agg(sum(col("c2")).as("cl"))
+    val uni = docs.where(trainFilter)
+      .select(explode(split(col(textCol), " ")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("n_total"))
+    val scored = pairs
+      .join(big, Seq("w1", "w2"), "left")
+      .join(left, Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("_pb",
+        expr(s"CASE WHEN c2 IS NULL THEN 0 ELSE (3 * ((c2 * ${S}L) div cl)) END"))
+      .withColumn("_pu",
+        expr(s"CASE WHEN c1 IS NULL THEN 0 ELSE (c1 * ${S}L) div n_total END"))
+      .withColumn("_p_fp", greatest(expr("(_pb + _pu) div 4"), lit(1L)))
+      .withColumn("_s8",
+        lit(8L * 20) - expr(Retrieval.log8Sql("_p_fp")))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_s8")).as("surprisal8"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal8"),
+        expr("surprisal8 * 1000 div n_bigrams").as("mean_milli"))
+  }
+
   /** Driver-side frozen unigram model for [[surprisalScores]]-style
     * scoring at INGEST time ([[graft.streaming.Streams
     * .surprisalQualityFilter]]): (token -> corpus count, total tokens).

@@ -449,6 +449,46 @@ object Extensions {
       .orderBy("qt", "neighbor")
   }
 
+  /** e74: hybrid lexical+dense retrieval with reciprocal-rank fusion
+    * ([[graft.ext.Retrieval.rrfFuse]]) — the e60 BM25 top-10 and the
+    * exact dense cosine top-10 over the SAME corpus-derived query set
+    * (documents and embeddings share the id space), fused by
+    * `Σ 2^20 div (60 + rank)` and re-ranked. The production RAG
+    * candidate-mining combiner: ranks only, no score calibration. */
+  def e74_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val qs = d.where(col("doc_id") % 101 === 7)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+    val lex = graft.ext.Retrieval.bm25TopK(d, qs, k = 10, excludeSelf = true)
+    val dense = graft.ext.Retrieval.denseRanks(emb(s, dir),
+      qs.select(col("query_id")), k = 10)
+    graft.ext.Retrieval.rrfFuse(lex, dense, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** e76: WordPiece tokenizer training
+    * ([[graft.ext.Bpe.train]] with `likelihood = true`) — the BERT
+    * tokenizer family alongside BPE (e58) and unigram-LM (e63): same
+    * merge machinery, but each round merges the pair with the highest
+    * corpus-likelihood gain `count(pair) / (count(lhs)·count(rhs))` in
+    * eighth-bit integer log space. Computes FRESH per invocation (the
+    * e58 trainer discipline: trainers pay, consumers memoize). */
+  def e76_wordpiece_train(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Bpe.bpeMerges(docs(s, dir), rounds = 8, likelihood = true)
+      .orderBy("round")
+
+  /** e75: interpolated bigram-LM perplexity scoring
+    * ([[graft.ext.Text.bigramSurprisal]]) — the CCNet-style quality
+    * filter one model order above e54: counts train on the held-in
+    * 4/5 split (`doc_id % 5 != 3`), every document scores under the
+    * frozen model in eighth-bit integer surprisal. Held-out docs see
+    * genuinely unseen events, so the split exercises the backoff and
+    * unknown floors the fixture would otherwise never hit. */
+  def e75_bigram_lm(s: SparkSession, dir: String): DataFrame =
+    Text.bigramSurprisal(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
+      .orderBy("doc_id")
+
   /** e58: BPE tokenizer training ([[graft.ext.Bpe.bpeMerges]]) — 8
     * merge rounds learned from the corpus word-frequency table; the
     * oracle unrolls every round (pair count -> argmax -> greedy
@@ -966,6 +1006,9 @@ object Extensions {
     "e71_glove_train" -> (e71_glove_train _),
     "e72_ann_recall_harness" -> (e72_ann_recall_harness _),
     "e73_glove_knn" -> (e73_glove_knn _),
+    "e74_hybrid_rrf" -> (e74_hybrid_rrf _),
+    "e75_bigram_lm" -> (e75_bigram_lm _),
+    "e76_wordpiece_train" -> (e76_wordpiece_train _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1066,14 +1109,36 @@ object Extensions {
     * merge as odd ranks within candidate islands, and position
     * renumbering. Rounds past exhaustion degrade to no-ops (empty best
     * joins), matching the Scala early stop. */
-  private val bpeChainCtes: String = {
+  /** The unrolled 8-round tokenizer-training CTE chain shared by the
+    * e58/e59 (BPE) and e76 (WordPiece) oracles. `likelihood = true`
+    * swaps the per-round argmax for the WordPiece score: per-round
+    * symbol counts (`cnt$$r`) joined onto the pair counts, ranked by
+    * the eighth-bit integer log2 likelihood gain
+    * `log8(pair) - log8(c(lhs)) - log8(c(rhs))` with
+    * (pair_count desc, lhs, rhs) ties — exactly
+    * [[graft.ext.Bpe.train]]'s ranking. */
+  private def bpeChainCtes(likelihood: Boolean = false): String = {
+    def log8(x: String) =
+      s"(8 * (length(bin($x)) - 1) + (($x * 8) >> (length(bin($x)) - 1)) - 8)"
     val rounds = (1 to 8).map { r =>
       val p = r - 1
+      val bestCtes =
+        if (!likelihood)
+          s"""best$r AS MATERIALIZED (SELECT lhs, rhs, c FROM pc$r
+             |         ORDER BY c DESC, lhs, rhs LIMIT 1),""".stripMargin
+        else
+          s"""cnt$r AS (SELECT sym, CAST(sum(n) AS BIGINT) AS c1
+             |          FROM w$p GROUP BY sym),
+             |best$r AS MATERIALIZED (SELECT lhs, rhs, c FROM (
+             |           SELECT p.lhs, p.rhs, p.c,
+             |             ${log8("p.c")} - ${log8("cl.c1")} - ${log8("cr.c1")} AS s8
+             |           FROM pc$r p JOIN cnt$r cl ON cl.sym = p.lhs
+             |             JOIN cnt$r cr ON cr.sym = p.rhs)
+             |         ORDER BY s8 DESC, c DESC, lhs, rhs LIMIT 1),""".stripMargin
       s"""pc$r AS (SELECT a.sym AS lhs, b.sym AS rhs, CAST(sum(a.n) AS BIGINT) AS c
          |         FROM w$p a JOIN w$p b ON b.wid = a.wid AND b.pos = a.pos + 1
          |         GROUP BY 1, 2 HAVING sum(a.n) >= 2),
-         |best$r AS MATERIALIZED (SELECT lhs, rhs, c FROM pc$r
-         |         ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |$bestCtes
          |cand$r AS (SELECT a.wid, a.pos
          |           FROM w$p a JOIN w$p b ON b.wid = a.wid AND b.pos = a.pos + 1
          |           JOIN best$r ON a.sym = best$r.lhs AND b.sym = best$r.rhs),
@@ -1418,6 +1483,126 @@ object Extensions {
        |  CAST(hits AS DOUBLE) / (n_queries * k) AS recall
        |FROM sc ORDER BY method""".stripMargin
   }
+
+  /** e60's full BM25 replay WITHOUT the trailing ORDER BY, so e74 can
+    * embed it as a nested-WITH CTE (strip-once discipline: this core is
+    * stripMargin'd exactly once; every consumer composes by PLAIN
+    * CONCATENATION, never a second stripMargin over interpolated text —
+    * the round-10 e71 bug class, gated by OracleSqlLintSpec).
+    * Whitespace postings, df, doc lengths, corpus totals, the
+    * 2^20-scaled idf argument, the eighth-bit integer log2
+    * (length(bin()) exponent + shifted mantissa), and the
+    * denominator-cleared tf factor — every floor division in the same
+    * order as the Spark plan. `//` == `div` (all operands positive);
+    * >> mirrors shiftright. */
+  private val e60OracleCore: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tk AS (SELECT doc_id, unnest(w) AS t FROM toks),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+       |post AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t),
+       |dfq AS (SELECT t, count(*) AS df FROM post GROUP BY t),
+       |tot AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |               (SELECT count(*) FROM tk) AS tt),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(w[1:6]) AS t
+       |       FROM toks WHERE doc_id % 101 = 7),
+       |idf AS (SELECT t,
+       |         ((2 * n - 2 * df + 1) * ${graft.ext.Retrieval.Scale} // (2 * df + 1))
+       |           + ${graft.ext.Retrieval.Scale} AS x
+       |        FROM dfq, tot),
+       |idf8 AS (SELECT t,
+       |          8 * (length(bin(x)) - 1)
+       |            + ((x * 8) >> (length(bin(x)) - 1)) - 8 - 160 AS idf8
+       |         FROM idf),
+       |sc AS (SELECT qt.query_id, p.doc_id,
+       |         sum(i.idf8 * ((22 * p.tf * ${graft.ext.Retrieval.Scale})
+       |           // (10 * p.tf + 3 + (9 * d.dl * tot.n) // tot.tt))) AS score_fp
+       |       FROM qt JOIN post p USING (t)
+       |         JOIN idf8 i ON i.t = qt.t
+       |         JOIN dl d ON d.doc_id = p.doc_id, tot
+       |       WHERE p.doc_id <> qt.query_id
+       |       GROUP BY qt.query_id, p.doc_id),
+       |rk AS (SELECT query_id, doc_id, CAST(score_fp AS BIGINT) AS score_fp,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score_fp DESC, doc_id) AS rank
+       |       FROM sc)
+       |SELECT query_id, rank, doc_id, score_fp FROM rk
+       |WHERE rank <= 10""".stripMargin
+
+  private def e60OracleSql: String =
+    e60OracleCore + "\nORDER BY query_id, rank"
+
+  /** e74's replay: the e60 BM25 core as a nested-WITH CTE, the dense
+    * exact-cosine ranks for the same `doc_id % 101 = 7` query set
+    * (e06's list_dot_product expression verbatim), then the 2^20
+    * fixed-point reciprocal-rank fusion and the per-query re-rank.
+    * Composed by concatenation of once-stripped fragments. */
+  private def e74OracleSql: String = {
+    val fusion =
+      s"""dq AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 101 = 7),
+         |q AS (SELECT query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings JOIN dq ON vec_id = query_id),
+         |c AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM embeddings),
+         |s AS (SELECT query_id, doc_id,
+         |        round(list_dot_product(qv, cv) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS sim
+         |      FROM c CROSS JOIN q WHERE query_id <> doc_id),
+         |dense AS (SELECT * FROM (
+         |        SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY sim DESC, doc_id) AS rank
+         |        FROM s) WHERE rank <= 10),
+         |fc AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |         coalesce(${graft.ext.Retrieval.Scale} // (60 + l.rank), 0)
+         |           + coalesce(${graft.ext.Retrieval.Scale} // (60 + d.rank), 0) AS score_rrf
+         |       FROM lex l FULL OUTER JOIN dense d
+         |         ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+         |rk2 AS (SELECT query_id, doc_id, CAST(score_rrf AS BIGINT) AS score_rrf,
+         |          row_number() OVER (PARTITION BY query_id
+         |                             ORDER BY score_rrf DESC, doc_id) AS rank
+         |        FROM fc)
+         |SELECT query_id, rank, doc_id, score_rrf FROM rk2
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    "WITH lex AS MATERIALIZED (\n" + e60OracleCore + "),\n" + fusion
+  }
+
+  /** e75's replay: bigram events by position unnest (the e70 instance
+    * pattern — generate_series(1, 0) is EMPTY in DuckDB, matching the
+    * Spark short-doc guard), train counts on the doc_id % 5 != 3
+    * split, Jelinek-Mercer λ=3/4 interpolation in 2^20 fixed point
+    * with the >= 1 unknown floor, eighth-bit integer surprisal, and
+    * the per-doc fold. `//` == `div` (all operands positive). */
+  private def e75OracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pr AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |       FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i)),
+       |tr AS (SELECT * FROM pr WHERE doc_id % 5 <> 3),
+       |big AS (SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY w1, w2),
+       |lf AS (SELECT w1, sum(c2) AS cl FROM big GROUP BY w1),
+       |uni AS (SELECT t AS w2, count(*) AS c1
+       |        FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 5 <> 3)
+       |        GROUP BY t),
+       |tot AS (SELECT sum(c1) AS n_total FROM uni),
+       |sc AS (SELECT p.doc_id,
+       |         greatest((
+       |           (CASE WHEN b.c2 IS NULL THEN 0
+       |                 ELSE 3 * ((b.c2 * ${graft.ext.Retrieval.Scale}) // l.cl) END)
+       |           + (CASE WHEN u.c1 IS NULL THEN 0
+       |                   ELSE (u.c1 * ${graft.ext.Retrieval.Scale}) // t.n_total END)
+       |         ) // 4, 1) AS p_fp
+       |       FROM pr p
+       |       LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+       |       LEFT JOIN lf l ON l.w1 = p.w1
+       |       LEFT JOIN uni u ON u.w2 = p.w2, tot t),
+       |s8 AS (SELECT doc_id,
+       |         160 - (8 * (length(bin(p_fp)) - 1)
+       |           + ((p_fp * 8) >> (length(bin(p_fp)) - 1)) - 8) AS s8
+       |       FROM sc)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(s8) AS BIGINT) AS surprisal8,
+       |  CAST((sum(s8) * 1000) // count(*) AS BIGINT) AS mean_milli
+       |FROM s8 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // lazy: oracles0's declaration follows (forward reference at object init)
   lazy val oracles: Map[String, String] = oracles0 +
@@ -1791,44 +1976,9 @@ object Extensions {
          |WHERE doc_id % 40 <> 1 AND doc_id NOT IN (SELECT doc_id FROM dirty)
          |ORDER BY doc_id""".stripMargin,
 
-    "e60_bm25" ->
-      // Full BM25 replay: whitespace postings, df, doc lengths, corpus
-      // totals, the 2^20-scaled idf argument, the eighth-bit integer
-      // log2 (length(bin()) exponent + shifted mantissa), and the
-      // denominator-cleared tf factor — every floor division in the
-      // same order as the Spark plan. `//` == `div` (all operands
-      // positive); >> mirrors shiftright.
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |tk AS (SELECT doc_id, unnest(w) AS t FROM toks),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
-         |post AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t),
-         |dfq AS (SELECT t, count(*) AS df FROM post GROUP BY t),
-         |tot AS (SELECT (SELECT count(*) FROM documents) AS n,
-         |               (SELECT count(*) FROM tk) AS tt),
-         |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(w[1:6]) AS t
-         |       FROM toks WHERE doc_id % 101 = 7),
-         |idf AS (SELECT t,
-         |         ((2 * n - 2 * df + 1) * ${graft.ext.Retrieval.Scale} // (2 * df + 1))
-         |           + ${graft.ext.Retrieval.Scale} AS x
-         |        FROM dfq, tot),
-         |idf8 AS (SELECT t,
-         |          8 * (length(bin(x)) - 1)
-         |            + ((x * 8) >> (length(bin(x)) - 1)) - 8 - 160 AS idf8
-         |         FROM idf),
-         |sc AS (SELECT qt.query_id, p.doc_id,
-         |         sum(i.idf8 * ((22 * p.tf * ${graft.ext.Retrieval.Scale})
-         |           // (10 * p.tf + 3 + (9 * d.dl * tot.n) // tot.tt))) AS score_fp
-         |       FROM qt JOIN post p USING (t)
-         |         JOIN idf8 i ON i.t = qt.t
-         |         JOIN dl d ON d.doc_id = p.doc_id, tot
-         |       WHERE p.doc_id <> qt.query_id
-         |       GROUP BY qt.query_id, p.doc_id),
-         |rk AS (SELECT query_id, doc_id, CAST(score_fp AS BIGINT) AS score_fp,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY score_fp DESC, doc_id) AS rank
-         |       FROM sc)
-         |SELECT query_id, rank, doc_id, score_fp FROM rk
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "e60_bm25" -> e60OracleSql,
+    "e74_hybrid_rrf" -> e74OracleSql,
+    "e75_bigram_lm" -> e75OracleSql,
 
     "e61_quality_classifier" -> e61OracleSql,
     "e66_classifier_eval" -> e66OracleSql,
@@ -2259,7 +2409,19 @@ object Extensions {
       val union = (1 to 8)
         .map(r => s"SELECT $r AS round, lhs, rhs, c FROM best$r")
         .mkString("\n  UNION ALL ")
-      "WITH " + bpeChainCtes + "\n" +
+      "WITH " + bpeChainCtes() + "\n" +
+        s"""SELECT round, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM (
+         |  $union)
+         |ORDER BY round""".stripMargin
+    },
+
+    "e76_wordpiece_train" -> {
+      // The same unrolled chain under the WordPiece argmax (per-round
+      // cnt$r symbol counts + the eighth-bit log-likelihood ranking).
+      val union = (1 to 8)
+        .map(r => s"SELECT $r AS round, lhs, rhs, c FROM best$r")
+        .mkString("\n  UNION ALL ")
+      "WITH " + bpeChainCtes(likelihood = true) + "\n" +
         s"""SELECT round, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM (
          |  $union)
          |ORDER BY round""".stripMargin
@@ -2268,7 +2430,7 @@ object Extensions {
     "e59_bpe_tokenize" -> {
       // the e58 chain's FINAL segmentation (w8) tokenizes the corpus by
       // dictionary join: tokens-per-word = the word's symbol count.
-      "WITH " + bpeChainCtes + ",\n" +
+      "WITH " + bpeChainCtes() + ",\n" +
         s"""wl AS (SELECT wid, count(*) AS t FROM w8 GROUP BY wid),
          |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          |SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_bpe_tokens

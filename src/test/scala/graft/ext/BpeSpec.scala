@@ -33,6 +33,35 @@ class BpeSpec extends SparkSpec {
     assert(full == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("wordpiece likelihood argmax prefers exclusive pairs over frequent ones") {
+    // "that" x4, "qz" x2. Pair (q,z) occurs only 2x but q and z occur
+    // NOWHERE else: s8(q,z) = 8 - 8 - 8 = -8 beats every "that" pair
+    // (best -16), so WordPiece merges (q,z) first while BPE's frequency
+    // argmax picks (a,t) (the lexicographic winner of the 4-count tie).
+    // Full hand-traced schedule: (q,z) -> (h,a) -> (ha,t) [tie with
+    // (t,ha) broken lexicographically] -> (t,hat), then exhausted.
+    val docs = Seq((1L, "that that that that qz qz")).toDF("doc_id", "text")
+    val wp = Bpe.bpeMerges(docs, 8, likelihood = true)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(wp == Seq(
+      (1, "q", "z", "qz", 2L),
+      (2, "h", "a", "ha", 4L),
+      (3, "ha", "t", "hat", 4L),
+      (4, "t", "hat", "that", 4L)))
+    val bpe = Bpe.bpeMerges(docs, 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(bpe.head == ((1, "a", "t", "at", 4L)))
+  }
+
+  test("wordpiece on the fixture corpus is deterministic across partitionings") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = Bpe.bpeMerges(corpus, 4, likelihood = true)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    val b = Bpe.bpeMerges(corpus.repartition(13), 4, likelihood = true)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("bpeMerges on the fixture corpus is deterministic across partitionings") {
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = Bpe.bpeMerges(corpus, 6)

@@ -60,4 +60,62 @@ class RetrievalSpec extends SparkSpec {
     val top = Retrieval.bm25TopK(corpus, qs, k = 2).collect()
     assert(top.head.getLong(2) == 0L, s"rare-term doc should rank 1: ${top.toSeq}")
   }
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("denseRanks agrees with bruteForceTopK on the same query set") {
+    val ids = Seq(0L, 3L, 7L)
+    val viaFrame = Retrieval.denseRanks(emb,
+      ids.toDF("query_id"), k = 5).collect()
+    val viaList = Similarity.bruteForceTopK(emb, ids, 5)
+      .select(col("query_id"), col("neighbor_id").as("doc_id")).collect()
+    // same (query, neighbor) set; denseRanks adds contiguous ranks
+    assert(viaFrame.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      viaList.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    viaFrame.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    assert(!viaFrame.exists(r => r.getLong(0) == r.getLong(2)),
+      "self hit not excluded")
+  }
+
+  test("rrfFuse: hand-computed fusion, both-lists beats single-list") {
+    val S = Retrieval.Scale
+    val lex = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+      .toDF("query_id", "rank", "doc_id")
+    val dense = Seq((1L, 1, 11L), (1L, 2, 20L))
+      .toDF("query_id", "rank", "doc_id")
+    val out = Retrieval.rrfFuse(lex, dense, k = 10).collect()
+      .map(r => (r.getLong(2), r.getInt(1), r.getLong(3))).sortBy(_._2)
+    // doc 11: lex rank 2 + dense rank 1; doc 10: lex rank 1 only;
+    // doc 20: dense rank 2 only; doc 12: lex rank 3 only.
+    val expected = Map(
+      11L -> (S / 62 + S / 61), 10L -> S / 61,
+      20L -> S / 62, 12L -> S / 63)
+    assert(out.map(r => r._1 -> r._3).toMap == expected)
+    assert(out.map(_._1).toSeq == Seq(11L, 10L, 20L, 12L),
+      "both-lists doc must outrank every single-list doc here")
+    assert(out.map(_._2).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rrfFuse on fixture rankings: k bound, contiguity, score replay") {
+    val qs = queriesFrom(col("doc_id") % 17 === 3)
+    val lex = Retrieval.bm25TopK(docs, qs, k = 5, excludeSelf = true)
+    val dense = Retrieval.denseRanks(emb, qs.select(col("query_id")), k = 5)
+    val fused = Retrieval.rrfFuse(lex, dense, k = 5).collect()
+    assert(fused.nonEmpty)
+    val lexC = lex.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val denC = dense.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val S = Retrieval.Scale
+    fused.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      val want = lexC.get(key).map(rk => S / (60 + rk)).getOrElse(0L) +
+        denC.get(key).map(rk => S / (60 + rk)).getOrElse(0L)
+      assert(r.getLong(3) == want, s"score mismatch at $key")
+    }
+    fused.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.functions.{col, explode, split}
+import org.apache.spark.sql.functions.{col, explode, lit, size, split}
 
 import graft.SparkSpec
 
@@ -216,5 +216,48 @@ class TextSpec extends SparkSpec {
       .as[(String, String, Long)].collect()
     val m = big.map { case (c, x, w) => (c, x) -> w }.toMap
     assert(big.forall { case (c, x, w) => m((x, c)) == w })
+  }
+
+  test("bigramSurprisal: hand-exact on a two-doc corpus") {
+    // doc0 "a b a b": bigrams (a,b)(b,a)(a,b); doc1 "a b": (a,b).
+    // Train = both docs. c2(a,b)=3, c2(b,a)=1; cl(a)=3, cl(b)=1;
+    // uni: a->3, b->3; N=6. For (a,b): pb = 3*((3S)//3) = 3S,
+    // pu = (3S)//6 = S/2, p = (3S + S/2)//4 = 917504,
+    // s8 = 160 - (8*19 + (917504*8 >> 19) - 8) = 160 - 158 = 2.
+    // For (b,a): pb = 3*((1*S)//1) = 3S, same pu -> same s8 = 2.
+    val corpus = Seq((0L, "a b a b"), (1L, "a b")).toDF("doc_id", "text")
+    val out = Text.bigramSurprisal(corpus, trainFilter = lit(true))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 3L, 6L, 2000L), (1L, 1L, 2L, 2000L)))
+  }
+
+  test("bigramSurprisal: unseen events score the 160 floor, short docs absent") {
+    // doc 9 is held out and shares no vocabulary with training: both the
+    // bigram and unigram terms are 0, p clamps to 1, s8 = 160 exactly.
+    // doc 5 has one token -> no bigram events -> no output row.
+    val corpus = Seq((0L, "x y x y z"), (5L, "solo"),
+      (9L, "q r q")).toDF("doc_id", "text")
+    val out = Text.bigramSurprisal(corpus, trainFilter = col("doc_id") === 0)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(!out.exists(_._1 == 5L), "single-token doc must be absent")
+    val held = out.find(_._1 == 9L).get
+    assert(held._2 == 2L && held._3 == 320L && held._4 == 160000L,
+      s"unknown floor: $held")
+  }
+
+  test("bigramSurprisal: fixture smoke, bounds, partitioning independence") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val trainSplit = col("doc_id") % 5 =!= 3
+    val out = Text.bigramSurprisal(docs, trainFilter = trainSplit).collect()
+    val nLong = docs.where(size(split(col("text"), " ")) >= 2).count()
+    assert(out.length == nLong)
+    out.foreach { r =>
+      val (n, s, m) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && s >= 0 && s <= 160 * n, s"s8 out of range: $r")
+      assert(m == s * 1000 / n)
+    }
+    val again = Text.bigramSurprisal(docs.repartition(13),
+      trainFilter = trainSplit).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 }
