@@ -405,6 +405,55 @@ object Text {
     (top, total)
   }
 
+  /** Driver-side frozen BIGRAM model for streaming
+    * [[graft.streaming.Streams.bigramSurprisalFilter]] — the
+    * [[bigramSurprisal]] arithmetic PRE-DIVIDED into two literal maps
+    * so the stream-side expression is pure lookups + shifts (no
+    * arbitrary-divisor division ever evaluates in the row path):
+    *
+    *  - `pb`: `"w1 w2" -> 3·((c2·S) div cl)` — the λ-weighted bigram
+    *    term, exact Long arithmetic on the driver;
+    *  - `pu`: `w2 -> (c1·S) div N` — the unigram backoff term.
+    *
+    * Both maps are CAPPED to the most frequent entries (ties to the
+    * lexicographically smaller key) — bounded by construction like
+    * [[unigramModel]]; `cl` and `N` come from the FULL uncapped
+    * aggregation, so capping only drops rare entries to the unknown
+    * floor, never skews surviving probabilities. When the caps don't
+    * bind, streaming scores equal [[bigramSurprisal]] bit for bit
+    * (the StreamsSpec law). */
+  def bigramModel(docs: DataFrame, trainFilter: Column,
+      maxBigrams: Int = 200000, maxVocab: Int = 100000,
+      textCol: String = "text"): (Map[String, Long], Map[String, Long]) = {
+    val S = Retrieval.Scale
+    val train = docs.where(trainFilter)
+    val toks = train.select(split(col(textCol), " ").as("_a"))
+    val big = toks
+      .select(explode(when(size(col("_a")) >= 2,
+        expr("transform(sequence(1, size(_a) - 1), " +
+          "i -> struct(_a[i-1] AS w1, _a[i] AS w2))"))
+        .otherwise(expr("array()"))).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val left = big.groupBy("w1").agg(sum(col("c2")).as("cl"))
+    val pb = big.join(left, "w1")
+      .select(concat_ws(" ", col("w1"), col("w2")).as("k"),
+        expr(s"3 * ((c2 * ${S}L) div cl)").as("v"), col("c2"))
+      .orderBy(desc("c2"), asc("k")).limit(maxBigrams)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uni = train.select(explode(split(col(textCol), " ")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c1"))
+    val totRow = uni.agg(sum(col("c1"))).head()
+    require(!totRow.isNullAt(0), "bigramModel needs a non-empty training split")
+    val nTotal = totRow.getLong(0)
+    val pu = uni
+      .select(col("w2"), expr(s"(c1 * ${S}L) div ${nTotal}L").as("v"),
+        col("c1"))
+      .orderBy(desc("c1"), asc("w2")).limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (pb, pu)
+  }
+
   /** Fixed-point unit for [[phraseScores]] and [[cooccurrence]]. */
   val PhraseScale: Long = 1L << 20
 

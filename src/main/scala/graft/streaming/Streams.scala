@@ -486,6 +486,51 @@ object Streams {
       .where(col("margin") >= minMargin)
   }
 
+  /** BIGRAM-LM perplexity filtering at INGEST under a frozen model —
+    * [[graft.ext.Text.bigramSurprisal]]'s streaming face, built like
+    * [[surprisalQualityFilter]] but one model order up. The model
+    * arrives PRE-DIVIDED ([[graft.ext.Text.bigramModel]]): `pb` maps
+    * `"w1 w2"` to the λ-weighted fixed-point bigram term, `pu` maps
+    * `w2` to the unigram backoff term, so the row path is literal-map
+    * lookups, one power-of-two shift (`div 4` == `shiftright 2` on
+    * non-negatives) and the eighth-bit integer log — no
+    * arbitrary-divisor division, no shuffle, STATELESS. Unknown
+    * events coalesce to 0 and the probability clamps to >= 1 exactly
+    * like the batch operator; documents with < 2 tokens carry no
+    * bigram evidence and DROP (they are absent from the batch
+    * operator's output for the same reason). Batch == stream bit for
+    * bit when the model caps don't bind (StreamsSpec law). Output:
+    * input columns + (n_bigrams, surprisal8, mean_milli), filtered to
+    * `mean_milli` in [minMeanMilli, maxMeanMilli]. */
+  def bigramSurprisalFilter(docs: DataFrame, pb: Map[String, Long],
+      pu: Map[String, Long], minMeanMilli: Long, maxMeanMilli: Long,
+      textCol: String = "text"): DataFrame = {
+    require(pu.nonEmpty, "bigramSurprisalFilter needs a trained model")
+    val pbMap = typedLit(pb)
+    val puMap = typedLit(pu)
+    def log8(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (length(bin(x)) - 1).cast("long") * 8 +
+        call_function("shiftright", x * 8, length(bin(x)) - 1) - 8
+    val toks = split(col(textCol), " ")
+    // sequence(1, 0) DESCENDS in Spark — guard short docs explicitly
+    val idx = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+      .otherwise(array().cast("array<int>"))
+    val s8 = transform(idx, i => {
+      val p = greatest(shiftright(
+        coalesce(element_at(pbMap,
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))),
+          lit(0L)) +
+          coalesce(element_at(puMap, element_at(toks, i + 1)), lit(0L)), 2),
+        lit(1L))
+      lit(160L) - log8(p)
+    })
+    docs.withColumn("n_bigrams", size(toks).cast("long") - 1)
+      .withColumn("surprisal8", aggregate(s8, lit(0L), (acc, x) => acc + x))
+      .where(size(toks) >= 2)
+      .withColumn("mean_milli", expr("surprisal8 * 1000 div n_bigrams"))
+      .where(col("mean_milli").between(minMeanMilli, maxMeanMilli))
+  }
+
   /** Stream-static enrichment — the most common production streaming
     * shape: a fact stream left-joined to a STATIC dimension frame on
     * `keys`. A stream-static equi-join is STATELESS in Structured

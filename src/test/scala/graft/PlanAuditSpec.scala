@@ -55,6 +55,10 @@ class PlanAuditSpec extends SparkSpec {
     "e73_glove_knn",
     "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",
     "e54_surprisal", "e57_hard_triplets", "q25_snb_fof", "q27_bothe",
+    // e74's dense side is the e06 shape (tiny query set broadcast onto
+    // the candidate scan under a non-equi self-exclusion predicate);
+    // e75 carries the e54-class 1-row corpus-total broadcast
+    "e74_hybrid_rrf", "e75_bigram_lm",
     // q58's degree aggregation reads the live generated KNOWS frame, so
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon

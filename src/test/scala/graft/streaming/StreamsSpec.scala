@@ -225,6 +225,52 @@ class StreamsSpec extends SparkSpec {
     assert(s == maxS)
   }
 
+  test("bigram surprisal filter: frozen-model stream == batch == Text.bigramSurprisal") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val trainPred = col("doc_id") % 5 =!= 3
+    val (pb, pu) = graft.ext.Text.bigramModel(corpus, trainPred)
+    // caps don't bind on the fixture: frozen-model scores ARE the e75
+    // batch scores, for held-in and held-out docs alike
+    val batchOp = graft.ext.Text.bigramSurprisal(corpus, trainPred)
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal8"),
+        col("mean_milli")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val frozen = Streams.bigramSurprisalFilter(corpus, pb, pu,
+      Long.MinValue, Long.MaxValue)
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal8"),
+        col("mean_milli")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(frozen == batchOp)
+    // band filter keeps exactly the batch band; streaming parity
+    val means = frozen.values.map(_._3).toSeq.sorted
+    val med = means(means.size / 2)
+    val (lo, hi) = (med - 300, med + 300)
+    val keep = frozen.filter { case (_, (_, _, m)) => lo <= m && m <= hi }.keySet
+    assert(keep.nonEmpty && keep.size < frozen.size)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.bigramSurprisalFilter(
+        mem.toDF().toDF("doc_id", "text"), pb, pu, lo, hi)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("bigram_band").outputMode("append")
+      .start()
+    try {
+      val rows = corpus.select("doc_id", "text").as[(Long, String)].collect()
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      assert(spark.table("bigram_band").as[Long].collect().toSet == keep)
+    } finally q.stop()
+    // fully-unknown doc: every event at the 160 floor; 1-token doc drops
+    val unk = Seq((98L, "zz_q yy_r zz_q"), (97L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Streams.bigramSurprisalFilter(unk, pb, pu,
+      Long.MinValue, Long.MaxValue)
+      .select(col("doc_id"), col("surprisal8"), col("mean_milli")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((98L, 320L, 160000L)))
+  }
+
   test("classifier quality filter: frozen-model stream == batch == Classify.score") {
     implicit val sqlCtx = spark.sqlContext
     val train = spark.read.parquet(s"$sf0001/documents.parquet")
