@@ -72,7 +72,20 @@ object Bench {
     // e71/e73: the GloVe training chain and its knn consumer — the 8x
     // curve splits their serial-round floor from the data term
     // (token-keyed joins must track the co-occurrence volume)
-    "e71_glove_train", "e73_glove_knn")
+    "e71_glove_train", "e73_glove_knn",
+    // e75: the bigram-LM scorer — counts are map-side-combined and
+    // vocabulary-bounded, so the 8x curve must track the row-local
+    // bigram stream alone; e76: the WordPiece trainer joins e58's
+    // serial-floor class (8 rounds over the vocabulary-sized frame —
+    // the data term must stay flat). e74 is NOT here: its dense side
+    // is the DECLARED brute-force oracle shape (query count x corpus
+    // both grow -> 64x by construction; the corpus-scale dense path
+    // is e72's index families, and the fusion join itself is |Q|k)
+    "e75_bigram_lm", "e76_wordpiece_train",
+    // e77: the e54-class corpus-scorer shape one join wider (group
+    // counts vs pool counts) — the 8x curve must track the token
+    // stream, with the divergence join staying vocabulary-sized
+    "e77_domain_shift")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via

@@ -405,6 +405,51 @@ object Text {
     (top, total)
   }
 
+  /** Per-group TOKEN-DISTRIBUTION DIVERGENCE from the corpus — the
+    * domain-shift diagnostic a mixture designer reads before setting
+    * sampling weights (the DoReMi-era question "how far is this
+    * source's unigram distribution from the pool?"), as a quantized KL
+    * divergence in exact integer arithmetic:
+    *
+    *   kl_s8(g) = Σ_t  p_g(t) · (log8 p_g(t) - log8 p(t))
+    *
+    * with `p_g(t) = c_g(t)·S div N_g` and `p(t) = c(t)·S div N` in 2^20
+    * fixed point and log8 the eighth-bit integer log2
+    * ([[Retrieval.log8Sql]]). Units: fixed-point probability mass ×
+    * eighth-bits. Terms exist only where the group saw the token
+    * (`p_g > 0`; `p > 0` follows by containment); a single-group corpus
+    * scores exactly 0 (p_g ≡ p), and quantization can push near-zero
+    * divergences a few units negative — the diagnostic's resolution,
+    * documented rather than clamped. Zero-probability-quantized tokens
+    * (`c·S < N`) clamp to p_fp = 1 before the log, the e75 floor.
+    *
+    * Scale shape (100 TB): both count frames are map-side-combined and
+    * vocabulary-bounded per group; the divergence is one token-keyed
+    * join of the group counts against the corpus counts plus a
+    * per-group fold — nothing corpus-sized ever shuffles. Output:
+    * `(group, n_tokens, n_types, kl_s8)`, all exact. */
+  def domainShift(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val S = Retrieval.Scale
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(split(col(textCol), " ")).as("t"))
+    val cg = toks.groupBy("g", "t").agg(count(lit(1)).as("c_g"))
+    val ng = cg.groupBy("g").agg(sum(col("c_g")).as("n_g"),
+      count(lit(1)).as("n_types"))
+    val call = toks.groupBy("t").agg(count(lit(1)).as("c_all"))
+    val nall = call.agg(sum(col("c_all")).as("n_all"))
+    def p(cNum: String, den: String): String =
+      s"greatest(($cNum * ${S}L) div $den, 1)"
+    cg.join(ng, "g").join(call, "t").crossJoin(broadcast(nall))
+      .withColumn("_pg", expr(p("c_g", "n_g")))
+      .withColumn("_pa", expr(p("c_all", "n_all")))
+      .withColumn("_term", col("_pg") *
+        (expr(Retrieval.log8Sql("_pg")) - expr(Retrieval.log8Sql("_pa"))))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("n_g")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        sum(col("_term")).as("kl_s8"))
+  }
+
   /** Driver-side frozen BIGRAM model for streaming
     * [[graft.streaming.Streams.bigramSurprisalFilter]] — the
     * [[bigramSurprisal]] arithmetic PRE-DIVIDED into two literal maps

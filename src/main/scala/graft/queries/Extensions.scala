@@ -489,6 +489,13 @@ object Extensions {
     Text.bigramSurprisal(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
       .orderBy("doc_id")
 
+  /** e77: per-source token-distribution divergence
+    * ([[graft.ext.Text.domainShift]]) — the quantized KL each corpus
+    * source carries against the pooled unigram distribution, the
+    * number a mixture designer weighs sources by. */
+  def e77_domain_shift(s: SparkSession, dir: String): DataFrame =
+    Text.domainShift(docs(s, dir)).orderBy("source")
+
   /** e58: BPE tokenizer training ([[graft.ext.Bpe.bpeMerges]]) — 8
     * merge rounds learned from the corpus word-frequency table; the
     * oracle unrolls every round (pair count -> argmax -> greedy
@@ -1009,6 +1016,7 @@ object Extensions {
     "e74_hybrid_rrf" -> (e74_hybrid_rrf _),
     "e75_bigram_lm" -> (e75_bigram_lm _),
     "e76_wordpiece_train" -> (e76_wordpiece_train _),
+    "e77_domain_shift" -> (e77_domain_shift _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1979,6 +1987,33 @@ object Extensions {
     "e60_bm25" -> e60OracleSql,
     "e74_hybrid_rrf" -> e74OracleSql,
     "e75_bigram_lm" -> e75OracleSql,
+
+    "e77_domain_shift" ->
+      // Per-source quantized KL replay: group/pool counts, 2^20
+      // fixed-point probabilities with the >= 1 floor, eighth-bit
+      // integer logs, one fold per source. `//` == `div` (operands
+      // positive); >> mirrors shiftright.
+      s"""WITH tk AS (SELECT source AS g, unnest(string_split(text, ' ')) AS t
+         |           FROM documents),
+         |cg AS (SELECT g, t, count(*) AS c_g FROM tk GROUP BY g, t),
+         |ng AS (SELECT g, CAST(sum(c_g) AS BIGINT) AS n_g,
+         |         count(*) AS n_types FROM cg GROUP BY g),
+         |ca AS (SELECT t, count(*) AS c_all FROM tk GROUP BY t),
+         |na AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM ca),
+         |pr AS (SELECT cg.g, ng.n_g, ng.n_types,
+         |         greatest((cg.c_g * ${graft.ext.Retrieval.Scale}) // ng.n_g, 1) AS pg,
+         |         greatest((ca.c_all * ${graft.ext.Retrieval.Scale}) // na.n_all, 1) AS pa
+         |       FROM cg JOIN ng USING (g) JOIN ca USING (t), na),
+         |tm AS (SELECT g, n_g, n_types,
+         |         pg * ((8 * (length(bin(pg)) - 1)
+         |                 + ((pg * 8) >> (length(bin(pg)) - 1)) - 8)
+         |               - (8 * (length(bin(pa)) - 1)
+         |                 + ((pa * 8) >> (length(bin(pa)) - 1)) - 8)) AS term
+         |       FROM pr)
+         |SELECT g AS source, CAST(max(n_g) AS BIGINT) AS n_tokens,
+         |  CAST(max(n_types) AS BIGINT) AS n_types,
+         |  CAST(sum(term) AS BIGINT) AS kl_s8
+         |FROM tm GROUP BY g ORDER BY source""".stripMargin,
 
     "e61_quality_classifier" -> e61OracleSql,
     "e66_classifier_eval" -> e66OracleSql,

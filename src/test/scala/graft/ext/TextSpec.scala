@@ -218,6 +218,28 @@ class TextSpec extends SparkSpec {
     assert(big.forall { case (c, x, w) => m((x, c)) == w })
   }
 
+  test("domainShift: single source scores exactly 0; two-source hand-exact") {
+    // one group: p_g == p for every token -> every term 0
+    val mono = Seq((0L, "x y z x", "s0"), (1L, "y z", "s0"))
+      .toDF("doc_id", "text", "source")
+    val zero = Text.domainShift(mono).select("kl_s8").as[Long].collect()
+    assert(zero.toSeq == Seq(0L))
+    // A = "a a b", B = "b b b": pool a:2 b:4, N=6.
+    // p_A(a) = 699050 (log8 154), p_A(b) = 349525 (log8 146),
+    // p(a) = 349525, p(b) = 699050, p_B(b) = 2^20 (log8 160).
+    // KL_A = 699050*8 - 349525*8 = 2796200; KL_B = 1048576*6 = 6291456.
+    val duo = Seq((0L, "a a b", "A"), (1L, "b b b", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Text.domainShift(duo)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("A", 3L, 2L, 2796200L), ("B", 3L, 1L, 6291456L)))
+    // partitioning independence on the fixture
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = Text.domainShift(docs).collect().map(_.toSeq).toSet
+    val b = Text.domainShift(docs.repartition(13)).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bigramSurprisal: hand-exact on a two-doc corpus") {
     // doc0 "a b a b": bigrams (a,b)(b,a)(a,b); doc1 "a b": (a,b).
     // Train = both docs. c2(a,b)=3, c2(b,a)=1; cl(a)=3, cl(b)=1;
