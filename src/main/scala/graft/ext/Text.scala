@@ -405,6 +405,34 @@ object Text {
     (top, total)
   }
 
+  /** CCNet's head/middle/tail split: every document bucketed by its
+    * [[bigramSurprisal]] perplexity WITHIN its language — the actual
+    * shipping shape of the CCNet pipeline (Wenzek et al. 2020), where
+    * LM-score terciles per language drive what gets kept or
+    * down-sampled. `ntile(nBuckets)` over the per-language
+    * (mean_milli, doc_id) total order — deterministic, partitioned by
+    * language (never a global window), bucket 1 = lowest perplexity
+    * (the "head"). Documents with < 2 tokens have no perplexity and
+    * are absent, like the scorer itself. Output:
+    * `(doc_id, lang, mean_milli, bucket)`.
+    *
+    * Scale: the scorer's shape plus one language-partitioned window —
+    * thousands of languages partition cleanly; for a single dominant
+    * language at extreme scale, swap ntile for quantile cutpoints from
+    * [[Sketches]] and a broadcast band join. */
+  def perplexityBuckets(docs: DataFrame, trainFilter: Column,
+      nBuckets: Int = 3, idCol: String = "doc_id",
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    val scored = bigramSurprisal(docs, trainFilter, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy(col("mean_milli"), col("doc_id"))
+    scored
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol)), "doc_id")
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .select(col("doc_id"), col(langCol), col("mean_milli"), col("bucket"))
+  }
+
   /** Per-group TOKEN-DISTRIBUTION DIVERGENCE from the corpus — the
     * domain-shift diagnostic a mixture designer reads before setting
     * sampling weights (the DoReMi-era question "how far is this

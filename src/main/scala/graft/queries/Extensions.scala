@@ -489,6 +489,14 @@ object Extensions {
     Text.bigramSurprisal(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
       .orderBy("doc_id")
 
+  /** e78: CCNet head/middle/tail perplexity buckets
+    * ([[graft.ext.Text.perplexityBuckets]]) — the e75 scores cut into
+    * per-language terciles, the split CCNet keeps/down-samples by.
+    * Bucket 1 = lowest perplexity. */
+  def e78_perplexity_buckets(s: SparkSession, dir: String): DataFrame =
+    Text.perplexityBuckets(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
+      .orderBy("doc_id")
+
   /** e77: per-source token-distribution divergence
     * ([[graft.ext.Text.domainShift]]) — the quantized KL each corpus
     * source carries against the pooled unigram distribution, the
@@ -1017,6 +1025,7 @@ object Extensions {
     "e75_bigram_lm" -> (e75_bigram_lm _),
     "e76_wordpiece_train" -> (e76_wordpiece_train _),
     "e77_domain_shift" -> (e77_domain_shift _),
+    "e78_perplexity_buckets" -> (e78_perplexity_buckets _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1575,13 +1584,15 @@ object Extensions {
     "WITH lex AS MATERIALIZED (\n" + e60OracleCore + "),\n" + fusion
   }
 
-  /** e75's replay: bigram events by position unnest (the e70 instance
-    * pattern — generate_series(1, 0) is EMPTY in DuckDB, matching the
-    * Spark short-doc guard), train counts on the doc_id % 5 != 3
-    * split, Jelinek-Mercer λ=3/4 interpolation in 2^20 fixed point
-    * with the >= 1 unknown floor, eighth-bit integer surprisal, and
-    * the per-doc fold. `//` == `div` (all operands positive). */
-  private def e75OracleSql: String =
+  /** e75's replay WITHOUT the trailing ORDER BY, so e78 can embed it
+    * as a nested-WITH CTE (the e60/e74 strip-once discipline): bigram
+    * events by position unnest (the e70 instance pattern —
+    * generate_series(1, 0) is EMPTY in DuckDB, matching the Spark
+    * short-doc guard), train counts on the doc_id % 5 != 3 split,
+    * Jelinek-Mercer λ=3/4 interpolation in 2^20 fixed point with the
+    * >= 1 unknown floor, eighth-bit integer surprisal, and the per-doc
+    * fold. `//` == `div` (all operands positive). */
+  private def e75OracleCore: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |pr AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
        |       FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i)),
@@ -1610,7 +1621,24 @@ object Extensions {
        |SELECT doc_id, count(*) AS n_bigrams,
        |  CAST(sum(s8) AS BIGINT) AS surprisal8,
        |  CAST((sum(s8) * 1000) // count(*) AS BIGINT) AS mean_milli
-       |FROM s8 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM s8 GROUP BY doc_id""".stripMargin
+
+  private def e75OracleSql: String =
+    e75OracleCore + "\nORDER BY doc_id"
+
+  /** e78's replay: the e75 scorer as a nested-WITH CTE, language from
+    * the documents table, and the per-language NTILE over the same
+    * (mean_milli, doc_id) total order. Composed by concatenation of
+    * once-stripped fragments. */
+  private def e78OracleSql: String = {
+    val tail =
+      s"""SELECT s.doc_id, d.lang, s.mean_milli,
+         |  CAST(ntile(3) OVER (PARTITION BY d.lang
+         |                      ORDER BY s.mean_milli, s.doc_id) AS BIGINT) AS bucket
+         |FROM sc75 s JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    "WITH sc75 AS MATERIALIZED (\n" + e75OracleCore + ")\n" + tail
+  }
 
   // lazy: oracles0's declaration follows (forward reference at object init)
   lazy val oracles: Map[String, String] = oracles0 +
@@ -1987,6 +2015,7 @@ object Extensions {
     "e60_bm25" -> e60OracleSql,
     "e74_hybrid_rrf" -> e74OracleSql,
     "e75_bigram_lm" -> e75OracleSql,
+    "e78_perplexity_buckets" -> e78OracleSql,
 
     "e77_domain_shift" ->
       // Per-source quantized KL replay: group/pool counts, 2^20

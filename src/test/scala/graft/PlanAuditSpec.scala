@@ -57,8 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     "e54_surprisal", "e57_hard_triplets", "q25_snb_fof", "q27_bothe",
     // e74's dense side is the e06 shape (tiny query set broadcast onto
     // the candidate scan under a non-equi self-exclusion predicate);
-    // e75/e77 carry the e54-class 1-row corpus-total broadcast
+    // e75/e77/e78 carry the e54-class 1-row corpus-total broadcast
+    // (e78 composes the e75 scorer)
     "e74_hybrid_rrf", "e75_bigram_lm", "e77_domain_shift",
+    "e78_perplexity_buckets",
     // q58's degree aggregation reads the live generated KNOWS frame, so
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon

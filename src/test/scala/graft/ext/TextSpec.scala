@@ -240,6 +240,27 @@ class TextSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("perplexityBuckets: per-lang terciles, balanced and monotone") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pred = col("doc_id") % 5 =!= 3
+    val out = Text.perplexityBuckets(docs, trainFilter = pred)
+      .as[(Long, String, Long, Long)].collect()
+    val scoredN = Text.bigramSurprisal(docs, trainFilter = pred).count()
+    assert(out.length == scoredN)
+    assert(out.forall(r => r._4 >= 1 && r._4 <= 3))
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$lang unbalanced: $sizes")
+      val byB = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      byB.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(byB(a).max <= byB(b).min,
+            s"$lang buckets $a/$b not perplexity-ordered")
+        case _ =>
+      }
+    }
+  }
+
   test("bigramSurprisal: hand-exact on a two-doc corpus") {
     // doc0 "a b a b": bigrams (a,b)(b,a)(a,b); doc1 "a b": (a,b).
     // Train = both docs. c2(a,b)=3, c2(b,a)=1; cl(a)=3, cl(b)=1;
