@@ -489,6 +489,17 @@ object Extensions {
     Text.bigramSurprisal(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
       .orderBy("doc_id")
 
+  /** e79: semantic decontamination
+    * ([[graft.ext.Similarity.semanticDecontaminate]]) — the
+    * embedding-space leakage detector closing the decontamination
+    * matrix (exact e34 / Bloom e51 / fuzzy-lexical e65 / SEMANTIC):
+    * corpus vectors scoring cosine >= 0.35 against the `vec_id % 40
+    * == 1` benchmark split, reported as dirty pairs. */
+  def e79_semantic_decontaminate(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDecontaminate(emb(s, dir),
+        benchPred = col("vec_id") % 40 === 1, threshold = 0.35)
+      .orderBy("vec_id", "bench_id")
+
   /** e78: CCNet head/middle/tail perplexity buckets
     * ([[graft.ext.Text.perplexityBuckets]]) — the e75 scores cut into
     * per-language terciles, the split CCNet keeps/down-samples by.
@@ -1026,6 +1037,7 @@ object Extensions {
     "e76_wordpiece_train" -> (e76_wordpiece_train _),
     "e77_domain_shift" -> (e77_domain_shift _),
     "e78_perplexity_buckets" -> (e78_perplexity_buckets _),
+    "e79_semantic_decontaminate" -> (e79_semantic_decontaminate _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2016,6 +2028,21 @@ object Extensions {
     "e74_hybrid_rrf" -> e74OracleSql,
     "e75_bigram_lm" -> e75OracleSql,
     "e78_perplexity_buckets" -> e78OracleSql,
+
+    "e79_semantic_decontaminate" ->
+      // e20's pair expression restricted to cross-split pairs: the
+      // benchmark side is the vec_id % 40 == 1 slice, sims rounded to
+      // 9 before the threshold exactly as the Spark plan evaluates.
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 40 = 1),
+        |c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id % 40 <> 1)
+        |SELECT c.vec_id, b.bench_id,
+        |  round(list_dot_product(c.cv, b.bv) /
+        |    (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(b.bv, b.bv))), 9) AS sim
+        |FROM c CROSS JOIN b
+        |WHERE round(list_dot_product(c.cv, b.bv) /
+        |    (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(b.bv, b.bv))), 9) >= 0.35
+        |ORDER BY vec_id, bench_id""".stripMargin,
 
     "e77_domain_shift" ->
       // Per-source quantized KL replay: group/pool counts, 2^20

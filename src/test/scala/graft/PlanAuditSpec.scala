@@ -61,6 +61,9 @@ class PlanAuditSpec extends SparkSpec {
     // (e78 composes the e75 scorer)
     "e74_hybrid_rrf", "e75_bigram_lm", "e77_domain_shift",
     "e78_perplexity_buckets",
+    // e79: the bounded benchmark side broadcast under the non-equi
+    // cosine-threshold predicate (the e06/e20 class)
+    "e79_semantic_decontaminate",
     // q58's degree aggregation reads the live generated KNOWS frame, so
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon

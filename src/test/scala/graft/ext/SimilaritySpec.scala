@@ -277,4 +277,24 @@ class SimilaritySpec extends SparkSpec {
     val lens = cb.select(size(col("cv"))).distinct().as[Int].collect().toSeq
     assert(lens == Seq(16))
   }
+
+  test("semanticDecontaminate == cross-split restriction of the all-pairs report") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val tau = 0.2 // low enough for hits on the tiny fixture
+    val flagged = Similarity.semanticDecontaminate(emb,
+        col("vec_id") % 40 === 1, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = Similarity.embeddingNearDupPairs(emb, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, s) =>
+        (a % 40 == 1, b % 40 == 1) match {
+          case (true, false) => Some((b, a, s)) // (corpus, bench, sim)
+          case (false, true) => Some((a, b, s))
+          case _             => None // within-side pairs are not leakage
+        }
+      }
+    assert(flagged.nonEmpty)
+    assert(flagged.toSet == cross.toSet)
+    assert(flagged.forall { case (c, b, _) => c % 40 != 1 && b % 40 == 1 })
+  }
 }
