@@ -116,8 +116,10 @@ object Retrieval {
     * index families instead of brute force. */
   def denseRanks(embeddings: DataFrame, queryIds: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // distinct: a duplicated query id would fan the join out and fill
+    // the top-k with repeated rows — dedup the tiny frame defensively
     val queries = embeddings
-      .join(broadcast(queryIds.select(col("query_id"))),
+      .join(broadcast(queryIds.select(col("query_id")).distinct()),
         col("vec_id") === col("query_id"))
       .select(col("query_id"), col("embedding").as("qv"))
     val cands = embeddings.select(col("vec_id").as("doc_id"),

@@ -350,24 +350,14 @@ object Text {
   def bigramSurprisal(docs: DataFrame, trainFilter: Column,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val S = Retrieval.Scale
-    // sequence(1, 0) DESCENDS in Spark — guard short docs explicitly.
     // The extraction runs twice (all docs / train split) instead of
     // semi-joining a corpus-sized id set: both passes are row-local
     // scans, and nothing model-sized ever shuffles by doc.
-    def pairsOf(frame: DataFrame): DataFrame = frame
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_a"))
-      .select(col("doc_id"), explode(when(size(col("_a")) >= 2,
-        expr("transform(sequence(1, size(_a) - 1), " +
-          "i -> struct(_a[i-1] AS w1, _a[i] AS w2))"))
-        .otherwise(expr("array()"))).as("_p"))
-      .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
-    val pairs = pairsOf(docs)
-    val train = pairsOf(docs.where(trainFilter))
+    val pairs = bigramEvents(docs, idCol, textCol)
+    val train = bigramEvents(docs.where(trainFilter), idCol, textCol)
     val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val left = big.groupBy("w1").agg(sum(col("c2")).as("cl"))
-    val uni = docs.where(trainFilter)
-      .select(explode(split(col(textCol), " ")).as("w2"))
-      .groupBy("w2").agg(count(lit(1)).as("c1"))
+    val uni = unigramCounts(docs.where(trainFilter), textCol)
     val tot = uni.agg(sum(col("c1")).as("n_total"))
     val scored = pairs
       .join(big, Seq("w1", "w2"), "left")
@@ -404,6 +394,29 @@ object Text {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (top, total)
   }
+
+  /** The `(doc_id, w1, w2)` bigram-event stream of a frame, ROW-LOCAL
+    * (an index transform over the token array — no self-join, no
+    * window; `sequence(1, 0)` DESCENDS in Spark, so docs with < 2
+    * tokens are guarded to an empty array and emit nothing). ONE
+    * definition shared by [[bigramSurprisal]] and [[bigramModel]] —
+    * the frozen-model stream==batch bit-parity law depends on both
+    * sides extracting events identically. */
+  private def bigramEvents(frame: DataFrame, idCol: String,
+      textCol: String): DataFrame = frame
+    .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_a"))
+    .select(col("doc_id"), explode(when(size(col("_a")) >= 2,
+      expr("transform(sequence(1, size(_a) - 1), " +
+        "i -> struct(_a[i-1] AS w1, _a[i] AS w2))"))
+      .otherwise(expr("array()"))).as("_p"))
+    .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+
+  /** Train-split unigram counts `(w2, c1)` — shared by
+    * [[bigramSurprisal]] and [[bigramModel]] for the same parity
+    * reason as [[bigramEvents]]. */
+  private def unigramCounts(frame: DataFrame, textCol: String): DataFrame =
+    frame.select(explode(split(col(textCol), " ")).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c1"))
 
   /** CCNet's head/middle/tail split: every document bucketed by its
     * [[bigramSurprisal]] perplexity WITHIN its language — the actual
@@ -497,16 +510,11 @@ object Text {
     * (the StreamsSpec law). */
   def bigramModel(docs: DataFrame, trainFilter: Column,
       maxBigrams: Int = 200000, maxVocab: Int = 100000,
+      idCol: String = "doc_id",
       textCol: String = "text"): (Map[String, Long], Map[String, Long]) = {
     val S = Retrieval.Scale
     val train = docs.where(trainFilter)
-    val toks = train.select(split(col(textCol), " ").as("_a"))
-    val big = toks
-      .select(explode(when(size(col("_a")) >= 2,
-        expr("transform(sequence(1, size(_a) - 1), " +
-          "i -> struct(_a[i-1] AS w1, _a[i] AS w2))"))
-        .otherwise(expr("array()"))).as("_p"))
-      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val big = bigramEvents(train, idCol, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val left = big.groupBy("w1").agg(sum(col("c2")).as("cl"))
     val pb = big.join(left, "w1")
@@ -514,8 +522,7 @@ object Text {
         expr(s"3 * ((c2 * ${S}L) div cl)").as("v"), col("c2"))
       .orderBy(desc("c2"), asc("k")).limit(maxBigrams)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val uni = train.select(explode(split(col(textCol), " ")).as("w2"))
-      .groupBy("w2").agg(count(lit(1)).as("c1"))
+    val uni = unigramCounts(train, textCol)
     val totRow = uni.agg(sum(col("c1"))).head()
     require(!totRow.isNullAt(0), "bigramModel needs a non-empty training split")
     val nTotal = totRow.getLong(0)

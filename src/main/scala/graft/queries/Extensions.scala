@@ -457,9 +457,7 @@ object Extensions {
     * candidate-mining combiner: ranks only, no score calibration. */
   def e74_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val qs = d.where(col("doc_id") % 101 === 7)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+    val qs = bm25Queries(d)
     val lex = graft.ext.Retrieval.bm25TopK(d, qs, k = 10, excludeSelf = true)
     val dense = graft.ext.Retrieval.denseRanks(emb(s, dir),
       qs.select(col("query_id")), k = 10)
@@ -705,12 +703,18 @@ object Extensions {
     * saturation verbatim. */
   def e60_bm25(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val qs = d.where(col("doc_id") % 101 === 7)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
-    graft.ext.Retrieval.bm25TopK(d, qs, k = 10, excludeSelf = true)
+    graft.ext.Retrieval.bm25TopK(d, bm25Queries(d), k = 10, excludeSelf = true)
       .orderBy("query_id", "rank")
   }
+
+  /** The corpus-derived BM25 query set — every `doc_id % 101 == 7`
+    * document's first 6 tokens. ONE definition shared by e60 and e74
+    * (whose oracle embeds e60's replay of the same selection), so the
+    * two queries cannot drift apart. */
+  private def bm25Queries(d: DataFrame): DataFrame =
+    d.where(col("doc_id") % 101 === 7)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
 
   /** e61 training contract: hashed-bigram buckets, rounds, shared by
     * the Spark query and the generated oracle chain. */
