@@ -269,6 +269,20 @@ class StreamsSpec extends SparkSpec {
       .select(col("doc_id"), col("surprisal8"), col("mean_milli")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((98L, 320L, 160000L)))
+    // BINDING caps: only the top-1 bigram/unigram survive the model,
+    // everything else drops to the unknown floor — scores stay valid
+    // and capped-out events surprise HARDER, never softer
+    val (pbC, puC) = graft.ext.Text.bigramModel(corpus, trainPred,
+      maxBigrams = 1, maxVocab = 1)
+    assert(pbC.size == 1 && puC.size == 1)
+    val capped = Streams.bigramSurprisalFilter(corpus, pbC, puC,
+      Long.MinValue, Long.MaxValue)
+      .select(col("doc_id"), col("surprisal8")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.keySet == frozen.keySet)
+    capped.foreach { case (id, s) =>
+      assert(s >= frozen(id)._2, s"capped model must not lower surprisal: $id")
+    }
   }
 
   test("classifier quality filter: frozen-model stream == batch == Classify.score") {
