@@ -264,6 +264,43 @@ object Similarity {
     centroids
   }
 
+  /** SEMANTIC decontamination — the embedding-space face of the
+    * decontamination family (exact n-gram e34, Bloom-prefiltered e51,
+    * fuzzy-lexical e65): flag every corpus vector whose cosine against
+    * ANY benchmark vector reaches `threshold`, catching paraphrased or
+    * reformatted test-set leakage that no lexical overlap detector
+    * sees. `benchPred` splits one embedding frame into benchmark and
+    * corpus sides — a NULL predicate row is CORPUS (it must still be
+    * screened; under three-valued logic a bare `!pred` would silently
+    * drop it from both sides). Output is the dirty-pair report
+    * `(vec_id, bench_id, sim)` — the evidence a removal pass consumes
+    * (anti-join the distinct vec_ids to clean, exactly e51's shape).
+    *
+    * Exact brute force over the benchmark side: benchmarks are SMALL
+    * BY DEFINITION (thousands of rows), so the broadcast is bounded
+    * and the scan is one pass over the corpus with a per-pair codegen'd
+    * dot fold — linear in the corpus at any scale. For a benchmark too
+    * large to broadcast, prefilter candidates with shared
+    * [[lshBuckets]] bands and verify only those (the e17 discipline),
+    * accepting the measured recall. Similarity arithmetic is
+    * expression-identical to [[embeddingNearDupPairs]] (hoisted norms,
+    * round 9) so the DuckDB replay is bitwise. */
+  def semanticDecontaminate(embeddings: DataFrame, benchPred: Column,
+      threshold: Double): DataFrame = {
+    val isBench = coalesce(benchPred, lit(false))
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))).as("nrm"))
+    val bench = withNorm.where(isBench)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bv"),
+        col("nrm").as("nb"))
+    val corpus = withNorm.where(!isBench)
+      .select(col("vec_id"), col("embedding").as("cv"), col("nrm").as("nc"))
+    val sim = round(dotProduct(col("cv"), col("bv")) / (col("nc") * col("nb")), 9)
+    corpus.join(broadcast(bench), sim >= threshold)
+      .select(col("vec_id"), col("bench_id"), sim.as("sim"))
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv 2303.09540):
     * embedding-level dedup that finds near-duplicates by MEANING, where
@@ -289,40 +326,6 @@ object Similarity {
     * the smallest such partner (deterministic), ordered by the caller.
     * `roundDecimals` pins the k-means means for oracle portability
     * (e32's discipline; -1 = full precision). */
-  /** SEMANTIC decontamination — the embedding-space face of the
-    * decontamination family (exact n-gram e34, Bloom-prefiltered e51,
-    * fuzzy-lexical e65): flag every corpus vector whose cosine against
-    * ANY benchmark vector reaches `threshold`, catching paraphrased or
-    * reformatted test-set leakage that no lexical overlap detector
-    * sees. `benchPred` splits one embedding frame into benchmark and
-    * corpus sides; output is the dirty-pair report
-    * `(vec_id, bench_id, sim)` — the evidence a removal pass consumes
-    * (anti-join the distinct vec_ids to clean, exactly e51's shape).
-    *
-    * Exact brute force over the benchmark side: benchmarks are SMALL
-    * BY DEFINITION (thousands of rows), so the broadcast is bounded
-    * and the scan is one pass over the corpus with a per-pair codegen'd
-    * dot fold — linear in the corpus at any scale. For a benchmark too
-    * large to broadcast, prefilter candidates with shared
-    * [[lshBuckets]] bands and verify only those (the e17 discipline),
-    * accepting the measured recall. Similarity arithmetic is
-    * expression-identical to [[embeddingNearDupPairs]] (hoisted norms,
-    * round 9) so the DuckDB replay is bitwise. */
-  def semanticDecontaminate(embeddings: DataFrame, benchPred: Column,
-      threshold: Double): DataFrame = {
-    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
-      sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, v) => acc + v.cast("double") * v.cast("double"))).as("nrm"))
-    val bench = withNorm.where(benchPred)
-      .select(col("vec_id").as("bench_id"), col("embedding").as("bv"),
-        col("nrm").as("nb"))
-    val corpus = withNorm.where(!benchPred)
-      .select(col("vec_id"), col("embedding").as("cv"), col("nrm").as("nc"))
-    val sim = round(dotProduct(col("cv"), col("bv")) / (col("nc") * col("nb")), 9)
-    corpus.join(broadcast(bench), sim >= threshold)
-      .select(col("vec_id"), col("bench_id"), sim.as("sim"))
-  }
-
   def semDedup(embeddings: DataFrame, k: Int, iters: Int,
       threshold: Double, roundDecimals: Int = -1): DataFrame = {
     val cen = trainCentroids(embeddings, k, iters, roundDecimals)

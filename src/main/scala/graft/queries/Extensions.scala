@@ -1155,10 +1155,14 @@ object Extensions {
       s"(8 * (length(bin($x)) - 1) + (($x * 8) >> (length(bin($x)) - 1)) - 8)"
     val rounds = (1 to 8).map { r =>
       val p = r - 1
+      // NOT stripMargin'd: the fragment keeps its margin pipes and the
+      // ONE outer stripMargin below handles every line (strip-once —
+      // a pre-stripped fragment re-stripped by the outer template is
+      // the round-10 e71 double-strip bug class)
       val bestCtes =
         if (!likelihood)
           s"""best$r AS MATERIALIZED (SELECT lhs, rhs, c FROM pc$r
-             |         ORDER BY c DESC, lhs, rhs LIMIT 1),""".stripMargin
+             |         ORDER BY c DESC, lhs, rhs LIMIT 1),"""
         else
           s"""cnt$r AS (SELECT sym, CAST(sum(n) AS BIGINT) AS c1
              |          FROM w$p GROUP BY sym),
@@ -1167,7 +1171,7 @@ object Extensions {
              |             ${log8("p.c")} - ${log8("cl.c1")} - ${log8("cr.c1")} AS s8
              |           FROM pc$r p JOIN cnt$r cl ON cl.sym = p.lhs
              |             JOIN cnt$r cr ON cr.sym = p.rhs)
-             |         ORDER BY s8 DESC, c DESC, lhs, rhs LIMIT 1),""".stripMargin
+             |         ORDER BY s8 DESC, c DESC, lhs, rhs LIMIT 1),"""
       s"""pc$r AS (SELECT a.sym AS lhs, b.sym AS rhs, CAST(sum(a.n) AS BIGINT) AS c
          |         FROM w$p a JOIN w$p b ON b.wid = a.wid AND b.pos = a.pos + 1
          |         GROUP BY 1, 2 HAVING sum(a.n) >= 2),
