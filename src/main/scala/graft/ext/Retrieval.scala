@@ -111,13 +111,44 @@ object Retrieval {
     *
     * Scale: the query frame is small by definition and BROADCAST onto
     * the candidate scan; ranking partitions by query. At extreme corpus
-    * size swap the window for [[Similarity.TopKAggregator]] exactly as
-    * in `bruteForceTopKAgg`; for corpus-scale query sets use the e72
-    * index families instead of brute force. */
+    * size use [[denseRanksAgg]] (identical rows, bounded-heap shuffle);
+    * for corpus-scale query sets use the e72 index families instead of
+    * brute force. */
   def denseRanks(embeddings: DataFrame, queryIds: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // distinct: a duplicated query id would fan the join out and fill
-    // the top-k with repeated rows — dedup the tiny frame defensively
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    denseScored(embeddings, queryIds)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+  }
+
+  /** [[denseRanks]] with the bounded-heap
+    * [[graft.ext.TopKAggregator]] instead of a window rank: identical
+    * output (the aggregator's buffer stays sorted in exactly the
+    * (sim desc, id) order the window uses, so rank = buffer position),
+    * but only k candidates per partition per query cross the shuffle —
+    * the plan that survives a 100 TB candidate side
+    * (`bruteForceTopKAgg`'s discipline applied to the rank-producing
+    * form the hybrid fusion consumes). */
+  def denseRanksAgg(embeddings: DataFrame, queryIds: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    denseScored(embeddings, queryIds)
+      .groupBy("query_id")
+      .agg(TopKAggregator.asColumn(k, col("sim"), col("doc_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("s.neighbor_id").as("doc_id"))
+  }
+
+  /** Shared scoring stream of [[denseRanks]]/[[denseRanksAgg]]:
+    * `(query_id, doc_id, sim)` for every (query, candidate) pair,
+    * self-hits excluded, sim rounded to 9 like every cosine ranker in
+    * [[Similarity]]. distinct: a duplicated query id would fan the
+    * join out and fill the top-k with repeated rows — dedup the tiny
+    * frame defensively. */
+  private def denseScored(embeddings: DataFrame, queryIds: DataFrame): DataFrame = {
     val queries = embeddings
       .join(broadcast(queryIds.select(col("query_id")).distinct()),
         col("vec_id") === col("query_id"))
@@ -125,13 +156,8 @@ object Retrieval {
     val cands = embeddings.select(col("vec_id").as("doc_id"),
       col("embedding").as("cv"))
     val sim = round(graft.functions.cosineSimilarity(col("qv"), col("cv")), 9)
-    val scored = cands.join(broadcast(queries), col("query_id") =!= col("doc_id"))
+    cands.join(broadcast(queries), col("query_id") =!= col("doc_id"))
       .select(col("query_id"), col("doc_id"), sim.as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"))
   }
 
   /** Reciprocal-rank fusion of a lexical and a dense ranking — the

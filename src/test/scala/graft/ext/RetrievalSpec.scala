@@ -79,6 +79,15 @@ class RetrievalSpec extends SparkSpec {
       "self hit not excluded")
   }
 
+  test("denseRanksAgg returns exactly denseRanks' rows, ranks included") {
+    val ids = Seq(0L, 3L, 7L, 11L).toDF("query_id")
+    val win = Retrieval.denseRanks(emb, ids, k = 6).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val agg = Retrieval.denseRanksAgg(emb, ids, k = 6).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(win == agg && win.nonEmpty)
+  }
+
   test("rrfFuse: hand-computed fusion, both-lists beats single-list") {
     val S = Retrieval.Scale
     val lex = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
