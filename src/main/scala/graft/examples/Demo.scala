@@ -227,6 +227,36 @@ object Demo {
       edgeLabels = Set("KNOWS")).count()
     println(s"DEMO walk_rows=$dw node2vec_rows=$n2v")
 
+    // 26. the round-11 curation surface in one pass: hybrid RRF
+    // retrieval (lexical BM25 + bounded-heap dense ranks over the
+    // shared id space), the bigram-LM loop (train split -> CCNet
+    // head bucket -> frozen ingest filter), per-source domain shift,
+    // WordPiece-vs-BPE first merges, and semantic decontamination
+    val rq = docsDf.where(col("doc_id") % 17 === 3)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+    val fused = graft.ext.Retrieval.rrfFuse(
+      graft.ext.Retrieval.bm25TopK(docsDf, rq, k = 5, excludeSelf = true),
+      graft.ext.Retrieval.denseRanksAgg(emb, rq.select(col("query_id")), k = 5),
+      k = 5).count()
+    val trainPred = col("doc_id") % 5 =!= 3
+    val heads = graft.ext.Text.perplexityBuckets(docsDf, trainPred)
+      .where(col("bucket") === 1).count()
+    val (pbM, puM) = graft.ext.Text.bigramModel(docsDf, trainPred)
+    val ingest = graft.streaming.Streams.bigramSurprisalFilter(
+      docsDf, pbM, puM, 0L, 200000L).count()
+    val shifted = graft.ext.Text.domainShift(docsDf)
+      .orderBy(desc("kl_s8")).limit(1).collect().head.getString(0)
+    val wpFirst = graft.ext.Bpe.bpeMerges(docsDf, rounds = 1, likelihood = true)
+      .collect().head.getString(3)
+    val bpeFirst = graft.ext.Bpe.bpeMerges(docsDf, rounds = 1)
+      .collect().head.getString(3)
+    val dirty = graft.ext.Similarity.semanticDecontaminate(emb,
+      col("vec_id") % 40 === 1, 0.2).select("vec_id").distinct().count()
+    println(s"DEMO rrf_rows=$fused ppl_head_docs=$heads bigram_ingest_kept=$ingest " +
+      s"top_shift_source=$shifted wordpiece_first=$wpFirst bpe_first=$bpeFirst " +
+      s"semantic_dirty_docs=$dirty")
+
     spark.stop()
   }
 }
