@@ -84,7 +84,13 @@ object Bench {
     "e75_bigram_lm", "e76_wordpiece_train",
     // e77: the e54-class corpus-scorer shape one join wider (group
     // counts vs pool counts) — the 8x curve must track the token
-    // stream, with the divergence join staying vocabulary-sized
+    // stream, with the divergence join staying vocabulary-sized.
+    // e78 is NOT here: it is e75's scorer plus one language-partitioned
+    // window, so e75's curve already pins its only data-sized term;
+    // e79 is NOT here: its benchmark split grows with the replicated
+    // corpus, so the 8x point would measure the declared brute-force
+    // oracle shape at 64x work, not the production bounded-benchmark
+    // path (the e74 rationale)
     "e77_domain_shift")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
