@@ -90,7 +90,13 @@ object Bench {
     // e79 is NOT here: its benchmark split grows with the replicated
     // corpus, so the 8x point would measure the declared brute-force
     // oracle shape at 64x work, not the production bounded-benchmark
-    // path (the e74 rationale)
+    // path (the e74 rationale).
+    // e80 is NOT here: it is e47's k-means train + assignment plus a
+    // cell-partitioned quota window over the k-bounded output, so
+    // e47's curve already pins its only data-sized terms (the e78
+    // rationale); e81 is NOT here: a single row-local projection over
+    // the scan (the e08/e09 stat class, which the tier never carried —
+    // no shuffle to regress)
     "e77_domain_shift")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

@@ -353,6 +353,39 @@ object Similarity {
       .select(col("id_b").as("vec_id"), col("id_a").as("kept_by"), col("sim"))
   }
 
+  /** Cluster-balanced coreset sampling — the DIVERSITY selector of the
+    * curation family (the complement of [[semDedup]]'s redundancy
+    * remover, same clustering): k-means-cluster the corpus, then keep
+    * each cluster's `perCell` most PROTOTYPICAL members (highest cosine
+    * to the cluster's own centroid, vec_id breaking ties). Uniform
+    * per-cluster quotas are the standard guard against a web-scale
+    * corpus where one mode dominates the sample — every semantic region
+    * contributes equally regardless of its population.
+    *
+    * Scale shape: [[trainCentroids]] is linear per round (broadcast-k
+    * argmax assignment, (cell, dim)-keyed means); the final assignment
+    * is the same broadcast argmax agg (one shuffle on vec_id, never a
+    * pair join); the quota rank is a Window PARTITIONED BY cell — k
+    * tasks, each bounded by its cell population, no global sort. Output
+    * `(cell, vec_id, sim, rnk)` with rnk 1..perCell densest-first;
+    * `roundDecimals` pins the trained means for oracle portability
+    * (e32's discipline; -1 = full precision). */
+  def clusterSample(embeddings: DataFrame, k: Int, iters: Int,
+      perCell: Int, roundDecimals: Int = -1): DataFrame = {
+    require(perCell >= 1, s"need perCell >= 1, got $perCell")
+    val cen = trainCentroids(embeddings, k, iters, roundDecimals)
+    val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
+    val assigned = embeddings.join(broadcast(cen))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cell"),
+        col("best.sim").as("sim"))
+    val w = Window.partitionBy("cell").orderBy(desc("sim"), asc("vec_id"))
+    assigned.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= perCell)
+      .select(col("cell"), col("vec_id"), col("sim"), col("rnk"))
+  }
+
   /** Product quantization (Jégou/Douze/Schmid, TPAMI 2011): the
     * COMPRESSION path of the ANN family. Vectors split into `m`
     * subspaces; a per-subspace L2 k-means codebook (`ks` centroids)

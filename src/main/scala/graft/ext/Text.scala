@@ -164,6 +164,65 @@ object Text {
           .otherwise(lit(0.0)).as("rep_ratio"))
   }
 
+  /** Gopher rule-based quality filtering (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", §A1.1 / Table A1) — the WORD-LEVEL subset of the paper's
+    * document filters, each reported as its measured statistic plus one
+    * composite keep decision:
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10] chars
+    *   - symbol-to-word ratio ('#' or '...' occurrences / words) <= 0.1
+    *   - fraction of words containing an alphabetic character >= 0.8
+    *   - at least 2 stop-word hits (the paper's "contains >= 2 of a
+    *     fixed stop set"; counted over [[Stopwords]])
+    *
+    * The paper's LINE-level rules (bullet starts, ellipsis line ends)
+    * need multi-line documents and are omitted — on a one-line corpus
+    * they are constant and gate nothing. Everything here is row-local
+    * codegen'd column arithmetic (one projection, no shuffle — scales
+    * with the scan), and every statistic replays exactly in DuckDB.
+    * Mean word length uses the 1-char-delimiter identity
+    * `sum(len(token)) = len(text) - (n_tokens - 1)` — exact for any
+    * split on ' ', no per-token fold needed. Output: (doc_id, n_words,
+    * mean_word_len, stop_hits, symbol_ratio, alpha_frac, keep) with
+    * keep as 0/1 int. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = col("_w")
+    val nWords = col("n_words")
+    // '#' count = chars removed by deleting them; '...' count = chars
+    // removed / 3 (both engines scan left-to-right, non-overlapping).
+    val nHash = length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))
+    val nEllipsis = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("double") / lit(3.0)
+    val meanWordLen = (length(col("text")) - (nWords - lit(1))).cast("double") /
+      nWords.cast("double")
+    val stats = docs
+      .select(col("doc_id"), col("text"), tokens.as("_w"))
+      .select(
+        col("doc_id"), col("text"),
+        size(toks).as("n_words"),
+        size(filter(toks, t =>
+          Stopwords.map(w => t === w).reduce(_ || _))).as("stop_hits"),
+        size(filter(toks, t => t.rlike("[a-zA-Z]"))).as("n_alpha"))
+      .select(
+        col("doc_id"), col("n_words"),
+        meanWordLen.as("mean_word_len"),
+        col("stop_hits"),
+        ((nHash.cast("double") + nEllipsis) / nWords.cast("double"))
+          .as("symbol_ratio"),
+        (col("n_alpha").cast("double") / nWords.cast("double")).as("alpha_frac"))
+    stats.select(
+      col("doc_id"), col("n_words"), col("mean_word_len"), col("stop_hits"),
+      col("symbol_ratio"), col("alpha_frac"),
+      when(col("n_words") >= 50 && col("n_words") <= 100000
+          && col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0
+          && col("symbol_ratio") <= 0.1
+          && col("alpha_frac") >= 0.8
+          && col("stop_hits") >= 2, lit(1)).otherwise(lit(0)).as("keep"))
+  }
+
   /** Whitespace class for [[normalizeForDedup]], spelled EXPLICITLY
     * (space, tab, LF, VT, FF, CR) rather than `\s`: Java's `\s` matches
     * vertical tab while RE2's does not, so the shorthand would make the

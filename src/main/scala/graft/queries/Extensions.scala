@@ -307,6 +307,7 @@ object Extensions {
   val E47K = 8
   val E47Iters = 2
   val E47Threshold = 0.44
+  val E80PerCell = 5
 
   /** e47: semantic dedup (SemDeDup, Abbas et al. 2023) over the
     * embeddings corpus — k-means clustering bounds the pair work,
@@ -505,6 +506,26 @@ object Extensions {
   def e78_perplexity_buckets(s: SparkSession, dir: String): DataFrame =
     Text.perplexityBuckets(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
       .orderBy("doc_id")
+
+  /** e80: cluster-balanced coreset sampling
+    * ([[graft.ext.Similarity.clusterSample]]) — e47's k-means machinery
+    * reused as a DIVERSITY selector: each of the 8 trained cells keeps
+    * its 5 most-prototypical vectors (highest cosine to the cell's own
+    * centroid), the uniform-quota guard against one dominant mode
+    * flooding a sampled corpus. Same k/iters/rounding as e47, so the
+    * oracle shares the pinned-Lloyd CTE chain. */
+  def e80_cluster_sample(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterSample(emb(s, dir), k = E47K, iters = E47Iters,
+        perCell = E80PerCell, roundDecimals = 6)
+      .orderBy("cell", "rnk")
+
+  /** e81: Gopher rule-based quality flags
+    * ([[graft.ext.Text.gopherRules]]) — the word-level Rae et al. 2021
+    * Table-A1 filters as measured statistics plus the composite keep
+    * bit; the cheap rule gate that runs AHEAD of the model scorers
+    * (e61 perceptron, e75 perplexity) in a production curation stack. */
+  def e81_gopher_rules(s: SparkSession, dir: String): DataFrame =
+    Text.gopherRules(docs(s, dir)).orderBy("doc_id")
 
   /** e77: per-source token-distribution divergence
     * ([[graft.ext.Text.domainShift]]) — the quantized KL each corpus
@@ -1042,6 +1063,8 @@ object Extensions {
     "e77_domain_shift" -> (e77_domain_shift _),
     "e78_perplexity_buckets" -> (e78_perplexity_buckets _),
     "e79_semantic_decontaminate" -> (e79_semantic_decontaminate _),
+    "e80_cluster_sample" -> (e80_cluster_sample _),
+    "e81_gopher_rules" -> (e81_gopher_rules _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1066,6 +1089,46 @@ object Extensions {
        |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        |       FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i))""".stripMargin
   private val shingleCte = shingleCteFrom("documents")
+
+  /** Pinned-Lloyd cosine k-means CTE chain —
+    * `trainCentroids(roundDecimals = 6)` replayed verbatim in SQL (the
+    * e32 discipline: deterministic stride init, per-round argmax-cosine
+    * assignment + per-(cell, dim) 6-decimal FLOAT means over the
+    * embeddings table), ending in `fasg(vec_id, cell, sim)` — the final
+    * assignment with its winning similarity. Shared by e47 (SemDeDup's
+    * pair stage) and e80 (the per-cell quota rank). STRIP-ONCE: margin
+    * pipes are KEPT here; only the outermost query template calls
+    * stripMargin (the e71 double-strip lesson — OracleSqlLintSpec gates
+    * the class). */
+  private def cosKmeansCtes(k: Int, iters: Int): String = {
+    def cos(a: String, b: String) = // single-line on purpose: a piped
+      // continuation inside an unstripped fragment would strip wrong
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)"
+    val dims = 64
+    val rounds = (1 to iters).map { i =>
+      s"""asg$i AS (
+         |  SELECT vec_id, cid AS cell, v FROM (
+         |    SELECT e.vec_id, c.cid, e.v, ${cos("e.v", "CAST(c.cv AS DOUBLE[])")} AS sim
+         |    FROM emb e CROSS JOIN cen${i - 1} c)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+         |upd$i AS (
+         |  SELECT cell AS cid, pos, CAST(round(avg(v[pos]), 6) AS FLOAT) AS m
+         |  FROM asg$i, UNNEST(generate_series(1, $dims)) AS t(pos)
+         |  GROUP BY cell, pos),
+         |cen$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM upd$i GROUP BY cid)"""
+    }.mkString(",\n|")
+    s"""embf AS (SELECT vec_id, embedding AS cvf FROM embeddings),
+       |emb AS (SELECT vec_id, CAST(cvf AS DOUBLE[]) AS v FROM embf),
+       |nn AS (SELECT count(*) AS n FROM embf),
+       |cen0 AS (SELECT vec_id AS cid, cvf AS cv FROM embf, nn
+       |         WHERE vec_id % greatest(1, n // $k) = 0
+       |         ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |fasg AS (SELECT vec_id, cid AS cell, sim FROM (
+       |    SELECT e.vec_id, c.cid, ${cos("e.v", "CAST(c.cv AS DOUBLE[])")} AS sim
+       |    FROM emb e CROSS JOIN cen$iters c)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1)"""
+  }
 
   private def sigCteFrom(src: String): String = {
     // Universal-hash minhash twin: base hash = first 15 md5 hex chars as
@@ -2390,43 +2453,14 @@ object Extensions {
         |ORDER BY doc_id, span_start""".stripMargin,
 
     "e47_semdedup" -> {
-      // Full SemDeDup replay: deterministic stride init, both pinned
-      // Lloyd rounds (argmax-cosine assignment + per-(cell, dim) mean
-      // rounded to 6 decimals, FLOAT cast — trainCentroids(roundDecimals
-      // = 6) verbatim, the e32 CTE pattern over the embeddings table
-      // directly), final assignment, within-cell a < b pairs at the e20
-      // sim expression, keep-first min-partner per dropped id.
-      def cos(a: String, b: String) =
-        s"""round(list_dot_product($a, $b) /
-           |      (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)""".stripMargin
-      val dims = 64
-      def kmeansRound(cen: String, tag: String, next: String) =
-        s"""asg$tag AS (
-           |  SELECT vec_id, cid AS cell, v FROM (
-           |    SELECT e.vec_id, c.cid, e.v, ${cos("e.v", "CAST(c.cv AS DOUBLE[])")} AS sim
-           |    FROM emb e CROSS JOIN $cen c)
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
-           |upd$tag AS (
-           |  SELECT cell AS cid, pos, CAST(round(avg(v[pos]), 6) AS FLOAT) AS m
-           |  FROM asg$tag, UNNEST(generate_series(1, $dims)) AS t(pos)
-           |  GROUP BY cell, pos),
-           |$next AS (SELECT cid, list(m ORDER BY pos) AS cv FROM upd$tag GROUP BY cid)"""
-          .stripMargin
-      val rounds = (1 to E47Iters)
-        .map(i => kmeansRound(s"cen${i - 1}", i.toString, s"cen$i"))
-        .mkString(",\n")
+      // Full SemDeDup replay over the shared pinned-Lloyd chain
+      // (cosKmeansCtes — trainCentroids(roundDecimals = 6) verbatim):
+      // final assignment, within-cell a < b pairs at the e20 sim
+      // expression, keep-first min-partner per dropped id.
+      def cos(a: String, b: String) = // single-line: strip-once discipline
+        s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)"
       s"""WITH
-         |embf AS (SELECT vec_id, embedding AS cvf FROM embeddings),
-         |emb AS (SELECT vec_id, CAST(cvf AS DOUBLE[]) AS v FROM embf),
-         |nn AS (SELECT count(*) AS n FROM embf),
-         |cen0 AS (SELECT vec_id AS cid, cvf AS cv FROM embf, nn
-         |         WHERE vec_id % greatest(1, n // $E47K) = 0
-         |         ORDER BY vec_id LIMIT $E47K),
-         |$rounds,
-         |fasg AS (SELECT vec_id, cid AS cell FROM (
-         |    SELECT e.vec_id, c.cid, ${cos("e.v", "CAST(c.cv AS DOUBLE[])")} AS sim
-         |    FROM emb e CROSS JOIN cen$E47Iters c)
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+         |${cosKmeansCtes(E47K, E47Iters)},
          |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${cos("ea.v", "eb.v")} AS sim
          |  FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -2436,6 +2470,48 @@ object Extensions {
          |QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY id_a) = 1
          |ORDER BY vec_id""".stripMargin
     },
+
+    "e80_cluster_sample" -> {
+      // The shared pinned-Lloyd chain, then each cell's E80PerCell
+      // highest-sim members by (sim DESC, vec_id) row_number —
+      // Similarity.clusterSample verbatim.
+      s"""WITH
+         |${cosKmeansCtes(E47K, E47Iters)}
+         |SELECT cell, vec_id, sim, rnk FROM (
+         |  SELECT cell, vec_id, sim,
+         |    row_number() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM fasg)
+         |WHERE rnk <= $E80PerCell
+         |ORDER BY cell, rnk""".stripMargin
+    },
+
+    "e81_gopher_rules" ->
+      // Word-level Gopher Table-A1 replay: identical split/stat
+      // arithmetic (mean word length via the 1-char-delimiter identity
+      // sum(len) = len(text) - (n-1)), the same double comparisons for
+      // the thresholds, keep as 0/1 int.
+      """WITH st AS (
+        |  SELECT doc_id, length(text) AS tl,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','to','and','in','is','on','for','with'))) AS stop_hits,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS n_ell,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha
+        |  FROM documents),
+        |m AS (SELECT doc_id, n_words,
+        |    CAST(tl - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+        |    stop_hits,
+        |    (CAST(n_hash AS DOUBLE) + n_ell) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+        |    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac
+        |  FROM st)
+        |SELECT doc_id, n_words, mean_word_len, stop_hits, symbol_ratio, alpha_frac,
+        |  CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "e48_knn_pq" -> {
       // Full PQ replay via the shared chain generator: per-subspace

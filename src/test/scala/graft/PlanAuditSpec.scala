@@ -64,6 +64,9 @@ class PlanAuditSpec extends SparkSpec {
     // e79: the bounded benchmark side broadcast under the non-equi
     // cosine-threshold predicate (the e06/e20 class)
     "e79_semantic_decontaminate",
+    // e80: the k-centroid broadcast under the argmax-assignment cross
+    // join (the e47/e23 trained-quantizer class — bounded by k)
+    "e80_cluster_sample",
     // q58's degree aggregation reads the live generated KNOWS frame, so
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon

@@ -169,6 +169,37 @@ class SimilaritySpec extends SparkSpec {
     dropped.foreach { case (v, kept, _) => assert(kept < v) }
   }
 
+  test("clusterSample keeps each cell's top-perCell prototypes, window-reference-exact") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (k, iters, per) = (4, 1, 3)
+    val got = Similarity.clusterSample(emb, k, iters, per, roundDecimals = 6)
+      .select("cell", "vec_id", "sim", "rnk").as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    // Quota law: at most perCell rows per cell, ranks dense from 1.
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.length <= per)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+
+    // Independent reference: window-ranked assignment (the semDedup
+    // spec's cross-join form, not the argmax agg), then a per-cell
+    // window rank — must match row-for-row including sims.
+    val cen = Similarity.trainCentroids(emb, k, iters, roundDecimals = 6)
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val cells = emb.crossJoin(cen)
+      .withColumn("csim", round(cosineSimilarity(col("embedding"), col("cv")), 9))
+      .withColumn("rn", row_number().over(wAsg)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("csim").as("sim"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(desc("sim"), asc("vec_id"))
+    val ref = cells.withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") <= per)
+      .select("cell", "vec_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got.toSet == ref)
+  }
+
   test("pq with one subspace and a per-vector codebook is exact L2 search") {
     // m=1, ks=n, 0 Lloyd rounds: every vector is its own centroid, so
     // each code IS the vector and the ADC "approximation" collapses to

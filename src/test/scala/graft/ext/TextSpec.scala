@@ -31,6 +31,30 @@ class TextSpec extends SparkSpec {
     assert(m(3L) == ((0, 0, 0.0)))
   }
 
+  test("gopherRules: hand-exact stats, each rule gates independently") {
+    val good = (Seq("the", "a") ++ Seq.fill(58)("word")).mkString(" ")
+    val short = "the a cat" // fails word count (and mean word length 7/3)
+    val hashy = (Seq("the", "and") ++ Seq.fill(50)("###")).mkString(" ")
+    val dotty = (Seq("the", "a") ++ Seq.fill(58)("run...")).mkString(" ")
+    val d = Seq((1L, good), (2L, short), (3L, hashy), (4L, dotty))
+      .toDF("doc_id", "text")
+    val m = Text.gopherRules(d).collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getDouble(2), r.getInt(3), r.getDouble(4),
+        r.getDouble(5), r.getInt(6)))).toMap
+
+    // good: 60 words, sum(len) = 3+1+58*4 = 236, 2 stop hits, clean
+    assert(m(1L) == ((60, 236.0 / 60.0, 2, 0.0, 1.0, 1)))
+    // short: stats fine but 3 words < 50 and mean 7/3 < 3 -> rejected
+    assert(m(2L) == ((3, 7.0 / 3.0, 2, 0.0, 1.0, 0)))
+    // hashy: 52 words, 150 '#' chars -> symbol_ratio 150/52 > 0.1 and
+    // alpha_frac 2/52 < 0.8; mean word length sits EXACTLY on the 3.0
+    // boundary (inclusive) — rejected by the symbol/alpha rules alone
+    assert(m(3L) == ((52, 3.0, 2, 150.0 / 52.0, 2.0 / 52.0, 0)))
+    // dotty: one '...' per word -> 58 ellipses, ratio 58/60 > 0.1; every
+    // word still has an alphabetic char so ONLY the symbol rule fires
+    assert(m(4L) == ((60, 352.0 / 60.0, 2, 58.0 / 60.0, 1.0, 0)))
+  }
+
   test("normalizeForDedup canonicalizes case, punctuation, whitespace") {
     val d = Seq(
       (1L, "  The CAT sat,  on   the mat! ?"),
