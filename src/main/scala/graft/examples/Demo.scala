@@ -257,6 +257,18 @@ object Demo {
       s"top_shift_source=$shifted wordpiece_first=$wpFirst bpe_first=$bpeFirst " +
       s"semantic_dirty_docs=$dirty")
 
+    // 27. rule gate + diversity quota: Gopher word-level flags keep the
+    // prose-shaped docs, then the k-means quota picks each semantic
+    // cell's prototypes — the cheap front gate and the balanced sample
+    // that bound what the expensive model scorers ever see
+    val gate = graft.ext.Text.gopherRules(docsDf)
+    val gateKept = gate.where(col("keep") === 1).count()
+    val quota = graft.ext.Similarity.clusterSample(emb, k = 8, iters = 2,
+      perCell = 3, roundDecimals = 6)
+    println(s"DEMO gopher_kept=$gateKept/${gate.count()} " +
+      s"quota_cells=${quota.select("cell").distinct().count()} " +
+      s"quota_rows=${quota.count()}")
+
     spark.stop()
   }
 }
