@@ -96,7 +96,9 @@ object Bench {
     // e47's curve already pins its only data-sized terms (the e78
     // rationale); e81 is NOT here: a single row-local projection over
     // the scan (the e08/e09 stat class, which the tier never carried —
-    // no shuffle to regress)
+    // no shuffle to regress); e82 is NOT here: one group agg over
+    // row-local token counts + two 1-row broadcasts — e77's curve
+    // already pins the identical group-count shape
     "e77_domain_shift")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

@@ -82,6 +82,55 @@ object Sampling {
       .drop("_g", "_rate")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling trick (mBERT; Conneau et al. 2020 "Unsupervised
+    * Cross-lingual Representation Learning at Scale" §3.1): raw token
+    * shares p_g are flattened to p_g^alpha before normalizing, so
+    * low-resource sources are up-sampled relative to their raw share
+    * without ever dominating. This COMPUTES the weights a mixture
+    * consumes ([[weightedMix]] takes them as input); alpha = 2^-m via
+    * `sqrtApplications` exact floor-sqrt chains — m=1 is alpha=0.5,
+    * m=2 alpha=0.25 (the sqrt family is the engine-portable slice of
+    * the alpha axis: IEEE sqrt is correctly rounded in BOTH engines,
+    * and at our magnitudes (x <= 2^40, true root ~2^20 with gap
+    * ~1/(2 root) >> ulp) floor(sqrt(x)) can never cross an integer
+    * boundary, so the chain replays bit-exactly in SQL; arbitrary
+    * alpha would ride libm pow, which is NOT correctly rounded).
+    *
+    * All arithmetic is 2^20 fixed point: p_fp = (tokens·S) div total
+    * (DECIMAL(38)-wide — a 100-TB corpus's ~1e13·S overflows a long),
+    * w_fp = m-fold floor(sqrt(x·S)) ≈ p^(2^-m)·S, mix_fp =
+    * (w_fp·S) div Σw. Scale shape: one map-side-combined group
+    * aggregate over row-local token counts, then two 1-row broadcasts
+    * (corpus total, weight sum) onto the GROUP-CARDINALITY-sized frame
+    * — nothing data-sized moves after the scan. Output: (source,
+    * n_docs, n_tokens, p_fp, w_fp, mix_fp), all BIGINT. */
+  def temperatureWeights(docs: DataFrame, group: Column,
+      sqrtApplications: Int = 1, textCol: String = "text"): DataFrame = {
+    require(sqrtApplications >= 1 && sqrtApplications <= 4,
+      s"sqrtApplications must be in [1, 4], got $sqrtApplications")
+    val S = graft.ext.Retrieval.Scale
+    val g = docs
+      .select(group.as("source"),
+        size(split(col(textCol), " ")).cast("long").as("_nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens")).as("_t"))
+    val p = g.crossJoin(broadcast(tot))
+      .withColumn("p_fp", expr(
+        s"CAST(floor((CAST(n_tokens AS DECIMAL(38, 0)) * ${S}L) / _t) AS BIGINT)"))
+      .drop("_t")
+    val w = (1 to sqrtApplications).foldLeft(p.withColumn("w_fp", col("p_fp"))) {
+      (df, _) => df.withColumn("w_fp",
+        floor(sqrt((col("w_fp") * lit(S)).cast("double"))).cast("long"))
+    }
+    val ws = w.agg(sum(col("w_fp")).as("_sw"))
+    w.crossJoin(broadcast(ws))
+      .withColumn("mix_fp", expr(s"(w_fp * ${S}L) div _sw"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("p_fp"), col("w_fp"), col("mix_fp"))
+  }
+
   /** Deterministic train/validation/test split assignment: each row's
     * split depends ONLY on its key's 60-bit hash position inside the
     * cumulative weight intervals — stable across runs, partitionings,

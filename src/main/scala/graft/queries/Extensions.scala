@@ -527,6 +527,17 @@ object Extensions {
   def e81_gopher_rules(s: SparkSession, dir: String): DataFrame =
     Text.gopherRules(docs(s, dir)).orderBy("doc_id")
 
+  /** e82: temperature-scaled mixture weights
+    * ([[graft.ext.Sampling.temperatureWeights]]) — each source's raw
+    * 2^20-fixed-point token share flattened to p^(1/2) by one exact
+    * floor-sqrt application and renormalized: the multilingual
+    * up-sampling trick (mBERT / XLM-R), producing the weights e40's
+    * weightedMix consumes so low-resource sources are raised without
+    * ever dominating. */
+  def e82_temperature_mix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureWeights(docs(s, dir), col("source"))
+      .orderBy("source")
+
   /** e77: per-source token-distribution divergence
     * ([[graft.ext.Text.domainShift]]) — the quantized KL each corpus
     * source carries against the pooled unigram distribution, the
@@ -1065,6 +1076,7 @@ object Extensions {
     "e79_semantic_decontaminate" -> (e79_semantic_decontaminate _),
     "e80_cluster_sample" -> (e80_cluster_sample _),
     "e81_gopher_rules" -> (e81_gopher_rules _),
+    "e82_temperature_mix" -> (e82_temperature_mix _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2484,6 +2496,29 @@ object Extensions {
          |WHERE rnk <= $E80PerCell
          |ORDER BY cell, rnk""".stripMargin
     },
+
+    "e82_temperature_mix" ->
+      // The fixed-point replay: HUGEINT-wide share (mirrors the Spark
+      // side's DECIMAL(38) — a long would overflow at corpus scale),
+      // one floor-sqrt flattening (IEEE sqrt is correctly rounded in
+      // both engines and cannot cross an integer boundary at <= 2^40),
+      // integer renormalization. `//` == `div` (operands positive).
+      s"""WITH tk AS (SELECT source, len(string_split(text, ' ')) AS nt
+         |           FROM documents),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(nt) AS BIGINT) AS n_tokens
+         |      FROM tk GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM g),
+         |p AS (SELECT source, n_docs, n_tokens,
+         |        (CAST(n_tokens AS HUGEINT) * ${graft.ext.Retrieval.Scale}) // t AS p_fp
+         |      FROM g, tot),
+         |w AS (SELECT source, n_docs, n_tokens, p_fp,
+         |        CAST(floor(sqrt(CAST(p_fp * ${graft.ext.Retrieval.Scale} AS DOUBLE))) AS BIGINT) AS w_fp
+         |      FROM p),
+         |ws AS (SELECT CAST(sum(w_fp) AS BIGINT) AS sw FROM w)
+         |SELECT source, n_docs, n_tokens, CAST(p_fp AS BIGINT) AS p_fp, w_fp,
+         |  (w_fp * ${graft.ext.Retrieval.Scale}) // sw AS mix_fp
+         |FROM w, ws ORDER BY source""".stripMargin,
 
     "e81_gopher_rules" ->
       // Word-level Gopher Table-A1 replay: identical split/stat

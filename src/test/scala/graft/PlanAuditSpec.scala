@@ -67,6 +67,9 @@ class PlanAuditSpec extends SparkSpec {
     // e80: the k-centroid broadcast under the argmax-assignment cross
     // join (the e47/e23 trained-quantizer class — bounded by k)
     "e80_cluster_sample",
+    // e82: two 1-row total broadcasts (corpus tokens, weight sum) onto
+    // the group-cardinality-sized frame (the e52/e67 class)
+    "e82_temperature_mix",
     // q58's degree aggregation reads the live generated KNOWS frame, so
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon

@@ -98,6 +98,32 @@ class SamplingSpec extends SparkSpec {
     assert(scaled == again)
   }
 
+  test("temperatureWeights: hand-exact fixed point, flattening raises the rare source") {
+    // A: 3 docs x 100 tokens = 300; B: 1 doc x 100 tokens. t = 400.
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val d = Seq((1L, "A", doc(100)), (2L, "A", doc(100)),
+      (3L, "A", doc(100)), (4L, "B", doc(100)))
+      .toDF("doc_id", "source", "text")
+    val m1 = Sampling.temperatureWeights(d, col("source"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // p_fp = (tokens * 2^20) div 400; w_fp = floor(sqrt(p_fp * 2^20));
+    // mix_fp = (w_fp * 2^20) div (908093 + 524288) — integer-exact
+    assert(m1("A") == ((3L, 300L, 786432L, 908093L, 664770L)))
+    assert(m1("B") == ((1L, 100L, 262144L, 524288L, 383805L)))
+    // Flattening law: B's mixture share rises above its raw 1/4 token
+    // share while A keeps the majority (no inversion).
+    assert(m1("B")._5 > m1("B")._3 && m1("A")._5 > m1("B")._5)
+
+    // alpha = 1/4 (two sqrt applications) flattens further, same laws.
+    val m2 = Sampling.temperatureWeights(d, col("source"), sqrtApplications = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(m2("A") == ((975809L, 595837L)))
+    assert(m2("B") == ((741455L, 452738L)))
+    assert(m2("B")._2 > m1("B")._5)
+  }
+
   test("budgetSelect == the global greedy window (law), at several budgets") {
     val base = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"),
