@@ -579,6 +579,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopher rule gate runs stateless at ingest: stream == batch, full stats") {
+    // The rule gate needs NO frozen model — it is row-local projection
+    // arithmetic, so the BATCH operator itself is the streaming face
+    // (no watermark, no state store, no shuffle). This law pins that
+    // property: the same Text.gopherRules call over a MemoryStream
+    // emits bit-identical stats and the identical keep set under any
+    // trigger split.
+    implicit val sqlCtx = spark.sqlContext
+    val train = spark.read.parquet(s"$sf0001/documents.parquet")
+    val batch = graft.ext.Text.gopherRules(train)
+      .select("doc_id", "mean_word_len", "stop_hits", "keep")
+      .as[(Long, Double, Int, Int)].collect().toSet
+    val keptBatch = batch.filter(_._4 == 1)
+    assert(keptBatch.nonEmpty && keptBatch.size < batch.size) // real split
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ext.Text.gopherRules(mem.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "mean_word_len", "stop_hits", "keep")
+      .writeStream.format("memory").queryName("gopher_gate").outputMode("append")
+      .start()
+    try {
+      val rows = train.select("doc_id", "text").as[(Long, String)].collect()
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = spark.table("gopher_gate")
+        .as[(Long, Double, Int, Int)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink writes idempotent batch directories") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
