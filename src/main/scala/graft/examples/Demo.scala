@@ -265,9 +265,14 @@ object Demo {
     val gateKept = gate.where(col("keep") === 1).count()
     val quota = graft.ext.Similarity.clusterSample(emb, k = 8, iters = 2,
       perCell = 3, roundDecimals = 6)
+    // ...and the temperature-flattened source weights the mixer would
+    // consume: the rarest source's share rises above its raw share
+    val tw = graft.ext.Sampling.temperatureWeights(docsDf, col("source"))
+      .orderBy(asc("n_tokens")).limit(1).collect().head
     println(s"DEMO gopher_kept=$gateKept/${gate.count()} " +
       s"quota_cells=${quota.select("cell").distinct().count()} " +
-      s"quota_rows=${quota.count()}")
+      s"quota_rows=${quota.count()} " +
+      s"rarest_source=${tw.getString(0)} raw_fp=${tw.getLong(3)} mix_fp=${tw.getLong(5)}")
 
     spark.stop()
   }
