@@ -261,17 +261,17 @@ object Demo {
     // prose-shaped docs, then the k-means quota picks each semantic
     // cell's prototypes — the cheap front gate and the balanced sample
     // that bound what the expensive model scorers ever see
-    val gate = graft.ext.Text.gopherRules(docsDf)
-    val gateKept = gate.where(col("keep") === 1).count()
-    val quota = graft.ext.Similarity.clusterSample(emb, k = 8, iters = 2,
-      perCell = 3, roundDecimals = 6)
+    val gateAgg = graft.ext.Text.gopherRules(docsDf)
+      .agg(sum(col("keep")).as("kept"), count(lit(1)).as("n")).head
+    val quotaAgg = graft.ext.Similarity.clusterSample(emb, k = 8, iters = 2,
+        perCell = 3, roundDecimals = 6)
+      .agg(countDistinct(col("cell")).as("cells"), count(lit(1)).as("rows")).head
     // ...and the temperature-flattened source weights the mixer would
     // consume: the rarest source's share rises above its raw share
     val tw = graft.ext.Sampling.temperatureWeights(docsDf, col("source"))
       .orderBy(asc("n_tokens")).limit(1).collect().head
-    println(s"DEMO gopher_kept=$gateKept/${gate.count()} " +
-      s"quota_cells=${quota.select("cell").distinct().count()} " +
-      s"quota_rows=${quota.count()} " +
+    println(s"DEMO gopher_kept=${gateAgg.getLong(0)}/${gateAgg.getLong(1)} " +
+      s"quota_cells=${quotaAgg.getLong(0)} quota_rows=${quotaAgg.getLong(1)} " +
       s"rarest_source=${tw.getString(0)} raw_fp=${tw.getLong(3)} mix_fp=${tw.getLong(5)}")
 
     spark.stop()

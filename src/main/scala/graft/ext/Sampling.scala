@@ -98,9 +98,16 @@ object Sampling {
     * alpha would ride libm pow, which is NOT correctly rounded).
     *
     * All arithmetic is 2^20 fixed point: p_fp = (tokens·S) div total
-    * (DECIMAL(38)-wide — a 100-TB corpus's ~1e13·S overflows a long),
-    * w_fp = m-fold floor(sqrt(x·S)) ≈ p^(2^-m)·S, mix_fp =
-    * (w_fp·S) div Σw. Scale shape: one map-side-combined group
+    * (DECIMAL(38)-wide — a 100-TB corpus's ~1e13·S overflows a long —
+    * under the EXACT integral `div`, never decimal `/`, whose HALF_UP
+    * rounding at the result scale can exceed the true floor) with the
+    * e77 `>= 1` floor, so a source below a 2^-20 raw share still
+    * carries the minimum quantized mass instead of silently zeroing
+    * out — zero weights would drop exactly the low-resource sources
+    * the flattening exists to raise (and trip [[weightedMix]]'s
+    * positive-weights require). w_fp = m-fold floor(sqrt(x·S)) ≈
+    * p^(2^-m)·S, mix_fp = (w_fp·S) div Σw. Scale shape: one
+    * map-side-combined group
     * aggregate over row-local token counts, then two 1-row broadcasts
     * (corpus total, weight sum) onto the GROUP-CARDINALITY-sized frame
     * — nothing data-sized moves after the scan. Output: (source,
@@ -118,7 +125,7 @@ object Sampling {
     val tot = g.agg(sum(col("n_tokens")).as("_t"))
     val p = g.crossJoin(broadcast(tot))
       .withColumn("p_fp", expr(
-        s"CAST(floor((CAST(n_tokens AS DECIMAL(38, 0)) * ${S}L) / _t) AS BIGINT)"))
+        s"greatest((CAST(n_tokens AS DECIMAL(38, 0)) * ${S}L) div _t, CAST(1 AS BIGINT))"))
       .drop("_t")
     val w = (1 to sqrtApplications).foldLeft(p.withColumn("w_fp", col("p_fp"))) {
       (df, _) => df.withColumn("w_fp",

@@ -326,15 +326,34 @@ object Similarity {
     * the smallest such partner (deterministic), ordered by the caller.
     * `roundDecimals` pins the k-means means for oracle portability
     * (e32's discipline; -1 = full precision). */
+  /** Broadcast-k argmax cell assignment shared by [[semDedup]] and
+    * [[clusterSample]]: every vector joins the k centroids, the
+    * winning cell is max(sim rounded to 9, ties to the smaller cid)
+    * via ONE map-side-combinable struct agg. The rounding and
+    * tie-break are LOAD-BEARING for oracle parity — the shared
+    * cosKmeansCtes SQL chain replays exactly this expression, so they
+    * must change together. `keepVector` additionally carries the
+    * embedding through the agg (semDedup's pair stage needs it; the
+    * quota rank must not pay the vector shuffle). Output:
+    * (vec_id, cell, sim[, emb]). */
+  private def assignCells(embeddings: DataFrame, cen: DataFrame,
+      keepVector: Boolean): DataFrame = {
+    val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
+    val grouped = embeddings.join(broadcast(cen)).groupBy(col("vec_id"))
+    val best = max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best")
+    val agged =
+      if (keepVector) grouped.agg(best, first(col("embedding")).as("emb"))
+      else grouped.agg(best)
+    val core = Seq(col("vec_id"), (-col("best.ncid")).as("cell"),
+      col("best.sim").as("sim"))
+    agged.select((if (keepVector) core :+ col("emb") else core): _*)
+  }
+
   def semDedup(embeddings: DataFrame, k: Int, iters: Int,
       threshold: Double, roundDecimals: Int = -1): DataFrame = {
     val cen = trainCentroids(embeddings, k, iters, roundDecimals)
-    val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
-    val assigned = embeddings.join(broadcast(cen))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best"),
-        first(col("embedding")).as("emb"))
-      .select(col("vec_id"), (-col("best.ncid")).as("cell"), col("emb"))
+    val assigned = assignCells(embeddings, cen, keepVector = true)
+      .select(col("vec_id"), col("cell"), col("emb"))
     // Hoisted norms (the e20 lesson: one fold per vector, one per pair).
     val withNorm = assigned.select(col("vec_id"), col("cell"), col("emb"),
       sqrt(aggregate(col("emb"), lit(0.0),
@@ -374,12 +393,7 @@ object Similarity {
       perCell: Int, roundDecimals: Int = -1): DataFrame = {
     require(perCell >= 1, s"need perCell >= 1, got $perCell")
     val cen = trainCentroids(embeddings, k, iters, roundDecimals)
-    val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
-    val assigned = embeddings.join(broadcast(cen))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), (-col("best.ncid")).as("cell"),
-        col("best.sim").as("sim"))
+    val assigned = assignCells(embeddings, cen, keepVector = false)
     val w = Window.partitionBy("cell").orderBy(desc("sim"), asc("vec_id"))
     assigned.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= perCell)

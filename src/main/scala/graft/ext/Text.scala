@@ -22,8 +22,10 @@ object Text {
 
   private def tokens: Column = split(col("text"), " ")
 
-  private def countIn(words: Seq[String]): Column =
-    size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
+  private def countIn(arr: Column, words: Seq[String]): Column =
+    size(filter(arr, t => words.map(w => t === w).reduce(_ || _)))
+
+  private def countIn(words: Seq[String]): Column = countIn(tokens, words)
 
   /** Overlapping token-window chunking — the embedding/context prep op:
     * one row per chunk of `size` tokens starting every `stride` tokens
@@ -203,8 +205,7 @@ object Text {
       .select(
         col("doc_id"), col("text"),
         size(toks).as("n_words"),
-        size(filter(toks, t =>
-          Stopwords.map(w => t === w).reduce(_ || _))).as("stop_hits"),
+        countIn(toks, Stopwords).as("stop_hits"),
         size(filter(toks, t => t.rlike("[a-zA-Z]"))).as("n_alpha"))
       .select(
         col("doc_id"), col("n_words"),

@@ -2510,7 +2510,7 @@ object Extensions {
          |      FROM tk GROUP BY source),
          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM g),
          |p AS (SELECT source, n_docs, n_tokens,
-         |        (CAST(n_tokens AS HUGEINT) * ${graft.ext.Retrieval.Scale}) // t AS p_fp
+         |        greatest((CAST(n_tokens AS HUGEINT) * ${graft.ext.Retrieval.Scale}) // t, 1) AS p_fp
          |      FROM g, tot),
          |w AS (SELECT source, n_docs, n_tokens, p_fp,
          |        CAST(floor(sqrt(CAST(p_fp * ${graft.ext.Retrieval.Scale} AS DOUBLE))) AS BIGINT) AS w_fp
