@@ -98,7 +98,11 @@ object Bench {
     // the scan (the e08/e09 stat class, which the tier never carried —
     // no shuffle to regress); e82 is NOT here: one group agg over
     // row-local token counts + two 1-row broadcasts — e77's curve
-    // already pins the identical group-count shape
+    // already pins the identical group-count shape; e83 is NOT here:
+    // an evaluation harness that runs the exact-Jaccard truth by
+    // contract (the e72 rationale — calibration-sized by design), and
+    // its detector legs are e03/e04's shapes, both already in the tier
+    // via e17/e29's composed pipelines
     "e77_domain_shift")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

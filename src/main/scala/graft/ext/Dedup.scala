@@ -623,4 +623,45 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Unified near-dup detector scoreboard — the e72 (ANN recall)
+    * discipline applied to the DEDUP family: every sub-quadratic
+    * detector measured as pair-level precision/recall against the
+    * exact n-gram-Jaccard ground truth at `threshold`, so choosing a
+    * detector (and its banding/distance knobs) is a measurement, not a
+    * guess. Detectors scored: MinHash-LSH banding candidates
+    * ([[minhashCandidatePairs]]) and banded SimHash Hamming pairs at
+    * `maxDist` ([[simhashNearPairs]]).
+    *
+    * Runs the brute-force truth BY CONTRACT (the e72 rationale: an
+    * evaluation harness is calibration-sized — run it on a sample or
+    * fixture, deploy the winning detector at corpus scale). Truth is
+    * computed ONCE (checkpointed) and each detector adds one left-semi
+    * join + three 1-row count aggregates — the 1-row crossJoins are
+    * bounded by construction. Output, one row per detector:
+    * (method, n_detected, n_truth, tp, prec, recall) with the ratios
+    * as exact int/int doubles and empty sides scoring 0.0. */
+  def dedupScoreboard(docs: DataFrame, threshold: Double = 0.5,
+      maxDist: Int = 3): DataFrame = {
+    val truth = ngramJaccardPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    def score(method: String, det: DataFrame): DataFrame = {
+      val d = det.select(col("doc_a"), col("doc_b"))
+      val nd = d.agg(count(lit(1)).as("n_detected"))
+      val tp = d.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      nd.crossJoin(tp).crossJoin(broadcast(nTruth))
+        .select(lit(method).as("method"), col("n_detected"),
+          col("n_truth"), col("tp"),
+          when(col("n_detected") > 0,
+            col("tp").cast("double") / col("n_detected").cast("double"))
+            .otherwise(lit(0.0)).as("prec"),
+          when(col("n_truth") > 0,
+            col("tp").cast("double") / col("n_truth").cast("double"))
+            .otherwise(lit(0.0)).as("recall"))
+    }
+    score("minhash_lsh", minhashCandidatePairs(docs))
+      .unionAll(score(s"simhash_h$maxDist", simhashNearPairs(docs, maxDist)))
+  }
 }

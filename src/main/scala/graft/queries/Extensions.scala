@@ -527,6 +527,16 @@ object Extensions {
   def e81_gopher_rules(s: SparkSession, dir: String): DataFrame =
     Text.gopherRules(docs(s, dir)).orderBy("doc_id")
 
+  /** e83: near-dup detector scoreboard
+    * ([[graft.ext.Dedup.dedupScoreboard]]) — the e72 discipline for
+    * the DEDUP family: MinHash-LSH banding candidates and banded
+    * SimHash Hamming pairs each scored as pair-level precision/recall
+    * against the exact n-gram-Jaccard >= 0.5 ground truth, so the
+    * detector (and its banding/distance knobs) is chosen by
+    * measurement, not guesswork. */
+  def e83_dedup_scoreboard(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupScoreboard(docs(s, dir)).orderBy("method")
+
   /** e82: temperature-scaled mixture weights
     * ([[graft.ext.Sampling.temperatureWeights]]) — each source's raw
     * 2^20-fixed-point token share flattened to p^(1/2) by one exact
@@ -1077,6 +1087,7 @@ object Extensions {
     "e80_cluster_sample" -> (e80_cluster_sample _),
     "e81_gopher_rules" -> (e81_gopher_rules _),
     "e82_temperature_mix" -> (e82_temperature_mix _),
+    "e83_dedup_scoreboard" -> (e83_dedup_scoreboard _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2495,6 +2506,65 @@ object Extensions {
          |  FROM fasg)
          |WHERE rnk <= $E80PerCell
          |ORDER BY cell, rnk""".stripMargin
+    },
+
+    "e83_dedup_scoreboard" -> {
+      // Full detector-family replay: the e03 minhash band chain, the
+      // e04 exact-Jaccard truth, and the e05 simhash chain + the banded
+      // Hamming pair stage (bit_count(xor) <= 3, band = 16-bit slice),
+      // then per-method count/semi-join stats with CASE-guarded exact
+      // int/int double ratios. The fixture's band buckets sit under the
+      // Spark side's skew cap, so the uncapped SQL is the same pair set.
+      val bands = (0 until Dedup.NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $sigCte,
+         |mbands AS (
+         |  $bands),
+         |mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM mbands a JOIN mbands b
+         |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |d AS (SELECT DISTINCT doc_id, s FROM sh),
+         |nsz AS (SELECT doc_id, count(*) AS sz FROM d GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |          FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |truth AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN nsz na ON na.doc_id = doc_a
+         |          JOIN nsz nb ON nb.doc_id = doc_b
+         |          WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5),
+         |stoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |sh64 AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM stoks),
+         |votes AS (SELECT doc_id, j,
+         |            sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |          FROM sh64, UNNEST(generate_series(0, 59)) AS t(j)
+         |          GROUP BY doc_id, j),
+         |shash AS (SELECT doc_id,
+         |            CAST(bit_or(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+         |                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |          FROM votes GROUP BY doc_id),
+         |sbands AS (SELECT doc_id, simhash, b AS band,
+         |             (simhash >> (b * 16)) & 65535 AS bh
+         |           FROM shash, UNNEST(generate_series(0, 3)) AS t(b)),
+         |sp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM sbands a JOIN sbands b
+         |         ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |nt AS (SELECT count(*) AS n_truth FROM truth),
+         |stats AS (
+         |  SELECT 'minhash_lsh' AS method,
+         |    (SELECT count(*) FROM mh) AS n_detected,
+         |    (SELECT count(*) FROM mh JOIN truth USING (doc_a, doc_b)) AS tp
+         |  UNION ALL
+         |  SELECT 'simhash_h3' AS method,
+         |    (SELECT count(*) FROM sp) AS n_detected,
+         |    (SELECT count(*) FROM sp JOIN truth USING (doc_a, doc_b)) AS tp)
+         |SELECT method, n_detected, n_truth, tp,
+         |  CASE WHEN n_detected > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(n_detected AS DOUBLE) ELSE 0.0 END AS prec,
+         |  CASE WHEN n_truth > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE 0.0 END AS recall
+         |FROM stats, nt ORDER BY method""".stripMargin
     },
 
     "e82_temperature_mix" ->

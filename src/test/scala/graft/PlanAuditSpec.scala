@@ -70,6 +70,9 @@ class PlanAuditSpec extends SparkSpec {
     // e82: two 1-row total broadcasts (corpus tokens, weight sum) onto
     // the group-cardinality-sized frame (the e52/e67 class)
     "e82_temperature_mix",
+    // e83: 1-row count aggregates (n_detected, tp, n_truth) cross-joined
+    // into each detector's scoreboard row (the e66 literal-margin class)
+    "e83_dedup_scoreboard",
     // q58's degree aggregation reads the live generated KNOWS frame, so
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon

@@ -270,6 +270,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("dedupScoreboard rows are exact set arithmetic over the detectors and truth") {
+    val sb = Dedup.dedupScoreboard(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(sb.keySet == Set("minhash_lsh", "simhash_h3"))
+    // Independent driver-side replay: collect the three pair sets and
+    // recompute every scoreboard cell from set arithmetic.
+    val truth = Dedup.ngramJaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty) // (1,2) exact + (1,3)/(2,3) near dups
+    val dets = Map(
+      "minhash_lsh" -> Dedup.minhashCandidatePairs(docs)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet,
+      "simhash_h3" -> Dedup.simhashNearPairs(docs, maxDist = 3)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+    dets.foreach { case (name, det) =>
+      val tp = (det & truth).size.toLong
+      val (nd, nt, gotTp, prec, rec) = sb(name)
+      assert(nd == det.size.toLong && nt == truth.size.toLong && gotTp == tp)
+      assert(prec == (if (nd > 0) tp.toDouble / nd else 0.0))
+      assert(rec == tp.toDouble / nt)
+    }
+    // the exact dup (1,2) is within reach of every detector on this fixture
+    assert(dets.values.forall(_.contains((1L, 2L))))
+  }
+
   test("fuzzyJoin equals the cross-side subset of within-corpus near-dup pairs") {
     val left = docs.where(col("doc_id") % 2 === 0)
     val right = docs.where(col("doc_id") % 2 === 1)
