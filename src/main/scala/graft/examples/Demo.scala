@@ -274,6 +274,13 @@ object Demo {
       s"quota_cells=${quotaAgg.getLong(0)} quota_rows=${quotaAgg.getLong(1)} " +
       s"rarest_source=${tw.getString(0)} raw_fp=${tw.getLong(3)} mix_fp=${tw.getLong(5)}")
 
+    // 28. choose the dedup detector by measurement: every sub-quadratic
+    // detector scored against the exact-Jaccard truth in one frame
+    val sbRows = graft.ext.Dedup.dedupScoreboard(docsDf).collect()
+      .map(r => s"${r.getString(0)}:p=${"%.2f".format(r.getDouble(4))}," +
+        s"r=${"%.2f".format(r.getDouble(5))}").sorted.mkString(" ")
+    println(s"DEMO dedup_scoreboard $sbRows")
+
     spark.stop()
   }
 }
