@@ -102,7 +102,10 @@ object Bench {
     // an evaluation harness that runs the exact-Jaccard truth by
     // contract (the e72 rationale — calibration-sized by design), and
     // its detector legs are e03/e04's shapes, both already in the tier
-    // via e17/e29's composed pipelines
+    // via e17/e29's composed pipelines; e84 is NOT here: the e44/e45
+    // digest/island/excision shapes already in the tier via e44, with
+    // the dup mark swapped for a semi join against the (deliberately
+    // unreplicated-split) benchmark hash set
     "e77_domain_shift")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

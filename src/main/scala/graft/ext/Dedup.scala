@@ -388,10 +388,12 @@ object Dedup {
     * Output: (doc_id, span_start, span_end, span_tokens) — 1-based
     * inclusive token positions, all integers so the oracle hashes
     * exactly. */
-  def duplicatedSpans(docs: DataFrame, k: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(k >= 2, s"duplicatedSpans needs k >= 2, got $k")
-    val wins = docs
+  /** The md5-hashed k-token windows of a corpus: (doc_id, _pos, _h)
+    * with 1-based window start positions — the shared first stage of
+    * [[duplicatedSpans]] and [[decontaminateSpans]]. */
+  private def kgramWindows(docs: DataFrame, k: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .where(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(transform(
@@ -400,11 +402,16 @@ object Dedup {
           (0 until k).map(j => element_at(col("w"), i + j + 1)): _*))))
         .as(Seq("_p0", "_h")))
       .select(col("doc_id"), (col("_p0") + 1).as("_pos"), col("_h"))
-    val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_n"))
-      .where(col("_n") > 1)
+
+  /** Gaps-and-islands merge of marked window positions into maximal
+    * spans — the shared second stage: consecutive marked starts
+    * (pos − row_number constant) collapse into one
+    * (doc_id, span_start, span_end, span_tokens) row covering
+    * [min, max + k − 1]. */
+  private def islandSpans(marked: DataFrame, k: Int): DataFrame = {
     val wnd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("_pos"))
-    wins.join(dup.select("_h"), Seq("_h"), "left_semi")
+    marked
       .withColumn("_g", col("_pos") - row_number().over(wnd))
       .groupBy(col("doc_id"), col("_g"))
       // bigint outputs: the DuckDB twin's positions are BIGINT and the
@@ -413,6 +420,15 @@ object Dedup {
         (max(col("_pos")) + lit(k - 1)).cast("long").as("span_end"),
         (max(col("_pos")) + lit(k) - min(col("_pos"))).cast("long").as("span_tokens"))
       .drop("_g")
+  }
+
+  def duplicatedSpans(docs: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"duplicatedSpans needs k >= 2, got $k")
+    val wins = kgramWindows(docs, k, idCol, textCol)
+    val dup = wins.groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+    islandSpans(wins.join(dup.select("_h"), Seq("_h"), "left_semi"), k)
   }
 
   /** Rewrite each document with its duplicated spans REMOVED — the
@@ -429,8 +445,20 @@ object Dedup {
     * (left join), including sub-k-token ones. Output: (doc_id,
     * clean_text, n_tokens_removed). */
   def removeDuplicatedSpans(docs: DataFrame, k: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = duplicatedSpans(docs, k, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    exciseSpans(docs, duplicatedSpans(docs, k, idCol, textCol),
+      idCol, textCol)
+
+  /** Rewrite each document with the given `(doc_id, span_start,
+    * span_end)` intervals cut out — the shared excision stage of
+    * [[removeDuplicatedSpans]] and [[decontaminateSpans]]: spans
+    * aggregate per document (bounded by spans-per-doc), join back on
+    * doc_id, and the cut is a ROW-LOCAL indexed token filter. Docs
+    * with no spans pass through unchanged (left join). Output:
+    * (doc_id, clean_text, n_tokens_removed). */
+  private def exciseSpans(docs: DataFrame, spanFrame: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val spans = spanFrame
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("_spans"))
@@ -448,6 +476,34 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", col("_kept")).as("clean_text"),
         (col("_n") - size(col("_kept"))).cast("long").as("n_tokens_removed"))
+  }
+
+  /** SPAN-LEVEL decontamination — the surgical middle ground between
+    * [[decontaminate]]'s whole-document drop and keeping contaminated
+    * text: every maximal run of training k-grams that also appears in
+    * the benchmark split is CUT from the document, the rest survives
+    * (the PaLM/Lee-et-al. discipline: dropping a whole 10k-token doc
+    * for one leaked question wastes data; keeping the leaked span
+    * poisons eval). `benchPred` splits one frame — a NULL predicate
+    * row is TRAIN (coalesce(false), the [[graft.ext.Similarity
+    * .semanticDecontaminate]] totality lesson).
+    *
+    * Scale shape: both windowings are the [[duplicatedSpans]] digest
+    * stream; the dirty mark is a left-semi join against the DISTINCT
+    * benchmark hash set (hash-keyed shuffle, AQE broadcasts a small
+    * benchmark — never a collect); islands and excision are the shared
+    * per-doc stages. Output: every TRAIN doc as (doc_id, clean_text,
+    * n_tokens_removed) — clean docs pass through with 0 removed. */
+  def decontaminateSpans(docs: DataFrame, benchPred: Column, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"decontaminateSpans needs k >= 2, got $k")
+    val isBench = coalesce(benchPred, lit(false))
+    val train = docs.where(!isBench)
+    val benchH = kgramWindows(docs.where(isBench), k, idCol, textCol)
+      .select("_h").distinct()
+    val marked = kgramWindows(train, k, idCol, textCol)
+      .join(benchH, Seq("_h"), "left_semi")
+    exciseSpans(train, islandSpans(marked, k), idCol, textCol)
   }
 
   /** Near-dup survivors under the KEEP-FIRST policy: drop every document

@@ -527,6 +527,17 @@ object Extensions {
   def e81_gopher_rules(s: SparkSession, dir: String): DataFrame =
     Text.gopherRules(docs(s, dir)).orderBy("doc_id")
 
+  /** e84: span-level decontamination
+    * ([[graft.ext.Dedup.decontaminateSpans]]) — the surgical face of
+    * the decontamination family (whole-doc e34 / Bloom e51 / fuzzy e65
+    * / semantic e79): every maximal run of training 8-grams that also
+    * appears in the `doc_id % 40 == 1` benchmark split is CUT from the
+    * document and the rest survives; clean docs pass through with 0
+    * tokens removed. */
+  def e84_span_decontaminate(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminateSpans(docs(s, dir), benchPred = col("doc_id") % 40 === 1)
+      .orderBy("doc_id")
+
   /** e83: near-dup detector scoreboard
     * ([[graft.ext.Dedup.dedupScoreboard]]) — the e72 discipline for
     * the DEDUP family: MinHash-LSH banding candidates and banded
@@ -1088,6 +1099,7 @@ object Extensions {
     "e81_gopher_rules" -> (e81_gopher_rules _),
     "e82_temperature_mix" -> (e82_temperature_mix _),
     "e83_dedup_scoreboard" -> (e83_dedup_scoreboard _),
+    "e84_span_decontaminate" -> (e84_span_decontaminate _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2507,6 +2519,39 @@ object Extensions {
          |WHERE rnk <= $E80PerCell
          |ORDER BY cell, rnk""".stripMargin
     },
+
+    "e84_span_decontaminate" ->
+      // e45's window/island/excision chain with the dirty mark swapped:
+      // a train window is marked iff its 8-gram hash appears in the
+      // % 40 == 1 benchmark split (not iff it repeats), and only train
+      // docs are rewritten. Spark windows the split sides separately;
+      // windowing all docs and restricting the mark is equivalent.
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+        |  WHERE len(w) >= 8),
+        |bh AS (SELECT DISTINCT h FROM wins WHERE doc_id % 40 = 1),
+        |marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN bh USING (h)
+        |           WHERE w.doc_id % 40 <> 1),
+        |isl AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |        FROM marked),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |          FROM isl GROUP BY doc_id, g),
+        |ttoks AS (SELECT doc_id, w FROM toks WHERE doc_id % 40 <> 1),
+        |tok AS (SELECT doc_id, i AS p, w[i] AS t
+        |        FROM ttoks, UNNEST(generate_series(1, len(w))) u(i)),
+        |keep AS (SELECT tok.doc_id, p, t FROM tok
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans
+        |           WHERE spans.doc_id = tok.doc_id AND p BETWEEN s AND e)),
+        |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS ct,
+        |               count(*) AS kept
+        |        FROM keep GROUP BY doc_id)
+        |SELECT ttoks.doc_id, coalesce(ct, '') AS clean_text,
+        |       len(w) - coalesce(kept, 0) AS n_tokens_removed
+        |FROM ttoks LEFT JOIN agg ON agg.doc_id = ttoks.doc_id
+        |ORDER BY ttoks.doc_id""".stripMargin,
 
     "e83_dedup_scoreboard" -> {
       // Full detector-family replay: the e03 minhash band chain, the

@@ -270,6 +270,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("decontaminateSpans cuts exactly the benchmark-overlapping run, hand-exact") {
+    val d = Seq(
+      (100L, "q1 q2 q3 q4 q5 q6 q7 q8 tail1"),      // benchmark
+      (1L, "a b q1 q2 q3 q4 q5 q6 q7 q8 c d"),      // one leaked 8-gram
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),           // clean, windowed
+      (3L, "tiny doc"))                              // clean, sub-k
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(d, col("doc_id") >= 100)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // benchmark docs never appear in the output; train docs all do
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // the single marked window (q1..q8 at pos 3) excises tokens 3..10
+    assert(out(1L) == (("a b c d", 8L)))
+    assert(out(2L) == (("x1 x2 x3 x4 x5 x6 x7 x8 x9", 0L)))
+    assert(out(3L) == (("tiny doc", 0L)))
+
+    // disjoint benchmark: every train doc passes through untouched
+    val clean = Dedup.decontaminateSpans(
+        d.where(col("doc_id") =!= 100L)
+          .unionAll(Seq((100L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")),
+        col("doc_id") >= 100)
+      .as[(Long, String, Long)].collect()
+    assert(clean.forall(_._3 == 0L) && clean.length == 3)
+  }
+
   test("dedupScoreboard rows are exact set arithmetic over the detectors and truth") {
     val sb = Dedup.dedupScoreboard(docs).collect()
       .map(r => r.getString(0) ->
