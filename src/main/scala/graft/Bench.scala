@@ -105,7 +105,9 @@ object Bench {
     // via e17/e29's composed pipelines; e84 is NOT here: the e44/e45
     // digest/island/excision shapes already in the tier via e44, with
     // the dup mark swapped for a semi join against the (deliberately
-    // unreplicated-split) benchmark hash set
+    // unreplicated-split) benchmark hash set; e85 is NOT here: a
+    // memo-consuming evaluation harness (the e72/e83 class) whose
+    // tokenize legs are e59/e64's shapes, pinned via e58/e59's entries
     "e77_domain_shift")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

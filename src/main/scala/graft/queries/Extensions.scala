@@ -527,6 +527,40 @@ object Extensions {
   def e81_gopher_rules(s: SparkSession, dir: String): DataFrame =
     Text.gopherRules(docs(s, dir)).orderBy("doc_id")
 
+  /** The trained WordPiece segmentation, memoized like [[bpeArtifacts]]
+    * (e76 MEASURES the trainer; consumers read the memo). */
+  private def wordpieceSyms(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "wordpiece_syms") {
+      graft.ext.Bpe.train(docs(s, dir), rounds = 8, likelihood = true)._2
+    }
+
+  /** e85: tokenizer fertility scoreboard — tokens-per-word for all
+    * three trained subword tokenizers (BPE e58, unigram-LM e63,
+    * WordPiece e76) over the SAME corpus: the model-selection number a
+    * tokenizer choice is actually made on (lower fertility = fewer
+    * tokens for the same text = cheaper training and longer effective
+    * context). The e72/e83 scoreboard discipline, applied to the
+    * tokenizer family; consumes the MEMOIZED artifacts (trainers pay
+    * in their own queries), and each leg is one dictionary-join
+    * aggregate over the corpus word stream. */
+  def e85_tokenizer_fertility(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nWords = d.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .agg(count(lit(1)).as("n_words"))
+    def row(method: String, perDoc: DataFrame, cnt: String): DataFrame =
+      perDoc.agg(sum(col(cnt)).as("n_tokens"))
+        .crossJoin(broadcast(nWords))
+        .select(lit(method).as("method"), col("n_words"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"))
+    row("bpe", e59_bpe_tokenize(s, dir), "n_bpe_tokens")
+      .unionAll(row("unigram", e64_unigram_tokenize(s, dir), "n_tokens"))
+      .unionAll(row("wordpiece",
+        graft.ext.Bpe.tokenCountsFrom(d, wordpieceSyms(s, dir)), "n_bpe_tokens"))
+      .orderBy("method")
+  }
+
   /** e84: span-level decontamination
     * ([[graft.ext.Dedup.decontaminateSpans]]) — the surgical face of
     * the decontamination family (whole-doc e34 / Bloom e51 / fuzzy e65
@@ -1100,6 +1134,7 @@ object Extensions {
     "e82_temperature_mix" -> (e82_temperature_mix _),
     "e83_dedup_scoreboard" -> (e83_dedup_scoreboard _),
     "e84_span_decontaminate" -> (e84_span_decontaminate _),
+    "e85_tokenizer_fertility" -> (e85_tokenizer_fertility _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1554,7 +1589,9 @@ object Extensions {
     * trained (v3) vocabulary — its em3 pieces ARE the corpus
     * tokenization — then per-word piece counts joined back onto the
     * per-document word stream. */
-  private def e64OracleSql: String =
+  /** e64's replay WITHOUT the trailing ORDER BY, so e85 can embed it
+    * as a nested-WITH total (the e75/e78 embedding precedent). */
+  private def e64OracleCore: String =
     "WITH " + unigramCtes(3) + ",\n" +
       s"""pw AS MATERIALIZED (SELECT w, count(*) AS n_pieces
        |  FROM em3 GROUP BY w),
@@ -1563,7 +1600,41 @@ object Extensions {
        |SELECT doc_id, CAST(sum(p.n_pieces) AS BIGINT) AS n_tokens
        |FROM (SELECT doc_id, w FROM dt WHERE length(w) > 0) d
        |JOIN pw p USING (w)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |GROUP BY doc_id""".stripMargin
+
+  private def e64OracleSql: String = e64OracleCore + "\nORDER BY doc_id"
+
+  /** The train-then-tokenize chain (the e59 body) WITHOUT the trailing
+    * ORDER BY, parameterized on the argmax mode so e85 scores BPE and
+    * WordPiece through ONE definition. */
+  private def bpeTokenizeCoreSql(likelihood: Boolean): String =
+    "WITH " + bpeChainCtes(likelihood) + ",\n" +
+      s"""wl AS (SELECT wid, count(*) AS t FROM w8 GROUP BY wid),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN wl ON wl.wid = dw.w
+       |WHERE dw.w <> ''
+       |GROUP BY doc_id""".stripMargin
+
+  /** e85's oracle: all three tokenize chains embedded as nested-WITH
+    * totals over the shared corpus word count — assembled by plain
+    * concatenation (the chains are already-final SQL text; no second
+    * stripMargin ever touches them). */
+  private def e85OracleSql: String = {
+    def tot(inner: String, cnt: String) =
+      s"(SELECT CAST(sum($cnt) AS BIGINT) AS n_tokens FROM (\n$inner\n))"
+    "WITH nw AS (SELECT count(*) AS n_words FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) > 0),\n" +
+      "bpe AS " + tot(bpeTokenizeCoreSql(likelihood = false), "n_bpe_tokens") + ",\n" +
+      "wp AS " + tot(bpeTokenizeCoreSql(likelihood = true), "n_bpe_tokens") + ",\n" +
+      "uni AS " + tot(e64OracleCore, "n_tokens") + ",\n" +
+      """per_method AS (
+        |  SELECT 'bpe' AS method, n_tokens FROM bpe
+        |  UNION ALL SELECT 'unigram' AS method, n_tokens FROM uni
+        |  UNION ALL SELECT 'wordpiece' AS method, n_tokens FROM wp)
+        |SELECT method, n_words, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility
+        |FROM per_method, nw ORDER BY method""".stripMargin
+  }
 
   /** Brute-force cosine top-k oracle, parameterized over the query-id
     * set and k — e06's replay, shared with the e72 harness's two
@@ -2752,17 +2823,12 @@ object Extensions {
          |ORDER BY round""".stripMargin
     },
 
-    "e59_bpe_tokenize" -> {
+    "e59_bpe_tokenize" ->
       // the e58 chain's FINAL segmentation (w8) tokenizes the corpus by
       // dictionary join: tokens-per-word = the word's symbol count.
-      "WITH " + bpeChainCtes() + ",\n" +
-        s"""wl AS (SELECT wid, count(*) AS t FROM w8 GROUP BY wid),
-         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-         |SELECT doc_id, CAST(sum(t) AS BIGINT) AS n_bpe_tokens
-         |FROM dw JOIN wl ON wl.wid = dw.w
-         |WHERE dw.w <> ''
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+      (bpeTokenizeCoreSql(likelihood = false) + "\nORDER BY doc_id"),
+
+    "e85_tokenizer_fertility" -> e85OracleSql,
 
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive

@@ -73,6 +73,10 @@ class PlanAuditSpec extends SparkSpec {
     // e83: 1-row count aggregates (n_detected, tp, n_truth) cross-joined
     // into each detector's scoreboard row (the e66 literal-margin class)
     "e83_dedup_scoreboard",
+    // e85: the 1-row corpus word-count broadcast onto each tokenizer's
+    // 1-row token total (same class); its BPE/unigram legs also carry
+    // the e59/e64 bounded vocab-chain broadcasts
+    "e85_tokenizer_fertility",
     // q58's degree aggregation reads the live generated KNOWS frame, so
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon

@@ -53,6 +53,30 @@ class BpeSpec extends SparkSpec {
     assert(bpe.head == ((1, "a", "t", "at", 4L)))
   }
 
+  test("tokenizer fertility scoreboard: three rows, consistent with the per-doc queries") {
+    import org.apache.spark.sql.functions._
+    val sb = graft.SparkEntry.queries("e85_tokenizer_fertility")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(sb.keySet == Set("bpe", "unigram", "wordpiece"))
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val nWords = corpus
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).count()
+    sb.values.foreach { case (nw, nt, f) =>
+      assert(nw == nWords)
+      // every word is at least one piece; 8 merges can't push a word
+      // below one token, and fertility is exactly tokens/words
+      assert(nt >= nWords && f == nt.toDouble / nw)
+    }
+    // consistency with the per-doc train->apply queries (same memo)
+    val bpeTotal = graft.SparkEntry.queries("e59_bpe_tokenize")(spark, sf0001)
+      .agg(sum(col("n_bpe_tokens"))).head.getLong(0)
+    val uniTotal = graft.SparkEntry.queries("e64_unigram_tokenize")(spark, sf0001)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(sb("bpe")._2 == bpeTotal && sb("unigram")._2 == uniTotal)
+  }
+
   test("wordpiece on the fixture corpus is deterministic across partitionings") {
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = Bpe.bpeMerges(corpus, 4, likelihood = true)
