@@ -281,6 +281,14 @@ object Demo {
         s"r=${"%.2f".format(r.getDouble(5))}").sorted.mkString(" ")
     println(s"DEMO dedup_scoreboard $sbRows")
 
+    // 29. ...and pick the tokenizer the same way: measured fertility
+    // (tokens per word) for the three trained subword models
+    val fert = graft.SparkEntry.queries("e85_tokenizer_fertility")(spark, sfDir)
+      .collect()
+      .map(r => s"${r.getString(0)}=${"%.2f".format(r.getDouble(3))}")
+      .mkString(" ")
+    println(s"DEMO tokenizer_fertility $fert")
+
     spark.stop()
   }
 }
