@@ -561,6 +561,40 @@ object Extensions {
       .orderBy("method")
   }
 
+  /** e86: quality-scorer agreement
+    * ([[graft.ext.Agreement.spearman]] over
+    * [[graft.ext.Agreement.globalRank]]) — pairwise Spearman rank
+    * correlation between the three quality signals (e09 rule score,
+    * e61 classifier margin from the memoized model, e75 bigram
+    * perplexity NEGATED so every scorer orients quality-ascending):
+    * the number that says whether the cheap rule gate can proxy the
+    * expensive model scorers. Ranks are the two-phase monotone-bucket
+    * form (no partition-less window); bucket choices are plan-only —
+    * the oracle ranks with plain global windows and must agree
+    * rank-for-rank. */
+  def e86_scorer_agreement(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val rules = Text.qualityScore(d)
+    val clf = graft.ext.Classify.score(d, perceptronW(s, dir),
+        buckets = E61Buckets)
+      .select(col("doc_id"), col("margin"))
+    val ppl = Text.bigramSurprisal(d, trainFilter = col("doc_id") % 5 =!= 3)
+      .select(col("doc_id"), (-col("mean_milli")).as("q"))
+    val rRules = graft.ext.Agreement.globalRank(rules,
+      least(greatest(floor(col("quality_score") * 32), lit(0.0)), lit(31.0))
+        .cast("long"),
+      Seq(col("quality_score").asc, col("doc_id").asc))
+    val rClf = graft.ext.Agreement.globalRank(clf,
+      least(greatest(expr("margin div 1024"), lit(-32L)), lit(31L)),
+      Seq(col("margin").asc, col("doc_id").asc))
+    val rPpl = graft.ext.Agreement.globalRank(ppl,
+      least(greatest(expr("q div 5000"), lit(-33L)), lit(0L)),
+      Seq(col("q").asc, col("doc_id").asc))
+    graft.ext.Agreement.spearman(Seq(
+        "classifier" -> rClf, "perplexity" -> rPpl, "rules" -> rRules))
+      .orderBy("scorer_a", "scorer_b")
+  }
+
   /** e84: span-level decontamination
     * ([[graft.ext.Dedup.decontaminateSpans]]) — the surgical face of
     * the decontamination family (whole-doc e34 / Bloom e51 / fuzzy e65
@@ -1135,6 +1169,7 @@ object Extensions {
     "e83_dedup_scoreboard" -> (e83_dedup_scoreboard _),
     "e84_span_decontaminate" -> (e84_span_decontaminate _),
     "e85_tokenizer_fertility" -> (e85_tokenizer_fertility _),
+    "e86_scorer_agreement" -> (e86_scorer_agreement _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1814,6 +1849,61 @@ object Extensions {
 
   private def e75OracleSql: String =
     e75OracleCore + "\nORDER BY doc_id"
+
+  /** e09's replay WITHOUT the trailing ORDER BY, so e86 can embed it
+    * as a nested-WITH rank input (the e75/e78 embedding precedent). */
+  private val e09OracleCore: String =
+    """WITH stats AS (
+      |  SELECT doc_id, length(text) AS text_len,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','of','to','and','in','is','on','for','with'))) AS n_stopwords,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      |  FROM documents)
+      |SELECT doc_id,
+      |  0.5 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |  + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(text_len AS DOUBLE))
+      |  + 0.2 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+      |  AS quality_score
+      |FROM stats""".stripMargin
+
+  /** e86's oracle: the three scorer replays (e61 margins through the
+    * shared training chain, the e09 core, the e75 core) ranked by
+    * PLAIN global windows — the oracle side has no single-task-sort
+    * constraint; the Spark plan's two-phase bucketing must agree
+    * rank-for-rank — then pairwise integer Σd² and the exact Spearman
+    * division. Assembled by concatenation of once-stripped fragments. */
+  private def e86OracleSql: String =
+    "WITH " + e61Ctes + ",\n" +
+      "q09 AS MATERIALIZED (\n" + e09OracleCore + "),\n" +
+      "sc75 AS MATERIALIZED (\n" + e75OracleCore + "),\n" +
+      s"""rr AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY quality_score, doc_id) AS rk
+       |        FROM q09),
+       |rc AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY CAST(margin AS BIGINT), doc_id) AS rk
+       |        FROM sc),
+       |rp AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY -mean_milli, doc_id) AS rk
+       |        FROM sc75),
+       |u AS (
+       |  SELECT 'classifier' AS scorer_a, 'perplexity' AS scorer_b,
+       |    count(*) AS n,
+       |    CAST(sum((a.rk - b.rk) * (a.rk - b.rk)) AS BIGINT) AS sum_d2
+       |  FROM rc a JOIN rp b USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'classifier' AS scorer_a, 'rules' AS scorer_b, count(*),
+       |    CAST(sum((a.rk - b.rk) * (a.rk - b.rk)) AS BIGINT)
+       |  FROM rc a JOIN rr b USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'perplexity' AS scorer_a, 'rules' AS scorer_b, count(*),
+       |    CAST(sum((a.rk - b.rk) * (a.rk - b.rk)) AS BIGINT)
+       |  FROM rp a JOIN rr b USING (doc_id))
+       |SELECT scorer_a, scorer_b, n, sum_d2,
+       |  CASE WHEN n > 1
+       |    THEN 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
+       |    ELSE 0.0 END AS spearman
+       |FROM u ORDER BY scorer_a, scorer_b""".stripMargin
 
   /** e78's replay: the e75 scorer as a nested-WITH CTE, language from
     * the documents table, and the per-language NTILE over the same
@@ -2830,6 +2920,8 @@ object Extensions {
 
     "e85_tokenizer_fertility" -> e85OracleSql,
 
+    "e86_scorer_agreement" -> e86OracleSql,
+
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive
       // = min-sim same-label (QUALIFY rn = 1 ascending), hard negatives
@@ -3131,20 +3223,7 @@ object Extensions {
         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "e09_quality_score" ->
-      """WITH stats AS (
-        |  SELECT doc_id, length(text) AS text_len,
-        |    len(string_split(text, ' ')) AS n_tokens,
-        |    len(list_filter(string_split(text, ' '),
-        |      t -> t IN ('the','a','of','to','and','in','is','on','for','with'))) AS n_stopwords,
-        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
-        |  FROM documents)
-        |SELECT doc_id,
-        |  0.5 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-        |  + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(text_len AS DOUBLE))
-        |  + 0.2 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
-        |  AS quality_score
-        |FROM stats ORDER BY doc_id""".stripMargin,
+    "e09_quality_score" -> (e09OracleCore + "\nORDER BY doc_id"),
 
     "e10_langid" -> {
       def cnt(ws: Seq[String]) =

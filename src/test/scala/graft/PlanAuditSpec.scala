@@ -77,6 +77,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row token total (same class); its BPE/unigram legs also carry
     // the e59/e64 bounded vocab-chain broadcasts
     "e85_tokenizer_fertility",
+    // e86: the triangular bucket-histogram offset join of the two-phase
+    // global rank (<= 64 rows, the e69/e70 class) plus the e75-leg
+    // 1-row corpus-total broadcast
+    "e86_scorer_agreement",
     // q58's degree aggregation reads the live generated KNOWS frame, so
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon
