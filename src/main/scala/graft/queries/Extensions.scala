@@ -1817,35 +1817,35 @@ object Extensions {
     * >= 1 unknown floor, eighth-bit integer surprisal, and the per-doc
     * fold. `//` == `div` (all operands positive). */
   private def e75OracleCore: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |pr AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-       |       FROM toks, UNNEST(generate_series(1, len(w) - 1)) t(i)),
-       |tr AS (SELECT * FROM pr WHERE doc_id % 5 <> 3),
-       |big AS (SELECT w1, w2, count(*) AS c2 FROM tr GROUP BY w1, w2),
-       |lf AS (SELECT w1, sum(c2) AS cl FROM big GROUP BY w1),
-       |uni AS (SELECT t AS w2, count(*) AS c1
-       |        FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 5 <> 3)
+    s"""WITH toks_75 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pr_75 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |       FROM toks_75, UNNEST(generate_series(1, len(w) - 1)) t(i)),
+       |tr_75 AS (SELECT * FROM pr_75 WHERE doc_id % 5 <> 3),
+       |big_75 AS (SELECT w1, w2, count(*) AS c2 FROM tr_75 GROUP BY w1, w2),
+       |lf_75 AS (SELECT w1, sum(c2) AS cl FROM big_75 GROUP BY w1),
+       |uni_75 AS (SELECT t AS w2, count(*) AS c1
+       |        FROM (SELECT unnest(w) AS t FROM toks_75 WHERE doc_id % 5 <> 3)
        |        GROUP BY t),
-       |tot AS (SELECT sum(c1) AS n_total FROM uni),
-       |sc AS (SELECT p.doc_id,
+       |tot_75 AS (SELECT sum(c1) AS n_total FROM uni_75),
+       |sc_75 AS (SELECT p.doc_id,
        |         greatest((
        |           (CASE WHEN b.c2 IS NULL THEN 0
        |                 ELSE 3 * ((b.c2 * ${graft.ext.Retrieval.Scale}) // l.cl) END)
        |           + (CASE WHEN u.c1 IS NULL THEN 0
        |                   ELSE (u.c1 * ${graft.ext.Retrieval.Scale}) // t.n_total END)
        |         ) // 4, 1) AS p_fp
-       |       FROM pr p
-       |       LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
-       |       LEFT JOIN lf l ON l.w1 = p.w1
-       |       LEFT JOIN uni u ON u.w2 = p.w2, tot t),
-       |s8 AS (SELECT doc_id,
+       |       FROM pr_75 p
+       |       LEFT JOIN big_75 b ON b.w1 = p.w1 AND b.w2 = p.w2
+       |       LEFT JOIN lf_75 l ON l.w1 = p.w1
+       |       LEFT JOIN uni_75 u ON u.w2 = p.w2, tot_75 t),
+       |s8_75 AS (SELECT doc_id,
        |         160 - (8 * (length(bin(p_fp)) - 1)
        |           + ((p_fp * 8) >> (length(bin(p_fp)) - 1)) - 8) AS s8
-       |       FROM sc)
+       |       FROM sc_75)
        |SELECT doc_id, count(*) AS n_bigrams,
        |  CAST(sum(s8) AS BIGINT) AS surprisal8,
        |  CAST((sum(s8) * 1000) // count(*) AS BIGINT) AS mean_milli
-       |FROM s8 GROUP BY doc_id""".stripMargin
+       |FROM s8_75 GROUP BY doc_id""".stripMargin
 
   private def e75OracleSql: String =
     e75OracleCore + "\nORDER BY doc_id"

@@ -53,6 +53,90 @@ class OracleSqlLintSpec extends AnyFunSuite {
         s"likely a stripMargin composition bug:\n${offenders.mkString("\n")}")
   }
 
+  /** CTE names declared anywhere in the SQL — `name AS (` or
+    * `name AS MATERIALIZED (` — at every nesting level. */
+  private val CteDecl = "(?i)(\\w+)\\s+AS\\s+(?:MATERIALIZED\\s+)?\\(".r
+
+  /** Names declared in a scope that ENCLOSES a later same-named
+    * declaration. Two sibling nested WITHs reusing a name is fine
+    * (each is its own scope, invisible to the other — e72/e85 compose
+    * member oracles that way); an outer-chain name redeclared inside a
+    * nested WITH is the hazard, because DuckDB's binder can resolve
+    * the inner reference to the OUTER CTE (the e86 round-11 bug). */
+  private def shadowedCtes(sql: String): Seq[String] = {
+    val s = withoutStringLiterals(sql)
+    // For every position, the stack of open-paren positions enclosing it.
+    val decls = CteDecl.findAllMatchIn(s)
+      .map(m => (m.group(1).toLowerCase, m.start)).toSeq
+    def enclosingStack(pos: Int): List[Int] = {
+      var stack = List.empty[Int]
+      var i = 0
+      while (i < pos) {
+        s.charAt(i) match {
+          case '(' => stack = i :: stack
+          case ')' => if (stack.nonEmpty) stack = stack.tail
+          case _ =>
+        }
+        i += 1
+      }
+      stack
+    }
+    val withScopes = decls.map { case (n, p) => (n, p, enclosingStack(p)) }
+    (for {
+      Seq((na, pa, sa), (nb, pb, sb)) <- withScopes.combinations(2)
+      if na == nb
+      // a's scope encloses b's iff a's enclosing-paren stack is a
+      // suffix of b's (same scope = equal stacks, also a hazard)
+      if sb.endsWith(sa) || sa.endsWith(sb)
+    } yield na).toSeq.distinct.sorted
+  }
+
+  test("the CTE-name lint flags a nested shadowing collision") {
+    // The exact shape of the round-11 bug (e86): an outer CTE chain
+    // defines `sc`, a nested `WITH ... sc AS (...)` fragment is
+    // interpolated inside a MATERIALIZED CTE, and DuckDB's binder
+    // resolves the inner `FROM sc` to the OUTER sc — a BinderException
+    // at best, silent wrong data at worst.
+    val broken =
+      """WITH sc AS (SELECT doc_id, margin FROM t),
+        |x AS MATERIALIZED (
+        |  WITH sc AS (SELECT doc_id, p_fp FROM u)
+        |  SELECT p_fp FROM sc)
+        |SELECT * FROM sc JOIN x USING (doc_id)""".stripMargin
+    assert(shadowedCtes(broken) == Seq("sc"))
+    assert(shadowedCtes("WITH a AS (SELECT 1), b AS (SELECT 2) SELECT 3").isEmpty)
+    // two SIBLING nested scopes may reuse a name — each is invisible
+    // to the other (the e72/e85 composed-member shape)
+    val siblings =
+      """WITH x AS MATERIALIZED (
+        |  WITH c AS (SELECT 1 AS v) SELECT v FROM c),
+        |y AS MATERIALIZED (
+        |  WITH c AS (SELECT 2 AS v) SELECT v FROM c)
+        |SELECT * FROM x JOIN y ON true""".stripMargin
+    assert(shadowedCtes(siblings).isEmpty)
+    // same-scope duplicate is a hazard
+    assert(shadowedCtes("WITH a AS (SELECT 1), a AS (SELECT 2) SELECT 3")
+      == Seq("a"))
+    // casts and table-function aliases are not CTE declarations
+    assert(shadowedCtes(
+      "SELECT CAST(x AS DECIMAL(10,2)) FROM t, UNNEST(g(1, n)) AS t2(i)").isEmpty)
+  }
+
+  test("no oracle SQL shadows an enclosing-scope CTE name") {
+    // DuckDB does not reliably shadow an outer (esp. MATERIALIZED) CTE
+    // with a same-named CTE in a nested WITH — composed fragments must
+    // not reuse a name visible from an enclosing scope.
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        val dup = shadowedCtes(sql)
+        if (dup.isEmpty) Nil else Seq(s"$name: ${dup.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"nested CTE shadows an enclosing-scope name in generated oracle " +
+        s"SQL — DuckDB binder resolution is unreliable there:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("every query has either an oracle or is deliberately rows-only") {
     // Guard against a queries/oracleSql drift: an oracle for a query
     // that doesn't exist is dead text that silently rots.
