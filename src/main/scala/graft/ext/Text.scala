@@ -495,9 +495,19 @@ object Text {
     * [[Sketches]] and a broadcast band join. */
   def perplexityBuckets(docs: DataFrame, trainFilter: Column,
       nBuckets: Int = 3, idCol: String = "doc_id",
-      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+      langCol: String = "lang", textCol: String = "text"): DataFrame =
+    perplexityBucketsFrom(docs,
+      bigramSurprisal(docs, trainFilter, idCol, textCol),
+      nBuckets, idCol, langCol)
+
+  /** [[perplexityBuckets]] over an ALREADY-SCORED frame (the
+    * [[bigramSurprisal]] output shape) — the consumer face: e78/e86
+    * read one memoized scoring pass instead of retraining the LM per
+    * query (the e59 trainers-pay discipline). */
+  def perplexityBucketsFrom(docs: DataFrame, scored: DataFrame,
+      nBuckets: Int = 3, idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
-    val scored = bigramSurprisal(docs, trainFilter, idCol, textCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(langCol).orderBy(col("mean_milli"), col("doc_id"))
     scored

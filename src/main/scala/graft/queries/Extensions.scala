@@ -499,12 +499,20 @@ object Extensions {
         benchPred = col("vec_id") % 40 === 1, threshold = 0.35)
       .orderBy("vec_id", "bench_id")
 
+  /** The e75 bigram-LM scoring pass, memoized like [[bpeArtifacts]]
+    * (e75 MEASURES the scorer; e78/e86 consume the memo). */
+  private def bigramScored(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "bigram_surprisal") {
+      Text.bigramSurprisal(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
+    }
+
   /** e78: CCNet head/middle/tail perplexity buckets
-    * ([[graft.ext.Text.perplexityBuckets]]) — the e75 scores cut into
-    * per-language terciles, the split CCNet keeps/down-samples by.
-    * Bucket 1 = lowest perplexity. */
+    * ([[graft.ext.Text.perplexityBucketsFrom]]) — the e75 scores cut
+    * into per-language terciles, the split CCNet keeps/down-samples
+    * by. Bucket 1 = lowest perplexity. Consumes the MEMOIZED e75
+    * scoring pass (trainers pay, consumers memoize). */
   def e78_perplexity_buckets(s: SparkSession, dir: String): DataFrame =
-    Text.perplexityBuckets(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
+    Text.perplexityBucketsFrom(docs(s, dir), bigramScored(s, dir))
       .orderBy("doc_id")
 
   /** e80: cluster-balanced coreset sampling
@@ -578,7 +586,7 @@ object Extensions {
     val clf = graft.ext.Classify.score(d, perceptronW(s, dir),
         buckets = E61Buckets)
       .select(col("doc_id"), col("margin"))
-    val ppl = Text.bigramSurprisal(d, trainFilter = col("doc_id") % 5 =!= 3)
+    val ppl = bigramScored(s, dir)
       .select(col("doc_id"), (-col("mean_milli")).as("q"))
     val rRules = graft.ext.Agreement.globalRank(rules,
       least(greatest(floor(col("quality_score") * 32), lit(0.0)), lit(31.0))
