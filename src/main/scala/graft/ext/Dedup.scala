@@ -720,4 +720,67 @@ object Dedup {
     score("minhash_lsh", minhashCandidatePairs(docs))
       .unionAll(score(s"simhash_h$maxDist", simhashNearPairs(docs, maxDist)))
   }
+
+  /** Decontamination-detector scoreboard — the [[dedupScoreboard]]
+    * discipline for the DECONTAMINATION family: every detector's
+    * doc-level contaminated set scored as precision/recall against the
+    * `nTruth`-gram exact-overlap ground truth ([[contaminationReport]],
+    * the e34 definition), so the n-gram size and detector family are
+    * chosen by measurement, not folklore. Rows:
+    *
+    *   - `exact_n{n}` for each n in `ns` — exact word-n-gram overlap at
+    *     looser/reference/stricter n (the knob the GPT-3/Pile appendix
+    *     debates: small n over-flags boilerplate, large n misses
+    *     paraphrased leakage);
+    *   - `bloom_n{nTruth}` — the [[bloomDecontaminate]] scale path;
+    *     scores EXACTLY 1.0/1.0 by construction (no false negatives,
+    *     verify-join removes false positives) — the row that PROVES the
+    *     100-TB shape loses nothing;
+    *   - `fuzzy_j{θ}` — [[fuzzyJoin]] at `fuzzyThreshold` shingle
+    *     Jaccard: the paraphrase-tolerant detector.
+    *
+    * Scale shape: each leg reuses its operator's bounded form
+    * (broadcast benchmark side, Bloom blob literal, banded LSH with
+    * capped buckets); the truth set is contaminated-docs-sized and
+    * checkpointed once. Output:
+    * `(method, n_detected, n_truth, tp, prec, recall)`. */
+  def decontaminationScoreboard(docs: DataFrame, benchPred: Column,
+      ns: Seq[Int] = Seq(2, 4, 8), nTruth: Int = 4,
+      fuzzyThreshold: Double = 0.5): DataFrame = {
+    require(ns.contains(nTruth),
+      s"truth n-gram size $nTruth must be one of the swept sizes $ns")
+    val isBench = coalesce(benchPred, lit(false))
+    val train = docs.where(!isBench)
+    val bench = docs.where(isBench)
+    val truth = contaminationReport(train, bench, nTruth)
+      .select(col("doc_id")).localCheckpoint()
+    val nTruthC = truth.agg(count(lit(1)).as("n_truth"))
+    def score(method: String, det: DataFrame): DataFrame = {
+      val d = det.select(col("doc_id"))
+      val nd = d.agg(count(lit(1)).as("n_detected"))
+      val tp = d.join(truth, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      nd.crossJoin(tp).crossJoin(broadcast(nTruthC))
+        .select(lit(method).as("method"), col("n_detected"),
+          col("n_truth"), col("tp"),
+          when(col("n_detected") > 0,
+            col("tp").cast("double") / col("n_detected").cast("double"))
+            .otherwise(lit(0.0)).as("prec"),
+          when(col("n_truth") > 0,
+            col("tp").cast("double") / col("n_truth").cast("double"))
+            .otherwise(lit(0.0)).as("recall"))
+    }
+    val exact = ns.map { n =>
+      score(s"exact_n$n", contaminationReport(train, bench, n))
+    }
+    val bloomDet = train
+      .join(bloomDecontaminate(train, bench, nTruth), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val fuzzyDet = fuzzyJoin(train, bench, fuzzyThreshold)
+      .select(col("left_id").as("doc_id")).distinct()
+    val rows = exact :+
+      score(s"bloom_n$nTruth", bloomDet) :+
+      score(s"fuzzy_j${(fuzzyThreshold * 100).round}", fuzzyDet)
+    rows.reduce(_ unionAll _)
+  }
 }

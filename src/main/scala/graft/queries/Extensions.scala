@@ -614,6 +614,20 @@ object Extensions {
     Dedup.decontaminateSpans(docs(s, dir), benchPred = col("doc_id") % 40 === 1)
       .orderBy("doc_id")
 
+  /** e87: decontamination-detector scoreboard
+    * ([[graft.ext.Dedup.decontaminationScoreboard]]) — the scoreboard
+    * discipline (ANN e72 / dedup e83 / tokenizer e85 / scorer e86)
+    * applied to the DECONTAMINATION family: exact n-gram overlap at
+    * n in {2,4,8}, the Bloom scale path, and the fuzzy-Jaccard
+    * detector, each scored doc-level against the n=4 exact ground
+    * truth (the e34 definition) on the e51/e84 benchmark split. The
+    * bloom row reading 1.0/1.0 is the measured proof the 100-TB shape
+    * loses nothing. */
+  def e87_decon_scoreboard(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminationScoreboard(docs(s, dir),
+        benchPred = col("doc_id") % 40 === 1)
+      .orderBy("method")
+
   /** e83: near-dup detector scoreboard
     * ([[graft.ext.Dedup.dedupScoreboard]]) — the e72 discipline for
     * the DEDUP family: MinHash-LSH banding candidates and banded
@@ -1178,6 +1192,7 @@ object Extensions {
     "e84_span_decontaminate" -> (e84_span_decontaminate _),
     "e85_tokenizer_fertility" -> (e85_tokenizer_fertility _),
     "e86_scorer_agreement" -> (e86_scorer_agreement _),
+    "e87_decon_scoreboard" -> (e87_decon_scoreboard _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1912,6 +1927,75 @@ object Extensions {
        |    THEN 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
        |    ELSE 0.0 END AS spearman
        |FROM u ORDER BY scorer_a, scorer_b""".stripMargin
+
+  /** e87's oracle: exact word-n-gram contaminated sets at n in
+    * {2,4,8} over the %40 benchmark split, the fuzzy detector as the
+    * FULL e65 replay (signatures, banding, candidate pairs, exact
+    * Jaccard verify — so LSH banding semantics are pinned, not
+    * approximated), and the five scoreboard rows as scalar-subquery
+    * counts. The bloom row re-uses the n=4 exact set — equality is the
+    * operator's contract (no false negatives + exact verify). */
+  private def e87OracleSql: String = {
+    def dets(n: Int): String = {
+      val gram = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""tg$n AS (SELECT DISTINCT doc_id, $gram AS s
+         |       FROM toks, UNNEST(generate_series(1, len(w) - ${n - 1})) AS t(i)
+         |       WHERE doc_id % 40 <> 1),
+         |bg$n AS (SELECT DISTINCT $gram AS s
+         |       FROM toks, UNNEST(generate_series(1, len(w) - ${n - 1})) AS t(i)
+         |       WHERE doc_id % 40 = 1),
+         |det$n AS (SELECT DISTINCT doc_id FROM tg$n JOIN bg$n USING (s))"""
+        .stripMargin
+    }
+    val bands = (0 until Dedup.NumBands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    def row(method: String, det: String): String =
+      s"""SELECT '$method' AS method,
+         |    (SELECT count(*) FROM $det) AS n_detected,
+         |    (SELECT count(*) FROM det4) AS n_truth,
+         |    (SELECT count(*) FROM $det dd JOIN det4 tt USING (doc_id)) AS tp"""
+        .stripMargin
+    s"""WITH $sigCte,
+       |${dets(2)},
+       |${dets(4)},
+       |${dets(8)},
+       |fbands AS (
+       |  $bands),
+       |fla AS (SELECT doc_id AS left_id, band, bh FROM fbands WHERE doc_id % 40 <> 1),
+       |frb AS (SELECT doc_id AS right_id, band, bh FROM fbands WHERE doc_id % 40 = 1),
+       |fcand AS (SELECT DISTINCT left_id, right_id FROM fla JOIN frb USING (band, bh)),
+       |fd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |fn AS (SELECT doc_id, count(*) AS sz FROM fd GROUP BY doc_id),
+       |fc AS (SELECT left_id, right_id, count(*) AS inter
+       |      FROM fcand
+       |      JOIN fd da ON da.doc_id = left_id
+       |      JOIN fd db ON db.doc_id = right_id AND db.s = da.s
+       |      GROUP BY left_id, right_id),
+       |fdet AS (SELECT DISTINCT left_id AS doc_id
+       |      FROM fc JOIN fn na ON na.doc_id = left_id
+       |      JOIN fn nb ON nb.doc_id = right_id
+       |      WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5),
+       |rows87 AS (
+       |  ${row("exact_n2", "det2")}
+       |  UNION ALL
+       |  ${row("exact_n4", "det4")}
+       |  UNION ALL
+       |  ${row("exact_n8", "det8")}
+       |  UNION ALL
+       |  ${row("bloom_n4", "det4")}
+       |  UNION ALL
+       |  ${row("fuzzy_j50", "fdet")})
+       |SELECT method, n_detected, n_truth, tp,
+       |  CASE WHEN n_detected > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(n_detected AS DOUBLE)
+       |    ELSE 0.0 END AS prec,
+       |  CASE WHEN n_truth > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       |    ELSE 0.0 END AS recall
+       |FROM rows87 ORDER BY method""".stripMargin
+  }
 
   /** e78's replay: the e75 scorer as a nested-WITH CTE, language from
     * the documents table, and the per-language NTILE over the same
@@ -2929,6 +3013,7 @@ object Extensions {
     "e85_tokenizer_fertility" -> e85OracleSql,
 
     "e86_scorer_agreement" -> e86OracleSql,
+    "e87_decon_scoreboard" -> e87OracleSql,
 
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive

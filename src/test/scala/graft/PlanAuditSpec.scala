@@ -70,9 +70,10 @@ class PlanAuditSpec extends SparkSpec {
     // e82: two 1-row total broadcasts (corpus tokens, weight sum) onto
     // the group-cardinality-sized frame (the e52/e67 class)
     "e82_temperature_mix",
-    // e83: 1-row count aggregates (n_detected, tp, n_truth) cross-joined
-    // into each detector's scoreboard row (the e66 literal-margin class)
-    "e83_dedup_scoreboard",
+    // e83/e87: 1-row count aggregates (n_detected, tp, n_truth)
+    // cross-joined into each detector's scoreboard row (the e66
+    // literal-margin class)
+    "e83_dedup_scoreboard", "e87_decon_scoreboard",
     // e85: the 1-row corpus word-count broadcast onto each tokenizer's
     // 1-row token total (same class); its BPE/unigram legs also carry
     // the e59/e64 bounded vocab-chain broadcasts

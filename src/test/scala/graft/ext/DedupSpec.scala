@@ -338,6 +338,37 @@ class DedupSpec extends SparkSpec {
     assert(sides.forall { case (l, r) => l % 2 == 0 && r % 2 == 1 })
   }
 
+  test("decontaminationScoreboard: bloom==exact, monotone-n recall, set arithmetic") {
+    // bench doc 8 (8 % 8 == 0 under the pred below) shares a 4-gram run
+    // with train doc 6 but no 8-gram; doc 7 is clean.
+    val cdocs = Seq(
+      (6L, "alpha beta gamma delta epsilon zeta unrelated tail words here"),
+      (7L, "nothing in common with anything else in this tiny corpus"),
+      (9L, "omega psi chi phi upsilon tau sigma rho completely distinct"),
+      (8L, "alpha beta gamma delta epsilon zeta DIFFERENT continuation entirely")
+    ).toDF("doc_id", "text")
+    val sb = Dedup.decontaminationScoreboard(cdocs,
+        benchPred = col("doc_id") % 8 === 0)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(sb.keySet ==
+      Set("exact_n2", "exact_n4", "exact_n8", "bloom_n4", "fuzzy_j50"))
+    // truth at n=4: only doc 6 (shares "alpha beta gamma delta" etc.)
+    assert(sb("exact_n4") == ((1L, 1L, 1L, 1.0, 1.0)))
+    // bloom row equals the exact row cell for cell (lossless-prefilter law)
+    assert(sb("bloom_n4") == sb("exact_n4"))
+    // a shared 8-gram would imply a shared 4-gram: recall(n8) <= recall(n4),
+    // and this fixture's overlap run is 6 tokens, so n8 detects nothing
+    assert(sb("exact_n8")._1 == 0L && sb("exact_n8")._5 == 0.0)
+    // n=2 flags at least the truth doc (any shared 4-gram contains 2-grams)
+    val (nd2, _, tp2, _, rec2) = sb("exact_n2")
+    assert(tp2 == 1L && rec2 == 1.0 && nd2 >= 1L)
+    // fuzzy: 6-of-n shingle overlap is below 0.5 Jaccard here -> no rows
+    assert(sb("fuzzy_j50")._1 == 0L)
+  }
+
   test("fuzzyJoin bucket cap: hot boilerplate bands drop, distinctive pairs survive") {
     // ADVICE round-9: the e65 fixture never trips Skew.capBuckets, so
     // the capped path had no gate. This fixture does: 8 identical
