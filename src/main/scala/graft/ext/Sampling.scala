@@ -315,4 +315,48 @@ object Sampling {
       .groupBy(col("id").as(idCol))
       .agg(sum(col("w")).as("dsir_score"))
   }
+
+  /** Curriculum training order: documents ranked by a difficulty
+    * signal, cut into `phases` equal-population phases (phase 0 =
+    * easiest), and deterministically shuffled WITHIN each phase by an
+    * id-hash key — the easy-first schedule of curriculum learning
+    * (Bengio et al. 2009), with the within-phase shuffle that keeps
+    * each phase i.i.d.-looking to the optimizer instead of
+    * difficulty-sorted (the known pathology of strictly ordered
+    * feeds). Every stage is integer/deterministic, so the schedule is
+    * reproducible run to run and the SQL oracle replays it.
+    *
+    * Both global ranks use [[Agreement.globalRank]]'s two-phase
+    * bucketed form — no partition-less Window: difficulty ranks
+    * bucket by `difficultyBucket` (caller-supplied monotone clamp
+    * expressed over the normalized `difficulty` column), the final
+    * order by `(phase, top 6 bits
+    * of the shuffle key)` — at most `64·phases` buckets, so the
+    * offset histogram stays bounded while every window partition is
+    * ~1/(64·phases) of the corpus. Phase = `(rank-1)·phases div n` —
+    * equal-population by construction (the 1-row count broadcast is
+    * the e54-class corpus total).
+    *
+    * Output: `(idCol, difficulty, phase, ord)` — ord is the 1-based
+    * global training position. */
+  def curriculumOrder(scored: DataFrame, difficulty: Column,
+      difficultyBucket: Column, phases: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    require(phases >= 1, s"need phases >= 1, got $phases")
+    val d = scored.select(col(idCol), difficulty.as("difficulty"))
+    val ranked = Agreement.globalRank(d, difficultyBucket,
+      Seq(col("difficulty").asc, col(idCol).asc))
+    val n = d.agg(count(lit(1)).as("_n"))
+    val phased = ranked.crossJoin(broadcast(n))
+      .withColumn("phase", expr(s"((_rk - 1) * $phases) div _n"))
+      .withColumn("_sk",
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .drop("_rk", "_n")
+    Agreement.globalRank(phased,
+        col("phase") * 64 + expr(s"_sk div ${1L << 54}"),
+        Seq(col("phase").asc, col("_sk").asc, col(idCol).asc))
+      .select(col(idCol), col("difficulty"), col("phase"),
+        col("_rk").as("ord"))
+  }
 }

@@ -614,6 +614,19 @@ object Extensions {
     Dedup.decontaminateSpans(docs(s, dir), benchPred = col("doc_id") % 40 === 1)
       .orderBy("doc_id")
 
+  /** e88: curriculum training order
+    * ([[graft.ext.Sampling.curriculumOrder]]) — the corpus cut into 4
+    * equal-population difficulty phases by the MEMOIZED e75 perplexity
+    * signal (easy = low perplexity first) and deterministically
+    * shuffled within each phase by id-hash: the easy-first curriculum
+    * schedule, produced as an explicit `(doc_id, phase, ord)` feed
+    * order. Difficulty ranks bucket by the e86 `div 5000` clamp; both
+    * ranks are the two-phase no-global-window form. */
+  def e88_curriculum_order(s: SparkSession, dir: String): DataFrame =
+    Sampling.curriculumOrder(bigramScored(s, dir), col("mean_milli"),
+        least(greatest(expr("difficulty div 5000"), lit(0L)), lit(33L)))
+      .orderBy("doc_id")
+
   /** e87: decontamination-detector scoreboard
     * ([[graft.ext.Dedup.decontaminationScoreboard]]) — the scoreboard
     * discipline (ANN e72 / dedup e83 / tokenizer e85 / scorer e86)
@@ -1193,6 +1206,7 @@ object Extensions {
     "e85_tokenizer_fertility" -> (e85_tokenizer_fertility _),
     "e86_scorer_agreement" -> (e86_scorer_agreement _),
     "e87_decon_scoreboard" -> (e87_decon_scoreboard _),
+    "e88_curriculum_order" -> (e88_curriculum_order _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1996,6 +2010,26 @@ object Extensions {
        |    ELSE 0.0 END AS recall
        |FROM rows87 ORDER BY method""".stripMargin
   }
+
+  /** e88's oracle: the e75 scorer replay as the difficulty signal,
+    * phase = equal-population quartile of the plain global difficulty
+    * rank, then the within-phase id-hash shuffle order — both ranks as
+    * plain global windows (the oracle side has no single-task-sort
+    * constraint; [[graft.ext.Agreement.globalRank]]'s bucketing is
+    * plan-only and must agree rank-for-rank). */
+  private def e88OracleSql: String =
+    "WITH sc88 AS MATERIALIZED (\n" + e75OracleCore + "),\n" +
+      s"""r88 AS (SELECT doc_id, mean_milli,
+       |          row_number() OVER (ORDER BY mean_milli, doc_id) AS rk
+       |        FROM sc88),
+       |n88 AS (SELECT count(*) AS n FROM sc88),
+       |p88 AS (SELECT doc_id, mean_milli,
+       |          ((rk - 1) * 4) // n AS phase,
+       |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+       |        FROM r88, n88)
+       |SELECT doc_id, mean_milli AS difficulty, phase,
+       |  CAST(row_number() OVER (ORDER BY phase, skey, doc_id) AS BIGINT) AS ord
+       |FROM p88 ORDER BY doc_id""".stripMargin
 
   /** e78's replay: the e75 scorer as a nested-WITH CTE, language from
     * the documents table, and the per-language NTILE over the same
@@ -3014,6 +3048,7 @@ object Extensions {
 
     "e86_scorer_agreement" -> e86OracleSql,
     "e87_decon_scoreboard" -> e87OracleSql,
+    "e88_curriculum_order" -> e88OracleSql,
 
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive

@@ -82,6 +82,10 @@ class PlanAuditSpec extends SparkSpec {
     // global rank (<= 64 rows, the e69/e70 class) plus the e75-leg
     // 1-row corpus-total broadcast
     "e86_scorer_agreement",
+    // e88: the same two-phase-rank histogram joins (difficulty buckets
+    // then <= 64*phases order buckets) plus the 1-row corpus-count
+    // broadcast that turns rank into phase
+    "e88_curriculum_order",
     // q58's degree aggregation reads the live generated KNOWS frame, so
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon

@@ -165,4 +165,42 @@ class SamplingSpec extends SparkSpec {
       n = 2, buckets = 64).as[(Long, Long)].collect().toMap
     assert(again == scores)
   }
+
+  test("curriculumOrder: equal phases, contiguous ord, bucket-choice invariance") {
+    val scored = (1L to 12L).map(i => (i, i * 100L)).toDF("doc_id", "m")
+    def run(bucket: org.apache.spark.sql.Column) =
+      Sampling.curriculumOrder(scored, col("m"), bucket, phases = 4)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val out = run(expr("difficulty div 400"))
+    // difficulty carried through; every doc present exactly once
+    assert(out.map(_._1).toSeq == (1L to 12L))
+    assert(out.forall { case (id, d, _, _) => d == id * 100L })
+    // 4 equal-population phases, assigned by difficulty rank
+    val byPhase = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byPhase.keySet == Set(0L, 1L, 2L, 3L))
+    assert(byPhase(0L) == Set(1L, 2L, 3L) && byPhase(3L) == Set(10L, 11L, 12L))
+    // ord is the permutation 1..n with phases occupying contiguous runs
+    assert(out.map(_._4).sorted.toSeq == (1L to 12L))
+    assert(byPhase.toSeq.sortBy(_._1).flatMap { case (p, ids) =>
+      out.filter(r => ids(r._1)).map(_._4)
+    }.forall(_ >= 1L)) // shape check below pins the real contiguity
+    val ordRanges = out.groupBy(_._3).view
+      .mapValues(rs => (rs.map(_._4).min, rs.map(_._4).max)).toMap
+    assert((0L to 3L).map(ordRanges).toSeq ==
+      Seq((1L, 3L), (4L, 6L), (7L, 9L), (10L, 12L)))
+    // within a phase the order follows the md5 shuffle key, not the id
+    val p0 = out.filter(_._3 == 0L).sortBy(_._4).map(_._1).toSeq
+    def skey(id: Long) =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(0, 15), 16)
+    assert(p0 == Seq(1L, 2L, 3L).sortBy(skey))
+    // the bucket clamp is plan-only: a different monotone coarsening
+    // yields the identical schedule
+    assert(run(expr("difficulty div 700")).toSeq == out.toSeq)
+    // partitioning independence
+    assert(Sampling.curriculumOrder(scored.repartition(5), col("m"),
+        expr("difficulty div 400"), phases = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq == out.toSeq)
+  }
 }
