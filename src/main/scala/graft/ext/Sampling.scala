@@ -359,4 +359,54 @@ object Sampling {
       .select(col(idCol), col("difficulty"), col("phase"),
         col("_rk").as("ord"))
   }
+
+  /** DoReMi-flavored domain reweighting (Xie et al. 2023, the
+    * excess-loss idea in exact integer form): each source's baseline
+    * token share is multiplied by the square root of its
+    * perplexity-vs-pool ratio under a frozen reference LM — sources
+    * the reference model finds SURPRISING (underfit / harder) are
+    * up-weighted, easy memorized sources down-weighted, and the √
+    * tempers the update exactly like [[temperatureWeights]] tempers
+    * raw shares. All arithmetic is 2^20 fixed point with the
+    * established exactness toolkit: `div` everywhere (all operands
+    * positive), the ratio clamped to [1/8, 8] so `ratio_fp · 2^16`
+    * stays under the 2^40 floor-sqrt safety bound, and the e77-style
+    * `greatest(.., 1)` share floor so no source ever zeroes out.
+    *
+    * `scored` is the [[Text.bigramSurprisal]] output shape
+    * `(idCol, n_bigrams, surprisal8, ..)` — pass the memoized scoring
+    * pass; this op adds one doc->source equi-join, a source-grain
+    * aggregate, and two 1-row broadcasts (pool mean, weight sum).
+    * Nothing beyond source cardinality ever moves after the join.
+    * Output: `(source, n_docs, n_bigrams, mean_milli, ratio_fp, w_fp,
+    * mix_fp)`, all BIGINT; `mix_fp` sums to ~2^20. */
+  def doremiWeights(docs: DataFrame, scored: DataFrame, group: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val S = graft.ext.Retrieval.Scale // 2^20
+    val j = scored.select(col(idCol), col("n_bigrams"), col("surprisal8"))
+      .join(docs.select(col(idCol), group.as("source")), idCol)
+    val g = j.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("surprisal8")).as("_s8"))
+      .withColumn("mean_milli", expr("(_s8 * 1000) div n_bigrams"))
+    val pool = j.agg(sum(col("n_bigrams")).as("_tb"),
+        sum(col("surprisal8")).as("_ps8"))
+      .select(col("_tb"), expr("(_ps8 * 1000) div _tb").as("_pool_milli"))
+    val p = g.crossJoin(broadcast(pool))
+      .withColumn("share_fp", expr(
+        s"greatest((CAST(n_bigrams AS DECIMAL(38, 0)) * ${S}L) div _tb, CAST(1 AS BIGINT))"))
+      .withColumn("ratio_fp", expr(
+        s"least(greatest((mean_milli * ${S}L) div _pool_milli, ${S / 8}L), ${8L * S}L)"))
+      // √ratio at scale 2^18: ratio_fp·2^16 <= 2^39 < the 2^40 bound
+      .withColumn("w_fp", expr(
+        s"(share_fp * CAST(floor(sqrt(CAST(ratio_fp * 65536 AS DOUBLE))) AS BIGINT)) div ${1L << 18}L"))
+    val ws = p.agg(sum(col("w_fp")).as("_sw"))
+    p.crossJoin(broadcast(ws))
+      .withColumn("mix_fp", expr(
+        s"greatest((w_fp * ${S}L) div _sw, CAST(1 AS BIGINT))"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("mean_milli"), col("ratio_fp"), col("w_fp").cast("long").as("w_fp"),
+        col("mix_fp").cast("long").as("mix_fp"))
+  }
 }

@@ -614,6 +614,18 @@ object Extensions {
     Dedup.decontaminateSpans(docs(s, dir), benchPred = col("doc_id") % 40 === 1)
       .orderBy("doc_id")
 
+  /** e89: DoReMi-style domain reweighting
+    * ([[graft.ext.Sampling.doremiWeights]]) — each source's token
+    * share multiplied by √(source-perplexity / pool-perplexity) under
+    * the MEMOIZED e75 reference LM: the excess-loss reweighting idea
+    * in exact 2^20 fixed point (clamped ratio, floor-sqrt, ≥1 share
+    * floor). Completes the mixture-design family: e77 diagnoses the
+    * shift, e82 flattens raw shares, e89 reweights by model signal,
+    * e40 consumes the weights. */
+  def e89_doremi_weights(s: SparkSession, dir: String): DataFrame =
+    Sampling.doremiWeights(docs(s, dir), bigramScored(s, dir), col("source"))
+      .orderBy("source")
+
   /** e88: curriculum training order
     * ([[graft.ext.Sampling.curriculumOrder]]) — the corpus cut into 4
     * equal-population difficulty phases by the MEMOIZED e75 perplexity
@@ -1207,6 +1219,7 @@ object Extensions {
     "e86_scorer_agreement" -> (e86_scorer_agreement _),
     "e87_decon_scoreboard" -> (e87_decon_scoreboard _),
     "e88_curriculum_order" -> (e88_curriculum_order _),
+    "e89_doremi_weights" -> (e89_doremi_weights _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2030,6 +2043,40 @@ object Extensions {
        |SELECT doc_id, mean_milli AS difficulty, phase,
        |  CAST(row_number() OVER (ORDER BY phase, skey, doc_id) AS BIGINT) AS ord
        |FROM p88 ORDER BY doc_id""".stripMargin
+
+  /** e89's oracle: the e75 scorer replay joined to sources, then the
+    * source-grain fixed-point arithmetic verbatim — HUGEINT sums cast
+    * before every shift-free `//` (all operands positive, so `//` ==
+    * Spark's `div`), the clamped ratio, the 2^18-scale floor-sqrt, and
+    * the >= 1 share floors. */
+  private def e89OracleSql: String = {
+    val S = graft.ext.Retrieval.Scale
+    "WITH sc89 AS MATERIALIZED (\n" + e75OracleCore + "),\n" +
+      s"""j89 AS (SELECT s.doc_id, s.n_bigrams, s.surprisal8, d.source
+       |        FROM sc89 s JOIN documents d USING (doc_id)),
+       |g89 AS (SELECT source, count(*) AS n_docs,
+       |          CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       |          CAST(sum(surprisal8) AS BIGINT) AS s8
+       |        FROM j89 GROUP BY source),
+       |p89 AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS tb,
+       |          CAST((sum(surprisal8) * 1000) // sum(n_bigrams) AS BIGINT) AS pool_milli
+       |        FROM j89),
+       |w89 AS (SELECT source, n_docs, n_bigrams,
+       |          (s8 * 1000) // n_bigrams AS mean_milli,
+       |          greatest((CAST(n_bigrams AS HUGEINT) * $S) // tb, 1) AS share_fp,
+       |          least(greatest((((s8 * 1000) // n_bigrams) * $S) // pool_milli,
+       |            ${S / 8}), ${8L * S}) AS ratio_fp
+       |        FROM g89, p89),
+       |v89 AS (SELECT source, n_docs, n_bigrams, mean_milli, ratio_fp,
+       |          (share_fp * CAST(floor(sqrt(CAST(ratio_fp * 65536 AS DOUBLE))) AS BIGINT))
+       |            // ${1L << 18} AS w_fp
+       |        FROM w89),
+       |t89 AS (SELECT sum(w_fp) AS sw FROM v89)
+       |SELECT source, n_docs, n_bigrams, CAST(mean_milli AS BIGINT) AS mean_milli,
+       |  CAST(ratio_fp AS BIGINT) AS ratio_fp, CAST(w_fp AS BIGINT) AS w_fp,
+       |  CAST(greatest((w_fp * $S) // sw, 1) AS BIGINT) AS mix_fp
+       |FROM v89, t89 ORDER BY source""".stripMargin
+  }
 
   /** e78's replay: the e75 scorer as a nested-WITH CTE, language from
     * the documents table, and the per-language NTILE over the same
@@ -3049,6 +3096,7 @@ object Extensions {
     "e86_scorer_agreement" -> e86OracleSql,
     "e87_decon_scoreboard" -> e87OracleSql,
     "e88_curriculum_order" -> e88OracleSql,
+    "e89_doremi_weights" -> e89OracleSql,
 
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive

@@ -86,6 +86,9 @@ class PlanAuditSpec extends SparkSpec {
     // then <= 64*phases order buckets) plus the 1-row corpus-count
     // broadcast that turns rank into phase
     "e88_curriculum_order",
+    // e89: two 1-row broadcasts (pool mean, weight sum) onto the
+    // source-cardinality frame (the e82 class)
+    "e89_doremi_weights",
     // q58's degree aggregation reads the live generated KNOWS frame, so
     // the 1-row person-count generator broadcast survives in-plan (the
     // q25 class; q44's triangle side hides its copy behind the canon

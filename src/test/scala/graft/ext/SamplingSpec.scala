@@ -203,4 +203,44 @@ class SamplingSpec extends SparkSpec {
         expr("difficulty div 400"), phases = 4)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq == out.toSeq)
   }
+
+  test("doremiWeights: hard source up-weighted, extreme ratio clamps, hand replay") {
+    val S = graft.ext.Retrieval.Scale
+    // A: very easy (below the 1/8 floor), B: ~1.3x pool, C: absurd
+    // (tiny mass, way past the 8x ceiling)
+    val scored = Seq(
+      (1L, 500L, 150L), (2L, 500L, 150L),     // A: mean 300 milli
+      (3L, 500L, 2000L), (4L, 500L, 2000L),   // B: mean 4000 milli
+      (5L, 10L, 2000L)                        // C: mean 200000 milli
+    ).toDF("doc_id", "n_bigrams", "surprisal8")
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "C"))
+      .toDF("doc_id", "source")
+    val out = Sampling.doremiWeights(docs, scored, col("source"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // driver-side integer replay of the contract
+    val tb = 2010L
+    val poolMilli = (300L + 4000 + 2000) * 1000 / tb
+    def leg(nb: Long, s8: Long) = {
+      val mean = s8 * 1000 / nb
+      val share = math.max(nb * S / tb, 1L)
+      val ratio = math.min(math.max(mean * S / poolMilli, S / 8), 8L * S)
+      val w = share * math.floor(math.sqrt((ratio * 65536L).toDouble)).toLong / (1L << 18)
+      (mean, ratio, w)
+    }
+    val legs = Map("A" -> leg(1000, 300), "B" -> leg(1000, 4000), "C" -> leg(10, 2000))
+    val sw = legs.values.map(_._3).sum
+    legs.foreach { case (src, (mean, ratio, w)) =>
+      val (_, nd, nb, m, r, wf, mix) = out(src)
+      assert(m == mean && r == ratio && wf == w,
+        s"$src: got ($m,$r,$wf) want ($mean,$ratio,$w)")
+      assert(mix == math.max(w * S / sw, 1L))
+      assert(nd == (if (src == "C") 1L else 2L) && nb == (if (src == "C") 10L else 1000L))
+    }
+    // the reweighting story: same share, harder source gets more weight
+    assert(out("B")._6 > out("A")._6)
+    // the clamps bind exactly where designed
+    assert(out("A")._5 == S / 8 && out("C")._5 == 8L * S)
+    assert(out("B")._5 > S / 8 && out("B")._5 < 8L * S)
+  }
 }
