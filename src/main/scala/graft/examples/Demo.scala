@@ -289,6 +289,30 @@ object Demo {
       .mkString(" ")
     println(s"DEMO tokenizer_fertility $fert")
 
+    // 30. ...and the decontamination knob too: n-gram size / Bloom /
+    // fuzzy detectors scored against the exact n=4 overlap truth —
+    // the bloom row reading 1.00/1.00 is the measured proof the
+    // 100-TB prefilter path loses nothing
+    val dsb = graft.SparkEntry.queries("e87_decon_scoreboard")(spark, sfDir)
+      .collect()
+      .map(r => s"${r.getString(0)}:p=${"%.2f".format(r.getDouble(4))}," +
+        s"r=${"%.2f".format(r.getDouble(5))}").mkString(" ")
+    println(s"DEMO decon_scoreboard $dsb")
+
+    // 31. feed order + mixture: the easy-first curriculum schedule
+    // (phase 0 first, shuffled within phase) and the DoReMi excess-
+    // perplexity source weights — what the training loop would
+    // actually consume downstream of all the gates above
+    val cur = graft.SparkEntry.queries("e88_curriculum_order")(spark, sfDir)
+    val curHead = cur.orderBy(asc("ord")).limit(3).collect()
+      .map(r => s"${r.getLong(0)}@p${r.getLong(2)}").mkString(",")
+    val phases = cur.agg(countDistinct(col("phase"))).head.getLong(0)
+    val dor = graft.SparkEntry.queries("e89_doremi_weights")(spark, sfDir)
+      .orderBy(desc("ratio_fp")).limit(1).collect().head
+    println(s"DEMO curriculum_phases=$phases first_feed=$curHead " +
+      s"hardest_source=${dor.getString(0)} ratio_fp=${dor.getLong(4)} " +
+      s"mix_fp=${dor.getLong(6)}")
+
     spark.stop()
   }
 }
