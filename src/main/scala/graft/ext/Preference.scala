@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pairwise-preference aggregation — the reward-model data-prep step a
+  * post-training pipeline runs over human (or judge-model) comparison
+  * logs: Bradley-Terry ratings fitted by the classic
+  * minorization-maximization update (Hunter 2004),
+  *
+  *   w_i  <-  W_i / Σ_{j ~ i} n_ij / (w_i + w_j)
+  *
+  * in EXACT fixed-point integer arithmetic (the [[Glove]] determinism
+  * contract: every quantity a long at scale 2^20, every scale division
+  * a `div` over positive operands, every round's state crossed through
+  * [[graft.plans.Supersteps.cut]], the whole run replayable as chained
+  * DuckDB CTEs).
+  *
+  * Like the true MLE, ratings are scale-free; no per-round
+  * normalization is applied. Undefeated players diverge in the exact
+  * MLE — here the documented [[WCap]] clamp rails them
+  * deterministically, and never-winners take the `greatest(.., 1)`
+  * floor (both the [[Glove.VCap]] convention: saturation, not
+  * divergence, and at fixture scale only the floor binds).
+  *
+  * Scale shape (billions of comparisons): state is player-grain
+  * `(t, w)`; each round is one edge-grain double equi-join (ratings
+  * onto both ends of every game), an incidence-union aggregate back to
+  * player grain, and one superstep cut — nothing is collected or
+  * broadcast, and the denominator sum accumulates in DECIMAL(38,0)
+  * (per-edge reciprocal < 2^39; the degree-sized sum need not fit a
+  * long).
+  */
+object Preference {
+
+  /** Fixed-point scale: ratings are longs at scale 2^20 (init = 1.0). */
+  val Scale: Long = graft.ext.Retrieval.Scale
+
+  /** Rating cap (2^30 = rating 1024): where the undefeated-player
+    * divergence of the exact MLE rails deterministically. */
+  val WCap: Long = 1L << 30
+
+  /** Fixture-side comparison derivation: each document plays its
+    * successor within its group (one `lead` window per group), winner
+    * = higher score, ties to the smaller id. This is the REPLAYABLE
+    * stand-in for a real comparison log — production input is the
+    * logged `(a, b, win_a)` frame itself, not a derivation; the
+    * per-group window is only as partitioned as the grouping column
+    * (fine for the fixture's source-ring; a corpus-scale derivation
+    * would bucket the pairing key first). Output: (a, b, win_a). */
+  def ringGames(scored: DataFrame, group: Column, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(col(idCol))
+    scored
+      .select(col(idCol).as("a"), score.as("_s"),
+        lead(col(idCol), 1).over(w).as("b"),
+        lead(score, 1).over(w).as("_ns"))
+      .where(col("b").isNotNull)
+      .select(col("a"), col("b"),
+        when(col("_s") > col("_ns") ||
+          (col("_s") === col("_ns") && col("a") < col("b")), lit(1L))
+          .otherwise(lit(0L)).as("win_a"))
+  }
+
+  /** Every state of a Bradley-Terry MM run over `games (a, b, win_a)`
+    * (win_a ∈ {0,1}; repeated pairs allowed — they act as n_ij > 1):
+    * element r is the player-grain rating frame `(t, w)` after r
+    * rounds (element 0 = all-equal init at [[Scale]]), each
+    * superstep-cut. Players appearing only as never-winners floor to
+    * 1; a player's games and wins are loop constants, checkpointed
+    * once. */
+  def bradleyTerryStates(games: DataFrame, rounds: Int): Seq[DataFrame] =
+    mmLoop(games, rounds, keepAll = true)
+
+  /** The MM loop. `keepAll = true` keeps every round's blocks live (the
+    * spec / inspection path); `false` releases each superseded round
+    * once its successor materializes (the [[Glove]]-verdict unpersist
+    * discipline — the query path only needs the last state). */
+  private def mmLoop(games: DataFrame, rounds: Int,
+      keepAll: Boolean): Seq[DataFrame] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val g = games.select(col("a"), col("b"), col("win_a"))
+      .localCheckpoint()
+    val players = g.select(col("a").as("t"))
+      .unionByName(g.select(col("b").as("t"))).distinct()
+    val wins = g.select(col("a").as("t"), col("win_a").as("_w"))
+      .unionByName(g.select(col("b").as("t"), (lit(1L) - col("win_a")).as("_w")))
+      .groupBy("t").agg(sum(col("_w")).as("_wins"))
+    val base = players.join(wins, Seq("t"), "left")
+      .select(col("t"), coalesce(col("_wins"), lit(0L)).as("_wins"))
+      .localCheckpoint()
+    var state = graft.plans.Supersteps.cut(
+      base.select(col("t"), lit(Scale).as("w")))
+    val out = Seq.newBuilder[DataFrame]
+    out += state
+    for (_ <- 1 to rounds) {
+      val wa = state.select(col("t").as("a"), col("w").as("_wa"))
+      val wb = state.select(col("t").as("b"), col("w").as("_wb"))
+      // reciprocal at scale 2^20: S^2 div (wa+wb) < 2^39 per edge
+      val r = g.join(wa, Seq("a")).join(wb, Seq("b"))
+        .withColumn("_r", expr(s"(${Scale * Scale}L) div (_wa + _wb)"))
+      val denom = r.select(col("a").as("t"), col("_r"))
+        .unionByName(r.select(col("b").as("t"), col("_r")))
+        .groupBy("t")
+        .agg(sum(col("_r").cast("decimal(38,0)")).as("_d"))
+      state = graft.plans.Supersteps.cut(
+        base.join(state.select(col("t"), col("w")), Seq("t"))
+          .join(denom, Seq("t"), "left")
+          .select(col("t"),
+            when(col("_d").isNull, col("w")).otherwise(
+              expr(s"CAST(greatest(least((CAST(_wins AS DECIMAL(38,0)) * ${Scale * Scale}L) div _d, " +
+                s"${WCap}L), CAST(1 AS BIGINT)) AS BIGINT)")).as("w")),
+        superseded = if (keepAll) Nil else Seq(state))
+      out += state
+    }
+    out.result()
+  }
+
+  /** Final ratings joined back to the game record:
+    * `(t, n_games, wins, w_fp)`. */
+  def bradleyTerry(games: DataFrame, rounds: Int = 6): DataFrame = {
+    val g = games.select(col("a"), col("b"), col("win_a"))
+    val inc = g.select(col("a").as("t"), col("win_a").as("_w"))
+      .unionByName(g.select(col("b").as("t"), (lit(1L) - col("win_a")).as("_w")))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_games"), sum(col("_w")).as("wins"))
+    mmLoop(games, rounds, keepAll = false).last
+      .join(inc, Seq("t"))
+      .select(col("t"), col("n_games"), col("wins"), col("w").as("w_fp"))
+  }
+}

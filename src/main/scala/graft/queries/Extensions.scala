@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Glove, Sampling, Similarity, Sketches, Text}
+import graft.ext.{Dedup, Glove, Preference, Sampling, Similarity, Sketches, Text}
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.Streams
 
@@ -614,6 +614,29 @@ object Extensions {
     Dedup.decontaminateSpans(docs(s, dir), benchPred = col("doc_id") % 40 === 1)
       .orderBy("doc_id")
 
+  /** e90 MM round count — enough for the ring fixture's ratings to
+    * separate cleanly while keeping the serial superstep floor small. */
+  val E90Rounds = 6
+
+  /** e90: Bradley-Terry preference aggregation
+    * ([[graft.ext.Preference.bradleyTerry]]) — the reward-model
+    * data-prep step: pairwise comparisons fitted to scalar ratings by
+    * the MM update in exact 2^20 fixed point, 6 unrolled rounds. The
+    * fixture's comparison log is the deterministic source-ring
+    * derivation (each doc plays its successor, winner = higher e09
+    * quality score, ties to the smaller id); production input is the
+    * logged comparisons themselves. */
+  def e90_bradley_terry(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val scored = Text.qualityScore(d)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+    Preference.bradleyTerry(
+        Preference.ringGames(scored, col("source"), col("quality_score")),
+        rounds = E90Rounds)
+      .select(col("t").as("doc_id"), col("n_games"), col("wins"), col("w_fp"))
+      .orderBy("doc_id")
+  }
+
   /** e89: DoReMi-style domain reweighting
     * ([[graft.ext.Sampling.doremiWeights]]) — each source's token
     * share multiplied by √(source-perplexity / pool-perplexity) under
@@ -1220,6 +1243,7 @@ object Extensions {
     "e87_decon_scoreboard" -> (e87_decon_scoreboard _),
     "e88_curriculum_order" -> (e88_curriculum_order _),
     "e89_doremi_weights" -> (e89_doremi_weights _),
+    "e90_bradley_terry" -> (e90_bradley_terry _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2076,6 +2100,53 @@ object Extensions {
        |  CAST(ratio_fp AS BIGINT) AS ratio_fp, CAST(w_fp AS BIGINT) AS w_fp,
        |  CAST(greatest((w_fp * $S) // sw, 1) AS BIGINT) AS mix_fp
        |FROM v89, t89 ORDER BY source""".stripMargin
+  }
+
+  /** e90's oracle: the e09 quality replay joined to sources, the ring
+    * comparison derivation (one per-source lead window), win counts by
+    * incidence union, then [[E90Rounds]] unrolled MM rounds — per-edge
+    * fixed-point reciprocals (`//`, all operands positive), HUGEINT
+    * incidence sums, and the WCap/1 clamps as GREATEST/LEAST. */
+  private def e90OracleSql: String = {
+    val s2 = Preference.Scale * Preference.Scale
+    val rounds = (1 to E90Rounds).map { r =>
+      val p = r - 1
+      s"""er$r AS (SELECT g.a, g.b, $s2 // (wa.w + wb.w) AS rr
+         |        FROM g90 g
+         |        JOIN bt$p wa ON wa.t = g.a
+         |        JOIN bt$p wb ON wb.t = g.b),
+         |dn$r AS (SELECT t, sum(rr) AS d FROM (
+         |          SELECT a AS t, rr FROM er$r
+         |          UNION ALL SELECT b AS t, rr FROM er$r) u$r GROUP BY t),
+         |bt$r AS MATERIALIZED (SELECT p.t,
+         |          CASE WHEN d.d IS NULL THEN p.w
+         |               ELSE CAST(GREATEST(LEAST(
+         |                 (CAST(w90.wins AS HUGEINT) * $s2) // d.d,
+         |                 ${Preference.WCap}), 1) AS BIGINT) END AS w
+         |        FROM bt$p p LEFT JOIN dn$r d ON d.t = p.t
+         |        LEFT JOIN w90 ON w90.t = p.t)""".stripMargin
+    }.mkString(",\n")
+    "WITH q90 AS MATERIALIZED (\n" + e09OracleCore + "),\n" +
+      s"""s90 AS (SELECT q.doc_id, d.source, q.quality_score
+       |        FROM q90 q JOIN documents d USING (doc_id)),
+       |l90 AS (SELECT doc_id, quality_score, source,
+       |          lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS nxt,
+       |          lead(quality_score) OVER (PARTITION BY source ORDER BY doc_id) AS ns
+       |        FROM s90),
+       |g90 AS (SELECT doc_id AS a, nxt AS b,
+       |          CASE WHEN quality_score > ns
+       |                 OR (quality_score = ns AND doc_id < nxt)
+       |               THEN 1 ELSE 0 END AS win_a
+       |        FROM l90 WHERE nxt IS NOT NULL),
+       |pl90 AS (SELECT a AS t FROM g90 UNION SELECT b FROM g90),
+       |w90 AS (SELECT t, count(*) AS n_games, CAST(sum(w) AS BIGINT) AS wins
+       |        FROM (SELECT a AS t, win_a AS w FROM g90
+       |              UNION ALL SELECT b, 1 - win_a FROM g90) i90 GROUP BY t),
+       |bt0 AS (SELECT t, ${Preference.Scale} AS w FROM pl90),
+       |$rounds
+       |SELECT b.t AS doc_id, w90.n_games, w90.wins, CAST(b.w AS BIGINT) AS w_fp
+       |FROM bt$E90Rounds b JOIN w90 ON w90.t = b.t
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** e78's replay: the e75 scorer as a nested-WITH CTE, language from
@@ -3097,6 +3168,7 @@ object Extensions {
     "e87_decon_scoreboard" -> e87OracleSql,
     "e88_curriculum_order" -> e88OracleSql,
     "e89_doremi_weights" -> e89OracleSql,
+    "e90_bradley_terry" -> e90OracleSql,
 
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive

@@ -57,10 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     "e54_surprisal", "e57_hard_triplets", "q25_snb_fof", "q27_bothe",
     // e74's dense side is the e06 shape (tiny query set broadcast onto
     // the candidate scan under a non-equi self-exclusion predicate);
-    // e75/e77/e78 carry the e54-class 1-row corpus-total broadcast
-    // (e78 composes the e75 scorer)
+    // e75/e77 carry the e54-class 1-row corpus-total broadcast (e78
+    // left this list when it switched to the MEMOIZED e75 scorer — the
+    // checkpointed frame has no in-plan total broadcast any more)
     "e74_hybrid_rrf", "e75_bigram_lm", "e77_domain_shift",
-    "e78_perplexity_buckets",
     // e79: the bounded benchmark side broadcast under the non-equi
     // cosine-threshold predicate (the e06/e20 class)
     "e79_semantic_decontaminate",
