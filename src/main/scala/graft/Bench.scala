@@ -108,7 +108,20 @@ object Bench {
     // unreplicated-split) benchmark hash set; e85 is NOT here: a
     // memo-consuming evaluation harness (the e72/e83 class) whose
     // tokenize legs are e59/e64's shapes, pinned via e58/e59's entries
-    "e77_domain_shift")
+    "e77_domain_shift",
+    // e90: the preference-MM fixpoint — a NEW iterative shape (edge-
+    // grain double join + incidence aggregate per round over the
+    // ring-games frame, which grows with the replicated corpus); the
+    // 8x curve splits its serial-round floor from the data term, the
+    // e71 lens. e86/e88 are NOT here: memo-consuming harnesses whose
+    // only data-sized machinery is the two-phase bucketed rank, which
+    // e69/e70's entries already pin at 8x; e87 is NOT here: an
+    // evaluation harness (the e72/e83 calibration-sized contract)
+    // whose detector legs are e03/e04/e51/e65's shapes, all already
+    // in the tier; e89 is NOT here: e77's source-grain scorer shape
+    // over the memoized scoring pass (the e78 rationale — e75's and
+    // e77's curves pin both terms).
+    "e90_bradley_terry")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via
