@@ -771,7 +771,10 @@ object Dedup {
             .otherwise(lit(0.0)).as("recall"))
     }
     val exact = ns.map { n =>
-      score(s"exact_n$n", contaminationReport(train, bench, n))
+      // the truth checkpoint IS the n = nTruth detector's output —
+      // reuse it rather than re-running the gram join
+      score(s"exact_n$n",
+        if (n == nTruth) truth else contaminationReport(train, bench, n))
     }
     val bloomDet = train
       .join(bloomDecontaminate(train, bench, nTruth), Seq("doc_id"), "left_anti")
