@@ -41,6 +41,54 @@ object Agreement {
       .drop("_b", "_rn", "_off")
   }
 
+  /** Pairwise Cohen's kappa over named BINARY raters (each frame
+    * `(idCol, flag)` with flag ∈ {0,1}) — the chance-corrected
+    * agreement for keep/drop DECISIONS, complementing [[spearman]]'s
+    * rank view: two gates that both keep 90% agree 81% by chance
+    * alone, and kappa is what's left after that. Computed exactly:
+    * the 2×2 confusion counts are integer sums, and
+    *
+    *   kappa = (n·(both_pos + both_neg) − pe_num) / (n² − pe_num),
+    *   pe_num = row-marginal · column-marginal products
+    *
+    * is evaluated as ONE double division of two DECIMAL(38,0)-exact
+    * integers (n² overflows a long at ~3·10⁹ docs; identical
+    * HUGEINT arithmetic on the oracle side), so both engines divide
+    * the same two integers. Degenerate case (n² = pe_num: a rater is
+    * constant) scores 0.0. Output, one row per unordered pair in
+    * input order: (rater_a, rater_b, n, both_pos, both_neg, only_a,
+    * only_b, kappa). Each pair is one id equi-join + a 1-row
+    * aggregate. */
+  def kappa(raters: Seq[(String, DataFrame)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(raters.size >= 2, "kappa needs at least two raters")
+    raters.combinations(2).map { pair =>
+      val (na, da) = pair(0)
+      val (nb, db) = pair(1)
+      da.select(col(idCol), col("flag").as("_fa"))
+        .join(db.select(col(idCol), col("flag").as("_fb")), idCol)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("_fa") === 1 && col("_fb") === 1, 1L)
+            .otherwise(0L)), lit(0L)).as("both_pos"),
+          coalesce(sum(when(col("_fa") === 0 && col("_fb") === 0, 1L)
+            .otherwise(0L)), lit(0L)).as("both_neg"),
+          coalesce(sum(when(col("_fa") === 1 && col("_fb") === 0, 1L)
+            .otherwise(0L)), lit(0L)).as("only_a"),
+          coalesce(sum(when(col("_fa") === 0 && col("_fb") === 1, 1L)
+            .otherwise(0L)), lit(0L)).as("only_b"))
+        .withColumn("_pe", expr(
+          "CAST(both_pos + only_a AS DECIMAL(38,0)) * (both_pos + only_b)" +
+            " + CAST(only_b + both_neg AS DECIMAL(38,0)) * (only_a + both_neg)"))
+        .select(lit(na).as("rater_a"), lit(nb).as("rater_b"),
+          col("n"), col("both_pos"), col("both_neg"),
+          col("only_a"), col("only_b"),
+          expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n - _pe = 0 THEN 0.0" +
+            " ELSE CAST(CAST(n AS DECIMAL(38,0)) * (both_pos + both_neg) - _pe AS DOUBLE)" +
+            " / CAST(CAST(n AS DECIMAL(38,0)) * n - _pe AS DOUBLE) END")
+            .as("kappa"))
+    }.reduceLeft(_ unionAll _)
+  }
+
   /** Pairwise Spearman rank correlation over named pre-ranked frames
     * (each `(idCol, _rk)` from [[globalRank]] under that scorer's
     * total order): rho = 1 - 6·Σd² / (n·(n²-1)) with d = rank

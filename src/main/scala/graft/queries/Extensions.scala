@@ -614,6 +614,31 @@ object Extensions {
     Dedup.decontaminateSpans(docs(s, dir), benchPred = col("doc_id") % 40 === 1)
       .orderBy("doc_id")
 
+  /** e91: keep/drop rater agreement ([[graft.ext.Agreement.kappa]]) —
+    * pairwise Cohen's kappa between the three binary gates a curation
+    * stack actually wires in sequence (e81 gopher keep, the e09 rule
+    * score thresholded at 0.53 (the fixture median, so the rater
+    * SPLITS rather than degenerating), the e61 classifier margin sign): the
+    * chance-corrected DECISION-level complement of e86's rank
+    * agreement, the label-QC number that says whether the cheap gate
+    * can stand in for the expensive one. Classifier margins come from
+    * the memoized model. */
+  def e91_rater_kappa(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clf = graft.ext.Classify.score(d, perceptronW(s, dir),
+        buckets = E61Buckets)
+      .select(col("doc_id"),
+        when(col("margin") > 0, 1L).otherwise(0L).as("flag"))
+    val gop = Text.gopherRules(d)
+      .select(col("doc_id"), col("keep").cast("long").as("flag"))
+    val rules = Text.qualityScore(d)
+      .select(col("doc_id"),
+        when(col("quality_score") >= 0.53, 1L).otherwise(0L).as("flag"))
+    graft.ext.Agreement.kappa(Seq(
+        "classifier" -> clf, "gopher" -> gop, "rules" -> rules))
+      .orderBy("rater_a", "rater_b")
+  }
+
   /** e90 MM round count — enough for the ring fixture's ratings to
     * separate cleanly while keeping the serial superstep floor small. */
   val E90Rounds = 6
@@ -1244,6 +1269,7 @@ object Extensions {
     "e88_curriculum_order" -> (e88_curriculum_order _),
     "e89_doremi_weights" -> (e89_doremi_weights _),
     "e90_bradley_terry" -> (e90_bradley_terry _),
+    "e91_rater_kappa" -> (e91_rater_kappa _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2067,6 +2093,73 @@ object Extensions {
        |SELECT doc_id, mean_milli AS difficulty, phase,
        |  CAST(row_number() OVER (ORDER BY phase, skey, doc_id) AS BIGINT) AS ord
        |FROM p88 ORDER BY doc_id""".stripMargin
+
+  /** e81's replay WITHOUT the trailing ORDER BY, so e91 can embed it
+    * as a nested-WITH rater input (the e09/e75 embedding precedent).
+    * Word-level Gopher Table-A1: identical split/stat arithmetic
+    * (mean word length via the 1-char-delimiter identity
+    * sum(len) = len(text) - (n-1)), the same double comparisons for
+    * the thresholds, keep as 0/1 int. */
+  private val e81OracleCore: String =
+    """WITH st AS (
+      |  SELECT doc_id, length(text) AS tl,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','of','to','and','in','is','on','for','with'))) AS stop_hits,
+      |    length(text) - length(replace(text, '#', '')) AS n_hash,
+      |    CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS n_ell,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha
+      |  FROM documents),
+      |m91 AS (SELECT doc_id, n_words,
+      |    CAST(tl - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+      |    stop_hits,
+      |    (CAST(n_hash AS DOUBLE) + n_ell) / CAST(n_words AS DOUBLE) AS symbol_ratio,
+      |    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac
+      |  FROM st)
+      |SELECT doc_id, n_words, mean_word_len, stop_hits, symbol_ratio, alpha_frac,
+      |  CASE WHEN n_words >= 50 AND n_words <= 100000
+      |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+      |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+      |FROM m91""".stripMargin
+
+  /** e91's oracle: the three keep/drop raters (e81 gopher keep, the
+    * e09 score thresholded at its 0.53 fixture median, the e61 margin
+    * sign through the
+    * shared training chain), then pairwise 2×2 confusion counts and
+    * the exact-integer kappa — HUGEINT marginal products, one double
+    * division of two exact integers per pair. */
+  private def e91OracleSql: String = {
+    def pairRow(nameA: String, cteA: String, nameB: String, cteB: String) =
+      s"""SELECT '$nameA' AS rater_a, '$nameB' AS rater_b, count(*) AS n,
+         |    CAST(coalesce(sum(CASE WHEN a.f = 1 AND b.f = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS both_pos,
+         |    CAST(coalesce(sum(CASE WHEN a.f = 0 AND b.f = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS both_neg,
+         |    CAST(coalesce(sum(CASE WHEN a.f = 1 AND b.f = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS only_a,
+         |    CAST(coalesce(sum(CASE WHEN a.f = 0 AND b.f = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS only_b
+         |  FROM $cteA a JOIN $cteB b USING (doc_id)""".stripMargin
+    "WITH " + e61Ctes + ",\n" +
+      "q91 AS MATERIALIZED (\n" + e09OracleCore + "),\n" +
+      "g91 AS MATERIALIZED (\n" + e81OracleCore + "),\n" +
+      s"""rc91 AS (SELECT doc_id, CASE WHEN margin > 0 THEN 1 ELSE 0 END AS f FROM sc),
+       |rg91 AS (SELECT doc_id, keep AS f FROM g91),
+       |rr91 AS (SELECT doc_id, CASE WHEN quality_score >= 0.53 THEN 1 ELSE 0 END AS f FROM q91),
+       |u91 AS (
+       |  ${pairRow("classifier", "rc91", "gopher", "rg91")}
+       |  UNION ALL
+       |  ${pairRow("classifier", "rc91", "rules", "rr91")}
+       |  UNION ALL
+       |  ${pairRow("gopher", "rg91", "rules", "rr91")}),
+       |z91 AS (SELECT *,
+       |    CAST(both_pos + only_a AS HUGEINT) * (both_pos + only_b)
+       |      + CAST(only_b + both_neg AS HUGEINT) * (only_a + both_neg) AS pe
+       |  FROM u91)
+       |SELECT rater_a, rater_b, n, both_pos, both_neg, only_a, only_b,
+       |  CASE WHEN CAST(n AS HUGEINT) * n - pe = 0 THEN 0.0
+       |    ELSE CAST(CAST(n AS HUGEINT) * (both_pos + both_neg) - pe AS DOUBLE)
+       |       / CAST(CAST(n AS HUGEINT) * n - pe AS DOUBLE) END AS kappa
+       |FROM z91 ORDER BY rater_a, rater_b""".stripMargin
+  }
 
   /** e89's oracle: the e75 scorer replay joined to sources, then the
     * source-grain fixed-point arithmetic verbatim — HUGEINT sums cast
@@ -3040,33 +3133,7 @@ object Extensions {
          |  (w_fp * ${graft.ext.Retrieval.Scale}) // sw AS mix_fp
          |FROM w, ws ORDER BY source""".stripMargin,
 
-    "e81_gopher_rules" ->
-      // Word-level Gopher Table-A1 replay: identical split/stat
-      // arithmetic (mean word length via the 1-char-delimiter identity
-      // sum(len) = len(text) - (n-1)), the same double comparisons for
-      // the thresholds, keep as 0/1 int.
-      """WITH st AS (
-        |  SELECT doc_id, length(text) AS tl,
-        |    len(string_split(text, ' ')) AS n_words,
-        |    len(list_filter(string_split(text, ' '),
-        |      t -> t IN ('the','a','of','to','and','in','is','on','for','with'))) AS stop_hits,
-        |    length(text) - length(replace(text, '#', '')) AS n_hash,
-        |    CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS n_ell,
-        |    len(list_filter(string_split(text, ' '),
-        |      t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha
-        |  FROM documents),
-        |m AS (SELECT doc_id, n_words,
-        |    CAST(tl - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
-        |    stop_hits,
-        |    (CAST(n_hash AS DOUBLE) + n_ell) / CAST(n_words AS DOUBLE) AS symbol_ratio,
-        |    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac
-        |  FROM st)
-        |SELECT doc_id, n_words, mean_word_len, stop_hits, symbol_ratio, alpha_frac,
-        |  CASE WHEN n_words >= 50 AND n_words <= 100000
-        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
-        |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
-        |FROM m ORDER BY doc_id""".stripMargin,
+    "e81_gopher_rules" -> (e81OracleCore + "\nORDER BY doc_id"),
 
     "e48_knn_pq" -> {
       // Full PQ replay via the shared chain generator: per-subspace
@@ -3169,6 +3236,7 @@ object Extensions {
     "e88_curriculum_order" -> e88OracleSql,
     "e89_doremi_weights" -> e89OracleSql,
     "e90_bradley_terry" -> e90OracleSql,
+    "e91_rater_kappa" -> e91OracleSql,
 
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive
