@@ -70,6 +70,23 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text",
       qidCol: String = "query_id", qTextCol: String = "q_text"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val byQuery = bm25Scores(docs, queries, excludeSelf,
+      idCol, textCol, qidCol, qTextCol)
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("score_fp").desc, col("_id"))
+    byQuery.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("_qid").as(qidCol), col("rank"),
+        col("_id").as(idCol), col("score_fp"))
+  }
+
+  /** The un-ranked BM25 candidate scores `(_qid, _id, score_fp)` —
+    * [[bm25TopK]]'s scoring stage, shared with [[hardNegatives]] so
+    * exclusion-then-rank variants rank the FILTERED candidate set
+    * rather than filtering a pre-cut top list. */
+  private def bm25Scores(docs: DataFrame, queries: DataFrame,
+      excludeSelf: Boolean, idCol: String, textCol: String,
+      qidCol: String, qTextCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("_id"),
       explode(split(col(textCol), " ")).as("_t"))
     val dl = toks.groupBy("_id").agg(count(lit(1)).as("_dl"))
@@ -90,14 +107,39 @@ object Retrieval {
       .withColumn("_idf8", log8("_x") - lit(8L * 20))
       .withColumn("_contrib", col("_idf8") *
         expr(s"(22 * _tf * ${Scale}L) div (10 * _tf + 3 + (9 * _dl * _n) div _tt)"))
-    val byQuery = scored.groupBy(col("_qid"), col("_id"))
+    scored.groupBy(col("_qid"), col("_id"))
       .agg(sum(col("_contrib")).as("score_fp"))
+  }
+
+  /** DPR-style hard-negative mining (Karpukhin et al. 2020): for each
+    * query, the top-`k` BM25 candidates AFTER excluding the query doc
+    * itself and every supplied positive — lexically-close but
+    * verified-non-relevant documents, the negatives that actually
+    * teach a dense retriever. Exclusion happens BEFORE the per-query
+    * rank, so a positive inside the raw top-k frees a slot for the
+    * next candidate (filter-then-rank, not rank-then-filter).
+    *
+    * `positives` is the relevance judgment `(query_id, doc_id)` —
+    * here derived from the near-dup relation; production passes its
+    * labeled qrels. Scale shape: [[bm25TopK]]'s postings/idf joins
+    * plus one anti-join against the (qrels-sized, broadcastable)
+    * positives frame; the rank window is per-query.
+    * Output: `(query_id, rank, neg_id, score_fp)`. */
+  def hardNegatives(docs: DataFrame, queries: DataFrame,
+      positives: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", qTextCol: String = "q_text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val pos = positives.select(col(qidCol).as("_qid"), col(idCol).as("_id"))
+    val cand = bm25Scores(docs, queries, excludeSelf = true,
+        idCol, textCol, qidCol, qTextCol)
+      .join(pos, Seq("_qid", "_id"), "left_anti")
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("score_fp").desc, col("_id"))
-    byQuery.withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("_qid").as(qidCol), col("rank"),
-        col("_id").as(idCol), col("score_fp"))
+        col("_id").as("neg_id"), col("score_fp"))
   }
 
   /** Dense retrieval ranks for a DATA-DERIVED query set: exact cosine

@@ -614,6 +614,24 @@ object Extensions {
     Dedup.decontaminateSpans(docs(s, dir), benchPred = col("doc_id") % 40 === 1)
       .orderBy("doc_id")
 
+  /** e92: BM25 hard-negative mining
+    * ([[graft.ext.Retrieval.hardNegatives]]) — the DPR training-data
+    * prep: for each e60 query, the top-5 BM25 candidates AFTER
+    * excluding the query doc and its verified near-duplicates (the
+    * would-be positives, from [[graft.ext.Dedup.nearDupPairs]]) —
+    * lexically-close verified-non-relevant docs, the negatives that
+    * teach a dense retriever. Filter-then-rank: a positive inside the
+    * raw top-5 frees its slot. */
+  def e92_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dup = Dedup.nearDupPairs(d, threshold = 0.5)
+    val positives = dup
+      .select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
+      .unionAll(dup.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+    graft.ext.Retrieval.hardNegatives(d, bm25Queries(d), positives, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** e91: keep/drop rater agreement ([[graft.ext.Agreement.kappa]]) —
     * pairwise Cohen's kappa between the three binary gates a curation
     * stack actually wires in sequence (e81 gopher keep, the e09 rule
@@ -1270,6 +1288,7 @@ object Extensions {
     "e89_doremi_weights" -> (e89_doremi_weights _),
     "e90_bradley_terry" -> (e90_bradley_terry _),
     "e91_rater_kappa" -> (e91_rater_kappa _),
+    "e92_hard_negatives" -> (e92_hard_negatives _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2159,6 +2178,69 @@ object Extensions {
        |    ELSE CAST(CAST(n AS HUGEINT) * (both_pos + both_neg) - pe AS DOUBLE)
        |       / CAST(CAST(n AS HUGEINT) * n - pe AS DOUBLE) END AS kappa
        |FROM z91 ORDER BY rater_a, rater_b""".stripMargin
+  }
+
+  /** e92's oracle: the e60 BM25 scoring chain WITHOUT the top-k cut,
+    * the e17-style LSH-candidate + exact-Jaccard near-dup replay as
+    * the positives relation (both orientations), an ANTI JOIN, then
+    * the per-query rank <= 5. The shingle `toks` CTE serves both the
+    * signature chain and the BM25 token stream. */
+  private def e92OracleSql: String = {
+    val bands = (0 until Dedup.NumBands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $sigCte,
+       |bands92 AS (
+       |  $bands),
+       |cand92 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands92 a JOIN bands92 b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |d92 AS (SELECT DISTINCT doc_id, s FROM sh),
+       |n92 AS (SELECT doc_id, count(*) AS sz FROM d92 GROUP BY doc_id),
+       |i92 AS (SELECT doc_a, doc_b, count(*) AS inter
+       |      FROM cand92
+       |      JOIN d92 da ON da.doc_id = doc_a
+       |      JOIN d92 db ON db.doc_id = doc_b AND db.s = da.s
+       |      GROUP BY doc_a, doc_b),
+       |dup92 AS (SELECT doc_a, doc_b
+       |      FROM i92 JOIN n92 na ON na.doc_id = doc_a
+       |      JOIN n92 nb ON nb.doc_id = doc_b
+       |      WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5),
+       |pos92 AS (SELECT doc_a AS query_id, doc_b AS doc_id FROM dup92
+       |      UNION ALL SELECT doc_b, doc_a FROM dup92),
+       |tk AS (SELECT doc_id, unnest(w) AS t FROM toks),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+       |post AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t),
+       |dfq AS (SELECT t, count(*) AS df FROM post GROUP BY t),
+       |tot AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |               (SELECT count(*) FROM tk) AS tt),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(w[1:6]) AS t
+       |       FROM toks WHERE doc_id % 101 = 7),
+       |idf AS (SELECT t,
+       |         ((2 * n - 2 * df + 1) * ${graft.ext.Retrieval.Scale} // (2 * df + 1))
+       |           + ${graft.ext.Retrieval.Scale} AS x
+       |        FROM dfq, tot),
+       |idf8 AS (SELECT t,
+       |          8 * (length(bin(x)) - 1)
+       |            + ((x * 8) >> (length(bin(x)) - 1)) - 8 - 160 AS idf8
+       |         FROM idf),
+       |sc92 AS (SELECT qt.query_id, p.doc_id,
+       |         CAST(sum(i.idf8 * ((22 * p.tf * ${graft.ext.Retrieval.Scale})
+       |           // (10 * p.tf + 3 + (9 * d.dl * tot.n) // tot.tt))) AS BIGINT) AS score_fp
+       |       FROM qt JOIN post p USING (t)
+       |         JOIN idf8 i ON i.t = qt.t
+       |         JOIN dl d ON d.doc_id = p.doc_id, tot
+       |       WHERE p.doc_id <> qt.query_id
+       |       GROUP BY qt.query_id, p.doc_id),
+       |neg92 AS (SELECT s.query_id, s.doc_id, s.score_fp
+       |       FROM sc92 s ANTI JOIN pos92 p
+       |         ON p.query_id = s.query_id AND p.doc_id = s.doc_id),
+       |rk92 AS (SELECT query_id, doc_id, score_fp,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score_fp DESC, doc_id) AS rank
+       |       FROM neg92)
+       |SELECT query_id, rank, doc_id AS neg_id, score_fp FROM rk92
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** e89's oracle: the e75 scorer replay joined to sources, then the
@@ -3237,6 +3319,7 @@ object Extensions {
     "e89_doremi_weights" -> e89OracleSql,
     "e90_bradley_terry" -> e90OracleSql,
     "e91_rater_kappa" -> e91OracleSql,
+    "e92_hard_negatives" -> e92OracleSql,
 
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive

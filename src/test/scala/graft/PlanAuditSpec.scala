@@ -49,8 +49,11 @@ class PlanAuditSpec extends SparkSpec {
   // ratio (the e52/e60 class); e69/e70 broadcast the ONE-ROW
   // vocabulary count / mass totals for the negative-draw modulus
   // (same class; e70's interval RESOLUTION is a banded equi-join)
+  // e92 shares e60's BM25 scoring stage, so it carries the same
+  // 1-row corpus-total broadcasts (the e52/e60 class)
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
-    "e60_bm25", "e64_unigram_tokenize", "e66_classifier_eval", "e67_phrases",
+    "e60_bm25", "e92_hard_negatives",
+    "e64_unigram_tokenize", "e66_classifier_eval", "e67_phrases",
     "e69_skipgram_pairs", "e70_skipgram_weighted", "e72_ann_recall_harness",
     "e73_glove_knn",
     "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",

@@ -34,6 +34,37 @@ class RetrievalSpec extends SparkSpec {
     assert(top.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("hardNegatives: positives excluded, next candidate fills the slot, qrels respected") {
+    // doc 2 is a near-copy of the query doc 1 — BM25's natural #1 hit
+    // and exactly what must NOT be served as a negative; 3/4 share
+    // fewer terms, 5 shares none.
+    val corpus = Seq(
+      (1L, "solar panels convert sunlight into electricity efficiently"),
+      (2L, "solar panels convert sunlight into electricity very efficiently"),
+      (3L, "solar panels on rooftops gather sunlight"),
+      (4L, "wind turbines convert motion into electricity"),
+      (5L, "completely unrelated gardening soil compost text")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "solar panels convert sunlight into electricity"))
+      .toDF("query_id", "q_text")
+    val baseline = Retrieval.bm25TopK(corpus, qs, k = 2, excludeSelf = true)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(baseline.head == 2L, s"fixture expectation: dup ranks first, got $baseline")
+    val pos = Seq((1L, 2L)).toDF("query_id", "doc_id")
+    val negs = Retrieval.hardNegatives(corpus, qs, pos, k = 2)
+      .orderBy("rank").select("neg_id").as[Long].collect().toSeq
+    // filter-then-rank: 2 is gone AND the freed slot is refilled
+    assert(!negs.contains(2L) && negs.length == 2)
+    assert(negs == baseline.filterNot(_ == 2L) ++
+      Retrieval.bm25TopK(corpus, qs, k = 3, excludeSelf = true)
+        .where(col("rank") === 3).select("doc_id").as[Long].collect().toSeq)
+    // empty qrels degenerates to plain bm25 top-k minus self
+    val none = Retrieval.hardNegatives(corpus, qs,
+        Seq.empty[(Long, Long)].toDF("query_id", "doc_id"), k = 2)
+      .orderBy("rank").select("neg_id").as[Long].collect().toSeq
+    assert(none == baseline)
+  }
+
   test("bm25TopK ranks an exact-phrase match first") {
     // A query that IS a document's own text must retrieve a doc sharing
     // all its terms above docs sharing none; take a doc's first 6 tokens
