@@ -455,6 +455,42 @@ object Text {
     (top, total)
   }
 
+  /** Character-distribution Shannon entropy per document, in exact
+    * eighth-bit integers — the char-level gibberish detector
+    * (keyboard-mash, base64 blobs and single-char runs sit at the two
+    * entropy extremes that word-level signals like [[repetitionScores]]
+    * miss):
+    *
+    *   entropy8 = Σ_c cnt_c · (log8 N − log8 cnt_c)  div  N
+    *
+    * with log8 the established `⌊8·log2⌋` integer log
+    * ([[Retrieval.log8Sql]]) and one floor division at the end, so the
+    * value is bit-stable under any partitioning and the SQL oracle
+    * replays it. Range: 0 (single repeated char) to ~8·log2(alphabet).
+    * Empty documents have no characters and are absent.
+    *
+    * Scale shape: one row-local char explode, a (doc, char)-keyed
+    * map-side-combined count (bounded by doc_len·alphabet), and two
+    * doc-grain aggregates — the e54 scorer class, scales with the
+    * scan. Output: `(doc_id, n_chars, entropy8)`, all BIGINT. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cnt = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("_c"))
+      // Spark's split("", "") yields one EMPTY element — an empty doc
+      // must be absent, like the oracle's 1..length(text) unnest
+      .where(length(col("_c")) > 0)
+      .groupBy(idCol, "_c").agg(count(lit(1)).as("_cc"))
+    val tot = cnt.groupBy(idCol).agg(sum(col("_cc")).as("n_chars"))
+    cnt.join(tot, Seq(idCol))
+      .select(col(idCol), col("n_chars"),
+        (col("_cc") * (expr(Retrieval.log8Sql("n_chars")) -
+          expr(Retrieval.log8Sql("_cc")))).as("_t"))
+      .groupBy(idCol, "n_chars").agg(sum(col("_t")).as("_s"))
+      .select(col(idCol), col("n_chars"),
+        expr("_s div n_chars").as("entropy8"))
+  }
+
   /** The `(doc_id, w1, w2)` bigram-event stream of a frame, ROW-LOCAL
     * (an index transform over the token array — no self-join, no
     * window; `sequence(1, 0)` DESCENDS in Spark, so docs with < 2

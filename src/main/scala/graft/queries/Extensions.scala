@@ -1118,6 +1118,15 @@ object Extensions {
         dims = E71Dims, rounds = E71Rounds, etaShift = E71EtaShift)
       .orderBy("side", "t", "k")
 
+  /** e93: character-entropy quality signal
+    * ([[graft.ext.Text.charEntropy]]) — exact eighth-bit Shannon
+    * entropy of each document's character distribution, the detector
+    * for the two text pathologies word-level signals miss: near-zero
+    * entropy (single-char runs, template spam) and near-maximal
+    * entropy (keyboard mash, base64/binary blobs pasted into text). */
+  def e93_char_entropy(s: SparkSession, dir: String): DataFrame =
+    Text.charEntropy(docs(s, dir)).orderBy("doc_id")
+
   /** e35: within-document repetition ratio (Gopher-style quality
     * signal) over word bigrams — entirely row-local. */
   def e35_repetition(s: SparkSession, dir: String): DataFrame =
@@ -1289,6 +1298,7 @@ object Extensions {
     "e90_bradley_terry" -> (e90_bradley_terry _),
     "e91_rater_kappa" -> (e91_rater_kappa _),
     "e92_hard_negatives" -> (e92_hard_negatives _),
+    "e93_char_entropy" -> (e93_char_entropy _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -3320,6 +3330,17 @@ object Extensions {
     "e90_bradley_terry" -> e90OracleSql,
     "e91_rater_kappa" -> e91OracleSql,
     "e92_hard_negatives" -> e92OracleSql,
+    "e93_char_entropy" ->
+      """WITH ch93 AS (SELECT doc_id, substr(text, i, 1) AS c
+        |      FROM documents, UNNEST(generate_series(1, length(text))) t(i)),
+        |cn93 AS (SELECT doc_id, c, count(*) AS cc FROM ch93 GROUP BY doc_id, c),
+        |tt93 AS (SELECT doc_id, CAST(sum(cc) AS BIGINT) AS n_chars
+        |      FROM cn93 GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_chars,
+        |  CAST(sum(cc * ((8 * (length(bin(n_chars)) - 1) + ((n_chars * 8) >> (length(bin(n_chars)) - 1)) - 8)
+        |    - (8 * (length(bin(cc)) - 1) + ((cc * 8) >> (length(bin(cc)) - 1)) - 8))) // t.n_chars AS BIGINT) AS entropy8
+        |FROM cn93 c JOIN tt93 t USING (doc_id)
+        |GROUP BY t.doc_id, t.n_chars ORDER BY t.doc_id""".stripMargin,
 
     "e57_hard_triplets" -> {
       // e06's cosine expression with label conditions: hardest positive

@@ -327,4 +327,32 @@ class TextSpec extends SparkSpec {
       trainFilter = trainSplit).collect()
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("charEntropy: extremes, hand values, partitioning independence") {
+    val cdocs = Seq(
+      (1L, "aaaaaaaa"),                 // single char: entropy 0
+      (2L, "abababab"),                 // two equal chars: exactly 1 bit
+      (3L, "abcdefgh"),                 // 8 distinct: exactly 3 bits
+      (4L, "")                          // empty: absent
+    ).toDF("doc_id", "text")
+    val out = Text.charEntropy(cdocs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == ((8L, 0L)))
+    // log8 is exact on powers of two, so these are exactly 8 and 24
+    assert(out(2L) == ((8L, 8L)))
+    assert(out(3L) == ((8L, 24L)))
+    // gibberish-vs-prose ordering: uniform mash above english-ish text
+    val pair = Seq(
+      (10L, "the cat sat on the mat and the dog sat too"),
+      (11L, "qxzjvkwpyfghbdnmrtlscqxzjvkwpyfghbdnmrtlsc"))
+      .toDF("doc_id", "text")
+    val p = Text.charEntropy(pair).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(p(11L) > p(10L))
+    // bit-stable under partitioning
+    val again = Text.charEntropy(cdocs.repartition(5))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == out)
+  }
 }
