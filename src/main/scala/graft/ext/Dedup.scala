@@ -721,6 +721,37 @@ object Dedup {
       .unionAll(score(s"simhash_h$maxDist", simhashNearPairs(docs, maxDist)))
   }
 
+  /** Quality-aware canonical selection: [[dedupClusters]]' transitive
+    * near-dup components with the survivor chosen by ARGMAX QUALITY
+    * (ties to the smaller id) instead of min-id — the policy real
+    * curation pipelines ship (keep the cleanest copy, not the
+    * first-crawled one; min-id keeps whichever URL was seen first).
+    * `score` is any per-doc quality column expressed over `docs`'
+    * columns (e09's rule score in the e94 query; a trained scorer in
+    * production).
+    *
+    * Scale shape: the cluster fixpoint unchanged, one doc-grain score
+    * projection, and a keep_id-partitioned argmax window — partitions
+    * are CLUSTER-sized (near-dup components are short in practice;
+    * the [[Skew]] bucket caps already bound the pathological case
+    * upstream). Output: `(doc_id, keep_id, best_id)` — `doc_id ==
+    * best_id` marks the survivors. */
+  def keepBestPerCluster(docs: DataFrame, score: Column,
+      maxIter: Int = 20,
+      maxBucket: Long = graft.operators.Skew.DefaultBucketCap): DataFrame = {
+    val clusters = dedupClusters(docs, maxIter, maxBucket)
+    val scored = docs.select(col("doc_id"), score.as("_q"))
+    val j = clusters.join(scored, Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("keep_id"))
+      .orderBy(col("_q").desc, col("doc_id"))
+    val best = j.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("keep_id"), col("doc_id").as("best_id"))
+    j.join(best, Seq("keep_id"))
+      .select(col("doc_id"), col("keep_id"), col("best_id"))
+  }
+
   /** Decontamination-detector scoreboard — the [[dedupScoreboard]]
     * discipline for the DECONTAMINATION family: every detector's
     * doc-level contaminated set scored as precision/recall against the

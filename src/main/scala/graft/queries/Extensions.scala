@@ -614,6 +614,15 @@ object Extensions {
     Dedup.decontaminateSpans(docs(s, dir), benchPred = col("doc_id") % 40 === 1)
       .orderBy("doc_id")
 
+  /** e94: quality-aware canonical selection
+    * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
+    * cluster's survivor chosen by ARGMAX e09 quality (ties to the
+    * smaller id) instead of min-id: keep the cleanest copy, not the
+    * first-crawled one. `doc_id == best_id` marks the survivors. */
+  def e94_keep_best(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBestPerCluster(docs(s, dir), Text.qualityScoreCol)
+      .orderBy("doc_id")
+
   /** e92: BM25 hard-negative mining
     * ([[graft.ext.Retrieval.hardNegatives]]) — the DPR training-data
     * prep: for each e60 query, the top-5 BM25 candidates AFTER
@@ -1299,6 +1308,7 @@ object Extensions {
     "e91_rater_kappa" -> (e91_rater_kappa _),
     "e92_hard_negatives" -> (e92_hard_negatives _),
     "e93_char_entropy" -> (e93_char_entropy _),
+    "e94_keep_best" -> (e94_keep_best _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2188,6 +2198,41 @@ object Extensions {
        |    ELSE CAST(CAST(n AS HUGEINT) * (both_pos + both_neg) - pe AS DOUBLE)
        |       / CAST(CAST(n AS HUGEINT) * n - pe AS DOUBLE) END AS kappa
        |FROM z91 ORDER BY rater_a, rater_b""".stripMargin
+  }
+
+  /** e94's oracle: the e29 recursive transitive-closure replay, the
+    * e09 quality core as a nested CTE, then the per-cluster argmax
+    * (QUALIFY row_number over the keep_id partition). */
+  private def e94OracleSql: String = {
+    val bands = (0 until Dedup.NumBands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $sigCte,
+       |bands AS (
+       |  $bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+       |        UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach(a, b) AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.a, u.v FROM reach r JOIN und u ON u.u = r.b),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+       |         FROM reach GROUP BY a),
+       |cl94 AS (SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id
+       |         FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |q94 AS MATERIALIZED (
+       |$e09OracleCore),
+       |j94 AS (SELECT cl94.doc_id, cl94.keep_id, q.quality_score
+       |        FROM cl94 JOIN q94 q USING (doc_id)),
+       |b94 AS (SELECT keep_id, doc_id AS best_id FROM j94
+       |        QUALIFY row_number() OVER (PARTITION BY keep_id
+       |          ORDER BY quality_score DESC, doc_id) = 1)
+       |SELECT j.doc_id, j.keep_id, b.best_id
+       |FROM j94 j JOIN b94 b USING (keep_id)
+       |ORDER BY j.doc_id""".stripMargin
   }
 
   /** e92's oracle: the e60 BM25 scoring chain WITHOUT the top-k cut,
@@ -3330,6 +3375,7 @@ object Extensions {
     "e90_bradley_terry" -> e90OracleSql,
     "e91_rater_kappa" -> e91OracleSql,
     "e92_hard_negatives" -> e92OracleSql,
+    "e94_keep_best" -> e94OracleSql,
     "e93_char_entropy" ->
       """WITH ch93 AS (SELECT doc_id, substr(text, i, 1) AS c
         |      FROM documents, UNNEST(generate_series(1, length(text))) t(i)),

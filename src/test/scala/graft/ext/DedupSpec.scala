@@ -369,6 +369,25 @@ class DedupSpec extends SparkSpec {
     assert(sb("fuzzy_j50")._1 == 0L)
   }
 
+  test("keepBestPerCluster: quality argmax survivor, min-id cluster key intact") {
+    // docs 1/2/3 are one near-dup cluster; give 2 the best score so
+    // the survivor differs from the min-id rep; 4 and 5 are singletons
+    val score = when(col("doc_id") === 2L, lit(9.0))
+      .when(col("doc_id") === 3L, lit(5.0))
+      .otherwise(lit(1.0))
+    val out = Dedup.keepBestPerCluster(docs, score)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // the cluster KEY stays the min id (stable identity), the SURVIVOR
+    // is the quality argmax
+    assert(out(1L) == ((1L, 2L)) && out(2L) == ((1L, 2L)) && out(3L) == ((1L, 2L)))
+    assert(out(4L) == ((4L, 4L)) && out(5L) == ((5L, 5L)))
+    // tie-break: equal scores fall back to the smaller id
+    val tied = Dedup.keepBestPerCluster(docs, lit(1.0))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(tied(1L) == 1L && tied(3L) == 1L)
+  }
+
   test("fuzzyJoin bucket cap: hot boilerplate bands drop, distinctive pairs survive") {
     // ADVICE round-9: the e65 fixture never trips Skew.capBuckets, so
     // the capped path had no gate. This fixture does: 8 identical
