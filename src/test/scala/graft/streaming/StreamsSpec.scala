@@ -609,6 +609,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("char-entropy scorer runs stateless at ingest: stream == batch") {
+    // charEntropy is ONE row-local projection (the gopher class): the
+    // batch operator is its own streaming face — no state, no shuffle.
+    implicit val sqlCtx = spark.sqlContext
+    val train = spark.read.parquet(s"$sf0001/documents.parquet")
+    val batch = graft.ext.Text.charEntropy(train)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ext.Text.charEntropy(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("char_entropy").outputMode("append")
+      .start()
+    try {
+      val rows = train.select("doc_id", "text").as[(Long, String)].collect()
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      assert(spark.table("char_entropy")
+        .as[(Long, Long, Long)].collect().toSet == batch)
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink writes idempotent batch directories") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
