@@ -41,6 +41,12 @@ object GraftFunctions {
         require(args.length == 2, "dot_product(a, b) takes two arguments")
         DotProductExpr(args(0), args(1))
       }),
+    ("char_entropy8",
+      new ExpressionInfo(classOf[CharEntropy8Expr].getName, "char_entropy8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "char_entropy8(str) takes one argument")
+        CharEntropy8Expr(args.head)
+      }),
     ("mul_add_wrap",
       new ExpressionInfo(classOf[MulAddWrapExpr].getName, "mul_add_wrap"),
       (args: Seq[Expression]) => {

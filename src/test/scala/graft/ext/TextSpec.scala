@@ -355,4 +355,36 @@ class TextSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(again == out)
   }
+
+  test("charEntropy kernel == naive reference, incl. the code-point spill map") {
+    def log8(x: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      8L * e + ((x * 8) >> e) - 8
+    }
+    def ref(s: String): Long = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) return 0L
+      val n = cps.length.toLong
+      cps.groupBy(identity).values
+        .map(g => g.length.toLong * (log8(n) - log8(g.length.toLong)))
+        .sum / n
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq(
+      "ab", "abcdefghijklmnopqrstuvwxyz0123456789 .,!?",
+      // > 128 distinct non-ASCII code points forces the spill map AND
+      // its resize path
+      (0x400 to 0x560).map(_.toChar).mkString,
+      "日本語テキストの例です中文文本示例한국어텍스트")
+    val cases = for (a <- alphabets; len <- Seq(1, 7, 130, 900)) yield
+      (0 until len).map(_ => a(rnd.nextInt(a.length))).mkString
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Text.charEntropy(df)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      val n = t.codePoints().count()
+      assert(got(i.toLong) == ((n, ref(t))), s"case $i: '${t.take(30)}...'")
+    }
+  }
 }
