@@ -120,7 +120,13 @@ object Bench {
     // whose detector legs are e03/e04/e51/e65's shapes, all already
     // in the tier; e89 is NOT here: e77's source-grain scorer shape
     // over the memoized scoring pass (the e78 rationale — e75's and
-    // e77's curves pin both terms).
+    // e77's curves pin both terms). e91 is NOT here: memo-consuming
+    // 1-row-aggregate pairs (the e66 class); e92 is NOT here: e60's
+    // scoring shape plus one qrels-sized anti-join — e60's curve pins
+    // the data term; e93 is NOT here: a single shuffle-free native
+    // projection (the e08/e81 row-local class the tier never carried);
+    // e94 is NOT here: e29's fixpoint plus a cluster-partitioned
+    // argmax window — e29's curve pins the only data-sized term.
     "e90_bradley_terry")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

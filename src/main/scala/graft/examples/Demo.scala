@@ -313,6 +313,30 @@ object Demo {
       s"hardest_source=${dor.getString(0)} ratio_fp=${dor.getLong(4)} " +
       s"mix_fp=${dor.getLong(6)}")
 
+    // 32. label QC + dedup policy: can the cheap gate stand in for the
+    // model scorer (chance-corrected kappa), and which copy survives
+    // each near-dup cluster once quality picks instead of min-id
+    val kap = graft.SparkEntry.queries("e91_rater_kappa")(spark, sfDir)
+      .collect()
+      .map(r => s"${r.getString(0)}~${r.getString(1)}:" +
+        f"${r.getDouble(7)}%.3f").mkString(" ")
+    val kb = graft.SparkEntry.queries("e94_keep_best")(spark, sfDir)
+    val moved = kb.where(col("best_id") =!= col("keep_id"))
+      .select(countDistinct(col("keep_id"))).head.getLong(0)
+    println(s"DEMO rater_kappa $kap quality_survivor_clusters=$moved")
+
+    // 33. retrieval-training prep + the entropy gate: BM25 hard
+    // negatives with verified near-dups excluded, and the char-level
+    // gibberish screen (lowest/highest entropy docs)
+    val hn = graft.SparkEntry.queries("e92_hard_negatives")(spark, sfDir)
+      .agg(count(lit(1)).as("rows"), countDistinct(col("query_id"))).head
+    val ent = graft.SparkEntry.queries("e93_char_entropy")(spark, sfDir)
+    val lo = ent.orderBy(asc("entropy8")).limit(1).collect().head
+    val hi = ent.orderBy(desc("entropy8")).limit(1).collect().head
+    println(s"DEMO hard_negatives=${hn.getLong(0)}/${hn.getLong(1)}q " +
+      s"entropy8_min=${lo.getLong(2)}@doc${lo.getLong(0)} " +
+      s"entropy8_max=${hi.getLong(2)}@doc${hi.getLong(0)}")
+
     spark.stop()
   }
 }
