@@ -126,7 +126,9 @@ object Bench {
     // the data term; e93 is NOT here: a single shuffle-free native
     // projection (the e08/e81 row-local class the tier never carried);
     // e94 is NOT here: e29's fixpoint plus a cluster-partitioned
-    // argmax window — e29's curve pins the only data-sized term.
+    // argmax window — e29's curve pins the only data-sized term;
+    // e95 is NOT here: e47's train+assign plus group-grain aggregates
+    // (the e80 rationale — e47's curve pins the data term).
     "e90_bradley_terry")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

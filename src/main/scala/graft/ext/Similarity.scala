@@ -400,6 +400,40 @@ object Similarity {
       .select(col("cell"), col("vec_id"), col("sim"), col("rnk"))
   }
 
+  /** Per-group SEMANTIC DIVERSITY: the eighth-bit entropy of each
+    * group's k-means cell distribution — the mixture-design complement
+    * of [[clusterSample]] (which enforces diversity) and
+    * [[graft.ext.Text.domainShift]] (which measures token-level
+    * shift): a source whose vectors pile into one semantic cell reads
+    * near 0, one spread evenly over all k cells reads ~8·log2(k).
+    * This is the number a mixture designer checks before trusting a
+    * source's volume — a billion near-identical pages are worth one.
+    * Same exact integer arithmetic as the char-entropy signal
+    * (cnt·(log8 n − log8 cnt) div n), so the oracle replays it.
+    *
+    * `groups` maps vec_id to its group label `(vec_id, source)`.
+    * Scale shape: [[trainCentroids]] linear per round, one broadcast-k
+    * argmax assignment, a group×cell count (≤ groups·k rows) and
+    * group-grain aggregates — nothing pair-shaped. Output:
+    * `(source, n_vecs, n_cells, entropy8)`. */
+  def clusterDiversity(embeddings: DataFrame, groups: DataFrame,
+      k: Int, iters: Int, roundDecimals: Int = -1): DataFrame = {
+    val cen = trainCentroids(embeddings, k, iters, roundDecimals)
+    val assigned = assignCells(embeddings, cen, keepVector = false)
+      .select(col("vec_id"), col("cell"))
+    val cnt = assigned.join(groups, Seq("vec_id"))
+      .groupBy("source", "cell").agg(count(lit(1)).as("_cc"))
+    val tot = cnt.groupBy("source")
+      .agg(sum(col("_cc")).as("n_vecs"), count(lit(1)).as("n_cells"))
+    cnt.join(tot, Seq("source"))
+      .select(col("source"), col("n_vecs"), col("n_cells"),
+        (col("_cc") * (expr(Retrieval.log8Sql("n_vecs")) -
+          expr(Retrieval.log8Sql("_cc")))).as("_t"))
+      .groupBy("source", "n_vecs", "n_cells").agg(sum(col("_t")).as("_s"))
+      .select(col("source"), col("n_vecs"), col("n_cells"),
+        expr("_s div n_vecs").as("entropy8"))
+  }
+
   /** Product quantization (Jégou/Douze/Schmid, TPAMI 2011): the
     * COMPRESSION path of the ANN family. Vectors split into `m`
     * subspaces; a per-subspace L2 k-means codebook (`ks` centroids)

@@ -614,6 +614,20 @@ object Extensions {
     Dedup.decontaminateSpans(docs(s, dir), benchPred = col("doc_id") % 40 === 1)
       .orderBy("doc_id")
 
+  /** e95: per-source semantic diversity
+    * ([[graft.ext.Similarity.clusterDiversity]]) — the eighth-bit
+    * entropy of each source's k-means cell distribution (the shared
+    * pinned-Lloyd cells of e47/e80), the mixture-design number that
+    * says whether a source's VOLUME is worth anything: a billion
+    * near-identical pages pile into one cell and read ~0. Vector ids
+    * map to sources through the documents table (the fixture's id
+    * spaces coincide). */
+  def e95_source_diversity(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterDiversity(emb(s, dir),
+        docs(s, dir).select(col("doc_id").as("vec_id"), col("source")),
+        k = E47K, iters = E47Iters, roundDecimals = 6)
+      .orderBy("source")
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -1309,6 +1323,7 @@ object Extensions {
     "e92_hard_negatives" -> (e92_hard_negatives _),
     "e93_char_entropy" -> (e93_char_entropy _),
     "e94_keep_best" -> (e94_keep_best _),
+    "e95_source_diversity" -> (e95_source_diversity _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -3376,6 +3391,22 @@ object Extensions {
     "e91_rater_kappa" -> e91OracleSql,
     "e92_hard_negatives" -> e92OracleSql,
     "e94_keep_best" -> e94OracleSql,
+    "e95_source_diversity" -> {
+      // The shared pinned-Lloyd chain's final assignment joined to
+      // sources, then the char-entropy arithmetic at source grain.
+      s"""WITH
+         |${cosKmeansCtes(E47K, E47Iters)},
+         |g95 AS (SELECT d.source, f.cell
+         |  FROM fasg f JOIN documents d ON d.doc_id = f.vec_id),
+         |c95 AS (SELECT source, cell, count(*) AS cc FROM g95 GROUP BY source, cell),
+         |t95 AS (SELECT source, CAST(sum(cc) AS BIGINT) AS n_vecs,
+         |    count(*) AS n_cells FROM c95 GROUP BY source)
+         |SELECT t.source, t.n_vecs, t.n_cells,
+         |  CAST(sum(cc * ((8 * (length(bin(n_vecs)) - 1) + ((n_vecs * 8) >> (length(bin(n_vecs)) - 1)) - 8)
+         |    - (8 * (length(bin(cc)) - 1) + ((cc * 8) >> (length(bin(cc)) - 1)) - 8))) // t.n_vecs AS BIGINT) AS entropy8
+         |FROM c95 c JOIN t95 t USING (source)
+         |GROUP BY t.source, t.n_vecs, t.n_cells ORDER BY t.source""".stripMargin
+    },
     "e93_char_entropy" ->
       """WITH ch93 AS (SELECT doc_id, substr(text, i, 1) AS c
         |      FROM documents, UNNEST(generate_series(1, length(text))) t(i)),

@@ -67,9 +67,9 @@ class PlanAuditSpec extends SparkSpec {
     // e79: the bounded benchmark side broadcast under the non-equi
     // cosine-threshold predicate (the e06/e20 class)
     "e79_semantic_decontaminate",
-    // e80: the k-centroid broadcast under the argmax-assignment cross
-    // join (the e47/e23 trained-quantizer class — bounded by k)
-    "e80_cluster_sample",
+    // e80/e95: the k-centroid broadcast under the argmax-assignment
+    // cross join (the e47/e23 trained-quantizer class — bounded by k)
+    "e80_cluster_sample", "e95_source_diversity",
     // e82: two 1-row total broadcasts (corpus tokens, weight sum) onto
     // the group-cardinality-sized frame (the e52/e67 class)
     "e82_temperature_mix",

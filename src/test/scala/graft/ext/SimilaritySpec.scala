@@ -200,6 +200,51 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSet == ref)
   }
 
+  test("clusterDiversity: entropy poles, driver replay, partitioning independence") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (k, iters) = (4, 1)
+    // groups: one "concentrated" group = copies of the SAME vector id
+    // modulo assignment (every member lands in one cell -> entropy 0)
+    // versus the id-striped rest
+    val cen = Similarity.trainCentroids(emb, k, iters, roundDecimals = 6)
+    val groups = emb.select(col("vec_id"),
+      when(col("vec_id") < 10, lit("tight")).otherwise(
+        concat(lit("g"), (col("vec_id") % 3).cast("string"))).as("source"))
+    val out = Similarity.clusterDiversity(emb, groups, k, iters, roundDecimals = 6)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // driver replay from the independently-computed assignment
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+    val cells = emb.crossJoin(cen)
+      .withColumn("csim", round(cosineSimilarity(col("embedding"), col("cv")), 9))
+      .withColumn("rn", row_number().over(wAsg)).where(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .join(groups, "vec_id")
+      .as[(Long, Long, String)].collect()
+    def log8(x: Long) = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      8L * e + ((x * 8) >> e) - 8
+    }
+    cells.groupBy(_._3).foreach { case (src, rows) =>
+      val n = rows.length.toLong
+      val cnts = rows.groupBy(_._2).values.map(_.length.toLong)
+      val want = cnts.map(c => c * (log8(n) - log8(c))).sum / n
+      val (_, nv, nc, e8) = out(src)
+      assert(nv == n && nc == cnts.size.toLong && e8 == want, s"$src")
+    }
+    // a single-cell group reads exactly 0
+    val one = Similarity.clusterDiversity(emb,
+        emb.select(col("vec_id"), lit("all").as("source")).where(col("vec_id") === 0),
+        k, iters, roundDecimals = 6)
+      .as[(String, Long, Long, Long)].collect()
+    assert(one.toSeq == Seq(("all", 1L, 1L, 0L)))
+    // partitioning independence
+    val again = Similarity.clusterDiversity(emb.repartition(7), groups, k, iters,
+        roundDecimals = 6)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("pq with one subspace and a per-vector codebook is exact L2 search") {
     // m=1, ks=n, 0 Lloyd rounds: every vector is its own centroid, so
     // each code IS the vector and the ADC "approximation" collapses to
