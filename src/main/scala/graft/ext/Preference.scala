@@ -42,20 +42,45 @@ object Preference {
   val WCap: Long = 1L << 30
 
   /** Fixture-side comparison derivation: each document plays its
-    * successor within its group (one `lead` window per group), winner
-    * = higher score, ties to the smaller id. This is the REPLAYABLE
-    * stand-in for a real comparison log — production input is the
-    * logged `(a, b, win_a)` frame itself, not a derivation; the
-    * per-group window is only as partitioned as the grouping column
-    * (fine for the fixture's source-ring; a corpus-scale derivation
-    * would bucket the pairing key first). Output: (a, b, win_a). */
+    * successor within its group (ordered by id), winner = higher
+    * score, ties to the smaller id. This is the REPLAYABLE stand-in
+    * for a real comparison log — production input is the logged
+    * `(a, b, win_a)` frame itself, not a derivation.
+    *
+    * The pairing is the [[Agreement.globalRank]] two-phase form, so
+    * the derivation survives a corpus-sized group: the successor
+    * window partitions on `(group, id div bucketWidth)` (partition ≤
+    * bucketWidth rows — id-div is a monotone non-strict coarsening of
+    * the sort key), and each bucket's LAST row takes the min-id row
+    * of the group's next non-empty bucket, resolved by one `lead`
+    * over the bucket-grain `(group, bucket, first)` histogram — an
+    * aggregate ~1/bucketWidth of the input, never a group-sized
+    * partition. Choose bucketWidth ≈ √(id span) to balance the two
+    * grains. The bucketing affects ONLY the plan, never the pairs
+    * (PreferenceSpec law: any width equals the single-window
+    * derivation), so the SQL oracle may pair with a plain per-group
+    * lead. Output: (a, b, win_a). */
   def ringGames(scored: DataFrame, group: Column, score: Column,
-      idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(group).orderBy(col(idCol))
-    scored
-      .select(col(idCol).as("a"), score.as("_s"),
-        lead(col(idCol), 1).over(w).as("b"),
-        lead(score, 1).over(w).as("_ns"))
+      idCol: String = "doc_id", bucketWidth: Long = 4096L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val d = scored.select(group.as("_g"), col(idCol).as("a"), score.as("_s"))
+      .withColumn("_bk", expr(s"a div ${bucketWidth}L"))
+    val w = Window.partitionBy(col("_g"), col("_bk")).orderBy(col("a"))
+    val led = d
+      .withColumn("_b1", lead(col("a"), 1).over(w))
+      .withColumn("_ns1", lead(col("_s"), 1).over(w))
+    val firsts = d.groupBy(col("_g"), col("_bk"))
+      .agg(min_by(struct(col("a"), col("_s")), col("a")).as("_f"))
+    val hw = Window.partitionBy(col("_g")).orderBy(col("_bk"))
+    val nxt = firsts.select(col("_g"), col("_bk"),
+      lead(col("_f"), 1).over(hw).as("_nf"))
+    led.join(nxt, Seq("_g", "_bk"), "left")
+      .select(col("a"),
+        when(col("_b1").isNotNull, col("_b1"))
+          .otherwise(col("_nf").getField("a")).as("b"),
+        col("_s"),
+        when(col("_b1").isNotNull, col("_ns1"))
+          .otherwise(col("_nf").getField("_s")).as("_ns"))
       .where(col("b").isNotNull)
       .select(col("a"), col("b"),
         when(col("_s") > col("_ns") ||

@@ -385,14 +385,22 @@ object Sampling {
     val S = graft.ext.Retrieval.Scale // 2^20
     val j = scored.select(col(idCol), col("n_bigrams"), col("surprisal8"))
       .join(docs.select(col(idCol), group.as("source")), idCol)
+    // Surprisal sums are DECIMAL(38,0)-wide before the *1000 milli scale:
+    // at the 100-TB grain this targets (~1e13 bigrams, surprisal8 ~1e3
+    // per bigram) the x1000 product overflows a long, and the oracle
+    // side already sums in HUGEINT — the kappa/Bradley-Terry denominator
+    // discipline, applied here so both engines divide the same integers.
     val g = j.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams")).as("n_bigrams"),
         sum(col("surprisal8")).as("_s8"))
-      .withColumn("mean_milli", expr("(_s8 * 1000) div n_bigrams"))
+      .withColumn("mean_milli", expr(
+        "CAST((CAST(_s8 AS DECIMAL(38, 0)) * 1000) div n_bigrams AS BIGINT)"))
     val pool = j.agg(sum(col("n_bigrams")).as("_tb"),
         sum(col("surprisal8")).as("_ps8"))
-      .select(col("_tb"), expr("(_ps8 * 1000) div _tb").as("_pool_milli"))
+      .select(col("_tb"), expr(
+        "CAST((CAST(_ps8 AS DECIMAL(38, 0)) * 1000) div _tb AS BIGINT)")
+        .as("_pool_milli"))
     val p = g.crossJoin(broadcast(pool))
       .withColumn("share_fp", expr(
         s"greatest((CAST(n_bigrams AS DECIMAL(38, 0)) * ${S}L) div _tb, CAST(1 AS BIGINT))"))

@@ -70,6 +70,7 @@ object CharEntropy8Expr {
     var spillK: Array[Int] = null
     var spillV: Array[Long] = null
     var spillMask = 0
+    var spillUsed = 0
     var n = 0L
     var i = 0
     while (i < len) {
@@ -85,17 +86,16 @@ object CharEntropy8Expr {
         var h = (cp * 0x9e3779b1) >>> 24 & spillMask
         while (spillK(h) != -1 && spillK(h) != cp) h = (h + 1) & spillMask
         if (spillK(h) == -1) {
-          // quarter-full resize keeps probes short; code-point alphabets
-          // are small, so this is rare
-          var used = 0
-          var j = 0
-          while (j < spillK.length) { if (spillK(j) != -1) used += 1; j += 1 }
-          if (used * 4 >= spillK.length) {
+          // quarter-full resize keeps probes short; the occupancy count
+          // is maintained incrementally (a rescan here would be O(k^2)
+          // per document in distinct code points — CJK/multilingual
+          // docs with thousands of distinct chars would feel it)
+          if (spillUsed * 4 >= spillK.length) {
             val (ok, ov) = (spillK, spillV)
             spillK = Array.fill(ok.length * 2)(-1)
             spillV = new Array[Long](ok.length * 2)
             spillMask = spillK.length - 1
-            j = 0
+            var j = 0
             while (j < ok.length) {
               if (ok(j) != -1) {
                 var g = (ok(j) * 0x9e3779b1) >>> 24 & spillMask
@@ -108,6 +108,7 @@ object CharEntropy8Expr {
             while (spillK(h) != -1 && spillK(h) != cp) h = (h + 1) & spillMask
           }
           spillK(h) = cp
+          spillUsed += 1
         }
         spillV(h) += 1
       }

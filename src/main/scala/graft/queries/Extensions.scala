@@ -696,8 +696,12 @@ object Extensions {
     val d = docs(s, dir)
     val scored = Text.qualityScore(d)
       .join(d.select(col("doc_id"), col("source")), "doc_id")
+    // bucketWidth 64: the fixture's id span (500 at sf0.01) cuts into
+    // ~8 buckets per source, so the oracle run exercises the two-phase
+    // stitching (next-bucket successor), not just the within-bucket lead
     Preference.bradleyTerry(
-        Preference.ringGames(scored, col("source"), col("quality_score")),
+        Preference.ringGames(scored, col("source"), col("quality_score"),
+          bucketWidth = 64L),
         rounds = E90Rounds)
       .select(col("t").as("doc_id"), col("n_games"), col("wins"), col("w_fp"))
       .orderBy("doc_id")
@@ -2331,9 +2335,9 @@ object Extensions {
        |          CAST((sum(surprisal8) * 1000) // sum(n_bigrams) AS BIGINT) AS pool_milli
        |        FROM j89),
        |w89 AS (SELECT source, n_docs, n_bigrams,
-       |          (s8 * 1000) // n_bigrams AS mean_milli,
+       |          (CAST(s8 AS HUGEINT) * 1000) // n_bigrams AS mean_milli,
        |          greatest((CAST(n_bigrams AS HUGEINT) * $S) // tb, 1) AS share_fp,
-       |          least(greatest((((s8 * 1000) // n_bigrams) * $S) // pool_milli,
+       |          least(greatest((((CAST(s8 AS HUGEINT) * 1000) // n_bigrams) * $S) // pool_milli,
        |            ${S / 8}), ${8L * S}) AS ratio_fp
        |        FROM g89, p89),
        |v89 AS (SELECT source, n_docs, n_bigrams, mean_milli, ratio_fp,

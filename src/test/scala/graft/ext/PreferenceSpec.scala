@@ -44,6 +44,34 @@ class PreferenceSpec extends SparkSpec {
       (10L, 11L, 0L)))
   }
 
+  test("ringGames: bucketed two-phase pairing equals the single-window derivation at every width") {
+    // The law the scale path rests on: the (group, id div width) window
+    // plus next-bucket stitching yields the IDENTICAL game list as one
+    // group-partitioned lead, for any bucketWidth — including widths
+    // that cut groups mid-run (1, 2, 3) and one that doesn't (10^6).
+    val scored = (0L until 120L).map { i =>
+      (i * 7 % 251, s"g${i % 4}", (i * 13 % 17).toDouble / 17.0)
+    }.toDF("doc_id", "grp", "sc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("doc_id"))
+    val single = scored
+      .select(col("doc_id").as("a"), col("sc").as("_s"),
+        lead(col("doc_id"), 1).over(w).as("b"),
+        lead(col("sc"), 1).over(w).as("_ns"))
+      .where(col("b").isNotNull)
+      .select(col("a"), col("b"),
+        when(col("_s") > col("_ns") ||
+          (col("_s") === col("_ns") && col("a") < col("b")), lit(1L))
+          .otherwise(lit(0L)).as("win_a"))
+      .as[(Long, Long, Long)].collect().toSet
+    for (width <- Seq(1L, 2L, 3L, 1000000L)) {
+      val bucketed = Preference.ringGames(scored, col("grp"), col("sc"),
+          bucketWidth = width)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(bucketed == single, s"width $width diverges from single-window")
+    }
+  }
+
   test("bradleyTerry: chain ordering, floors, hand replay, repeated pairs") {
     // A beats B, B beats C — the transitive chain
     val games = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("a", "b", "win_a")
