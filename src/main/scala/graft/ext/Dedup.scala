@@ -255,6 +255,54 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Batch index-reuse dedup — the production crawl-ingest shape whose
+    * streaming twin is
+    * [[graft.streaming.Streams]]' near-dup face: dedup a NEW shard
+    * against an EXISTING corpus through its persisted MinHash
+    * signature index (`index` = the [[minhashSignatures]] output,
+    * written once at ingest time) without recomputing a single corpus
+    * signature. Banding over the index is signature-arithmetic only
+    * (md5 over two longs per band — no corpus text touched), the
+    * band-probe join proposes cross candidates exactly like
+    * [[fuzzyJoin]], and the exact n-gram Jaccard verify re-shingles
+    * ONLY the candidate corpus documents (`corpusText` is semi-join-
+    * routed through the candidate ids before any shingling). Cost
+    * therefore tracks the NEW batch — its signatures, its band
+    * collisions, its candidates' verify — plus one pruned (id, text)
+    * corpus scan; never the corpus's shingle/signature work. Both
+    * sides' band buckets are independently capped
+    * ([[graft.operators.Skew.capBuckets]]). Restriction law
+    * (DedupSpec): equals [[fuzzyJoin]](newDocs, corpus) when `index`
+    * is the corpus's signature table. Output:
+    * `(new_id, corpus_id, jaccard)` with jaccard >= threshold. */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      corpusText: DataFrame, threshold: Double,
+      maxBucket: Long = Skew.DefaultBucketCap): DataFrame = {
+    val nb = bandBuckets(minhashSignatures(newDocs), maxBucket, "ingest_new")
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    val cb = bandBuckets(index, maxBucket, "ingest_index")
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
+    val cands = nb.join(cb, Seq("band", "bh"))
+      .select("new_id", "corpus_id").distinct()
+    val tn = shingles(newDocs).distinct()
+      .select(col("id").as("new_id"), col("s"))
+    val candDocs = corpusText.join(
+      cands.select(col("corpus_id")).distinct(),
+      corpusText("doc_id") === col("corpus_id"), "left_semi")
+    val tc = shingles(candDocs).distinct()
+      .select(col("id").as("corpus_id"), col("s"))
+    val nn = tn.groupBy("new_id").agg(count(lit(1)).as("_szn"))
+    val nc = tc.groupBy("corpus_id").agg(count(lit(1)).as("_szc"))
+    val inter = cands.join(tn, "new_id").join(tc, Seq("corpus_id", "s"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("_inter"))
+    inter.join(nn, "new_id").join(nc, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (col("_inter").cast("double") /
+          (col("_szn") + col("_szc") - col("_inter")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity over distinct shingle sets for all
     * pairs with similarity >= threshold. Quadratic in shared-shingle
     * pairs — at scale, run it only on LSH candidates (compose with

@@ -236,4 +236,51 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_rrf"))
   }
+
+  /** Retrieval-quality scoreboard — the e72/e83/e87 measured-not-
+    * folklore discipline applied to the retrieval family: each named
+    * ranking `(query_id, rank, doc_id)` (top-`k` per query) scored
+    * against a relevance truth `(query_id, doc_id)` as micro
+    * precision@k, micro recall@k, and MRR. Every count is an exact
+    * integer (hits = one equi-join count; the MRR numerator is the
+    * fixed-point `Σ_q Scale div firstHitRank_q`), and each reported
+    * ratio is ONE double division of two exact integers, so the SQL
+    * oracle replays the arithmetic bit-for-bit. Queries with no hit
+    * contribute 0 to MRR; `queries` (a 1-column `query_id` frame)
+    * fixes the denominators — every query is expected to carry ≥ 1
+    * relevant doc (the truth-derived query-set contract).
+    *
+    * Scale shape: rankings are |Q|·k-sized and truth is qrels-sized
+    * by definition, so every join here is candidate-list-sized; the
+    * 1-row count aggregates broadcast onto each scoreboard row (the
+    * e66/e83 class). Output, one row per ranking in input order:
+    * (method, k, n_queries, n_relevant, hits, mrr_fp, precision_at_k,
+    * recall_at_k, mrr). */
+  def scoreboard(rankings: Seq[(String, DataFrame)], truth: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    require(rankings.nonEmpty, "scoreboard needs at least one ranking")
+    require(k > 0, s"k must be positive, got $k")
+    val rel = truth.select(col("query_id"), col("doc_id"))
+    val nQ = queries.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    rankings.map { case (name, ranking) =>
+      val hits = ranking.where(col("rank") <= k)
+        .join(rel, Seq("query_id", "doc_id"))
+      val nHits = hits.agg(coalesce(count(lit(1)), lit(0L)).as("hits"))
+      val mrr = hits.groupBy("query_id").agg(min(col("rank")).as("_fr"))
+        .agg(coalesce(sum(expr(s"${Scale}L div _fr")), lit(0L)).as("mrr_fp"))
+      nQ.crossJoin(broadcast(nRel)).crossJoin(broadcast(nHits))
+        .crossJoin(broadcast(mrr))
+        .select(lit(name).as("method"), lit(k.toLong).as("k"),
+          col("n_queries"), col("n_relevant"), col("hits"), col("mrr_fp"),
+          (col("hits").cast("double") /
+            (col("n_queries") * lit(k.toLong)).cast("double"))
+            .as("precision_at_k"),
+          (col("hits").cast("double") / col("n_relevant").cast("double"))
+            .as("recall_at_k"),
+          (col("mrr_fp").cast("double") /
+            (col("n_queries") * lit(Scale)).cast("double")).as("mrr"))
+    }.reduceLeft(_ unionAll _)
+  }
 }

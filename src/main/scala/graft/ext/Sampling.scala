@@ -82,6 +82,43 @@ object Sampling {
       .drop("_g", "_rate")
   }
 
+  /** [[weightedMix]] with the weights given as a 2^20-fixed-point
+    * `(source, mix_fp)` FRAME — the composition seam the mixture
+    * family's scaladocs promise: [[temperatureWeights]] (e82) and
+    * [[doremiWeights]] (e89) PRODUCE exactly this shape, and this op
+    * consumes it without a detour through doubles. Semantics match
+    * [[weightedMix]]: the binding group (max weight-per-row density)
+    * keeps rate 1, every other group hash-downsamples so output
+    * proportions meet the weights at the largest total the data
+    * supports; membership is the same per-key 60-bit hash. The rate
+    * arithmetic is EXACT integer fixed point end to end (per-group
+    * density q_g = (w_g·2^40) div n_g, keep threshold = (q_g·2^60)
+    * div max q — `div` over DECIMAL(38,0), never a double), so the
+    * SQL oracle replays membership bit-for-bit and the composed
+    * e89→mix pipeline stays in the exactness toolkit across the seam.
+    *
+    * Scale shape: one map-side-combined group count, two group-
+    * cardinality joins and a 1-row max broadcast, then a codegen'd
+    * filter over the corpus — nothing data-sized moves (the
+    * [[weightedMix]] shape without its driver-side collect). Groups
+    * absent from `weights` are dropped. */
+  def weightedMixFp(df: DataFrame, group: Column, key: Column,
+      weights: DataFrame): DataFrame = {
+    val cnt = df.groupBy(group.as("_g")).agg(count(lit(1)).as("_n"))
+    val q = cnt.join(
+        weights.select(col("source").as("_g"), col("mix_fp").as("_w")), "_g")
+      .withColumn("_q", expr(
+        s"(CAST(_w AS DECIMAL(38, 0)) * ${1L << 40}L) div _n"))
+    val qm = q.agg(max(col("_q")).as("_qm"))
+    val thr = q.crossJoin(broadcast(qm))
+      .select(col("_g"), expr(
+        s"CAST((CAST(_q AS DECIMAL(38, 0)) * ${1L << HashBits}L) div _qm AS BIGINT)")
+        .as("_thr"))
+    df.join(broadcast(thr), group === col("_g"))
+      .where(keyHash(key) < col("_thr"))
+      .drop("_g", "_thr")
+  }
+
   /** Temperature-scaled mixture weights — the multilingual/multi-source
     * sampling trick (mBERT; Conneau et al. 2020 "Unsupervised
     * Cross-lingual Representation Learning at Scale" §3.1): raw token

@@ -124,9 +124,20 @@ object Extensions {
   def e16_winnow_fingerprint(s: SparkSession, dir: String): DataFrame =
     Text.winnowFingerprints(docs(s, dir)).orderBy("doc_id")
 
-  /** The composed scale path: LSH candidates -> exact Jaccard verify. */
+  /** The composed scale path: LSH candidates -> exact Jaccard verify.
+    * Computed FRESH per invocation (the e58/e75 trainer discipline:
+    * e17 MEASURES the pipeline; [[nearDupPairsMemo]]'s consumers —
+    * e92's positives, e96's relevance truth — read the artifact). */
   def e17_near_dup_pipeline(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupPairs(docs(s, dir), threshold = 0.5).orderBy("doc_a", "doc_b")
+
+  /** The e17 near-dup pair relation as a session-lifetime artifact
+    * (trainers pay, consumers memoize — VERDICT r12 task 5): e92 and
+    * e96 each consumed a full LSH+verify chain of their own before. */
+  private def nearDupPairsMemo(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "near_dup_pairs") {
+      Dedup.nearDupPairs(docs(s, dir), threshold = 0.5)
+    }
 
   def e18_distinct_users(s: SparkSession, dir: String): DataFrame =
     Sketches.distinctUsersExact(events(s, dir)).orderBy("event_type")
@@ -628,6 +639,83 @@ object Extensions {
         k = E47K, iters = E47Iters, roundDecimals = 6)
       .orderBy("source")
 
+  /** e96: retrieval-quality scoreboard
+    * ([[graft.ext.Retrieval.scoreboard]]) — the e72/e83/e87 measured-
+    * not-folklore discipline closing the last scoreboard-less family:
+    * BM25 (the e60 ranker), exact dense cosine
+    * ([[graft.ext.Retrieval.denseRanks]]) and RRF hybrid fusion (the
+    * e74 combiner) each scored as micro precision/recall@10 and MRR
+    * against the near-dup relation — the same ground truth e92's
+    * positives already trust. Queries are every doc in a verified
+    * pair (each has ≥ 1 relevant partner by construction); the truth
+    * comes from the MEMOIZED e17 artifact and each rank list is a
+    * session-lifetime memo, so the scoreboard prices the MEASUREMENT,
+    * not re-running its member pipelines. */
+  def e96_retrieval_scoreboard(s: SparkSession, dir: String): DataFrame = {
+    val dup = nearDupPairsMemo(s, dir)
+    val truth = dup
+      .select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
+      .unionAll(dup.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+    val qids = truth.select(col("query_id")).distinct()
+    val d = docs(s, dir)
+    val lex = memoArtifact(s, dir, "e96_lex_ranks") {
+      val qs = d.join(qids, col("doc_id") === col("query_id"))
+        .select(col("query_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("q_text"))
+      graft.ext.Retrieval.bm25TopK(d, qs, k = KnnK, excludeSelf = true)
+    }
+    val dense = memoArtifact(s, dir, "e96_dense_ranks") {
+      graft.ext.Retrieval.denseRanks(emb(s, dir), qids, KnnK)
+    }
+    val fused = graft.ext.Retrieval.rrfFuse(lex, dense, KnnK)
+    graft.ext.Retrieval.scoreboard(
+        Seq("bm25" -> lex, "dense" -> dense, "rrf" -> fused),
+        truth, qids, KnnK)
+      .orderBy("method")
+  }
+
+  /** The e97 ingest split: a FIXED-ID-RANGE new batch (doc_id % 5 == 0
+    * and doc_id < 1000 — constant-sized once the corpus passes 1000
+    * docs, so the 8x scale tier measures cost tracking the BATCH while
+    * the corpus grows 8x underneath it) against the frozen remainder. */
+  private val e97NewPred: org.apache.spark.sql.Column =
+    col("doc_id") % 5 === 0 && col("doc_id") < 1000
+
+  /** e97: batch index-reuse dedup
+    * ([[graft.ext.Dedup.dedupAgainstIndex]]) — the production
+    * crawl-ingest shape: the corpus's MinHash signature index is built
+    * ONCE (a session-lifetime memo standing in for the persisted index
+    * table) and a new shard dedups against it by band-probe join +
+    * exact verify of only the candidate corpus docs; no corpus
+    * signature or shingle is ever recomputed. The streaming twin is
+    * `Streams.streamingNearDupCandidates`; the restriction law vs
+    * [[graft.ext.Dedup.fuzzyJoin]] is pinned in DedupSpec. */
+  def e97_index_dedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.where(!e97NewPred)
+    val index = memoArtifact(s, dir, "minhash_index") {
+      Dedup.minhashSignatures(corpus)
+    }
+    Dedup.dedupAgainstIndex(d.where(e97NewPred), index, corpus, threshold = 0.5)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** e98: the mixture family composed end to end — e40's deterministic
+    * hash mixer CONSUMING e89's DoReMi weights through the fixed-point
+    * seam ([[graft.ext.Sampling.weightedMixFp]]): e77 diagnoses the
+    * shift, e89 produces `mix_fp`, this query mixes the corpus to those
+    * weights, all under ONE oracle so a fixed-point scale mismatch at
+    * the interface cannot hide (VERDICT r12 task 7). The reference-LM
+    * scoring pass is the memoized e75 artifact. */
+  def e98_doremi_mix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val w = Sampling.doremiWeights(d, bigramScored(s, dir), col("source"))
+      .select(col("source"), col("mix_fp"))
+    Sampling.weightedMixFp(d, col("source"), col("doc_id"), w)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -641,13 +729,14 @@ object Extensions {
     * ([[graft.ext.Retrieval.hardNegatives]]) — the DPR training-data
     * prep: for each e60 query, the top-5 BM25 candidates AFTER
     * excluding the query doc and its verified near-duplicates (the
-    * would-be positives, from [[graft.ext.Dedup.nearDupPairs]]) —
+    * would-be positives, from the MEMOIZED e17 near-dup artifact —
+    * e17 measures the LSH+verify chain, e92 consumes it) —
     * lexically-close verified-non-relevant docs, the negatives that
     * teach a dense retriever. Filter-then-rank: a positive inside the
     * raw top-5 frees its slot. */
   def e92_hard_negatives(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val dup = Dedup.nearDupPairs(d, threshold = 0.5)
+    val dup = nearDupPairsMemo(s, dir)
     val positives = dup
       .select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
       .unionAll(dup.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
@@ -1328,6 +1417,9 @@ object Extensions {
     "e93_char_entropy" -> (e93_char_entropy _),
     "e94_keep_best" -> (e94_keep_best _),
     "e95_source_diversity" -> (e95_source_diversity _),
+    "e96_retrieval_scoreboard" -> (e96_retrieval_scoreboard _),
+    "e97_index_dedup" -> (e97_index_dedup _),
+    "e98_doremi_mix" -> (e98_doremi_mix _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2317,12 +2409,152 @@ object Extensions {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  /** e89's oracle: the e75 scorer replay joined to sources, then the
-    * source-grain fixed-point arithmetic verbatim — HUGEINT sums cast
-    * before every shift-free `//` (all operands positive, so `//` ==
-    * Spark's `div`), the clamped ratio, the 2^18-scale floor-sqrt, and
-    * the >= 1 share floors. */
-  private def e89OracleSql: String = {
+  /** e96's oracle: the e17 near-dup replay (truth + query set), the
+    * e60 BM25 replay re-targeted at that query set, the e74 dense and
+    * RRF replays, then per-method integer hit/first-rank counts and
+    * the three exact-int double divisions. Every ratio divides the
+    * same two integers as the Spark plan. */
+  private def e96OracleSql: String = {
+    val S = graft.ext.Retrieval.Scale
+    val bands = (0 until Dedup.NumBands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    val stats = Seq("lex", "den", "rrf").map { m =>
+      s"""h_$m AS (SELECT query_id, min(rank) AS fr, count(*) AS c
+         |       FROM ${m}96 JOIN rel96 USING (query_id, doc_id)
+         |       GROUP BY query_id),
+         |r_$m AS (SELECT coalesce(sum(c), 0) AS hits,
+         |         coalesce(sum($S // fr), 0) AS mrr_fp FROM h_$m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sigCte,
+       |bands96 AS (
+       |  $bands),
+       |cand96 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands96 a JOIN bands96 b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |dd96 AS (SELECT DISTINCT doc_id, s FROM sh),
+       |nn96 AS (SELECT doc_id, count(*) AS sz FROM dd96 GROUP BY doc_id),
+       |ii96 AS (SELECT doc_a, doc_b, count(*) AS inter
+       |      FROM cand96
+       |      JOIN dd96 da ON da.doc_id = doc_a
+       |      JOIN dd96 db ON db.doc_id = doc_b AND db.s = da.s
+       |      GROUP BY doc_a, doc_b),
+       |dup96 AS (SELECT doc_a, doc_b
+       |      FROM ii96 JOIN nn96 na ON na.doc_id = doc_a
+       |      JOIN nn96 nb ON nb.doc_id = doc_b
+       |      WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5),
+       |rel96 AS (SELECT doc_a AS query_id, doc_b AS doc_id FROM dup96
+       |      UNION ALL SELECT doc_b, doc_a FROM dup96),
+       |qid96 AS (SELECT DISTINCT query_id FROM rel96),
+       |toks96 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tk96 AS (SELECT doc_id, unnest(w) AS t FROM toks96),
+       |dl96 AS (SELECT doc_id, count(*) AS dl FROM tk96 GROUP BY doc_id),
+       |post96 AS (SELECT doc_id, t, count(*) AS tf FROM tk96 GROUP BY doc_id, t),
+       |dfq96 AS (SELECT t, count(*) AS df FROM post96 GROUP BY t),
+       |tot96 AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |               (SELECT count(*) FROM tk96) AS tt),
+       |qt96 AS (SELECT DISTINCT tt2.doc_id AS query_id, unnest(tt2.w[1:6]) AS t
+       |       FROM toks96 tt2 JOIN qid96 qq ON qq.query_id = tt2.doc_id),
+       |idf96 AS (SELECT t,
+       |         ((2 * n - 2 * df + 1) * $S // (2 * df + 1))
+       |           + $S AS x
+       |        FROM dfq96, tot96),
+       |idf8x96 AS (SELECT t,
+       |          8 * (length(bin(x)) - 1)
+       |            + ((x * 8) >> (length(bin(x)) - 1)) - 8 - 160 AS idf8
+       |         FROM idf96),
+       |scx96 AS (SELECT qt96.query_id, p.doc_id,
+       |         CAST(sum(i.idf8 * ((22 * p.tf * $S)
+       |           // (10 * p.tf + 3 + (9 * d.dl * tot96.n) // tot96.tt))) AS BIGINT) AS score_fp
+       |       FROM qt96 JOIN post96 p USING (t)
+       |         JOIN idf8x96 i ON i.t = qt96.t
+       |         JOIN dl96 d ON d.doc_id = p.doc_id, tot96
+       |       WHERE p.doc_id <> qt96.query_id
+       |       GROUP BY qt96.query_id, p.doc_id),
+       |lex96 AS (SELECT * FROM (
+       |        SELECT query_id, doc_id, score_fp,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY score_fp DESC, doc_id) AS rank
+       |        FROM scx96) WHERE rank <= $KnnK),
+       |qv96 AS (SELECT query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings JOIN qid96 ON vec_id = query_id),
+       |cv96 AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS cv
+       |      FROM embeddings),
+       |sim96 AS (SELECT query_id, doc_id,
+       |        round(list_dot_product(qv, cv) /
+       |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS sim
+       |      FROM cv96 CROSS JOIN qv96 WHERE query_id <> doc_id),
+       |den96 AS (SELECT * FROM (
+       |        SELECT query_id, doc_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY sim DESC, doc_id) AS rank
+       |        FROM sim96) WHERE rank <= $KnnK),
+       |fc96 AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+       |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |         coalesce($S // (60 + l.rank), 0)
+       |           + coalesce($S // (60 + d.rank), 0) AS score_rrf
+       |       FROM lex96 l FULL OUTER JOIN den96 d
+       |         ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+       |rrf96 AS (SELECT * FROM (
+       |        SELECT query_id, doc_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY score_rrf DESC, doc_id) AS rank
+       |        FROM fc96) WHERE rank <= $KnnK),
+       |$stats,
+       |u96 AS (SELECT 'bm25' AS method, hits, mrr_fp FROM r_lex
+       |      UNION ALL SELECT 'dense', hits, mrr_fp FROM r_den
+       |      UNION ALL SELECT 'rrf', hits, mrr_fp FROM r_rrf),
+       |nq96 AS (SELECT count(*) AS n_queries FROM qid96),
+       |nr96 AS (SELECT count(*) AS n_relevant FROM rel96)
+       |SELECT method, CAST($KnnK AS BIGINT) AS k,
+       |  CAST(n_queries AS BIGINT) AS n_queries,
+       |  CAST(n_relevant AS BIGINT) AS n_relevant,
+       |  CAST(hits AS BIGINT) AS hits, CAST(mrr_fp AS BIGINT) AS mrr_fp,
+       |  CAST(hits AS DOUBLE) / (n_queries * $KnnK) AS precision_at_k,
+       |  CAST(hits AS DOUBLE) / n_relevant AS recall_at_k,
+       |  CAST(mrr_fp AS DOUBLE) / (n_queries * $S) AS mrr
+       |FROM u96, nq96, nr96 ORDER BY method""".stripMargin
+  }
+
+  /** e97's oracle: the e65 cross-corpus replay with the ingest split —
+    * one signature table over all documents (a signature depends only
+    * on the doc's own shingles, so computing it jointly and splitting
+    * equals the frozen-index + fresh-batch computation), band
+    * collisions across the split, exact Jaccard verify. */
+  private def e97OracleSql: String = {
+    val bands = (0 until Dedup.NumBands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b}::VARCHAR || h${2 * b + 1}::VARCHAR) AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $sigCte,
+       |bands97 AS (
+       |  $bands),
+       |la97 AS (SELECT doc_id AS new_id, band, bh FROM bands97
+       |         WHERE doc_id % 5 = 0 AND doc_id < 1000),
+       |rb97 AS (SELECT doc_id AS corpus_id, band, bh FROM bands97
+       |         WHERE NOT (doc_id % 5 = 0 AND doc_id < 1000)),
+       |cand97 AS (SELECT DISTINCT new_id, corpus_id FROM la97 JOIN rb97 USING (band, bh)),
+       |d97 AS (SELECT DISTINCT doc_id, s FROM sh),
+       |n97 AS (SELECT doc_id, count(*) AS sz FROM d97 GROUP BY doc_id),
+       |c97 AS (SELECT new_id, corpus_id, count(*) AS inter
+       |      FROM cand97
+       |      JOIN d97 da ON da.doc_id = new_id
+       |      JOIN d97 db ON db.doc_id = corpus_id AND db.s = da.s
+       |      GROUP BY new_id, corpus_id)
+       |SELECT new_id, corpus_id,
+       |  CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) AS jaccard
+       |FROM c97 JOIN n97 na ON na.doc_id = new_id JOIN n97 nb ON nb.doc_id = corpus_id
+       |WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5
+       |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
+  /** e89's replay WITHOUT the trailing ORDER BY, so e98 can embed it
+    * as a nested-WITH CTE (the e60/e75 strip-once discipline): the e75
+    * scorer replay joined to sources, then the source-grain
+    * fixed-point arithmetic verbatim — HUGEINT sums cast before every
+    * shift-free `//` (all operands positive, so `//` == Spark's
+    * `div`), the clamped ratio, the 2^18-scale floor-sqrt, and the
+    * >= 1 share floors. */
+  private def e89OracleCore: String = {
     val S = graft.ext.Retrieval.Scale
     "WITH sc89 AS MATERIALIZED (\n" + e75OracleCore + "),\n" +
       s"""j89 AS (SELECT s.doc_id, s.n_bigrams, s.surprisal8, d.source
@@ -2348,8 +2580,28 @@ object Extensions {
        |SELECT source, n_docs, n_bigrams, CAST(mean_milli AS BIGINT) AS mean_milli,
        |  CAST(ratio_fp AS BIGINT) AS ratio_fp, CAST(w_fp AS BIGINT) AS w_fp,
        |  CAST(greatest((w_fp * $S) // sw, 1) AS BIGINT) AS mix_fp
-       |FROM v89, t89 ORDER BY source""".stripMargin
+       |FROM v89, t89""".stripMargin
   }
+
+  private def e89OracleSql: String = e89OracleCore + "\nORDER BY source"
+
+  /** e98's oracle: the full e89 replay as a nested-WITH CTE (the
+    * weights half of the seam), then the fixed-point mix membership
+    * verbatim — per-group density q = (mix_fp·2^40) // n, keep
+    * threshold (q·2^60) // max(q) in HUGEINT (the binding group's
+    * threshold is exactly 2^60, keeping every row), and the same
+    * 60-bit md5 key hash as every deterministic sampler. */
+  private def e98OracleSql: String =
+    "WITH w98 AS MATERIALIZED (\n" + e89OracleCore + "),\n" +
+      s"""cnt98 AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |q98 AS (SELECT c.source, (CAST(w.mix_fp AS HUGEINT) * ${1L << 40}) // c.n AS q
+       |        FROM cnt98 c JOIN w98 w USING (source)),
+       |m98 AS (SELECT max(q) AS qm FROM q98),
+       |t98 AS (SELECT source, CAST((q * ${1L << Sampling.HashBits}) // qm AS BIGINT) AS thr
+       |        FROM q98, m98)
+       |SELECT d.doc_id, d.source FROM documents d JOIN t98 USING (source)
+       |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < t98.thr
+       |ORDER BY doc_id""".stripMargin
 
   /** e90's oracle: the e09 quality replay joined to sources, the ring
     * comparison derivation (one per-source lead window), win counts by
@@ -3395,6 +3647,9 @@ object Extensions {
     "e91_rater_kappa" -> e91OracleSql,
     "e92_hard_negatives" -> e92OracleSql,
     "e94_keep_best" -> e94OracleSql,
+    "e96_retrieval_scoreboard" -> e96OracleSql,
+    "e97_index_dedup" -> e97OracleSql,
+    "e98_doremi_mix" -> e98OracleSql,
     "e95_source_diversity" -> {
       // The shared pinned-Lloyd chain's final assignment joined to
       // sources, then the char-entropy arithmetic at source grain.

@@ -338,6 +338,23 @@ class DedupSpec extends SparkSpec {
     assert(sides.forall { case (l, r) => l % 2 == 0 && r % 2 == 1 })
   }
 
+  test("dedupAgainstIndex == fuzzyJoin against a frozen signature index (restriction law)") {
+    // The production crawl-ingest shape: the corpus's signature table is
+    // computed ONCE (the frozen index), a new batch probes it — and the
+    // result must equal recomputing both sides (fuzzyJoin), because a
+    // signature depends only on the doc's own shingles.
+    val newBatch = docs.where(col("doc_id") % 2 === 0)
+    val corpus = docs.where(col("doc_id") % 2 === 1)
+    val index = Dedup.minhashSignatures(corpus).localCheckpoint()
+    val viaIndex = Dedup.dedupAgainstIndex(newBatch, index, corpus, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val recomputed = Dedup.fuzzyJoin(newBatch, corpus, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == recomputed && viaIndex.nonEmpty)
+    // direction: new ids on the left, corpus ids on the right
+    assert(viaIndex.forall { case (n, c, _) => n % 2 == 0 && c % 2 == 1 })
+  }
+
   test("decontaminationScoreboard: bloom==exact, monotone-n recall, set arithmetic") {
     // bench doc 8 (8 % 8 == 0 under the pred below) shares a 4-gram run
     // with train doc 6 but no 8-gram; doc 7 is clean.

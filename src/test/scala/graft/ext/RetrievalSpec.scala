@@ -119,6 +119,33 @@ class RetrievalSpec extends SparkSpec {
     assert(win == agg && win.nonEmpty)
   }
 
+  test("scoreboard: hand-exact hits, precision/recall@k, MRR, zero-hit row") {
+    val S = Retrieval.Scale
+    val lex = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L))
+      .toDF("query_id", "rank", "doc_id")
+    val den = Seq((1L, 1, 11L), (2L, 1, 99L))
+      .toDF("query_id", "rank", "doc_id")
+    val truth = Seq((1L, 11L), (1L, 12L), (2L, 20L)).toDF("query_id", "doc_id")
+    val qids = Seq(1L, 2L).toDF("query_id")
+    val sb = Retrieval.scoreboard(Seq("lex" -> lex, "den" -> den),
+        truth, qids, k = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val l = sb("lex")
+    assert(l.getLong(2) == 2L && l.getLong(3) == 3L) // n_queries, n_relevant
+    assert(l.getLong(4) == 2L)                       // (1,11)@2 + (2,20)@1
+    assert(l.getLong(5) == S / 2 + S)                // MRR numerator, fixed point
+    assert(l.getDouble(6) == 2.0 / 4.0)              // precision@2 = hits/(|Q|*k)
+    assert(l.getDouble(7) == 2.0 / 3.0)              // recall = hits/n_relevant
+    assert(l.getDouble(8) == (S / 2 + S).toDouble / (2L * S).toDouble)
+    val dn = sb("den")
+    assert(dn.getLong(4) == 1L && dn.getLong(5) == S) // one hit at rank 1
+    // a method with zero hits still reports an exact row of zeros
+    val none = Seq((1L, 1, 99L)).toDF("query_id", "rank", "doc_id")
+    val z = Retrieval.scoreboard(Seq("none" -> none), truth, qids, k = 2)
+      .collect()(0)
+    assert(z.getLong(4) == 0L && z.getLong(5) == 0L && z.getDouble(8) == 0.0)
+  }
+
   test("rrfFuse: hand-computed fusion, both-lists beats single-list") {
     val S = Retrieval.Scale
     val lex = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))

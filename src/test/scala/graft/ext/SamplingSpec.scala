@@ -98,6 +98,33 @@ class SamplingSpec extends SparkSpec {
     assert(scaled == again)
   }
 
+  test("weightedMixFp: binding group whole, equals weightedMix on a binary fixture, key-determined") {
+    // A: 16 rows, B: 32 rows, equal fixed-point weights -> exact
+    // power-of-two thresholds on BOTH paths (q_A = 2^56 binds, thr_B =
+    // 2^59), so the double-rate and fixed-point-rate mixers must agree
+    // bit-for-bit on membership.
+    val d = (0L until 48L).map(i => (i, if (i % 3 == 0) "A" else "B"))
+      .toDF("doc_id", "source")
+    val wf = Seq(("A", 1L << 20), ("B", 1L << 20)).toDF("source", "mix_fp")
+    val ids = Sampling.weightedMixFp(d, col("source"), col("doc_id"), wf)
+      .select("doc_id").as[Long].collect().toSet
+    assert((0L until 48L).filter(_ % 3 == 0).forall(ids.contains), "binding group cut")
+    val viaMap = Sampling.weightedMix(d, col("source"), col("doc_id"),
+        Map("A" -> 0.5, "B" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == viaMap)
+    // membership is key-determined: partitioning-independent
+    val again = Sampling.weightedMixFp(d.repartition(7),
+        col("source"), col("doc_id"), wf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    // groups absent from the weights frame are dropped
+    val onlyA = Sampling.weightedMixFp(d, col("source"), col("doc_id"),
+        Seq(("A", 1L << 20)).toDF("source", "mix_fp"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(onlyA == (0L until 48L).filter(_ % 3 == 0).toSet)
+  }
+
   test("temperatureWeights: hand-exact fixed point, flattening raises the rare source") {
     // A: 3 docs x 100 tokens = 300; B: 1 doc x 100 tokens. t = 400.
     def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
