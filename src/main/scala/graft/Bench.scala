@@ -109,16 +109,25 @@ object Bench {
     // memo-consuming evaluation harness (the e72/e83 class) whose
     // tokenize legs are e59/e64's shapes, pinned via e58/e59's entries
     "e77_domain_shift",
+    // e87: promoted INTO the tier (VERDICT r12 task 8) — its detector
+    // legs are e03/e04/e51/e65's shapes individually, but the bloom
+    // fold + triple gram join COMPOSITION is the decontamination path
+    // a 100-TB run actually executes, and its 4.4-15.9 s sf0.1 spread
+    // is exactly the load-noise profile the tier exists to de-noise
+    "e87_decon_scoreboard",
+    // e97: the index-reuse ingest claim IS a scale claim — the new
+    // batch is a FIXED id range (doc_id % 5 == 0, < 1000), so the 8x
+    // curve directly tests that cost tracks the constant batch (its
+    // signatures, band probes, candidate verifies) plus a pruned
+    // corpus scan, never the corpus's shingle/signature work
+    "e97_index_dedup",
     // e90: the preference-MM fixpoint — a NEW iterative shape (edge-
     // grain double join + incidence aggregate per round over the
     // ring-games frame, which grows with the replicated corpus); the
     // 8x curve splits its serial-round floor from the data term, the
     // e71 lens. e86/e88 are NOT here: memo-consuming harnesses whose
     // only data-sized machinery is the two-phase bucketed rank, which
-    // e69/e70's entries already pin at 8x; e87 is NOT here: an
-    // evaluation harness (the e72/e83 calibration-sized contract)
-    // whose detector legs are e03/e04/e51/e65's shapes, all already
-    // in the tier; e89 is NOT here: e77's source-grain scorer shape
+    // e69/e70's entries already pin at 8x; e89 is NOT here: e77's source-grain scorer shape
     // over the memoized scoring pass (the e78 rationale — e75's and
     // e77's curves pin both terms). e91 is NOT here: memo-consuming
     // 1-row-aggregate pairs (the e66 class); e92 is NOT here: e60's
@@ -129,6 +138,13 @@ object Bench {
     // argmax window — e29's curve pins the only data-sized term;
     // e95 is NOT here: e47's train+assign plus group-grain aggregates
     // (the e80 rationale — e47's curve pins the data term).
+    // e96 is NOT here: a memo-consuming scoreboard (the e72/e83/e85
+    // class) whose lex leg is e60's shape (in the tier) and whose
+    // dense leg is the DECLARED brute-force oracle shape (the e74
+    // rationale — query count x corpus grow together by construction);
+    // e98 is NOT here: e89's source-grain weights plus one codegen'd
+    // hash filter over the scan (the e40/e82 class — no data-sized
+    // machinery the tier doesn't already pin via e75's scorer).
     "e90_bradley_terry")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

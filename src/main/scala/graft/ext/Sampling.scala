@@ -282,14 +282,37 @@ object Sampling {
   /** Deterministic fixed-size per-stratum sample: the `n` rows of each
     * stratum whose keys hash lowest (hash order = uniform random order,
     * but reproducible). Strata with fewer than `n` rows are kept whole —
-    * the balanced-corpus primitive (n docs per language/source/bucket). */
+    * the balanced-corpus primitive (n docs per language/source/bucket).
+    *
+    * Two-phase per-stratum rank (the [[Agreement.globalRank]] form —
+    * strata are typically CONSTANT-cardinality columns, so a plain
+    * per-stratum window is a ~corpus/|strata| single task, the class
+    * PlanAuditSpec's low-cardinality-window gate rejects): the window
+    * partitions on `(strata, first hex char of the key hash)` — a
+    * monotone prefix of the sort key, 16 balanced buckets — with the
+    * cross-bucket rank offsets resolved by a triangular join over the
+    * 16·|strata|-row bucket histogram. Rows ranked past `n` inside
+    * their bucket are dropped BEFORE the offset join (offsets only
+    * push ranks higher), so the join input is ≤ 16·n per stratum. */
   def stratifiedSample(df: DataFrame, strata: Seq[String], key: Column, n: Int): DataFrame = {
     require(n > 0, s"sample size must be positive, got $n")
-    val w = Window.partitionBy(strata.map(col): _*)
-      .orderBy(md5(key.cast("string")), key)
-    df.withColumn("_rn", row_number().over(w))
+    val h = md5(key.cast("string"))
+    val d = df.withColumn("_h", h).withColumn("_bk", substring(col("_h"), 1, 1))
+    val keyCols = strata.map(col) :+ col("_bk")
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("_h"), key)
+    val ranked = d.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= n)
-      .drop("_rn")
+    val hist = d.groupBy(keyCols: _*).agg(count(lit(1)).as("_bc"))
+    val lower = hist.select((strata.map(c => col(c).as(s"_y_$c")) :+
+      col("_bk").as("_ybk") :+ col("_bc").as("_ybc")): _*)
+    val sameStratum = strata.map(c => col(c) === col(s"_y_$c"))
+      .foldLeft(lit(true))(_ && _)
+    val offs = hist.join(lower, sameStratum && col("_ybk") < col("_bk"), "left")
+      .groupBy(keyCols: _*)
+      .agg(coalesce(sum(col("_ybc")), lit(0L)).as("_off"))
+    ranked.join(offs, strata :+ "_bk")
+      .where(col("_off") + col("_rn") <= n)
+      .drop("_h", "_bk", "_rn", "_off")
   }
 
   /** Fixed-point multiplier for [[dsirScores]]' log-likelihood-ratio

@@ -51,8 +51,15 @@ class PlanAuditSpec extends SparkSpec {
   // (same class; e70's interval RESOLUTION is a banded equi-join)
   // e92 shares e60's BM25 scoring stage, so it carries the same
   // 1-row corpus-total broadcasts (the e52/e60 class)
+  // e96 carries e60's 1-row corpus-total broadcasts inside its memoized
+  // BM25/dense rank builds, plus the four 1-row scoreboard-count
+  // broadcasts (n_queries/n_relevant/hits/mrr_fp — the e66/e83 class)
+  // e98 embeds e89's two 1-row broadcasts (pool mean, weight sum) and
+  // adds its own 1-row max-density broadcast onto the source-cardinality
+  // threshold frame (the e82 class)
   private val intendedNlj = Set("e06_knn_cosine", "e23_knn_ivf", "e32_media_ivf",
     "e60_bm25", "e92_hard_negatives",
+    "e96_retrieval_scoreboard", "e98_doremi_mix",
     "e64_unigram_tokenize", "e66_classifier_eval", "e67_phrases",
     "e69_skipgram_pairs", "e70_skipgram_weighted", "e72_ann_recall_harness",
     "e73_glove_knn",
@@ -131,6 +138,62 @@ class PlanAuditSpec extends SparkSpec {
         n -> wins.size
     }.filter(_._2 > 0)
     assert(bad.isEmpty, s"partition-less Window in: ${bad.keys.toSeq.sorted}")
+  }
+
+  /** Queries allowed a window whose partition key is a fixture-constant-
+    * cardinality column over a corpus-grain frame, each with its
+    * documented rationale — the class the partition-less gate cannot
+    * see (VERDICT r12 finding 1: `ringGames` hid a ~corpus/|sources|
+    * partition behind a partition column). An entry here must be a
+    * DELIBERATE per-group total-order need; anything else should take
+    * the Agreement.globalRank two-phase form (the round-13 sweep
+    * converted `ringGames` and `stratifiedSample`). */
+  private val intendedLowCardWindow: Map[String, String] = Map(
+    "e78_perplexity_buckets" -> ("CCNet's head/middle/tail split IS ntile(3) over " +
+      "each language's full score distribution, and the oracle pins ntile's exact " +
+      "remainder placement (a two-phase ((rk-1)*3) div n rebucketing distributes " +
+      "remainders differently, so it would change green values); when a language " +
+      "outgrows a partition, the declared path is per-language quantile CUTS from " +
+      "the e24 sketch family, not a global sort"))
+
+  test("no corpus-grain window partitions only on a constant-cardinality column") {
+    // A Window WITH a partition column still single-tasks ~corpus/|groups|
+    // rows when that column's cardinality is a fixture constant (source,
+    // lang, ...). Gate: every logical Window whose partition expressions
+    // resolve — through project aliases — to ONLY constant-cardinality
+    // leaf columns must either sit above an aggregation (its input grain
+    // is already group-sized, e.g. a bucket histogram) or carry a
+    // whitelist rationale above.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Window => LWindow}
+    val lowCard = Set("source", "lang", "label", "event_type", "split", "kind", "method")
+    def aliases(p: LogicalPlan): Map[ExprId, Expression] =
+      p.collect { case pr: Project => pr.projectList }.flatten
+        .collect { case a: Alias => a.exprId -> a.child }.toMap
+    def leaves(e: Expression, am: Map[ExprId, Expression], depth: Int): Set[String] = e match {
+      case ar: AttributeReference if depth < 20 && am.contains(ar.exprId) =>
+        leaves(am(ar.exprId), am, depth + 1)
+      case ar: AttributeReference => Set(ar.name)
+      case other => other.children.flatMap(c => leaves(c, am, depth)).toSet
+    }
+    val offenders = dfs.flatMap { case (n, df) =>
+      val plan = df.queryExecution.optimizedPlan
+      val am = aliases(plan)
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty =>
+          val names = w.partitionSpec.flatMap(e => leaves(e, am, 0)).toSet
+          val aggBelow = w.child.collectFirst { case _: Aggregate => () }.isDefined
+          names.nonEmpty && names.subsetOf(lowCard) && !aggBelow
+      }.count(identity)
+      if (bad > 0) Some(n) else None
+    }.toSet
+    val unexplained = offenders -- intendedLowCardWindow.keySet
+    assert(unexplained.isEmpty,
+      s"corpus-grain low-cardinality-partition windows in: ${unexplained.toSeq.sorted} " +
+        "(fix with the two-phase bucketed form, or whitelist with a rationale)")
+    val stale = intendedLowCardWindow.keySet -- offenders
+    assert(stale.isEmpty,
+      s"stale low-card-window whitelist entries (plan no longer trips): ${stale.toSeq.sorted}")
   }
 
   test("no query plans a CartesianProduct") {
