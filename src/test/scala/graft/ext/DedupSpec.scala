@@ -355,6 +355,34 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex.forall { case (n, c, _) => n % 2 == 0 && c % 2 == 1 })
   }
 
+  test("dedupAgainstIndex: parquet round-trip index + ingest-append law") {
+    // The full production ingest loop: (1) the signature index survives a
+    // parquet write/read round-trip (it IS a plain table — the "persist
+    // once at ingest time" contract); (2) after accepting a batch, the
+    // index extends by the NEW docs' signatures alone, and a second
+    // batch dedups against the extended index exactly as if the corpus
+    // had been recomputed whole.
+    val corpus = docs.where(col("doc_id").isin(4L, 5L))
+    val batch1 = docs.where(col("doc_id") === 1L)
+    val batch2 = docs.where(col("doc_id").isin(2L, 3L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    Dedup.minhashSignatures(corpus).write.mode("overwrite").parquet(dir)
+    val index0 = spark.read.parquet(dir)
+    // batch1 vs tiny corpus: no near-dups (4 is unrelated, 5 too short)
+    assert(Dedup.dedupAgainstIndex(batch1, index0, corpus, threshold = 0.5)
+      .count() == 0L)
+    // append batch1's signatures — signature arithmetic only
+    val index1 = index0.unionByName(Dedup.minhashSignatures(batch1))
+    val corpus1 = corpus.unionByName(batch1)
+    val viaAppended = Dedup.dedupAgainstIndex(batch2, index1, corpus1, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val recomputed = Dedup.fuzzyJoin(batch2, corpus1, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // docs 2 (exact dup of 1) and 3 (near dup of 1) must both hit doc 1
+    assert(viaAppended == recomputed)
+    assert(viaAppended.map { case (n, c, _) => (n, c) } == Set((2L, 1L), (3L, 1L)))
+  }
+
   test("decontaminationScoreboard: bloom==exact, monotone-n recall, set arithmetic") {
     // bench doc 8 (8 % 8 == 0 under the pred below) shares a 4-gram run
     // with train doc 6 but no 8-gram; doc 7 is clean.
