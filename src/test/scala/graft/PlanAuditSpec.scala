@@ -354,6 +354,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("index-reuse dedup (e97) scans are pruned to (doc_id, text)") {
+    // e97 touches the documents table three ways — the new batch's
+    // signature build, the semi-join-routed candidate hydration, and the
+    // batch's verify shingles. Every one must read only (doc_id, text):
+    // dragging lang/source/n_chars through the ingest path would charge
+    // the fixed-size batch a corpus-width scan at 100 TB.
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plans("e97_index_dedup")).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, "no parquet scans found in e97 plan")
+    schemas.foreach { s =>
+      val colsRead = s.split(",").map(_.split(":").head.trim).toSet
+      assert(colsRead.subsetOf(Set("doc_id", "text")),
+        s"e97 scan reads extra columns: $colsRead")
+    }
+  }
+
   test("column pruning reaches the scan for the JSON-extraction query") {
     val p = SparkEntry.queries("e26_json_extract")(spark, sf0001)
       .queryExecution.executedPlan.toString
