@@ -33,7 +33,7 @@ object Sampling {
   def hashThreshold(fraction: Double): Long =
     (fraction * (1L << HashBits)).toLong
 
-  private def keyHash(key: Column): Column =
+  private[graft] def keyHash(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Deterministic Bernoulli sample: keep rows whose key hashes under
@@ -104,20 +104,44 @@ object Sampling {
     * absent from `weights` are dropped. */
   def weightedMixFp(df: DataFrame, group: Column, key: Column,
       weights: DataFrame): DataFrame = {
+    val thr = mixThresholdsFp(df, group, weights)
+      .select(col("source").as("_g"), col("thr").as("_thr"))
+    df.join(broadcast(thr), group === col("_g"))
+      .where(keyHash(key) < col("_thr"))
+      .drop("_g", "_thr")
+  }
+
+  /** The [[weightedMixFp]] keep thresholds as their own group-
+    * cardinality frame `(source, thr)` — split out so a mix PROFILE
+    * can be frozen once (offline, on a corpus census) and applied many
+    * times: by the batch mixer above, or at INGEST by the stateless
+    * streaming face ([[graft.streaming.Streams.mixFilter]], which
+    * takes [[mixThresholdMap]]'s literal form — the frozen-offline-
+    * model discipline of the classifier/surprisal filters). A key is
+    * kept iff its 60-bit hash < thr(group); the binding group's
+    * threshold is exactly 2^60 (keep all). */
+  def mixThresholdsFp(df: DataFrame, group: Column,
+      weights: DataFrame): DataFrame = {
     val cnt = df.groupBy(group.as("_g")).agg(count(lit(1)).as("_n"))
     val q = cnt.join(
         weights.select(col("source").as("_g"), col("mix_fp").as("_w")), "_g")
       .withColumn("_q", expr(
         s"(CAST(_w AS DECIMAL(38, 0)) * ${1L << 40}L) div _n"))
     val qm = q.agg(max(col("_q")).as("_qm"))
-    val thr = q.crossJoin(broadcast(qm))
-      .select(col("_g"), expr(
+    q.crossJoin(broadcast(qm))
+      .select(col("_g").as("source"), expr(
         s"CAST((CAST(_q AS DECIMAL(38, 0)) * ${1L << HashBits}L) div _qm AS BIGINT)")
-        .as("_thr"))
-    df.join(broadcast(thr), group === col("_g"))
-      .where(keyHash(key) < col("_thr"))
-      .drop("_g", "_thr")
+        .as("thr"))
   }
+
+  /** [[mixThresholdsFp]] collected to a literal map — the driver
+    * footprint is GROUP CARDINALITY (the [[weightedMix]] precedent),
+    * which is what a streaming query needs: the profile rides the plan
+    * as a literal, so the ingest filter is stateless and row-local. */
+  def mixThresholdMap(df: DataFrame, group: Column,
+      weights: DataFrame): Map[String, Long] =
+    mixThresholdsFp(df, group, weights).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Temperature-scaled mixture weights — the multilingual/multi-source
     * sampling trick (mBERT; Conneau et al. 2020 "Unsupervised

@@ -531,6 +531,27 @@ object Streams {
       .where(col("mean_milli").between(minMeanMilli, maxMeanMilli))
   }
 
+  /** Deterministic mixture sampling at INGEST under a FROZEN mix
+    * profile — [[graft.ext.Sampling.weightedMixFp]]'s streaming face,
+    * in the frozen-offline-model discipline of the classifier and
+    * surprisal filters: the keep thresholds are computed ONCE on a
+    * corpus census ([[graft.ext.Sampling.mixThresholdMap]] — group
+    * cardinality, e.g. DoReMi weights over last month's crawl) and
+    * ride the plan as a literal map, so the row path is one md5 key
+    * hash and one map lookup — stateless, shuffle-free, no watermark,
+    * no state store. A row is kept iff `hash60(key) < thr(group)`;
+    * rows from groups absent in the profile drop (the null comparison
+    * — exactly [[graft.ext.Sampling.weightedMixFp]]'s inner join).
+    * Batch == stream bit for bit on the same profile (StreamsSpec
+    * law), and membership is key-determined, so replays and
+    * micro-batch boundaries can never change the sample. */
+  def mixFilter(docs: DataFrame, thresholds: Map[String, Long],
+      groupCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
+    require(thresholds.nonEmpty, "mixFilter needs a frozen mix profile")
+    docs.where(graft.ext.Sampling.keyHash(col(keyCol)) <
+      element_at(typedLit(thresholds), col(groupCol)))
+  }
+
   /** Stream-static enrichment — the most common production streaming
     * shape: a fact stream left-joined to a STATIC dimension frame on
     * `keys`. A stream-static equi-join is STATELESS in Structured

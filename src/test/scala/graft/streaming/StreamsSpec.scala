@@ -873,4 +873,40 @@ class StreamsSpec extends SparkSpec {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("mixFilter: frozen profile == batch weightedMixFp, absent groups drop, stream parity") {
+    import graft.ext.Sampling
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source")
+    val weights = Seq(("src0", 1L << 20), ("src1", 1L << 19), ("src2", 1L << 19))
+      .toDF("source", "mix_fp")
+    // freeze the profile on the corpus census (group-cardinality collect)
+    val profile = Sampling.mixThresholdMap(docs, col("source"), weights)
+    assert(profile.keySet == Set("src0", "src1", "src2"))
+    assert(profile.valuesIterator.max == (1L << Sampling.HashBits)) // binding group keeps all
+    // batch face == the batch mixer on the same profile
+    val batchKept = Sampling.weightedMixFp(docs, col("source"), col("doc_id"), weights)
+      .select("doc_id").as[Long].collect().toSet
+    val filtered = Streams.mixFilter(docs, profile)
+      .select("doc_id").as[Long].collect().toSet
+    assert(filtered == batchKept && filtered.nonEmpty)
+    // groups absent from the profile drop (the inner-join semantics)
+    val partial = Streams.mixFilter(docs, profile - "src1")
+      .select("source").distinct().as[String].collect().toSet
+    assert(!partial.contains("src1"))
+    // streaming parity under any micro-batch split
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.mixFilter(mem.toDF().toDF("doc_id", "source"), profile)
+      .writeStream.format("memory").queryName("mix_keep").outputMode("append")
+      .start()
+    try {
+      val rows = docs.as[(Long, String)].collect()
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = spark.table("mix_keep").select("doc_id").as[Long].collect().toSet
+      assert(got == batchKept)
+    } finally q.stop()
+  }
 }
