@@ -282,8 +282,13 @@ object Dedup {
       .select(col("doc_id").as("new_id"), col("band"), col("bh"))
     val cb = bandBuckets(index, maxBucket, "ingest_index")
       .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
-    val cands = nb.join(cb, Seq("band", "bh"))
-      .select("new_id", "corpus_id").distinct()
+    // Materialized once (batch-sized by construction — the q33
+    // discipline): the candidate list feeds BOTH the corpus hydration
+    // semi-join and the verify spine, and exchange reuse alone would
+    // re-run the distinct aggregation per consuming subtree.
+    val cands = graft.plans.Supersteps.cut(
+      nb.join(cb, Seq("band", "bh"))
+        .select("new_id", "corpus_id").distinct())
     val tn = shingles(newDocs).distinct()
       .select(col("id").as("new_id"), col("s"))
     val candDocs = corpusText.join(
