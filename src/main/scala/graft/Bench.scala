@@ -144,7 +144,10 @@ object Bench {
     // rationale — query count x corpus grow together by construction);
     // e98 is NOT here: e89's source-grain weights plus one codegen'd
     // hash filter over the scan (the e40/e82 class — no data-sized
-    // machinery the tier doesn't already pin via e75's scorer).
+    // machinery the tier doesn't already pin via e75's scorer);
+    // e99 is NOT here: e07's banded-bucket shape with a 5x QUERY-side
+    // (bounded) probe expansion — the corpus-side terms are identical
+    // to e07's, whose family the tier pins via e03/e17's banding.
     "e90_bradley_terry")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

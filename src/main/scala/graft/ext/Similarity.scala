@@ -630,10 +630,18 @@ object Similarity {
     * LSH — measured recall ~0.6 at ~40% candidate fraction. Tight
     * real-world embedding neighborhoods (theta < 30 deg) reach >0.95
     * recall at a few percent candidates with 4x6 bands; tune
-    * (bands, bitsPerBand) to the corpus geometry. */
+    * (bands, bitsPerBand) to the corpus geometry. `probes` > 0 adds
+    * multi-probe: each query band also probes its Hamming-1 buckets
+    * (that many single-bit flips), raising recall at probe-time cost
+    * with an UNCHANGED corpus-side index — the lever to pull before
+    * adding bands (which re-buckets the corpus). probes = 0 is the
+    * plain banded form; candidates are a superset law in
+    * SimilaritySpec, recall measured in the e72 scoreboard. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       bands: Int = 8, bitsPerBand: Int = 4,
-      maxBucket: Long = Skew.DefaultBucketCap): DataFrame = {
+      maxBucket: Long = Skew.DefaultBucketCap, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= bitsPerBand,
+      s"probes must be in [0, $bitsPerBand], got $probes")
     val planes = bands * bitsPerBand
     val bucketed = lshBuckets(embeddings, planes)
     def bandCols(bucket: Column): Column = array((0 until bands).map { b =>
@@ -641,9 +649,23 @@ object Similarity {
         shiftrightunsigned(bucket, b * bitsPerBand)
           .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bh"))
     }: _*)
+    // Multi-probe (Lv et al., VLDB'07, the sign-LSH form): each query
+    // band ALSO probes the buckets at Hamming distance 1 — `probes`
+    // single-bit flips of its band hash — so near-misses on one
+    // hyperplane sign are recovered without adding tables. Probing is
+    // QUERY-side only (|Q|·bands·(1+probes) rows); the corpus-side
+    // index is byte-identical to the plain form, which is the point:
+    // recall rises at probe-time cost, not index-build cost.
+    val flips: Seq[Long] = 0L +: (0 until probes).map(j => (1L << j).toLong)
+    def probeBandCols(bucket: Column): Column = array((for {
+      b <- 0 until bands; f <- flips
+    } yield struct(lit(b).as("band"),
+      shiftrightunsigned(bucket, b * bitsPerBand)
+        .bitwiseAND(lit((1L << bitsPerBand) - 1))
+        .bitwiseXOR(lit(f)).as("bh"))): _*)
     val queries = bucketed.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(bandCols(col("bucket"))).as("qb"))
+        explode(probeBandCols(col("bucket"))).as("qb"))
     // Candidate-side band buckets above maxBucket members are dropped
     // (a degenerate band — e.g. all-zero embeddings — would otherwise
     // route the whole corpus into one bucket); drops observed + logged.

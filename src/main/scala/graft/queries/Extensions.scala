@@ -415,6 +415,8 @@ object Extensions {
             kc = E50Kc, nprobe = E50NProbe, m = E48M, ks = E48Ks,
             iters = E48Iters, dims = 64, roundDecimals = 6)),
         ("lsh", KnnK, bf10, Similarity.lshTopK(e, knnQueryIds, KnnK)),
+        ("lsh_multiprobe", KnnK, bf10,
+          Similarity.lshTopK(e, knnQueryIds, KnnK, probes = 4)),
         ("pq", E48TopK, bf5,
           Similarity.pqTopK(e, E48QueryIds, E48TopK,
             m = E48M, ks = E48Ks, iters = E48Iters, dims = 64,
@@ -715,6 +717,17 @@ object Extensions {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
   }
+
+  /** e99: multi-probe banded LSH ANN ([[graft.ext.Similarity.lshTopK]]
+    * with `probes = 4`) — each query band also probes its four
+    * Hamming-1 buckets (Lv et al., VLDB'07), the standard recall
+    * lever that leaves the corpus-side index UNTOUCHED: recall rises
+    * at probe-time cost instead of re-bucketing the corpus with more
+    * bands. Same query set, banding, and k as e07, so the e72
+    * scoreboard reports the measured recall gain side by side. */
+  def e99_knn_lsh_multiprobe(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(emb(s, dir), knnQueryIds, KnnK, probes = 4)
+      .orderBy("query_id", "neighbor_id")
 
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
@@ -1420,6 +1433,7 @@ object Extensions {
     "e96_retrieval_scoreboard" -> (e96_retrieval_scoreboard _),
     "e97_index_dedup" -> (e97_index_dedup _),
     "e98_doremi_mix" -> (e98_doremi_mix _),
+    "e99_knn_lsh_multiprobe" -> (e99_knn_lsh_multiprobe _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1952,6 +1966,7 @@ object Extensions {
       ("ivf", KnnK, "bf10", stripped(base("e23_knn_ivf"))),
       ("ivfpq_residual", E48TopK, "bf5", stripped(base("e56_knn_ivfpq_residual"))),
       ("lsh", KnnK, "bf10", stripped(base("e07_knn_lsh"))),
+      ("lsh_multiprobe", KnnK, "bf10", stripped(base("e99_knn_lsh_multiprobe"))),
       ("pq", E48TopK, "bf5", stripped(base("e48_knn_pq"))),
       ("sq8", E48TopK, "bf5", stripped(base("e53_knn_sq8"))))
     val ctes = members.map { case (m, _, _, sql) =>
@@ -2748,6 +2763,37 @@ object Extensions {
          |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |         FROM bands q JOIN bands c ON q.band = c.band AND q.bh = c.bh
          |         WHERE q.vec_id IN ($qids) AND q.vec_id <> c.vec_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |        round(list_dot_product(a.v, b.v) /
+         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+         |      FROM cand JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, sim FROM s
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $KnnK
+         |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+
+    "e99_knn_lsh_multiprobe" -> {
+      // e07's replay with the query side expanded to the Hamming-1
+      // probe ring: each band hash XORs each of {0, 1, 2, 4, 8} (self
+      // + the four single-bit flips of a 4-bit band).
+      val planes = 8 * 4
+      val dims = 64
+      val bucketExpr = (0 until planes).map { p =>
+        val lits = (0 until dims).map(d => Similarity.planeComponent(p, d).toString)
+          .mkString(", ")
+        s"(CASE WHEN list_dot_product(v, [$lits]) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n  + ")
+      val qids = knnQueryIds.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, $bucketExpr AS bucket FROM e),
+         |bands AS (SELECT vec_id, j AS band, (bucket >> (j * 4)) & 15 AS bh
+         |          FROM bk, UNNEST(generate_series(0, 7)) AS t(j)),
+         |qb AS (SELECT vec_id, band, xor(bh, f) AS bh
+         |       FROM bands, UNNEST([0, 1, 2, 4, 8]) AS tf(f)
+         |       WHERE vec_id IN ($qids)),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |         FROM qb q JOIN bands c ON q.band = c.band AND q.bh = c.bh
+         |         WHERE q.vec_id <> c.vec_id),
          |s AS (SELECT query_id, neighbor_id,
          |        round(list_dot_product(a.v, b.v) /
          |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS sim

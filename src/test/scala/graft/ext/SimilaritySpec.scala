@@ -52,6 +52,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("multi-probe lsh: probes=0 == plain form, recall monotone in probes, hits superset") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qids = (0L until 10L).toSeq
+    def hits(probes: Int): Set[(Long, Long)] =
+      Similarity.lshTopK(emb, qids, 10, probes = probes)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val plain = Similarity.lshTopK(emb, qids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(hits(0) == plain) // probes = 0 IS the plain banded form
+    val bf = Similarity.bruteForceTopK(emb, qids, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long)]): Double = (bf & s).size.toDouble / bf.size
+    // the probe ring only ADDS candidates, so top-k recall is monotone
+    // non-decreasing in probes (the returned top-k itself may differ —
+    // better candidates displace worse ones)
+    val r = Seq(0, 1, 4).map(p => recall(hits(p)))
+    assert(r == r.sorted, s"recall not monotone in probes: $r")
+    assert(r.last > r.head,
+      s"full Hamming-1 probing gained no recall on the fixture: $r")
+  }
+
   test("ivf top-k: every cell assignment is the true nearest centroid and recall is usable") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qids = (0L until 10L).toSeq
