@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Principal-component analysis over an embedding corpus, in the
+  * repo's exactness toolkit: quantize once, accumulate an EXACT
+  * integer Gram matrix in a single distributed pass, run the power
+  * iteration in fixed point on the driver (the matrix is d×d — 64×64
+  * here — so the iteration is microscopic next to the data pass), and
+  * project every vector onto the learned direction with an exact
+  * integer dot product.
+  *
+  * Why a pipeline wants this: the dominant direction of an embedding
+  * corpus is the cheapest global structure there is — it gives a
+  * 1-D ordering for diversity-aware sharding (range-partition the
+  * corpus along PC1 so a shard spans the semantic spread), a
+  * drift axis to monitor between crawl snapshots, and the first step
+  * of whitening before cosine-based dedup (SemDeDup-style pipelines
+  * whiten before clustering; all-MiniLM-family embeddings are known
+  * to carry a dominant "common direction" that swamps cosine scores).
+  *
+  * Exactness contract (the e89/e90/e91 discipline — both engines walk
+  * the same integer sequence, so the oracle compare is a hash match,
+  * not a tolerance):
+  *   - quantize: q_d = floor(x_d · 4096) — float→double is exact, the
+  *     double product is correctly rounded IEEE in both engines, and
+  *     floor can only disagree across engines if the product sits
+  *     exactly on an integer the two round differently — impossible,
+  *     same operation, same bits.
+  *   - Gram pass: n, s_i = Σ q_i, G_ij = Σ q_i·q_j are integer sums
+  *     (order-free). Scaled covariance C = n·G − s·sᵀ, exact.
+  *   - power iteration (`Iters` rounds, v₀ = 2²⁰·𝟙): u = C·v in
+  *     BigInt; v' = (u · 2²⁰) quot max(|u|)∨1 — infinity-norm
+  *     normalization instead of L2, so NO square root and no Σu²
+  *     (which would overflow even HUGEINT at this scale); BigInt
+  *     `/` truncates toward zero exactly like DuckDB's integer `//`
+  *     (verified: (−7)//2 = −3 in both).
+  *   - sign canon: flip v so its largest-|·| component (smallest dim
+  *     index on ties) is positive — power iteration's sign is
+  *     otherwise arbitrary.
+  *   - projection: pc1_fp = Σ_d q_d·v_d, |q|≤2¹², |v|≤2²⁰, 64 terms
+  *     → ≤2³⁸, a plain long.
+  *
+  * Scale shape (100 TB): the Gram pass is ONE `mapPartitions` over
+  * the quantized vectors producing a single 2144-long partial row per
+  * partition (count + 64 sums + 2080 upper-triangle products) — the
+  * treeAggregate shape, no shuffle at all, map-side-combined by
+  * construction; the collect is bounded by the partition count, never
+  * the corpus. Per-partition partials are longs: |q_i·q_j| ≤ 2²⁴, so
+  * a partition would need >2³⁸ ≈ 3·10¹¹ rows to overflow — far past
+  * any sane partition size; the cross-partition reduce happens in
+  * BigInt on the driver, so corpus size n never overflows anything.
+  * The projection is a stateless per-row map (broadcast 64-long
+  * literal). `mapPartitions` is justified here exactly like the
+  * blocked-GEMM kernel ([[Similarity.embeddingNearDupPairsFast]]):
+  * the 2080-term per-row update is a tight primitive loop no
+  * expressible plan matches, and the aggregation state is a fixed
+  * array, not row machinery.
+  */
+object Pca {
+
+  /** Quantization scale: floor(x · 2¹²). */
+  val QScale = 4096
+
+  /** Fixed-point scale of the iterated direction vector (2²⁰). */
+  val VScale: Long = 1L << 20
+
+  /** Power-iteration rounds. Exactness never depends on this (both
+    * engines iterate identically); 16 rounds converge the dominant
+    * direction to well past the fixture's spectral-gap needs
+    * (PcaSpec pins cosine ≥ 0.999 against a double-precision
+    * reference run). */
+  val Iters = 16
+
+  /** `(vec_id, q: array<long>)` — the exact quantized view. */
+  def quantize(embeddings: DataFrame, dims: Int = 64): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(QScale.toDouble))).as("q"))
+
+  /** One distributed pass: exact `(n, s[d], G[d][d])` Gram sums.
+    * G is returned full/symmetric (mirrored from the upper-triangle
+    * accumulation) because the iteration and the oracle both index it
+    * densely. */
+  def gramPass(embeddings: DataFrame, dims: Int = 64): (Long, Array[BigInt], Array[Array[BigInt]]) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nUpper = dims * (dims + 1) / 2
+    val partials = quantize(embeddings, dims)
+      .select(col("q")).as[Array[Long]]
+      .rdd.mapPartitions { it =>
+        var cnt = 0L
+        val s = new Array[Long](dims)
+        val g = new Array[Long](nUpper)
+        while (it.hasNext) {
+          val q = it.next()
+          cnt += 1
+          var i = 0
+          var k = 0
+          while (i < dims) {
+            val qi = q(i)
+            s(i) += qi
+            var j = i
+            while (j < dims) { g(k) += qi * q(j); j += 1; k += 1 }
+            i += 1
+          }
+        }
+        Iterator.single((cnt, s, g))
+      }.collect()
+
+    val n = partials.map(_._1).sum
+    val s = Array.fill(dims)(BigInt(0))
+    val gU = Array.fill(nUpper)(BigInt(0))
+    partials.foreach { case (_, ps, pg) =>
+      var i = 0
+      while (i < dims) { s(i) += ps(i); i += 1 }
+      var k = 0
+      while (k < nUpper) { gU(k) += pg(k); k += 1 }
+    }
+    val g = Array.ofDim[BigInt](dims, dims)
+    var i = 0
+    var k = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) { g(i)(j) = gU(k); g(j)(i) = gU(k); j += 1; k += 1 }
+      i += 1
+    }
+    (n, s, g)
+  }
+
+  /** Fixed-point power iteration on the scaled covariance
+    * C = n·G − s·sᵀ; returns the sign-canonical direction at
+    * [[VScale]]. Pure integer driver-side math — microscopic (d×d)
+    * and bit-identical to the oracle's unrolled-CTE replay. */
+  def pc1Direction(n: Long, s: Array[BigInt], g: Array[Array[BigInt]]): Array[Long] = {
+    val dims = s.length
+    val nB = BigInt(n)
+    val c = Array.tabulate(dims, dims)((i, j) => nB * g(i)(j) - s(i) * s(j))
+    var v = Array.fill(dims)(BigInt(VScale))
+    var t = 0
+    while (t < Iters) {
+      val u = Array.tabulate(dims) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < dims) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = u.map(_.abs).max.max(BigInt(1))
+      v = u.map(x => (x * VScale) / m) // BigInt quot == DuckDB integer //
+      t += 1
+    }
+    val mAbs = v.map(_.abs).max
+    val dStar = v.indexWhere(_.abs == mAbs)
+    val canon = if (v(dStar).signum < 0) v.map(-_) else v
+    canon.map(_.toLong)
+  }
+
+  /** Per-vector projection onto PC1: `(vec_id, pc1_fp)` with
+    * pc1_fp = Σ_d q_d·v_d — the 1-D corpus axis, exact. One Gram
+    * pass + one stateless projection; nothing pair-shaped. */
+  def pc1Scores(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    val (n, s, g) = gramPass(embeddings, dims)
+    val v = pc1Direction(n, s, g)
+    val vLit = array(v.map(x => lit(x)): _*)
+    quantize(embeddings, dims).select(
+      col("vec_id"),
+      aggregate(zip_with(col("q"), vLit, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("pc1_fp"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Glove, Preference, Sampling, Similarity, Sketches, Text}
+import graft.ext.{Dedup, Glove, Pca, Preference, Sampling, Similarity, Sketches, Text}
 import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.Streams
 
@@ -729,6 +729,19 @@ object Extensions {
     Similarity.lshTopK(emb(s, dir), knnQueryIds, KnnK, probes = 4)
       .orderBy("query_id", "neighbor_id")
 
+  /** e100: the PCA corpus axis ([[graft.ext.Pca.pc1Scores]]) — every
+    * vector's exact fixed-point projection onto the corpus's dominant
+    * covariance direction, learned by ONE shuffle-free Gram pass (a
+    * per-partition 2144-long accumulator, the treeAggregate shape) and
+    * a driver-side 64×64 fixed-point power iteration whose integer
+    * sequence the oracle replays verbatim as sixteen unrolled CTE
+    * rounds. The 1-D axis is the cheap global structure a curation
+    * stack keeps reaching for: diversity-aware range sharding, drift
+    * monitoring between crawl snapshots, and the first whitening step
+    * before cosine-based semantic dedup. */
+  def e100_pca_scores(s: SparkSession, dir: String): DataFrame =
+    Pca.pc1Scores(emb(s, dir)).orderBy("vec_id")
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -1434,6 +1447,7 @@ object Extensions {
     "e97_index_dedup" -> (e97_index_dedup _),
     "e98_doremi_mix" -> (e98_doremi_mix _),
     "e99_knn_lsh_multiprobe" -> (e99_knn_lsh_multiprobe _),
+    "e100_pca_scores" -> (e100_pca_scores _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2560,6 +2574,53 @@ object Extensions {
        |FROM c97 JOIN n97 na ON na.doc_id = new_id JOIN n97 nb ON nb.doc_id = corpus_id
        |WHERE CAST(inter AS DOUBLE) / CAST(na.sz + nb.sz - inter AS DOUBLE) >= 0.5
        |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
+  /** e100's generated oracle: the exact quantized Gram pass (HUGEINT
+    * sums over the per-dim decomposition), the scaled covariance
+    * C = n·G − s·sᵀ, SIXTEEN unrolled power-iteration rounds (the
+    * bpeChainCtes discipline — no recursion; each round is a
+    * (matvec, max-abs, renormalize) CTE triple, composed by plain
+    * concatenation with no second stripMargin over generated text;
+    * every round CTE is MATERIALIZED because each is referenced twice
+    * downstream — DuckDB's default inlining would otherwise expand the
+    * chain 2^16-fold, measured as a hang before materialization),
+    * the sign canon, and the integer projection — every `//` has a
+    * possibly-negative numerator, which is exactly why the engine
+    * side iterates in BigInt: both truncate toward zero. */
+  private def e100OracleSql: String = {
+    val vs = Pca.VScale
+    val rounds = (1 to Pca.Iters).map { t =>
+      val pv = s"pcv${t - 1}"
+      s"pcu$t AS MATERIALIZED (SELECT cov.i AS d, sum(cov.c * $pv.v) AS u FROM cov JOIN $pv ON $pv.d = cov.j GROUP BY cov.i),\n" +
+        s"pcm$t AS MATERIALIZED (SELECT greatest(max(abs(u)), 1) AS m FROM pcu$t),\n" +
+        s"pcv$t AS MATERIALIZED (SELECT d, (u * $vs) // m AS v FROM pcu$t, pcm$t)"
+    }.mkString(",\n")
+    val last = s"pcv${Pca.Iters}"
+    s"""WITH qd AS MATERIALIZED (SELECT vec_id, t.pos - 1 AS d,
+       |    CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * ${Pca.QScale}.0) AS BIGINT) AS q
+       |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(pos)),
+       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS nv FROM embeddings),
+       |sums AS (SELECT d, CAST(sum(q) AS HUGEINT) AS sv FROM qd GROUP BY d),
+       |gram AS (SELECT a.d AS i, b.d AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS g
+       |         FROM qd a JOIN qd b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
+       |cov AS MATERIALIZED (SELECT gram.i AS i, gram.j AS j, nn.nv * gram.g - si.sv * sj.sv AS c
+       |        FROM gram
+       |        JOIN sums si ON si.d = gram.i
+       |        JOIN sums sj ON sj.d = gram.j
+       |        CROSS JOIN nn),
+       |pcv0 AS MATERIALIZED (SELECT DISTINCT d, CAST($vs AS HUGEINT) AS v FROM qd),
+       |""".stripMargin +
+      rounds + ",\n" +
+      s"""mz AS (SELECT max(abs(v)) AS m FROM $last),
+         |dz AS (SELECT min(d) AS dstar FROM $last, mz WHERE abs($last.v) = mz.m),
+         |sg AS (SELECT CASE WHEN (SELECT v FROM $last, dz WHERE $last.d = dz.dstar) < 0
+         |         THEN -1 ELSE 1 END AS s),
+         |vf AS (SELECT d, v * sg.s AS v FROM $last, sg)
+         |SELECT vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS pc1_fp
+         |FROM qd JOIN vf USING (d)
+         |GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin
   }
 
   /** e89's replay WITHOUT the trailing ORDER BY, so e98 can embed it
@@ -3695,6 +3756,7 @@ object Extensions {
     "e94_keep_best" -> e94OracleSql,
     "e96_retrieval_scoreboard" -> e96OracleSql,
     "e97_index_dedup" -> e97OracleSql,
+    "e100_pca_scores" -> e100OracleSql,
     "e98_doremi_mix" -> e98OracleSql,
     "e95_source_diversity" -> {
       // The shared pinned-Lloyd chain's final assignment joined to

@@ -1,0 +1,120 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic corpus with a planted dominant axis:
+    * x = a·axis + small isotropic noise, unit-normalized like the
+    * fixture embeddings. */
+  private def planted(n: Int, dims: Int, seed: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new Random(seed)
+    val axis = Array.tabulate(dims)(d => math.sin(d * 0.7) + 0.3)
+    val an = math.sqrt(axis.map(x => x * x).sum)
+    (0 until n).map { i =>
+      val a = rnd.nextGaussian() * 3.0
+      val raw = Array.tabulate(dims)(d => a * axis(d) / an + rnd.nextGaussian() * 0.1)
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / nrm).toFloat))
+    }
+  }
+
+  private def df(rows: Seq[(Long, Array[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  /** Double-precision reference PC1 via many power-iteration rounds on
+    * the double covariance of the SAME quantized integers. */
+  private def referencePc1(rows: Seq[(Long, Array[Float])], dims: Int): Array[Double] = {
+    val q = rows.map(_._2.map(x => math.floor(x.toDouble * Pca.QScale)))
+    val n = q.length.toDouble
+    val s = Array.tabulate(dims)(d => q.map(_(d)).sum)
+    val c = Array.tabulate(dims, dims) { (i, j) =>
+      n * q.map(v => v(i) * v(j)).sum - s(i) * s(j)
+    }
+    var v = Array.fill(dims)(1.0)
+    (0 until 200).foreach { _ =>
+      val u = Array.tabulate(dims)(i => (0 until dims).map(j => c(i)(j) * v(j)).sum)
+      val m = u.map(math.abs).max.max(1e-300)
+      v = u.map(_ / m)
+    }
+    v
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("pc1Direction converges to the double-precision dominant eigenvector") {
+    val rows = planted(300, 16, seed = 7)
+    val (n, s, g) = Pca.gramPass(df(rows), dims = 16)
+    assert(n == 300L)
+    val v = Pca.pc1Direction(n, s, g).map(_.toDouble)
+    val ref = referencePc1(rows, 16)
+    assert(math.abs(cosine(v, ref)) >= 0.999)
+  }
+
+  test("sign canon: the largest-|.| component is positive") {
+    val rows = planted(200, 16, seed = 11)
+    val (n, s, g) = Pca.gramPass(df(rows), dims = 16)
+    val v = Pca.pc1Direction(n, s, g)
+    val mAbs = v.map(math.abs).max
+    assert(v(v.indexWhere(math.abs(_) == mAbs)) > 0L)
+  }
+
+  test("gramPass is exact and partitioning-independent") {
+    val rows = planted(120, 8, seed = 3)
+    val (n1, s1, g1) = Pca.gramPass(df(rows), dims = 8)
+    val (n2, s2, g2) = Pca.gramPass(df(rows).repartition(13), dims = 8)
+    assert(n1 == n2 && s1.toSeq == s2.toSeq)
+    assert(g1.map(_.toSeq).toSeq == g2.map(_.toSeq).toSeq)
+    // hand-check one entry against a driver-side fold
+    val q = rows.map(_._2.map(x => BigInt(math.floor(x.toDouble * Pca.QScale).toLong)))
+    assert(s1(3) == q.map(_(3)).sum)
+    assert(g1(2)(5) == q.map(v => v(2) * v(5)).sum)
+    assert(g1(5)(2) == g1(2)(5))
+  }
+
+  test("pc1Scores: projection variance dominates every single axis") {
+    val rows = planted(300, 16, seed = 19)
+    val scores = Pca.pc1Scores(df(rows), dims = 16)
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    assert(scores.length == 300)
+    // normalized variance of the pc1 projection vs per-axis variance
+    val v = {
+      val (n, s, g) = Pca.gramPass(df(rows), dims = 16)
+      Pca.pc1Direction(n, s, g).map(_.toDouble)
+    }
+    val vn = math.sqrt(v.map(x => x * x).sum)
+    val proj = scores.map(_._2.toDouble / vn)
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val pv = variance(proj.toSeq)
+    val q = rows.map(_._2.map(x => math.floor(x.toDouble * Pca.QScale)))
+    (0 until 16).foreach { d =>
+      assert(pv >= variance(q.map(_(d)).toSeq) - 1e-9)
+    }
+  }
+
+  test("degenerate corpus (identical vectors): zero covariance, finite scores") {
+    val one = Array.fill(8)(0.25f)
+    val rows = (0L until 10L).map(i => (i, one))
+    val out = Pca.pc1Scores(df(rows), dims = 8)
+      .select("pc1_fp").as[Long].collect().toSet
+    assert(out.size == 1) // every vector projects identically; no crash
+  }
+
+  test("determinism: two invocations hash-identical") {
+    val rows = planted(150, 16, seed = 23)
+    val a = Pca.pc1Scores(df(rows), dims = 16).orderBy("vec_id").collect().toSeq
+    val b = Pca.pc1Scores(df(rows).repartition(9), dims = 16).orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+}
