@@ -437,6 +437,102 @@ object Text {
         expr("surprisal8 * 1000 div n_bigrams").as("mean_milli"))
   }
 
+  /** Interpolated Kneser-Ney trigram surprisal — the KenLM-shaped
+    * perplexity filter (CCNet scores documents under a KN 5-gram LM;
+    * this is the same construction one order down, with the same
+    * decision semantics), one model order and one smoothing idea up
+    * from [[bigramSurprisal]]'s Jelinek-Mercer: instead of mixing in
+    * RAW unigram frequency (which lets "Francisco" look probable in
+    * any context because "San Francisco" is common), each back-off
+    * level uses CONTINUATION counts — how many distinct contexts a
+    * word completes — with absolute discounting (Kneser & Ney '95,
+    * Chen & Goodman '98). D = 3/4 in exact 2^20 fixed point, every
+    * count an integer, so the DuckDB oracle replays the computation
+    * verbatim:
+    *
+    *   p1 = cont1(w3)·S div B                 [continuation unigram]
+    *   p2 = (4·n1r − 3)⁺·S div 4·nmid(w2)
+    *        + 3·nl2(w2)·p1 div 4·nmid(w2)     [continuation bigram]
+    *   p3 = (4·c3 − 3)⁺·S div 4·ctx(w1,w2)
+    *        + 3·nl3(w1,w2)·p2 div 4·ctx       [discounted trigram]
+    *
+    * where c3 = train trigram count, ctx = Σ_w3 c3 (so the level is
+    * exactly normalized), nl3 = distinct continuations of (w1,w2),
+    * n1r = N1+(·w2w3) distinct left contexts, nmid = N1+(·w2·),
+    * nl2 = N1+(w2·), cont1 = N1+(·w3), B = total distinct (w2,w3)
+    * types — ALL derived from the one trigram-count frame. An unseen
+    * CONTEXT backs off a whole level (ctx NULL → p3 = p2; nmid NULL →
+    * p2 = p1); an unseen EVENT in a seen context contributes only the
+    * interpolation term; the final probability clamps to ≥ 1 (the
+    * unknown floor). Surprisal is the eighth-bit integer −log2
+    * ([[Retrieval.log8Sql]]): s8 = 160 − log8(p_fp), per-doc sum +
+    * fixed-point mean, the [[bigramSurprisal]] output contract.
+    *
+    * Overflow bound: 4·c3·S must fit a long ⇒ the most frequent
+    * TRIGRAM's count < 2^41 — comfortable at 100 TB (a trigram that
+    * appears 2·10¹² times is ~1% of all trigrams on earth); widen to
+    * DECIMAL(38,0) beyond that. 3·nl2·p1 ≤ 3·V·2^20 needs V < 2^41
+    * likewise.
+    *
+    * Scale shape (100 TB): the model frames are map-side-combined
+    * counts bounded by the observed trigram/bigram/unigram type sets
+    * (the same bound [[bigramSurprisal]] documents, one order up);
+    * scoring is token-keyed equi-joins AQE broadcasts when the model
+    * fits, else shuffles on the join keys; the fold is one per-doc
+    * aggregate. Docs with < 3 tokens have no trigram events and are
+    * absent by construction. Output:
+    * `(doc_id, n_trigrams, surprisal8, mean_milli)`, all BIGINT. */
+  def knTrigramSurprisal(docs: DataFrame, trainFilter: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val S = Retrieval.Scale
+    val events = trigramEvents(docs, idCol, textCol)
+    val c3 = trigramEvents(docs.where(trainFilter), idCol, textCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val ctx = c3.groupBy("w1", "w2")
+      .agg(sum(col("c3")).as("ctx"), count(lit(1)).as("nl3"))
+    val n1r = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n1r"))
+    val mid = n1r.groupBy("w2")
+      .agg(sum(col("n1r")).as("nmid"), count(lit(1)).as("nl2"))
+    val cont = n1r.groupBy("w3").agg(count(lit(1)).as("cont1"))
+    val btot = cont.agg(sum(col("cont1")).as("btot"))
+    val scored = events
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(n1r, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(cont, Seq("w3"), "left")
+      .crossJoin(broadcast(btot))
+      .withColumn("_p1", expr(
+        s"CASE WHEN cont1 IS NULL THEN 0L ELSE (cont1 * ${S}L) div btot END"))
+      .withColumn("_p2", expr(
+        s"""CASE WHEN nmid IS NULL THEN _p1 ELSE
+           (greatest(4 * coalesce(n1r, 0L) - 3, 0L) * ${S}L) div (4 * nmid)
+           + (3 * nl2 * _p1) div (4 * nmid) END"""))
+      .withColumn("_p3", expr(
+        s"""CASE WHEN ctx IS NULL THEN _p2 ELSE
+           (greatest(4 * coalesce(c3, 0L) - 3, 0L) * ${S}L) div (4 * ctx)
+           + (3 * nl3 * _p2) div (4 * ctx) END"""))
+      .withColumn("_p_fp", greatest(col("_p3"), lit(1L)))
+      .withColumn("_s8", lit(8L * 20) - expr(Retrieval.log8Sql("_p_fp")))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_s8")).as("surprisal8"))
+      .select(col("doc_id"), col("n_trigrams"), col("surprisal8"),
+        expr("surprisal8 * 1000 div n_trigrams").as("mean_milli"))
+  }
+
+  /** The `(doc_id, w1, w2, w3)` trigram-event stream, ROW-LOCAL like
+    * [[bigramEvents]] (index transform, no self-join, no window);
+    * docs with < 3 tokens emit nothing. */
+  private def trigramEvents(frame: DataFrame, idCol: String,
+      textCol: String): DataFrame = frame
+    .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_a"))
+    .select(col("doc_id"), explode(when(size(col("_a")) >= 3,
+      expr("transform(sequence(2, size(_a) - 1), " +
+        "i -> struct(_a[i-2] AS w1, _a[i-1] AS w2, _a[i] AS w3))"))
+      .otherwise(expr("array()"))).as("_t"))
+    .select(col("doc_id"), col("_t.w1").as("w1"),
+      col("_t.w2").as("w2"), col("_t.w3").as("w3"))
+
   /** Driver-side frozen unigram model for [[surprisalScores]]-style
     * scoring at INGEST time ([[graft.streaming.Streams
     * .surprisalQualityFilter]]): (token -> corpus count, total tokens).

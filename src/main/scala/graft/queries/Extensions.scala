@@ -742,6 +742,19 @@ object Extensions {
   def e100_pca_scores(s: SparkSession, dir: String): DataFrame =
     Pca.pc1Scores(emb(s, dir)).orderBy("vec_id")
 
+  /** e101: interpolated Kneser-Ney trigram perplexity
+    * ([[graft.ext.Text.knTrigramSurprisal]]) — the KenLM-shaped filter
+    * (CCNet's quality signal) one model order and one smoothing idea
+    * up from e75's Jelinek-Mercer bigram: absolute discounting with
+    * CONTINUATION-count back-off, D = 3/4 in exact 2^20 fixed point,
+    * same held-in train split and the same
+    * `(doc_id, n, surprisal8, mean_milli)` output contract, so the
+    * two models' scores line up row-for-row for e86-style scorer
+    * agreement. */
+  def e101_kn_trigram_lm(s: SparkSession, dir: String): DataFrame =
+    Text.knTrigramSurprisal(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
+      .orderBy("doc_id")
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -1448,6 +1461,7 @@ object Extensions {
     "e98_doremi_mix" -> (e98_doremi_mix _),
     "e99_knn_lsh_multiprobe" -> (e99_knn_lsh_multiprobe _),
     "e100_pca_scores" -> (e100_pca_scores _),
+    "e101_kn_trigram_lm" -> (e101_kn_trigram_lm _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2623,6 +2637,53 @@ object Extensions {
          |ORDER BY vec_id""".stripMargin
   }
 
+  /** e101's oracle: the full interpolated-KN replay — trigram events
+    * by token index, the one trigram-count frame every continuation
+    * count derives from, the three fixed-point levels as staged CTEs
+    * (SQL can't reference a same-SELECT alias), the eighth-bit log,
+    * and the e75 fold. All operands positive, so `//` == `div`;
+    * p_fp ≤ 2^20 is cast to BIGINT before bin(). */
+  private def e101OracleSql: String = {
+    val S = graft.ext.Retrieval.Scale
+    s"""WITH toks_101 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ev_101 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+       |           FROM toks_101, UNNEST(generate_series(1, len(w) - 2)) t(i)),
+       |tr_101 AS (SELECT * FROM ev_101 WHERE doc_id % 5 <> 3),
+       |c3_101 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr_101 GROUP BY w1, w2, w3),
+       |ctx_101 AS (SELECT w1, w2, sum(c3) AS ctx, count(*) AS nl3 FROM c3_101 GROUP BY w1, w2),
+       |n1r_101 AS (SELECT w2, w3, count(*) AS n1r FROM c3_101 GROUP BY w2, w3),
+       |mid_101 AS (SELECT w2, sum(n1r) AS nmid, count(*) AS nl2 FROM n1r_101 GROUP BY w2),
+       |cont_101 AS (SELECT w3, count(*) AS cont1 FROM n1r_101 GROUP BY w3),
+       |btot_101 AS (SELECT sum(cont1) AS btot FROM cont_101),
+       |p1_101 AS (SELECT e.doc_id, c.c3, x.ctx, x.nl3, r.n1r, m.nmid, m.nl2,
+       |    CASE WHEN u.cont1 IS NULL THEN 0 ELSE (u.cont1 * $S) // b.btot END AS p1
+       |  FROM ev_101 e
+       |  LEFT JOIN c3_101 c ON c.w1 = e.w1 AND c.w2 = e.w2 AND c.w3 = e.w3
+       |  LEFT JOIN ctx_101 x ON x.w1 = e.w1 AND x.w2 = e.w2
+       |  LEFT JOIN n1r_101 r ON r.w2 = e.w2 AND r.w3 = e.w3
+       |  LEFT JOIN mid_101 m ON m.w2 = e.w2
+       |  LEFT JOIN cont_101 u ON u.w3 = e.w3, btot_101 b),
+       |p2_101 AS (SELECT doc_id, c3, ctx, nl3,
+       |    CASE WHEN nmid IS NULL THEN p1 ELSE
+       |      (greatest(4 * coalesce(n1r, 0) - 3, 0) * $S) // (4 * nmid)
+       |      + (3 * nl2 * p1) // (4 * nmid) END AS p2
+       |  FROM p1_101),
+       |p3_101 AS (SELECT doc_id,
+       |    CAST(greatest(CASE WHEN ctx IS NULL THEN p2 ELSE
+       |      (greatest(4 * coalesce(c3, 0) - 3, 0) * $S) // (4 * ctx)
+       |      + (3 * nl3 * p2) // (4 * ctx) END, 1) AS BIGINT) AS p_fp
+       |  FROM p2_101),
+       |s8_101 AS (SELECT doc_id,
+       |    160 - (8 * (length(bin(p_fp)) - 1)
+       |      + ((p_fp * 8) >> (length(bin(p_fp)) - 1)) - 8) AS s8
+       |  FROM p3_101)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  CAST(sum(s8) AS BIGINT) AS surprisal8,
+       |  CAST((sum(s8) * 1000) // count(*) AS BIGINT) AS mean_milli
+       |FROM s8_101 GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** e89's replay WITHOUT the trailing ORDER BY, so e98 can embed it
     * as a nested-WITH CTE (the e60/e75 strip-once discipline): the e75
     * scorer replay joined to sources, then the source-grain
@@ -3757,6 +3818,7 @@ object Extensions {
     "e96_retrieval_scoreboard" -> e96OracleSql,
     "e97_index_dedup" -> e97OracleSql,
     "e100_pca_scores" -> e100OracleSql,
+    "e101_kn_trigram_lm" -> e101OracleSql,
     "e98_doremi_mix" -> e98OracleSql,
     "e95_source_diversity" -> {
       // The shared pinned-Lloyd chain's final assignment joined to

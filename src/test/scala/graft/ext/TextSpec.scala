@@ -328,6 +328,55 @@ class TextSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("knTrigramSurprisal: continuation counts — the Francisco test") {
+    // 'francisco' and 'york' are equally FREQUENT in training, but
+    // francisco only ever follows 'san' (one continuation context)
+    // while york follows ten distinct words. Scoring both in a fully
+    // unseen context backs off to the continuation unigram, which must
+    // prefer york — the exact asymmetry raw-frequency interpolation
+    // (e75's Jelinek-Mercer) cannot express.
+    val train = (0L until 10L).map(i => (i, "visit san francisco today")) ++
+      (10L until 20L).map(i => (i, s"visit w$i york"))
+    val tests = Seq((100L, "qq zz francisco"), (101L, "qq zz york"))
+    val corpus = (train ++ tests).toDF("doc_id", "text")
+    val out = Text.knTrigramSurprisal(corpus, trainFilter = col("doc_id") < 100L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(out(100L) > out(101L),
+      s"KN must score low-continuation 'francisco' as MORE surprising: $out")
+  }
+
+  test("knTrigramSurprisal: unknown floor, short docs absent, back-off levels") {
+    val corpus = Seq(
+      (0L, "a b c a b c a b c"), // train: c3(a,b,c)=3, c3(b,c,a)=2, c3(c,a,b)=2
+      (5L, "one two"),           // 2 tokens -> no trigram events
+      (9L, "q r s t")).toDF("doc_id", "text") // fully unseen -> 160 floor
+    val out = Text.knTrigramSurprisal(corpus, trainFilter = col("doc_id") === 0L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(!out.exists(_._1 == 5L), "sub-trigram doc must be absent")
+    val held = out.find(_._1 == 9L).get
+    assert(held._2 == 2L && held._3 == 320L && held._4 == 160000L,
+      s"unknown floor: $held")
+    // the train doc itself scores far below the floor (seen trigrams)
+    val seen = out.find(_._1 == 0L).get
+    assert(seen._4 < 80000L, s"seen trigrams must be cheap: $seen")
+  }
+
+  test("knTrigramSurprisal: fixture smoke, bounds, partitioning independence") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val trainSplit = col("doc_id") % 5 =!= 3
+    val out = Text.knTrigramSurprisal(docs, trainFilter = trainSplit).collect()
+    val nLong = docs.where(size(split(col("text"), " ")) >= 3).count()
+    assert(out.length == nLong)
+    out.foreach { r =>
+      val (n, s, m) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && s >= 0 && s <= 160 * n, s"s8 out of range: $r")
+      assert(m == s * 1000 / n)
+    }
+    val again = Text.knTrigramSurprisal(docs.repartition(13),
+      trainFilter = trainSplit).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("charEntropy: extremes, hand values, partitioning independence") {
     val cdocs = Seq(
       (1L, "aaaaaaaa"),                 // single char: entropy 0
