@@ -148,7 +148,26 @@ object Bench {
     // e99 is NOT here: e07's banded-bucket shape with a 5x QUERY-side
     // (bounded) probe expansion — the corpus-side terms are identical
     // to e07's, whose family the tier pins via e03/e17's banding.
-    "e90_bradley_terry")
+    "e90_bradley_terry",
+    // e101: e75's scorer shape one model order up, but with a NEW
+    // data-sized term the bigram entry can't pin — the trigram type
+    // frame (and its three derived continuation-count frames) grows
+    // much closer to the token stream than the vocabulary-bounded
+    // bigram model, and the scoring stage is five model joins instead
+    // of three; the 8x curve tests that the count frames stay
+    // map-side-combined and the joins stay model-keyed.
+    // e100 is NOT here: one shuffle-free mapPartitions Gram pass +
+    // a stateless projection (the e08/e81/e93 row-local class the
+    // tier never carried — no shuffle to regress; the driver-side
+    // iteration is corpus-size-independent by construction).
+    // e102 is NOT here: two row-local hash projections + one id-keyed
+    // equi-join (the e01/e18 hash-reconcile class — the tier pins
+    // id-keyed join growth via a dozen entries already); e103 is NOT
+    // here: e38/e38b's shard-window shapes (both never tiered — the
+    // window partition is the FIXED shard count, so 8x data deepens
+    // per-shard windows linearly, the same term every tiered window
+    // query already pins) plus two 1-row folds.
+    "e101_kn_trigram_lm")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB
     * replica (`$outDir/snb`, written by replicate via

@@ -113,4 +113,51 @@ object Packing {
       .withColumn("pack_id", expr(s"_excl div $budgetTokens"))
       .drop("_excl")
   }
+
+  /** Fill statistics of a packed frame (`(shard, pack_id)` assigned by
+    * [[contiguousPack]]): ONE row
+    * `(n_packs, total_tokens, mean_fill_milli, min_fill_milli,
+    * max_fill_milli)`, fill as exact integer milli of the budget
+    * (mean = total·1000 div (n_packs·budget)). The measured-waste
+    * number a packing decision should rest on — a mean fill of 850
+    * milli means 15% of every training batch is padding. One pack
+    * aggregate + one 1-row fold; integer throughout. */
+  def packStats(packed: DataFrame, tokensCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    packed.groupBy(col("shard"), col("pack_id"))
+      .agg(sum(tokensCol).as("_pt"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("_pt")).as("total_tokens"),
+        min(expr(s"_pt * 1000 div $budgetTokens")).as("min_fill_milli"),
+        max(expr(s"_pt * 1000 div $budgetTokens")).as("max_fill_milli"))
+      .withColumn("mean_fill_milli",
+        expr(s"total_tokens * 1000 div (n_packs * $budgetTokens)"))
+      .select(col("n_packs"), col("total_tokens"), col("mean_fill_milli"),
+        col("min_fill_milli"), col("max_fill_milli"))
+  }
+
+  /** The boundary-free ideal in the same statistic: concatenate each
+    * shard's token stream and cut every `budget` tokens — every pack
+    * full except at most one tail per shard. Needs only the per-shard
+    * token totals (one group aggregate), so it prices the UPPER BOUND
+    * any doc-boundary-respecting packer is judged against. */
+  def idealCutStats(df: DataFrame, idCol: Column, tokensCol: Column,
+      budgetTokens: Long, shards: Int): DataFrame = {
+    require(budgetTokens > 0 && shards > 0,
+      s"budget/shards must be positive, got $budgetTokens/$shards")
+    df.withColumn("shard", pmod(idCol, lit(shards.toLong)))
+      .groupBy("shard").agg(sum(tokensCol).as("_t"))
+      .withColumn("_full", expr(s"_t div $budgetTokens"))
+      .withColumn("_tail", expr(s"_t % $budgetTokens"))
+      .agg(
+        sum(expr("_full + CASE WHEN _tail > 0 THEN 1L ELSE 0L END")).as("n_packs"),
+        sum(col("_t")).as("total_tokens"),
+        min(expr(s"CASE WHEN _tail > 0 THEN _tail * 1000 div $budgetTokens ELSE 1000L END"))
+          .as("min_fill_milli"),
+        max(expr(s"CASE WHEN _full > 0 THEN 1000L ELSE _tail * 1000 div $budgetTokens END"))
+          .as("max_fill_milli"))
+      .withColumn("mean_fill_milli",
+        expr(s"total_tokens * 1000 div (n_packs * $budgetTokens)"))
+      .select(col("n_packs"), col("total_tokens"), col("mean_fill_milli"),
+        col("min_fill_milli"), col("max_fill_milli"))
+  }
 }

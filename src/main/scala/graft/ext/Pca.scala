@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Principal-component analysis over an embedding corpus, in the
@@ -73,12 +73,24 @@ object Pca {
     * reference run). */
   val Iters = 16
 
+  /** The exact quantization as a column: q_d = floor(x_d · 2¹²). */
+  def quantizeCol(embedding: Column): Column =
+    transform(embedding, x => floor(x.cast("double") * lit(QScale.toDouble)))
+
+  /** The exact integer PC1 projection of an embedding column under a
+    * frozen direction — shared by [[pc1Scores]] and the streaming face
+    * ([[graft.streaming.Streams.pcaScoreFilter]]), so batch and ingest
+    * scores are bit-identical BY CONSTRUCTION, not by parallel
+    * maintenance. Row-local: the direction rides as a literal array. */
+  def pc1Col(embedding: Column, direction: Array[Long]): Column = {
+    val vLit = array(direction.map(x => lit(x)): _*)
+    aggregate(zip_with(quantizeCol(embedding), vLit, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** `(vec_id, q: array<long>)` — the exact quantized view. */
   def quantize(embeddings: DataFrame, dims: Int = 64): DataFrame =
-    embeddings.select(
-      col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * lit(QScale.toDouble))).as("q"))
+    embeddings.select(col("vec_id"), quantizeCol(col("embedding")).as("q"))
 
   /** One distributed pass: exact `(n, s[d], G[d][d])` Gram sums.
     * G is returned full/symmetric (mirrored from the upper-triangle
@@ -163,10 +175,7 @@ object Pca {
   def pc1Scores(embeddings: DataFrame, dims: Int = 64): DataFrame = {
     val (n, s, g) = gramPass(embeddings, dims)
     val v = pc1Direction(n, s, g)
-    val vLit = array(v.map(x => lit(x)): _*)
-    quantize(embeddings, dims).select(
-      col("vec_id"),
-      aggregate(zip_with(col("q"), vLit, (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x).as("pc1_fp"))
+    embeddings.select(col("vec_id"),
+      pc1Col(col("embedding"), v).as("pc1_fp"))
   }
 }

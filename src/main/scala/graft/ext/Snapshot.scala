@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-to-snapshot corpus accounting — the primitive under every
+  * incremental pipeline: a new crawl lands, and before anything
+  * re-runs, the question is WHICH documents are new, gone, or changed
+  * (re-process exactly the added+changed set; retire the removed set
+  * from downstream indexes). The diff is content-addressed (md5 of the
+  * content column), so a re-crawled byte-identical page is correctly
+  * `unchanged` regardless of crawl metadata.
+  *
+  * Scale shape (100 TB): ONE id-keyed full-outer equi-join; the hash
+  * is a row-local projection on each side, so the join carries
+  * `(id, 16-byte hash)` — never the content. At production scale both
+  * snapshots are bucketed by id and the join is shuffle-free;
+  * unbucketed, AQE sizes the exchange. Nothing pair-shaped, nothing
+  * collected. The changed-set output is exactly the re-process
+  * work-list, so downstream cost tracks the DELTA, not the corpus
+  * (the e97 index-reuse discipline applied to the whole pipeline).
+  */
+object Snapshot {
+
+  /** The non-identical rows of `newer` vs `older`:
+    * `(id, status ∈ {added, removed, changed})`, content-addressed.
+    * `unchanged` rows are dropped here (they are the overwhelming
+    * majority by design — emitting them would make the diff
+    * corpus-sized); [[diffStats]] accounts for them. */
+  def diff(older: DataFrame, newer: DataFrame,
+      idCol: String = "doc_id", contentCol: String = "text"): DataFrame =
+    statusOf(older, newer, idCol, contentCol)
+      .where(col("status") =!= "unchanged")
+      .select(col(idCol), col("status"))
+
+  /** One row per status (including `unchanged`) with its count — the
+    * snapshot-health dashboard number: a crawl whose `changed` fraction
+    * jumps is the content-drift alarm, one whose `added` collapses is
+    * the coverage alarm. */
+  def diffStats(older: DataFrame, newer: DataFrame,
+      idCol: String = "doc_id", contentCol: String = "text"): DataFrame =
+    statusOf(older, newer, idCol, contentCol)
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+
+  private def statusOf(older: DataFrame, newer: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(idCol), md5(col(contentCol)).as(h))
+    hashed(older, "_h_old").join(hashed(newer, "_h_new"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("_h_old").isNull, lit("added"))
+          .when(col("_h_new").isNull, lit("removed"))
+          .when(col("_h_old") =!= col("_h_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+}

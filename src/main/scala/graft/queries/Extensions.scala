@@ -755,6 +755,24 @@ object Extensions {
     Text.knTrigramSurprisal(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
       .orderBy("doc_id")
 
+  /** e102: snapshot diff ([[graft.ext.Snapshot.diff]]) — the
+    * incremental-processing primitive: which documents a new crawl
+    * added, removed, or changed, content-addressed so byte-identical
+    * re-crawls read `unchanged`. The fixture derives two snapshots
+    * from the documents table (older drops `% 7 == 2` and carries a
+    * ` v1` suffix on `% 11 == 0`; newer drops `% 13 == 5`), so all
+    * three statuses are populated and deterministic. The changed set
+    * IS the downstream re-process work-list — the e97 cost-tracks-the-
+    * delta discipline applied pipeline-wide. */
+  def e102_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val older = d.where(col("doc_id") % 7 =!= 2)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    val newer = d.where(col("doc_id") % 13 =!= 5)
+    graft.ext.Snapshot.diff(older, newer).orderBy("doc_id")
+  }
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -1329,6 +1347,41 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e103: packing-utilization scoreboard
+    * ([[graft.ext.Packing.packStats]]) — the e72/e83/e85/e87/e96
+    * measured-not-folklore discipline applied to the last
+    * scoreboard-less family: the SAME budget (64, inside the
+    * fixture's 10–99-token doc range so both levers engage) priced
+    * three ways — `contiguous` (e38's doc-boundary start-in
+    * assignment), `split_pack` (e38b's pre-split composition), and
+    * `concat_cut` (the boundary-free ideal any packer is judged
+    * against). Exact integer fill-milli statistics; the fixture
+    * MEASURES the split_pack ≻ contiguous ordering the scaladocs
+    * promise, with concat_cut pinning the attainable ceiling. */
+  val E103Budget = 64L
+  def e103_packing_scoreboard(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val contig = graft.ext.Packing.packStats(
+      graft.ext.Packing.contiguousPack(toks, col("doc_id"), col("n_tokens"),
+        E103Budget, E38Shards),
+      col("n_tokens"), E103Budget)
+    val splitPack = graft.ext.Packing.packStats(
+      graft.ext.Packing.contiguousPack(
+        graft.ext.Packing.splitOversize(toks, col("n_tokens"), E103Budget),
+        col("doc_id"), col("piece_tokens"), E103Budget, E38Shards,
+        tieBreak = Seq(col("piece_idx"))),
+      col("piece_tokens"), E103Budget)
+    val ideal = graft.ext.Packing.idealCutStats(toks, col("doc_id"),
+      col("n_tokens"), E103Budget, E38Shards)
+    contig.withColumn("method", lit("contiguous"))
+      .unionByName(splitPack.withColumn("method", lit("split_pack")))
+      .unionByName(ideal.withColumn("method", lit("concat_cut")))
+      .select(col("method"), col("n_packs"), col("total_tokens"),
+        col("mean_fill_milli"), col("min_fill_milli"), col("max_fill_milli"))
+      .orderBy("method")
+  }
+
   /** e38b: split-then-pack — the tight-budget composition the packing
     * contract directs callers to: oversize docs are pre-split to the
     * budget ([[graft.ext.Packing.splitOversize]]) so every pack holds at
@@ -1462,6 +1515,8 @@ object Extensions {
     "e99_knn_lsh_multiprobe" -> (e99_knn_lsh_multiprobe _),
     "e100_pca_scores" -> (e100_pca_scores _),
     "e101_kn_trigram_lm" -> (e101_kn_trigram_lm _),
+    "e102_snapshot_diff" -> (e102_snapshot_diff _),
+    "e103_packing_scoreboard" -> (e103_packing_scoreboard _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -3819,6 +3874,63 @@ object Extensions {
     "e97_index_dedup" -> e97OracleSql,
     "e100_pca_scores" -> e100OracleSql,
     "e101_kn_trigram_lm" -> e101OracleSql,
+    "e102_snapshot_diff" ->
+      """WITH old_102 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v1' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 2),
+        |new_102 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+        |j_102 AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    md5(o.text) AS ho, md5(n.text) AS hn
+        |  FROM old_102 o FULL OUTER JOIN new_102 n ON o.doc_id = n.doc_id),
+        |s_102 AS (SELECT doc_id,
+        |    CASE WHEN ho IS NULL THEN 'added' WHEN hn IS NULL THEN 'removed'
+        |         WHEN ho <> hn THEN 'changed' ELSE 'unchanged' END AS status
+        |  FROM j_102)
+        |SELECT doc_id, status FROM s_102
+        |WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+
+    "e103_packing_scoreboard" ->
+      s"""WITH t103 AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |    doc_id % $E38Shards AS shard FROM documents),
+         |cc103 AS (SELECT shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM t103),
+         |cp103 AS (SELECT shard, (cum - n_tokens) // $E103Budget AS pack_id,
+         |    sum(n_tokens) AS pt FROM cc103 GROUP BY 1, 2),
+         |cs103 AS (SELECT 'contiguous' AS method, count(*) AS n_packs,
+         |    sum(pt) AS tot, min(pt * 1000 // $E103Budget) AS mn,
+         |    max(pt * 1000 // $E103Budget) AS mx FROM cp103),
+         |sp103 AS (SELECT doc_id, shard, i AS piece_idx,
+         |    least($E103Budget, n_tokens - i * $E103Budget) AS piece_tokens
+         |  FROM t103, UNNEST(generate_series(0,
+         |    greatest(0, (n_tokens - 1) // $E103Budget))) AS u(i)),
+         |sc103 AS (SELECT shard, piece_tokens,
+         |    sum(piece_tokens) OVER (PARTITION BY shard
+         |      ORDER BY doc_id, piece_idx ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sp103),
+         |sg103 AS (SELECT shard, (cum - piece_tokens) // $E103Budget AS pack_id,
+         |    sum(piece_tokens) AS pt FROM sc103 GROUP BY 1, 2),
+         |ss103 AS (SELECT 'split_pack' AS method, count(*) AS n_packs,
+         |    sum(pt) AS tot, min(pt * 1000 // $E103Budget) AS mn,
+         |    max(pt * 1000 // $E103Budget) AS mx FROM sg103),
+         |it103 AS (SELECT shard, sum(n_tokens) AS t FROM t103 GROUP BY shard),
+         |ic103 AS (SELECT shard, t, t // $E103Budget AS nfull,
+         |    t % $E103Budget AS tail FROM it103),
+         |is103 AS (SELECT 'concat_cut' AS method,
+         |    sum(nfull + CASE WHEN tail > 0 THEN 1 ELSE 0 END) AS n_packs,
+         |    sum(t) AS tot,
+         |    min(CASE WHEN tail > 0 THEN tail * 1000 // $E103Budget ELSE 1000 END) AS mn,
+         |    max(CASE WHEN nfull > 0 THEN 1000 ELSE tail * 1000 // $E103Budget END) AS mx
+         |  FROM ic103),
+         |u103 AS (SELECT * FROM cs103 UNION ALL SELECT * FROM ss103
+         |         UNION ALL SELECT * FROM is103)
+         |SELECT method, CAST(n_packs AS BIGINT) AS n_packs,
+         |  CAST(tot AS BIGINT) AS total_tokens,
+         |  CAST(tot * 1000 // (n_packs * $E103Budget) AS BIGINT) AS mean_fill_milli,
+         |  CAST(mn AS BIGINT) AS min_fill_milli,
+         |  CAST(mx AS BIGINT) AS max_fill_milli
+         |FROM u103 ORDER BY method""".stripMargin,
     "e98_doremi_mix" -> e98OracleSql,
     "e95_source_diversity" -> {
       // The shared pinned-Lloyd chain's final assignment joined to

@@ -552,6 +552,25 @@ object Streams {
       element_at(typedLit(thresholds), col(groupCol)))
   }
 
+  /** PC1-axis scoring at INGEST under a FROZEN corpus direction (the
+    * e100 axis's streaming face, built like [[surprisalQualityFilter]]):
+    * the 64-long direction rides the plan as a literal array and the
+    * exact integer projection evaluates row-locally — STATELESS: no
+    * watermark, no state store, no shuffle. A row is kept iff `pc1_fp`
+    * lands in `[minFp, maxFp]` (calibrate the band from the batch
+    * axis's score distribution) — the drift gate: an ingest batch whose
+    * vectors leave the calibrated band is exactly the snapshot drift
+    * the axis exists to surface. Batch == stream bit for bit because
+    * BOTH sides evaluate [[graft.ext.Pca.pc1Col]] — shared column, not
+    * parallel arithmetic (StreamsSpec law). The kept rows carry
+    * `pc1_fp` for downstream range sharding. */
+  def pcaScoreFilter(vecs: DataFrame, direction: Array[Long],
+      minFp: Long, maxFp: Long, embCol: String = "embedding"): DataFrame = {
+    require(direction.nonEmpty, "pcaScoreFilter needs a frozen direction")
+    vecs.withColumn("pc1_fp", graft.ext.Pca.pc1Col(col(embCol), direction))
+      .where(col("pc1_fp").between(minFp, maxFp))
+  }
+
   /** Stream-static enrichment — the most common production streaming
     * shape: a fact stream left-joined to a STATIC dimension frame on
     * `keys`. A stream-static equi-join is STATELESS in Structured

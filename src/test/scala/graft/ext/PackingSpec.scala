@@ -100,6 +100,50 @@ class PackingSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("packStats: hand-exact fills; idealCutStats prices the ceiling") {
+    // one shard (shards=1), budget 10, docs 7/7/7: exclusive prefixes
+    // 0/7/14 -> packs 0/0/1; pack0 = 14 tokens (1400 milli — start-in
+    // overhang), pack1 = 7 (700 milli). mean = 21*1000 div (2*10) = 1050.
+    val toks = Seq((0L, 7L), (1L, 7L), (2L, 7L)).toDF("doc_id", "n_tokens")
+    val packed = Packing.contiguousPack(toks, col("doc_id"), col("n_tokens"), 10, shards = 1)
+    val st = Packing.packStats(packed, col("n_tokens"), 10)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(st == ((2L, 21L, 1050L, 700L, 1400L)))
+    // ideal: 21 tokens -> 2 full packs + tail 1 (fill 100): 3 packs,
+    // mean = 21000 div 30 = 700, min = tail 100, max = 1000
+    val ideal = Packing.idealCutStats(toks, col("doc_id"), col("n_tokens"), 10, shards = 1)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(ideal == ((3L, 21L, 700L, 100L, 1000L)))
+  }
+
+  test("packStats structural laws on the fixture (budget 64 inside the doc-length range)") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val budget = 64L
+    def stats(st: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long, Long) =
+      st.as[(Long, Long, Long, Long, Long)].head()
+    val contigSt = stats(Packing.packStats(
+      Packing.contiguousPack(toks, col("doc_id"), col("n_tokens"), budget, shards = 8),
+      col("n_tokens"), budget))
+    val splitSt = stats(Packing.packStats(
+      Packing.contiguousPack(
+        Packing.splitOversize(toks, col("n_tokens"), budget),
+        col("doc_id"), col("piece_tokens"), budget, shards = 8,
+        tieBreak = Seq(col("piece_idx"))),
+      col("piece_tokens"), budget))
+    val idealSt = stats(Packing.idealCutStats(toks, col("doc_id"), col("n_tokens"),
+      budget, shards = 8))
+    // token mass is invariant across methods
+    assert(contigSt._2 == splitSt._2 && splitSt._2 == idealSt._2)
+    // split-pack's tight-budget contract: a pack holds at most the
+    // budget plus ONE straddling piece (< 2 budgets); raw contiguous
+    // with 99-token docs against a 64 budget can overflow past that
+    assert(splitSt._5 < 2000, s"split-pack fill bound violated: $splitSt")
+    // ideal cut: every pack full except per-shard tails
+    assert(idealSt._5 == 1000 && idealSt._3 >= 900 && idealSt._3 <= 1000,
+      s"concat-cut must price the ceiling: $idealSt")
+  }
+
   test("shardShuffle: total addressing, reproducible, epoch-independent draws") {
     val base = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id")
     def run(df: org.apache.spark.sql.DataFrame, epoch: Long) =

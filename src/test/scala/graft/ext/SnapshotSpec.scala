@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("diff: the four statuses, hand fixture") {
+    val older = snap(1L -> "same", 2L -> "was this", 3L -> "gone")
+    val newer = snap(1L -> "same", 2L -> "now this", 4L -> "fresh")
+    val out = Snapshot.diff(older, newer)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val stats = Snapshot.diffStats(older, newer)
+      .as[(String, Long)].collect().toMap
+    assert(stats == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("diff laws: self-diff empty; statuses partition the id union") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(Snapshot.diff(docs, docs).isEmpty)
+    val older = docs.where(col("doc_id") % 7 =!= 2)
+    val newer = docs.where(col("doc_id") % 13 =!= 5)
+    val stats = Snapshot.diffStats(older, newer)
+      .as[(String, Long)].collect().toMap
+    val union = older.select("doc_id").union(newer.select("doc_id"))
+      .distinct().count()
+    assert(stats.values.sum == union)
+    assert(stats("added") == newer.join(older, Seq("doc_id"), "left_anti").count())
+    assert(stats("removed") == older.join(newer, Seq("doc_id"), "left_anti").count())
+    assert(!stats.contains("changed")) // same content either side here
+  }
+
+  test("diff is content-addressed: metadata-only frames don't alias") {
+    // same ids, one text flipped -> exactly one changed row
+    val older = snap(10L -> "alpha", 11L -> "beta")
+    val newer = snap(10L -> "alpha", 11L -> "beta!")
+    val out = Snapshot.diff(older.repartition(5), newer.repartition(3))
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq(11L -> "changed"))
+  }
+}

@@ -285,6 +285,38 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("pcaScoreFilter: frozen-direction stream == batch pc1Scores, band keeps the band") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (n, s, g) = graft.ext.Pca.gramPass(emb)
+    val v = graft.ext.Pca.pc1Direction(n, s, g)
+    val batchScores = graft.ext.Pca.pc1Scores(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the frozen face on the same frame equals the batch axis exactly
+    // (shared pc1Col — parity by construction, asserted anyway)
+    val face = Streams.pcaScoreFilter(emb, v, Long.MinValue, Long.MaxValue)
+      .select("vec_id", "pc1_fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(face == batchScores)
+    // calibrated middle band; streaming parity through MemoryStream
+    val sorted = batchScores.values.toSeq.sorted
+    val (lo, hi) = (sorted(sorted.size / 4), sorted(3 * sorted.size / 4))
+    val keep = batchScores.filter { case (_, p) => lo <= p && p <= hi }.keySet
+    assert(keep.nonEmpty && keep.size < batchScores.size)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.pcaScoreFilter(mem.toDF().toDF("vec_id", "embedding"), v, lo, hi)
+      .select("vec_id")
+      .writeStream.format("memory").queryName("pca_band").outputMode("append")
+      .start()
+    try {
+      val rows = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      assert(spark.table("pca_band").as[Long].collect().toSet == keep)
+    } finally q.stop()
+  }
+
   test("classifier quality filter: frozen-model stream == batch == Classify.score") {
     implicit val sqlCtx = spark.sqlContext
     val train = spark.read.parquet(s"$sf0001/documents.parquet")
