@@ -166,7 +166,10 @@ object Bench {
     // here: e38/e38b's shard-window shapes (both never tiered — the
     // window partition is the FIXED shard count, so 8x data deepens
     // per-shard windows linearly, the same term every tiered window
-    // query already pins) plus two 1-row folds.
+    // query already pins) plus two 1-row folds; e104 is NOT here:
+    // a memo-consuming agreement harness (the e86/e91 class) whose
+    // only data-sized machinery is the two-phase bucketed rank,
+    // pinned at 8x via e69/e70.
     "e101_kn_trigram_lm")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

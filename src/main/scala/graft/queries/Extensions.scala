@@ -519,6 +519,34 @@ object Extensions {
       Text.bigramSurprisal(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
     }
 
+  /** The e101 KN-trigram scoring pass, memoized the same way (e101
+    * MEASURES the scorer; e104 consumes the memo). */
+  private def knScored(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "kn_trigram_surprisal") {
+      Text.knTrigramSurprisal(docs(s, dir), trainFilter = col("doc_id") % 5 =!= 3)
+    }
+
+  /** e104: LM scorer agreement — e86's question asked at the seam the
+    * new scorer creates: does the CHEAP bigram-JM perplexity (e75)
+    * rank documents like the EXPENSIVE KN trigram (e101)? Spearman
+    * over global ranks of the shared `-mean_milli` quality order; a
+    * high rho is the license to gate with the bigram and reserve the
+    * trigram for the shortlist. Both scoring passes are the memoized
+    * artifacts (trainers pay once, consumers compose); ranks are the
+    * two-phase bucketed [[graft.ext.Agreement.globalRank]] — the plan
+    * that survives a corpus-sized frame, while the bucket choice
+    * provably never moves a rank. */
+  def e104_lm_agreement(s: SparkSession, dir: String): DataFrame = {
+    val b = bigramScored(s, dir).select(col("doc_id"), (-col("mean_milli")).as("q"))
+    val k = knScored(s, dir).select(col("doc_id"), (-col("mean_milli")).as("q"))
+    def ranked(df: DataFrame) = graft.ext.Agreement.globalRank(df,
+      least(greatest(expr("q div 5000"), lit(-33L)), lit(0L)),
+      Seq(col("q").asc, col("doc_id").asc))
+    graft.ext.Agreement.spearman(Seq(
+        "bigram_jm" -> ranked(b), "trigram_kn" -> ranked(k)))
+      .orderBy("scorer_a", "scorer_b")
+  }
+
   /** e78: CCNet head/middle/tail perplexity buckets
     * ([[graft.ext.Text.perplexityBucketsFrom]]) — the e75 scores cut
     * into per-language terciles, the split CCNet keeps/down-samples
@@ -1517,6 +1545,7 @@ object Extensions {
     "e101_kn_trigram_lm" -> (e101_kn_trigram_lm _),
     "e102_snapshot_diff" -> (e102_snapshot_diff _),
     "e103_packing_scoreboard" -> (e103_packing_scoreboard _),
+    "e104_lm_agreement" -> (e104_lm_agreement _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2697,8 +2726,10 @@ object Extensions {
     * count derives from, the three fixed-point levels as staged CTEs
     * (SQL can't reference a same-SELECT alias), the eighth-bit log,
     * and the e75 fold. All operands positive, so `//` == `div`;
-    * p_fp ≤ 2^20 is cast to BIGINT before bin(). */
-  private def e101OracleSql: String = {
+    * p_fp ≤ 2^20 is cast to BIGINT before bin(). Core form WITHOUT
+    * the trailing ORDER BY so e104 can embed it as a nested-WITH CTE
+    * (the e75/e60 strip-once discipline). */
+  private def e101OracleCore: String = {
     val S = graft.ext.Retrieval.Scale
     s"""WITH toks_101 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |ev_101 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
@@ -2735,9 +2766,33 @@ object Extensions {
        |SELECT doc_id, count(*) AS n_trigrams,
        |  CAST(sum(s8) AS BIGINT) AS surprisal8,
        |  CAST((sum(s8) * 1000) // count(*) AS BIGINT) AS mean_milli
-       |FROM s8_101 GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin
+       |FROM s8_101 GROUP BY doc_id""".stripMargin
   }
+
+  private def e101OracleSql: String = e101OracleCore + "\nORDER BY doc_id"
+
+  /** e104's oracle: both LM replays nested as MATERIALIZED CTEs (the
+    * e86 composition), plain-global-window ranks (the [[globalRank]]
+    * contract: any monotone bucketing yields identical positions, so
+    * the oracle ranks flat), one integer d² fold, one double division. */
+  private def e104OracleSql: String =
+    "WITH sc75 AS MATERIALIZED (\n" + e75OracleCore + "),\n" +
+      "sc101 AS MATERIALIZED (\n" + e101OracleCore + "),\n" +
+      s"""r75 AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY -mean_milli, doc_id) AS rk
+       |        FROM sc75),
+       |r101 AS (SELECT doc_id,
+       |          row_number() OVER (ORDER BY -mean_milli, doc_id) AS rk
+       |        FROM sc101),
+       |u104 AS (SELECT 'bigram_jm' AS scorer_a, 'trigram_kn' AS scorer_b,
+       |    count(*) AS n,
+       |    CAST(sum((a.rk - b.rk) * (a.rk - b.rk)) AS BIGINT) AS sum_d2
+       |  FROM r75 a JOIN r101 b USING (doc_id))
+       |SELECT scorer_a, scorer_b, n, sum_d2,
+       |  CASE WHEN n > 1
+       |    THEN 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
+       |    ELSE 0.0 END AS spearman
+       |FROM u104 ORDER BY scorer_a, scorer_b""".stripMargin
 
   /** e89's replay WITHOUT the trailing ORDER BY, so e98 can embed it
     * as a nested-WITH CTE (the e60/e75 strip-once discipline): the e75
@@ -3874,6 +3929,7 @@ object Extensions {
     "e97_index_dedup" -> e97OracleSql,
     "e100_pca_scores" -> e100OracleSql,
     "e101_kn_trigram_lm" -> e101OracleSql,
+    "e104_lm_agreement" -> e104OracleSql,
     "e102_snapshot_diff" ->
       """WITH old_102 AS (SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0 THEN text || ' v1' ELSE text END AS text
