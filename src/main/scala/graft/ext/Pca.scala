@@ -178,4 +178,35 @@ object Pca {
     embeddings.select(col("vec_id"),
       pc1Col(col("embedding"), v).as("pc1_fp"))
   }
+
+  /** Common-direction removal (the whitening step SemDeDup-style
+    * pipelines run before cosine clustering, and the classic
+    * all-but-the-top post-processing for embedding quality): project
+    * out the frozen PC1 from every vector, in EXACT integers by
+    * scaling instead of dividing —
+    *
+    *   w = q·(vᵀv) − (qᵀv)·v
+    *
+    * is the orthogonal rejection times the positive scalar vᵀv, and
+    * cosine is scale-invariant, so downstream similarity sees exactly
+    * the rejected direction with no truncation anywhere. The algebra
+    * gives an EXACT law: w·v = (qᵀv)(vᵀv) − (qᵀv)(vᵀv) = 0, integer
+    * zero, pinned by PcaSpec and the e105 oracle's own residual
+    * column. Magnitudes: |q|≤2¹², vᵀv ≤ 64·2⁴⁰ ≈ 2⁴⁶, so |w| ≤ 2⁵⁹ —
+    * a plain long. Row-local projection (the direction and vᵀv ride
+    * as literals); output LONG FORM `(vec_id, d, w_fp)` so the oracle
+    * hashes scalars, not arrays. */
+  def removePc1(embeddings: DataFrame, direction: Array[Long]): DataFrame = {
+    val vv = direction.map(x => BigInt(x) * BigInt(x)).sum
+    require(vv.isValidLong, "direction norm overflows a long")
+    val vLit = array(direction.map(x => lit(x)): _*)
+    embeddings
+      .select(col("vec_id"), quantizeCol(col("embedding")).as("_q"),
+        pc1Col(col("embedding"), direction).as("_qv"))
+      .select(col("vec_id"), posexplode(
+        zip_with(col("_q"), vLit,
+          (q, v) => q * lit(vv.toLong) - col("_qv") * v)))
+      .select(col("vec_id"), col("pos").cast("long").as("d"),
+        col("col").as("w_fp"))
+  }
 }

@@ -770,6 +770,20 @@ object Extensions {
   def e100_pca_scores(s: SparkSession, dir: String): DataFrame =
     Pca.pc1Scores(emb(s, dir)).orderBy("vec_id")
 
+  /** e105: common-direction removal ([[graft.ext.Pca.removePc1]]) —
+    * the whitening transform the e100 axis exists to feed: every
+    * vector minus its PC1 component, exact by scaling instead of
+    * dividing (w = q·(vᵀv) − (qᵀv)·v — cosine downstream is
+    * scale-invariant, so nothing truncates). Long-form output
+    * `(vec_id, d, w_fp)`; the algebraic law Σ_d w·v = 0 holds in
+    * exact integers (PcaSpec). */
+  def e105_pc1_removal(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (n, sArr, g) = Pca.gramPass(e)
+    val v = Pca.pc1Direction(n, sArr, g)
+    Pca.removePc1(e, v).orderBy("vec_id", "d")
+  }
+
   /** e101: interpolated Kneser-Ney trigram perplexity
     * ([[graft.ext.Text.knTrigramSurprisal]]) — the KenLM-shaped filter
     * (CCNet's quality signal) one model order and one smoothing idea
@@ -1546,6 +1560,7 @@ object Extensions {
     "e102_snapshot_diff" -> (e102_snapshot_diff _),
     "e103_packing_scoreboard" -> (e103_packing_scoreboard _),
     "e104_lm_agreement" -> (e104_lm_agreement _),
+    "e105_pc1_removal" -> (e105_pc1_removal _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2685,8 +2700,11 @@ object Extensions {
     * chain 2^16-fold, measured as a hang before materialization),
     * the sign canon, and the integer projection — every `//` has a
     * possibly-negative numerator, which is exactly why the engine
-    * side iterates in BigInt: both truncate toward zero. */
-  private def e100OracleSql: String = {
+    * side iterates in BigInt: both truncate toward zero. The CHAIN
+    * (through the canonical direction `vf`) is shared with e105's
+    * whitening final (strip-once: the chain is built exactly once;
+    * finals compose by plain concatenation). */
+  private def e100OracleChain: String = {
     val vs = Pca.VScale
     val rounds = (1 to Pca.Iters).map { t =>
       val pv = s"pcv${t - 1}"
@@ -2714,12 +2732,29 @@ object Extensions {
          |dz AS (SELECT min(d) AS dstar FROM $last, mz WHERE abs($last.v) = mz.m),
          |sg AS (SELECT CASE WHEN (SELECT v FROM $last, dz WHERE $last.d = dz.dstar) < 0
          |         THEN -1 ELSE 1 END AS s),
-         |vf AS (SELECT d, v * sg.s AS v FROM $last, sg)
-         |SELECT vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS pc1_fp
-         |FROM qd JOIN vf USING (d)
-         |GROUP BY vec_id
-         |ORDER BY vec_id""".stripMargin
+         |vf AS MATERIALIZED (SELECT d, v * sg.s AS v FROM $last, sg)""".stripMargin
   }
+
+  private def e100OracleSql: String =
+    e100OracleChain + "\n" +
+      """SELECT vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS pc1_fp
+        |FROM qd JOIN vf USING (d)
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin
+
+  /** e105's oracle: the e100 chain's canonical direction, then the
+    * exact whitening final — w = q·(vᵀv) − (qᵀv)·v, the orthogonal
+    * rejection scaled by the positive vᵀv so NO division appears
+    * anywhere (cosine downstream is scale-invariant). */
+  private def e105OracleSql: String =
+    e100OracleChain + ",\n" +
+      """vv105 AS (SELECT sum(v * v) AS vv FROM vf),
+        |qv105 AS MATERIALIZED (SELECT vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS qv
+        |  FROM qd JOIN vf USING (d) GROUP BY vec_id)
+        |SELECT q.vec_id, q.d, CAST(q.q * vv.vv - qv.qv * vf.v AS BIGINT) AS w_fp
+        |FROM qd q JOIN vf ON vf.d = q.d
+        |JOIN qv105 qv ON qv.vec_id = q.vec_id, vv105 vv
+        |ORDER BY q.vec_id, q.d""".stripMargin
 
   /** e101's oracle: the full interpolated-KN replay — trigram events
     * by token index, the one trigram-count frame every continuation
@@ -3930,6 +3965,7 @@ object Extensions {
     "e100_pca_scores" -> e100OracleSql,
     "e101_kn_trigram_lm" -> e101OracleSql,
     "e104_lm_agreement" -> e104OracleSql,
+    "e105_pc1_removal" -> e105OracleSql,
     "e102_snapshot_diff" ->
       """WITH old_102 AS (SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0 THEN text || ' v1' ELSE text END AS text

@@ -111,6 +111,30 @@ class PcaSpec extends SparkSpec {
     assert(out.size == 1) // every vector projects identically; no crash
   }
 
+  test("removePc1: exact integer orthogonality and mass preservation") {
+    val rows = planted(200, 16, seed = 31)
+    val (n, s, g) = Pca.gramPass(df(rows), dims = 16)
+    val v = Pca.pc1Direction(n, s, g)
+    val w = Pca.removePc1(df(rows), v)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(w.size == 200 && w.values.forall(_.length == 16))
+    // the algebraic law: w . v == 0 EXACTLY (integer arithmetic)
+    w.values.foreach { wv =>
+      val dot = wv.zip(v).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+      assert(dot == BigInt(0), s"whitened vector not orthogonal: $dot")
+    }
+    // hand replay in exact integers (doubles lose the 2^58 products)
+    val q = rows.map(_._2.map(x => BigInt(math.floor(x.toDouble * Pca.QScale).toLong)))
+    val vv = v.map(x => BigInt(x) * BigInt(x)).sum
+    rows.indices.take(5).foreach { i =>
+      val qi = q(rows(i)._1.toInt)
+      val qvDot = qi.zip(v).map { case (a, b) => a * BigInt(b) }.sum
+      val expect = qi.zip(v).map { case (a, b) => (a * vv - qvDot * b).toLong }
+      assert(w(rows(i)._1).toSeq == expect.toSeq)
+    }
+  }
+
   test("determinism: two invocations hash-identical") {
     val rows = planted(150, 16, seed = 23)
     val a = Pca.pc1Scores(df(rows), dims = 16).orderBy("vec_id").collect().toSeq
