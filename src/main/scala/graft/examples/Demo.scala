@@ -337,6 +337,46 @@ object Demo {
       s"entropy8_min=${lo.getLong(2)}@doc${lo.getLong(0)} " +
       s"entropy8_max=${hi.getLong(2)}@doc${hi.getLong(0)}")
 
+    // 34. the incremental-ingest loop: what the new crawl changed
+    // (content-addressed snapshot diff) and which of its docs are
+    // near-dups of the FROZEN corpus index (no corpus recompute)
+    val sd = graft.SparkEntry.queries("e102_snapshot_diff")(spark, sfDir)
+      .groupBy("status").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    val ing = graft.SparkEntry.queries("e97_index_dedup")(spark, sfDir)
+      .agg(count(lit(1)), countDistinct(col("new_id"))).head
+    println(s"DEMO snapshot_diff $sd " +
+      s"ingest_dups=${ing.getLong(0)}pairs/${ing.getLong(1)}docs")
+
+    // 35. which retriever, and can the cheap LM gate for the good one:
+    // measured precision/recall@10 + MRR per retriever, and the
+    // bigram-vs-KN-trigram rank agreement (rho 0.36 here = NO, the
+    // cheap scorer does not stand in on this corpus)
+    val rsb = graft.SparkEntry.queries("e96_retrieval_scoreboard")(spark, sfDir)
+      .collect()
+      .map(r => f"${r.getString(0)}:mrr=${r.getDouble(8)}%.3f").mkString(" ")
+    val lmA = graft.SparkEntry.queries("e104_lm_agreement")(spark, sfDir)
+      .collect().head
+    println(s"DEMO retrieval_scoreboard $rsb " +
+      f"lm_rank_agreement=${lmA.getDouble(4)}%.3f")
+
+    // 36. embedding hygiene: the exact PCA corpus axis (1-D spread for
+    // range sharding / drift watch) and the division-free whitening
+    // whose w.v = 0 law both engines verify as integer zero
+    val pca = graft.SparkEntry.queries("e100_pca_scores")(spark, sfDir)
+      .agg(min(col("pc1_fp")), max(col("pc1_fp"))).head
+    println(s"DEMO pca_axis=[${pca.getLong(0)},${pca.getLong(1)}] " +
+      s"whitened_rows=${graft.SparkEntry.queries("e105_pc1_removal")(spark, sfDir).count()}")
+
+    // 37. how much padding each packing policy costs, measured: raw
+    // contiguous (overflow semantics), split-then-pack, and the
+    // boundary-free concat-cut ceiling at the same budget
+    val pk = graft.SparkEntry.queries("e103_packing_scoreboard")(spark, sfDir)
+      .collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(3)}milli/${r.getLong(1)}packs")
+      .mkString(" ")
+    println(s"DEMO packing_fill $pk")
+
     spark.stop()
   }
 }
