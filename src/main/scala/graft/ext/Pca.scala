@@ -149,7 +149,55 @@ object Pca {
   def pc1Direction(n: Long, s: Array[BigInt], g: Array[Array[BigInt]]): Array[Long] = {
     val dims = s.length
     val nB = BigInt(n)
+    iterate(Array.tabulate(dims, dims)((i, j) => nB * g(i)(j) - s(i) * s(j)))
+  }
+
+  /** Per-vector projection onto PC1: `(vec_id, pc1_fp)` with
+    * pc1_fp = Σ_d q_d·v_d — the 1-D corpus axis, exact. One Gram
+    * pass + one stateless projection; nothing pair-shaped. */
+  def pc1Scores(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    val (n, s, g) = gramPass(embeddings, dims)
+    val v = pc1Direction(n, s, g)
+    embeddings.select(col("vec_id"),
+      pc1Col(col("embedding"), v).as("pc1_fp"))
+  }
+
+  /** Second principal direction via exact-integer deflation: remove
+    * PC1's spectral mass from the scaled covariance and re-run the
+    * same fixed-point power iteration. With λ = vᵀCv / vᵀv (the
+    * Rayleigh eigenvalue), the deflated matrix is C − λ·vvᵀ/(vᵀv);
+    * scaled by the positive vᵀv and with λ truncated ONCE to an
+    * integer (both engines truncate identically), the iterate is
+    *
+    *   D_ij = C_ij·(vᵀv) − (vᵀCv quot vᵀv)·v_i·v_j
+    *
+    * — every term exact, the truncation perturbing D by < v_i·v_j per
+    * entry (≈2⁻⁴⁸ relative), far below any spectral gap that makes a
+    * PC2 meaningful. v is the FIXED-POINT PC1, so a residual of PC1's
+    * mass survives deflation at O(ε·λ₁); power iteration converges to
+    * PC2 whenever that residual sits below λ₂ — true for any gap the
+    * 2²⁰ scale can express (PcaSpec pins it against a double
+    * reference). Magnitude ledger (oracle side, HUGEINT = 2¹²⁶):
+    * D ≤ 2⁹⁵ at sf0.1, matvec ≤ 2¹²¹ — inside; the ENGINE side is
+    * BigInt, unbounded at any corpus size. */
+  def pc2Direction(n: Long, s: Array[BigInt], g: Array[Array[BigInt]],
+      v1: Array[Long]): Array[Long] = {
+    val dims = s.length
+    val nB = BigInt(n)
     val c = Array.tabulate(dims, dims)((i, j) => nB * g(i)(j) - s(i) * s(j))
+    val v = v1.map(BigInt(_))
+    val vv = v.map(x => x * x).sum.max(BigInt(1))
+    val vCv = (for (i <- 0 until dims; j <- 0 until dims)
+      yield v(i) * c(i)(j) * v(j)).sum
+    val lam = vCv / vv
+    val d = Array.tabulate(dims, dims)((i, j) => c(i)(j) * vv - lam * v(i) * v(j))
+    iterate(d)
+  }
+
+  /** The shared canonical-sign power iteration over an integer matrix
+    * (PC1 runs it on C, PC2 on the deflated D). */
+  private def iterate(c: Array[Array[BigInt]]): Array[Long] = {
+    val dims = c.length
     var v = Array.fill(dims)(BigInt(VScale))
     var t = 0
     while (t < Iters) {
@@ -169,14 +217,16 @@ object Pca {
     canon.map(_.toLong)
   }
 
-  /** Per-vector projection onto PC1: `(vec_id, pc1_fp)` with
-    * pc1_fp = Σ_d q_d·v_d — the 1-D corpus axis, exact. One Gram
-    * pass + one stateless projection; nothing pair-shaped. */
-  def pc1Scores(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+  /** The 2-D corpus map `(vec_id, pc1_fp, pc2_fp)` — the cheap global
+    * coordinates for stratified sharding and drift dashboards: one
+    * Gram pass, two driver-side iterations, one stateless projection. */
+  def pcaMap(embeddings: DataFrame, dims: Int = 64): DataFrame = {
     val (n, s, g) = gramPass(embeddings, dims)
-    val v = pc1Direction(n, s, g)
+    val v1 = pc1Direction(n, s, g)
+    val v2 = pc2Direction(n, s, g, v1)
     embeddings.select(col("vec_id"),
-      pc1Col(col("embedding"), v).as("pc1_fp"))
+      pc1Col(col("embedding"), v1).as("pc1_fp"),
+      pc1Col(col("embedding"), v2).as("pc2_fp"))
   }
 
   /** Common-direction removal (the whitening step SemDeDup-style

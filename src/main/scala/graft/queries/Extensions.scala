@@ -784,6 +784,15 @@ object Extensions {
     Pca.removePc1(e, v).orderBy("vec_id", "d")
   }
 
+  /** e106: the 2-D PCA corpus map ([[graft.ext.Pca.pcaMap]]) — PC1
+    * plus the deflated second direction (exact-integer deflation, λ
+    * truncated once, identical in both engines), giving every vector
+    * cheap global coordinates for stratified sharding and drift
+    * dashboards. Same single Gram pass as e100; the extra iteration
+    * is driver-side 64×64. */
+  def e106_pca_map(s: SparkSession, dir: String): DataFrame =
+    Pca.pcaMap(emb(s, dir)).orderBy("vec_id")
+
   /** e101: interpolated Kneser-Ney trigram perplexity
     * ([[graft.ext.Text.knTrigramSurprisal]]) — the KenLM-shaped filter
     * (CCNet's quality signal) one model order and one smoothing idea
@@ -1561,6 +1570,7 @@ object Extensions {
     "e103_packing_scoreboard" -> (e103_packing_scoreboard _),
     "e104_lm_agreement" -> (e104_lm_agreement _),
     "e105_pc1_removal" -> (e105_pc1_removal _),
+    "e106_pca_map" -> (e106_pca_map _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2704,15 +2714,31 @@ object Extensions {
     * (through the canonical direction `vf`) is shared with e105's
     * whitening final (strip-once: the chain is built exactly once;
     * finals compose by plain concatenation). */
-  private def e100OracleChain: String = {
+  /** Sixteen unrolled (matvec, max-abs, renormalize) MATERIALIZED CTE
+    * rounds plus the sign canon over matrix CTE `mat` (cols i, j, c),
+    * starting from `pcv${sfx}0` = VScale·𝟙 and ending in the
+    * canonical-direction CTE `vf$sfx` (cols d, v). sfx = "" yields
+    * the e100 PC1 chain names; e106 reruns it over the deflated
+    * matrix with sfx = "b". */
+  private def pcaRoundsSql(mat: String, sfx: String): String = {
     val vs = Pca.VScale
     val rounds = (1 to Pca.Iters).map { t =>
-      val pv = s"pcv${t - 1}"
-      s"pcu$t AS MATERIALIZED (SELECT cov.i AS d, sum(cov.c * $pv.v) AS u FROM cov JOIN $pv ON $pv.d = cov.j GROUP BY cov.i),\n" +
-        s"pcm$t AS MATERIALIZED (SELECT greatest(max(abs(u)), 1) AS m FROM pcu$t),\n" +
-        s"pcv$t AS MATERIALIZED (SELECT d, (u * $vs) // m AS v FROM pcu$t, pcm$t)"
+      val pv = s"pcv$sfx${t - 1}"
+      s"pcu$sfx$t AS MATERIALIZED (SELECT $mat.i AS d, sum($mat.c * $pv.v) AS u FROM $mat JOIN $pv ON $pv.d = $mat.j GROUP BY $mat.i),\n" +
+        s"pcm$sfx$t AS MATERIALIZED (SELECT greatest(max(abs(u)), 1) AS m FROM pcu$sfx$t),\n" +
+        s"pcv$sfx$t AS MATERIALIZED (SELECT d, (u * $vs) // m AS v FROM pcu$sfx$t, pcm$sfx$t)"
     }.mkString(",\n")
-    val last = s"pcv${Pca.Iters}"
+    val last = s"pcv$sfx${Pca.Iters}"
+    s"pcv${sfx}0 AS MATERIALIZED (SELECT DISTINCT d, CAST($vs AS HUGEINT) AS v FROM qd),\n" +
+      rounds + ",\n" +
+      s"""mz$sfx AS (SELECT max(abs(v)) AS m FROM $last),
+         |dz$sfx AS (SELECT min(d) AS dstar FROM $last, mz$sfx WHERE abs($last.v) = mz$sfx.m),
+         |sg$sfx AS (SELECT CASE WHEN (SELECT v FROM $last, dz$sfx WHERE $last.d = dz$sfx.dstar) < 0
+         |         THEN -1 ELSE 1 END AS s),
+         |vf$sfx AS MATERIALIZED (SELECT d, v * sg$sfx.s AS v FROM $last, sg$sfx)""".stripMargin
+  }
+
+  private def e100OracleChain: String =
     s"""WITH qd AS MATERIALIZED (SELECT vec_id, t.pos - 1 AS d,
        |    CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * ${Pca.QScale}.0) AS BIGINT) AS q
        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(pos)),
@@ -2725,15 +2751,7 @@ object Extensions {
        |        JOIN sums si ON si.d = gram.i
        |        JOIN sums sj ON sj.d = gram.j
        |        CROSS JOIN nn),
-       |pcv0 AS MATERIALIZED (SELECT DISTINCT d, CAST($vs AS HUGEINT) AS v FROM qd),
-       |""".stripMargin +
-      rounds + ",\n" +
-      s"""mz AS (SELECT max(abs(v)) AS m FROM $last),
-         |dz AS (SELECT min(d) AS dstar FROM $last, mz WHERE abs($last.v) = mz.m),
-         |sg AS (SELECT CASE WHEN (SELECT v FROM $last, dz WHERE $last.d = dz.dstar) < 0
-         |         THEN -1 ELSE 1 END AS s),
-         |vf AS MATERIALIZED (SELECT d, v * sg.s AS v FROM $last, sg)""".stripMargin
-  }
+       |""".stripMargin + pcaRoundsSql("cov", "")
 
   private def e100OracleSql: String =
     e100OracleChain + "\n" +
@@ -2828,6 +2846,28 @@ object Extensions {
        |    THEN 1.0 - 6.0 * CAST(sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
        |    ELSE 0.0 END AS spearman
        |FROM u104 ORDER BY scorer_a, scorer_b""".stripMargin
+
+  /** e106's oracle: the e100 chain's PC1, the exact-integer deflation
+    * (λ = vᵀCv // vᵀv truncated ONCE, D = C·vᵀv − λ·v_i·v_j — the
+    * [[graft.ext.Pca.pc2Direction]] ledger), the SAME sixteen rounds
+    * re-run over D, and both projections in one fold. */
+  private def e106OracleSql: String =
+    e100OracleChain + ",\n" +
+      """vvq AS (SELECT CAST(sum(v * v) AS HUGEINT) AS vv FROM vf),
+        |lamq AS (SELECT vv,
+        |    (SELECT sum(a.v * cov.c * b.v)
+        |     FROM cov JOIN vf a ON a.d = cov.i JOIN vf b ON b.d = cov.j)
+        |      // vv AS lam
+        |  FROM vvq),
+        |cov2 AS MATERIALIZED (SELECT cov.i AS i, cov.j AS j,
+        |    cov.c * lamq.vv - lamq.lam * a.v * b.v AS c
+        |  FROM cov JOIN vf a ON a.d = cov.i JOIN vf b ON b.d = cov.j, lamq),
+        |""".stripMargin + pcaRoundsSql("cov2", "b") + "\n" +
+      """SELECT qd.vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS pc1_fp,
+        |  CAST(sum(qd.q * vfb.v) AS BIGINT) AS pc2_fp
+        |FROM qd JOIN vf USING (d) JOIN vfb USING (d)
+        |GROUP BY qd.vec_id
+        |ORDER BY vec_id""".stripMargin
 
   /** e89's replay WITHOUT the trailing ORDER BY, so e98 can embed it
     * as a nested-WITH CTE (the e60/e75 strip-once discipline): the e75
@@ -3966,6 +4006,7 @@ object Extensions {
     "e101_kn_trigram_lm" -> e101OracleSql,
     "e104_lm_agreement" -> e104OracleSql,
     "e105_pc1_removal" -> e105OracleSql,
+    "e106_pca_map" -> e106OracleSql,
     "e102_snapshot_diff" ->
       """WITH old_102 AS (SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0 THEN text || ' v1' ELSE text END AS text

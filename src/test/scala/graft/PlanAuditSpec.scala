@@ -71,6 +71,11 @@ class PlanAuditSpec extends SparkSpec {
     // left this list when it switched to the MEMOIZED e75 scorer — the
     // checkpointed frame has no in-plan total broadcast any more)
     "e74_hybrid_rrf", "e75_bigram_lm", "e77_domain_shift",
+    // e101: the e75-class 1-row broadcast (the continuation-type total
+    // B under the KN unigram level); e104: the e86-class bounded
+    // triangular join over the bucket histogram inside globalRank
+    // (|buckets|² rows — the price of NOT global-sorting the corpus)
+    "e101_kn_trigram_lm", "e104_lm_agreement",
     // e79: the bounded benchmark side broadcast under the non-equi
     // cosine-threshold predicate (the e06/e20 class)
     "e79_semantic_decontaminate",
