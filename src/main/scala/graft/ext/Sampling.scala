@@ -303,6 +303,45 @@ object Sampling {
     }
   }
 
+  /** Deterministic WEIGHTED sample without replacement, fixed size `k`
+    * (Efraimidis & Spirakis '06, the A-Res reservoir key): every row
+    * draws u from the same 60-bit key hash as [[hashSample]] and the
+    * k largest u^(1/w) win. The race runs in EXACT quantized log
+    * space so the SQL oracle replays it bit for bit:
+    *
+    *   es_fp = (lg64(u) − 3840) · 2²⁰ div w     (≤ 0; larger = keep)
+    *
+    * with lg64 the 1/64-bit integer log2 (6-bit mantissa — the
+    * [[graft.ext.Retrieval.log8Sql]] discipline three bits finer,
+    * because here the log IS the ranking key, not a summand). The key
+    * is monotone in u for fixed w and in w for fixed u, so the
+    * quantized race preserves ES semantics to mantissa granularity
+    * (~1.1% in log2); ties break on the sample key. `div` on the
+    * NEGATIVE numerator truncates toward zero in both engines
+    * (SamplingSpec pins Spark's `div`; (−7)//2 = −3 verified in
+    * DuckDB). Rows with non-positive weight are excluded before any
+    * division. Membership is key-determined: reruns, partitioning and
+    * layout can never change the sample.
+    *
+    * Scale shape: one row-local projection + a TakeOrdered top-k
+    * (each partition surfaces at most k rows to the driver merge — no
+    * global sort, no shuffle; the plan that survives 100 TB for the
+    * k ≪ corpus regime this op exists for). Output: the input columns
+    * plus `es_fp`. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    df.where(weight.cast("long") > 0)
+      .withColumn("_w", weight.cast("long"))
+      .withColumn("_u", keyHash(key) + lit(1L))
+      .withColumn("_e", (length(bin(col("_u"))) - 1).cast("long"))
+      .withColumn("es_fp", expr(
+        s"((64 * _e + (CASE WHEN _e >= 6 THEN _u >> (_e - 6) " +
+          s"ELSE _u << (6 - _e) END) - 64 - 3840) * ${1L << 20}) div _w"))
+      .orderBy(col("es_fp").desc, key.asc)
+      .limit(k)
+      .drop("_w", "_u", "_e")
+  }
+
   /** Deterministic fixed-size per-stratum sample: the `n` rows of each
     * stratum whose keys hash lowest (hash order = uniform random order,
     * but reproducible). Strata with fewer than `n` rows are kept whole —

@@ -793,6 +793,21 @@ object Extensions {
   def e106_pca_map(s: SparkSession, dir: String): DataFrame =
     Pca.pcaMap(emb(s, dir)).orderBy("vec_id")
 
+  /** e107: deterministic weighted sampling
+    * ([[graft.ext.Sampling.weightedSample]]) — k = 100 docs drawn
+    * ∝ token count without replacement (Efraimidis-Spirakis A-Res in
+    * exact quantized log space): the subsample-to-a-budget primitive
+    * when longer/higher-weight docs should win proportionally, not
+    * deterministically (contrast [[graft.ext.Sampling.budgetSelect]]'s
+    * greedy quality argmax and e27's unweighted Bernoulli). */
+  val E107K = 100
+  def e107_weighted_sample(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Sampling.weightedSample(toks, col("doc_id"), col("n_tokens"), E107K)
+      .orderBy("doc_id")
+  }
+
   /** e101: interpolated Kneser-Ney trigram perplexity
     * ([[graft.ext.Text.knTrigramSurprisal]]) — the KenLM-shaped filter
     * (CCNet's quality signal) one model order and one smoothing idea
@@ -1571,6 +1586,7 @@ object Extensions {
     "e104_lm_agreement" -> (e104_lm_agreement _),
     "e105_pc1_removal" -> (e105_pc1_removal _),
     "e106_pca_map" -> (e106_pca_map _),
+    "e107_weighted_sample" -> (e107_weighted_sample _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -4007,6 +4023,20 @@ object Extensions {
     "e104_lm_agreement" -> e104OracleSql,
     "e105_pc1_removal" -> e105OracleSql,
     "e106_pca_map" -> e106OracleSql,
+    "e107_weighted_sample" ->
+      s"""WITH t107 AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |h107 AS (SELECT doc_id, n_tokens,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS u
+         |  FROM t107 WHERE n_tokens > 0),
+         |x107 AS (SELECT doc_id, n_tokens, u, length(bin(u)) - 1 AS e FROM h107),
+         |k107 AS (SELECT doc_id, n_tokens,
+         |    ((64 * e + (CASE WHEN e >= 6 THEN u >> (e - 6) ELSE u << (6 - e) END)
+         |      - 64 - 3840) * ${1L << 20}) // n_tokens AS es_fp
+         |  FROM x107)
+         |SELECT doc_id, n_tokens, es_fp FROM k107
+         |QUALIFY row_number() OVER (ORDER BY es_fp DESC, doc_id) <= $E107K
+         |ORDER BY doc_id""".stripMargin,
     "e102_snapshot_diff" ->
       """WITH old_102 AS (SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 0 THEN text || ' v1' ELSE text END AS text

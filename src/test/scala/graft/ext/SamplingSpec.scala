@@ -70,6 +70,48 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedSample: driver replay, weight bias, div semantics, determinism") {
+    // pin Spark's integral `div` on negative numerators: trunc toward
+    // zero, exactly DuckDB's // ((-7)//2 = -3, verified)
+    assert(spark.sql("SELECT -7 div 2 AS d").as[Long].head() == -3L)
+    // 1000 keys, 50 of them 50x heavier
+    val rows = (0L until 1000L).map(i => (i, if (i % 20 == 0) 50L else 1L))
+    val df = rows.toDF("doc_id", "w")
+    val out = Sampling.weightedSample(df, col("doc_id"), col("w"), 100)
+      .select("doc_id", "w", "es_fp").as[(Long, Long, Long)].collect()
+    assert(out.length == 100)
+    // exact driver replay of the quantized A-Res race
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) + 1L
+    }
+    def es(id: Long, w: Long): Long = {
+      val uu = u(id)
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(uu)
+      val m = if (e >= 6) uu >> (e - 6) else uu << (6 - e)
+      val num = (64L * e + m - 64L - 3840L) * (1L << 20)
+      num / w // both engines truncate toward zero
+    }
+    val expect = rows.map { case (id, w) => (id, w, es(id, w)) }
+      .sortBy { case (id, _, e) => (-e, id) }.take(100)
+      .sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == expect)
+    // the 50 heavy keys dominate the sample (w-proportional inclusion)
+    val heavy = out.count(_._2 == 50L)
+    assert(heavy >= 40, s"heavy keys under-represented: $heavy/50")
+    // deterministic under partitioning
+    val again = Sampling.weightedSample(df.repartition(13), col("doc_id"), col("w"), 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.map(_._1).toSet)
+    // zero/negative weights are excluded, never divided by
+    val z = Sampling.weightedSample(
+      Seq((1L, 0L), (2L, -3L), (3L, 5L)).toDF("doc_id", "w"),
+      col("doc_id"), col("w"), 10)
+    assert(z.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("weightedMix keeps the binding group whole, rates the rest, drops the unweighted") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
