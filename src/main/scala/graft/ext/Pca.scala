@@ -229,6 +229,35 @@ object Pca {
       pc1Col(col("embedding"), v2).as("pc2_fp"))
   }
 
+  /** The drift dashboard the axis exists for: per (group, half) mean
+    * position along the FROZEN PC1 — train the direction once on the
+    * whole corpus, project both snapshot halves onto it, and a group
+    * whose mean moves between halves is drifting along the corpus's
+    * own dominant semantic direction (the first number a crawl-over-
+    * crawl monitor wants, and the 1-D version of embedding-drift
+    * detection). `groups` maps `vec_id` to a `source` column; `half`
+    * is any deterministic snapshot split expression. Mean is exact:
+    * the pc1 sum widens to DECIMAL(38,0) before the ·1000 milli scale
+    * (|pc1_fp| ≤ 2³⁸ ⇒ a long sum would cap groups at ~2²⁴ vectors —
+    * the doremi lesson), and the possibly-negative numerator
+    * truncates toward zero in both engines. One projection + one
+    * group aggregate; nothing pair-shaped. Output:
+    * `(source, half, n_vecs, mean_pc1_milli)`. */
+  def axisDrift(embeddings: DataFrame, groups: DataFrame, half: Column,
+      dims: Int = 64): DataFrame = {
+    val (n, s, g) = gramPass(embeddings, dims)
+    val v = pc1Direction(n, s, g)
+    embeddings.select(col("vec_id"), pc1Col(col("embedding"), v).as("_p"))
+      .join(groups, "vec_id")
+      .withColumn("half", half.cast("long"))
+      .groupBy(col("source"), col("half"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("_p").cast("decimal(38,0)")).as("_sp"))
+      .withColumn("mean_pc1_milli",
+        expr("CAST((_sp * 1000) div n_vecs AS BIGINT)"))
+      .select(col("source"), col("half"), col("n_vecs"), col("mean_pc1_milli"))
+  }
+
   /** Common-direction removal (the whitening step SemDeDup-style
     * pipelines run before cosine clustering, and the classic
     * all-but-the-top post-processing for embedding quality): project

@@ -808,6 +808,18 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e108: axis drift ([[graft.ext.Pca.axisDrift]]) — per-source mean
+    * position along the frozen e100 axis for the two id-parity
+    * snapshot halves (the deterministic stand-in for consecutive
+    * crawls): the crawl-over-crawl drift monitor, measured. Vector
+    * ids map to sources through the documents table (the e95
+    * precedent). */
+  def e108_axis_drift(s: SparkSession, dir: String): DataFrame =
+    Pca.axisDrift(emb(s, dir),
+        docs(s, dir).select(col("doc_id").as("vec_id"), col("source")),
+        half = col("vec_id") % 2)
+      .orderBy("source", "half")
+
   /** e101: interpolated Kneser-Ney trigram perplexity
     * ([[graft.ext.Text.knTrigramSurprisal]]) — the KenLM-shaped filter
     * (CCNet's quality signal) one model order and one smoothing idea
@@ -1587,6 +1599,7 @@ object Extensions {
     "e105_pc1_removal" -> (e105_pc1_removal _),
     "e106_pca_map" -> (e106_pca_map _),
     "e107_weighted_sample" -> (e107_weighted_sample _),
+    "e108_axis_drift" -> (e108_axis_drift _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2885,6 +2898,21 @@ object Extensions {
         |GROUP BY qd.vec_id
         |ORDER BY vec_id""".stripMargin
 
+  /** e108's oracle: the e100 chain's projection grouped by
+    * (source, id-parity half) with the HUGEINT-wide milli mean —
+    * trunc-toward-zero on the possibly-negative numerator, both
+    * engines. */
+  private def e108OracleSql: String =
+    e100OracleChain + ",\n" +
+      """pj108 AS (SELECT qd.vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS p
+        |  FROM qd JOIN vf USING (d) GROUP BY qd.vec_id),
+        |g108 AS (SELECT d.source AS source, pj108.vec_id % 2 AS half, p
+        |  FROM pj108 JOIN documents d ON d.doc_id = pj108.vec_id)
+        |SELECT source, half, count(*) AS n_vecs,
+        |  CAST((sum(CAST(p AS HUGEINT)) * 1000) // count(*) AS BIGINT) AS mean_pc1_milli
+        |FROM g108 GROUP BY source, half
+        |ORDER BY source, half""".stripMargin
+
   /** e89's replay WITHOUT the trailing ORDER BY, so e98 can embed it
     * as a nested-WITH CTE (the e60/e75 strip-once discipline): the e75
     * scorer replay joined to sources, then the source-grain
@@ -4023,6 +4051,7 @@ object Extensions {
     "e104_lm_agreement" -> e104OracleSql,
     "e105_pc1_removal" -> e105OracleSql,
     "e106_pca_map" -> e106OracleSql,
+    "e108_axis_drift" -> e108OracleSql,
     "e107_weighted_sample" ->
       s"""WITH t107 AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
          |  FROM documents),

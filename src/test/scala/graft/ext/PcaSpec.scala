@@ -196,6 +196,26 @@ class PcaSpec extends SparkSpec {
     assert(a == b && a.length == 150)
   }
 
+  test("axisDrift: exact replay from pc1Scores, full partition of the corpus") {
+    val rows = planted2(240, 16, seed = 47)
+    val emb = df(rows)
+    val groups = (0L until 240L).map(i => (i, s"src${i % 3}"))
+      .toDF("vec_id", "source")
+    val out = Pca.axisDrift(emb, groups, half = col("vec_id") % 2, dims = 16)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(_._3).sum == 240L)
+    assert(out.length == 6) // 3 sources x 2 halves
+    // replay: group the pc1 projection by (source, half) on the driver
+    val scores = Pca.pc1Scores(emb, dims = 16)
+      .as[(Long, Long)].collect().toMap
+    val expect = (0L until 240L).groupBy(i => (s"src${i % 3}", i % 2))
+      .map { case ((src, h), ids) =>
+        val sm = ids.map(i => BigInt(scores(i))).sum
+        (src, h, ids.size.toLong, ((sm * 1000) / ids.size).toLong)
+      }.toSeq.sortBy(r => (r._1, r._2))
+    assert(out.toSeq == expect)
+  }
+
   test("determinism: two invocations hash-identical") {
     val rows = planted(150, 16, seed = 23)
     val a = Pca.pc1Scores(df(rows), dims = 16).orderBy("vec_id").collect().toSeq
