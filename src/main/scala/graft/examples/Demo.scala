@@ -377,6 +377,19 @@ object Demo {
       .mkString(" ")
     println(s"DEMO packing_fill $pk")
 
+    // 38. subsample-to-budget and the drift dashboard: a length-
+    // proportional deterministic sample (A-Res race), and each
+    // source's mean position along the frozen corpus axis per
+    // snapshot half — the crawl-over-crawl drift number
+    val ws = graft.SparkEntry.queries("e107_weighted_sample")(spark, sfDir)
+      .agg(count(lit(1)), sum(col("n_tokens"))).head
+    val dr = graft.SparkEntry.queries("e108_axis_drift")(spark, sfDir)
+      .orderBy("source", "half").limit(4).collect()
+      .map(r => s"${r.getString(0)}/h${r.getLong(1)}=${r.getLong(3)}")
+      .mkString(" ")
+    println(s"DEMO weighted_sample=${ws.getLong(0)}docs/${ws.getLong(1)}tokens " +
+      s"axis_drift $dr")
+
     spark.stop()
   }
 }

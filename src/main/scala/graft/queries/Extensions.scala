@@ -809,15 +809,18 @@ object Extensions {
   }
 
   /** e108: axis drift ([[graft.ext.Pca.axisDrift]]) — per-source mean
-    * position along the frozen e100 axis for the two id-parity
-    * snapshot halves (the deterministic stand-in for consecutive
-    * crawls): the crawl-over-crawl drift monitor, measured. Vector
+    * position along the frozen e100 axis for two snapshot halves (the
+    * deterministic stand-in for consecutive crawls): the
+    * crawl-over-crawl drift monitor, measured. The half is
+    * `(id div 20) % 2`, NOT id parity — the fixture assigns source as
+    * `id % 20`, so a parity half would put every source entirely in
+    * one half and the dashboard would have nothing to compare. Vector
     * ids map to sources through the documents table (the e95
     * precedent). */
   def e108_axis_drift(s: SparkSession, dir: String): DataFrame =
     Pca.axisDrift(emb(s, dir),
         docs(s, dir).select(col("doc_id").as("vec_id"), col("source")),
-        half = col("vec_id") % 2)
+        half = expr("(vec_id div 20) % 2"))
       .orderBy("source", "half")
 
   /** e101: interpolated Kneser-Ney trigram perplexity
@@ -2906,7 +2909,7 @@ object Extensions {
     e100OracleChain + ",\n" +
       """pj108 AS (SELECT qd.vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS p
         |  FROM qd JOIN vf USING (d) GROUP BY qd.vec_id),
-        |g108 AS (SELECT d.source AS source, pj108.vec_id % 2 AS half, p
+        |g108 AS (SELECT d.source AS source, (pj108.vec_id // 20) % 2 AS half, p
         |  FROM pj108 JOIN documents d ON d.doc_id = pj108.vec_id)
         |SELECT source, half, count(*) AS n_vecs,
         |  CAST((sum(CAST(p AS HUGEINT)) * 1000) // count(*) AS BIGINT) AS mean_pc1_milli
