@@ -89,7 +89,7 @@ object Pca {
   }
 
   /** `(vec_id, q: array<long>)` — the exact quantized view. */
-  def quantize(embeddings: DataFrame, dims: Int = 64): DataFrame =
+  def quantize(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), quantizeCol(col("embedding")).as("q"))
 
   /** One distributed pass: exact `(n, s[d], G[d][d])` Gram sums.
@@ -100,7 +100,7 @@ object Pca {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val nUpper = dims * (dims + 1) / 2
-    val partials = quantize(embeddings, dims)
+    val partials = quantize(embeddings)
       .select(col("q")).as[Array[Long]]
       .rdd.mapPartitions { it =>
         var cnt = 0L
