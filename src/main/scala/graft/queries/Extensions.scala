@@ -2902,7 +2902,7 @@ object Extensions {
         |ORDER BY vec_id""".stripMargin
 
   /** e108's oracle: the e100 chain's projection grouped by
-    * (source, id-parity half) with the HUGEINT-wide milli mean —
+    * (source, (id div 20) % 2 half) with the HUGEINT-wide milli mean —
     * trunc-toward-zero on the possibly-negative numerator, both
     * engines. */
   private def e108OracleSql: String =
@@ -4075,11 +4075,13 @@ object Extensions {
         |  FROM documents WHERE doc_id % 7 <> 2),
         |new_102 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
         |j_102 AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    o.doc_id IS NULL AS no_old, n.doc_id IS NULL AS no_new,
         |    md5(o.text) AS ho, md5(n.text) AS hn
         |  FROM old_102 o FULL OUTER JOIN new_102 n ON o.doc_id = n.doc_id),
         |s_102 AS (SELECT doc_id,
-        |    CASE WHEN ho IS NULL THEN 'added' WHEN hn IS NULL THEN 'removed'
-        |         WHEN ho <> hn THEN 'changed' ELSE 'unchanged' END AS status
+        |    CASE WHEN no_old THEN 'added' WHEN no_new THEN 'removed'
+        |         WHEN ho IS DISTINCT FROM hn THEN 'changed'
+        |         ELSE 'unchanged' END AS status
         |  FROM j_102)
         |SELECT doc_id, status FROM s_102
         |WHERE status <> 'unchanged'

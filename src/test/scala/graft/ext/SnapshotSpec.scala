@@ -36,6 +36,23 @@ class SnapshotSpec extends SparkSpec {
     assert(!stats.contains("changed")) // same content either side here
   }
 
+  test("NULL content classifies by id presence, not hash nullness") {
+    // advisor round 13: a NULL text md5s to NULL, and hash-nullness
+    // classification would read these present-in-both rows as
+    // added/removed. Presence is a per-side flag; the hash compare is
+    // null-safe (NULL==NULL -> unchanged, NULL vs text -> changed).
+    val older = snap(1L -> null, 2L -> null, 3L -> "text", 4L -> null)
+    val newer = snap(1L -> null, 2L -> "born", 3L -> null, 5L -> null)
+    val stats = Snapshot.diffStats(older, newer)
+      .as[(String, Long)].collect().toMap
+    assert(stats == Map("unchanged" -> 1L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 1L))
+    val out = Snapshot.diff(older, newer)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("diff is content-addressed: metadata-only frames don't alias") {
     // same ids, one text flipped -> exactly one changed row
     val older = snap(10L -> "alpha", 11L -> "beta")
