@@ -372,6 +372,26 @@ object Similarity {
       .select(col("id_b").as("vec_id"), col("id_a").as("kept_by"), col("sim"))
   }
 
+  /** [[semDedup]] with the PRODUCTION k-schedule named in code:
+    * k = ceil(n / targetCell), derived from ONE corpus count, so the
+    * expected cell population stays at `targetCell` as the corpus
+    * grows — the FAISS-style discipline the fixed-k scaladoc and the
+    * committed 16× probe point at (e47's fixture holds k constant BY
+    * DESIGN to keep its oracle replayable, which makes its pair work
+    * n²/k — 25.5 s at 8×, ~360 s at 16×; THIS is the path a 100-TB
+    * run calls instead). The law `semDedupAuto(targetCell) ==
+    * semDedup(derived k)` is pinned by SimilaritySpec; per-cell pair
+    * work is then O(targetCell²) and total work O(n·targetCell) —
+    * linear in the corpus at fixed cell size. */
+  def semDedupAuto(embeddings: DataFrame, targetCell: Int, iters: Int,
+      threshold: Double, roundDecimals: Int = -1): DataFrame = {
+    require(targetCell >= 1, s"need targetCell >= 1, got $targetCell")
+    val n = embeddings.count()
+    val k = math.max(1L, (n + targetCell - 1) / targetCell.toLong)
+    require(k <= Int.MaxValue, s"derived k=$k overflows Int")
+    semDedup(embeddings, k.toInt, iters, threshold, roundDecimals)
+  }
+
   /** Cluster-balanced coreset sampling — the DIVERSITY selector of the
     * curation family (the complement of [[semDedup]]'s redundancy
     * remover, same clustering): k-means-cluster the corpus, then keep

@@ -190,6 +190,26 @@ class SimilaritySpec extends SparkSpec {
     dropped.foreach { case (v, kept, _) => assert(kept < v) }
   }
 
+  test("semDedupAuto equals semDedup at the k it derives") {
+    // The production k-schedule (k = ceil(n / targetCell)) must be a
+    // pure parameter derivation — same clustering, same pairs, same
+    // drops as the fixed-k call it resolves to. n = 100 here, so
+    // targetCell 25 -> k 4 (exact) and targetCell 30 -> k 4 (ceil).
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = emb.count()
+    for (targetCell <- Seq(25, 30)) {
+      val k = ((n + targetCell - 1) / targetCell).toInt
+      val auto = Similarity.semDedupAuto(emb, targetCell, iters = 1,
+        threshold = 0.35, roundDecimals = 6)
+        .as[(Long, Long, Double)].collect().toSet
+      val fixed = Similarity.semDedup(emb, k, iters = 1,
+        threshold = 0.35, roundDecimals = 6)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(auto == fixed, s"targetCell=$targetCell k=$k")
+      assert(auto.nonEmpty)
+    }
+  }
+
   test("clusterSample keeps each cell's top-perCell prototypes, window-reference-exact") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val (k, iters, per) = (4, 1, 3)
