@@ -156,10 +156,13 @@ object Bench {
     // bigram model, and the scoring stage is five model joins instead
     // of three; the 8x curve tests that the count frames stay
     // map-side-combined and the joins stay model-keyed.
-    // e100 is NOT here: one shuffle-free mapPartitions Gram pass +
-    // a stateless projection (the e08/e81/e93 row-local class the
-    // tier never carried — no shuffle to regress; the driver-side
-    // iteration is corpus-size-independent by construction).
+    // e100/e106: promoted INTO the tier (VERDICT r13 task 6) — the
+    // Gram pass is the one mapPartitions kernel with a fixed 2144-long
+    // per-partition state, and its 8x ratio (expected ~linear in rows,
+    // flat in driver iteration time) should be MEASURED, not argued;
+    // e106 rides along to show the k-1 extra deflations stay
+    // corpus-invisible (same pass, driver-side 64x64 loops only).
+    "e100_pca_scores", "e106_pca_map",
     // e102 is NOT here: two row-local hash projections + one id-keyed
     // equi-join (the e01/e18 hash-reconcile class — the tier pins
     // id-keyed join growth via a dozen entries already); e103 is NOT
@@ -169,7 +172,10 @@ object Bench {
     // query already pins) plus two 1-row folds; e104 is NOT here:
     // a memo-consuming agreement harness (the e86/e91 class) whose
     // only data-sized machinery is the two-phase bucketed rank,
-    // pinned at 8x via e69/e70.
+    // pinned at 8x via e69/e70. e109 is NOT here: e100's Gram pass
+    // (now tiered directly) + a row-local whitening projection +
+    // e47's train/assign/pair machinery, whose curve already pins the
+    // only data-sized terms (the e80/e95 rationale).
     "e101_kn_trigram_lm")
 
   /** Knows-graph queries timed against the CONTIGUOUS-keyspace SNB

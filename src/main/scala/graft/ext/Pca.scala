@@ -162,36 +162,65 @@ object Pca {
       pc1Col(col("embedding"), v).as("pc1_fp"))
   }
 
-  /** Second principal direction via exact-integer deflation: remove
-    * PC1's spectral mass from the scaled covariance and re-run the
-    * same fixed-point power iteration. With λ = vᵀCv / vᵀv (the
-    * Rayleigh eigenvalue), the deflated matrix is C − λ·vvᵀ/(vᵀv);
-    * scaled by the positive vᵀv and with λ truncated ONCE to an
-    * integer (both engines truncate identically), the iterate is
+  /** The first `k` principal directions via repeated exact-integer
+    * deflation: remove each learned direction's spectral mass from the
+    * scaled covariance and re-run the same fixed-point power iteration.
+    * With λ = vᵀCv / vᵀv (the Rayleigh eigenvalue), the deflated
+    * matrix is C − λ·vvᵀ/(vᵀv); multiplied through by the positive
+    * vᵀv, with λ truncated ONCE to an integer and the result rescaled
+    * back by vᵀv (both engines truncate identically — BigInt quot ==
+    * DuckDB `//`), each deflation step is
     *
-    *   D_ij = C_ij·(vᵀv) − (vᵀCv quot vᵀv)·v_i·v_j
+    *   D_ij = (C_ij·(vᵀv) − (vᵀCv quot vᵀv)·v_i·v_j) quot (vᵀv)
     *
-    * — every term exact, the truncation perturbing D by < v_i·v_j per
-    * entry (≈2⁻⁴⁸ relative), far below any spectral gap that makes a
-    * PC2 meaningful. v is the FIXED-POINT PC1, so a residual of PC1's
-    * mass survives deflation at O(ε·λ₁); power iteration converges to
-    * PC2 whenever that residual sits below λ₂ — true for any gap the
-    * 2²⁰ scale can express (PcaSpec pins it against a double
-    * reference). Magnitude ledger (oracle side, HUGEINT = 2¹²⁶):
-    * D ≤ 2⁹⁵ at sf0.1, matvec ≤ 2¹²¹ — inside; the ENGINE side is
-    * BigInt, unbounded at any corpus size. */
+    * — every term exact, the two truncations perturbing D by O(1) per
+    * entry (≈2⁻⁴⁰ relative), far below any spectral gap that makes the
+    * next component meaningful. The trailing `quot vᵀv` rescale keeps
+    * the entry magnitude FLAT across deflations (C's own ledger), so
+    * the oracle's HUGEINT (2¹²⁶) replay survives ANY k — without it
+    * the ledger would grow by vᵀv ≈ 2⁴⁶ per component and overflow at
+    * the third. Each learned v is the FIXED-POINT direction, so a
+    * residual of its mass survives deflation at O(ε·λ); power
+    * iteration converges to the next component whenever that residual
+    * sits below the next eigenvalue — true for any gap the 2²⁰ scale
+    * can express (PcaSpec pins all axes against a double-precision
+    * reference and pins pairwise near-orthogonality). The ENGINE side
+    * is BigInt, unbounded at any corpus size. */
+  def pcaDirections(n: Long, s: Array[BigInt], g: Array[Array[BigInt]],
+      k: Int): Seq[Array[Long]] = {
+    val dims = s.length
+    require(k >= 1 && k <= dims, s"need 1 <= k <= $dims, got $k")
+    val nB = BigInt(n)
+    var c = Array.tabulate(dims, dims)((i, j) => nB * g(i)(j) - s(i) * s(j))
+    val out = Seq.newBuilder[Array[Long]]
+    var t = 0
+    while (t < k) {
+      val vL = iterate(c)
+      out += vL
+      if (t < k - 1) {
+        val v = vL.map(BigInt(_))
+        val vv = v.map(x => x * x).sum.max(BigInt(1))
+        val cc = c
+        val vCv = (for (i <- 0 until dims; j <- 0 until dims)
+          yield v(i) * cc(i)(j) * v(j)).sum
+        val lam = vCv / vv
+        c = Array.tabulate(dims, dims)((i, j) =>
+          (cc(i)(j) * vv - lam * v(i) * v(j)) / vv)
+      }
+      t += 1
+    }
+    out.result()
+  }
+
+  /** Second principal direction — [[pcaDirections]] at k = 2 for
+    * callers that already hold PC1 (asserted identical: the chain is
+    * deterministic, so the passed v1 must BE the k=1 head). */
   def pc2Direction(n: Long, s: Array[BigInt], g: Array[Array[BigInt]],
       v1: Array[Long]): Array[Long] = {
-    val dims = s.length
-    val nB = BigInt(n)
-    val c = Array.tabulate(dims, dims)((i, j) => nB * g(i)(j) - s(i) * s(j))
-    val v = v1.map(BigInt(_))
-    val vv = v.map(x => x * x).sum.max(BigInt(1))
-    val vCv = (for (i <- 0 until dims; j <- 0 until dims)
-      yield v(i) * c(i)(j) * v(j)).sum
-    val lam = vCv / vv
-    val d = Array.tabulate(dims, dims)((i, j) => c(i)(j) * vv - lam * v(i) * v(j))
-    iterate(d)
+    val dirs = pcaDirections(n, s, g, 2)
+    require(java.util.Arrays.equals(dirs.head, v1),
+      "v1 is not this Gram pass's PC1")
+    dirs(1)
   }
 
   /** The shared canonical-sign power iteration over an integer matrix
@@ -217,16 +246,18 @@ object Pca {
     canon.map(_.toLong)
   }
 
-  /** The 2-D corpus map `(vec_id, pc1_fp, pc2_fp)` — the cheap global
-    * coordinates for stratified sharding and drift dashboards: one
-    * Gram pass, two driver-side iterations, one stateless projection. */
-  def pcaMap(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+  /** The k-D corpus map `(vec_id, pc1_fp … pck_fp)` — the cheap global
+    * coordinates for stratified sharding and drift dashboards (the
+    * sharding consumer wants 2–4 axes): ONE Gram pass, k driver-side
+    * 64×64 iterations (corpus-invisible), one stateless projection
+    * carrying all k directions as literals. */
+  def pcaMap(embeddings: DataFrame, k: Int = 2, dims: Int = 64): DataFrame = {
     val (n, s, g) = gramPass(embeddings, dims)
-    val v1 = pc1Direction(n, s, g)
-    val v2 = pc2Direction(n, s, g, v1)
-    embeddings.select(col("vec_id"),
-      pc1Col(col("embedding"), v1).as("pc1_fp"),
-      pc1Col(col("embedding"), v2).as("pc2_fp"))
+    val dirs = pcaDirections(n, s, g, k)
+    val cols = col("vec_id") +: dirs.zipWithIndex.map { case (v, i) =>
+      pc1Col(col("embedding"), v).as(s"pc${i + 1}_fp")
+    }
+    embeddings.select(cols: _*)
   }
 
   /** The drift dashboard the axis exists for: per (group, half) mean
@@ -287,5 +318,28 @@ object Pca {
           (q, v) => q * lit(vv.toLong) - col("_qv") * v)))
       .select(col("vec_id"), col("pos").cast("long").as("d"),
         col("col").as("w_fp"))
+  }
+
+  /** [[removePc1]] in WIDE form, ready to FEED a cosine consumer:
+    * `(vec_id, embedding: array<double>)` with the SAME exact integer
+    * w = q·(vᵀv) − (qᵀv)·v per dimension, cast ONCE to double. The
+    * cast is lossy above 2⁵³ (|w| ≤ 2⁵⁹ here) but IDENTICAL in both
+    * engines — the same integer rounds to the same IEEE double — so
+    * downstream similarity arithmetic stays replay-exact; cosine is
+    * scale-invariant, so the uncancelled vᵀv factor is inert. This is
+    * the whiten→dedup seam (e109): SemDeDup-style pipelines remove the
+    * common direction BEFORE clustering, because the dominant
+    * direction of an embedding corpus swamps raw cosine scores. */
+  def whiten(embeddings: DataFrame, direction: Array[Long]): DataFrame = {
+    val vv = direction.map(x => BigInt(x) * BigInt(x)).sum
+    require(vv.isValidLong, "direction norm overflows a long")
+    val vLit = array(direction.map(x => lit(x)): _*)
+    embeddings
+      .select(col("vec_id"), quantizeCol(col("embedding")).as("_q"),
+        pc1Col(col("embedding"), direction).as("_qv"))
+      .select(col("vec_id"),
+        zip_with(col("_q"), vLit,
+          (q, v) => (q * lit(vv.toLong) - col("_qv") * v).cast("double"))
+          .as("embedding"))
   }
 }

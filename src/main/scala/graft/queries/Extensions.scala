@@ -784,14 +784,43 @@ object Extensions {
     Pca.removePc1(e, v).orderBy("vec_id", "d")
   }
 
-  /** e106: the 2-D PCA corpus map ([[graft.ext.Pca.pcaMap]]) — PC1
-    * plus the deflated second direction (exact-integer deflation, λ
-    * truncated once, identical in both engines), giving every vector
-    * cheap global coordinates for stratified sharding and drift
-    * dashboards. Same single Gram pass as e100; the extra iteration
-    * is driver-side 64×64. */
+  /** e106: the k-D PCA corpus map ([[graft.ext.Pca.pcaMap]], k = 3) —
+    * PC1 plus two repeatedly-deflated directions (exact-integer
+    * deflation, λ truncated once per level, the `// vᵀv` rescale
+    * keeping the oracle's HUGEINT ledger flat at any k — identical in
+    * both engines), giving every vector cheap global coordinates for
+    * stratified sharding (the consumer wants 2–4 axes) and drift
+    * dashboards. Same single Gram pass as e100; the extra iterations
+    * are driver-side 64×64. */
+  val E106K = 3
   def e106_pca_map(s: SparkSession, dir: String): DataFrame =
-    Pca.pcaMap(emb(s, dir)).orderBy("vec_id")
+    Pca.pcaMap(emb(s, dir), k = E106K).orderBy("vec_id")
+
+  /** e109: whiten→dedup, END-TO-END under one oracle — the reason the
+    * e105 whitening exists ([[graft.ext.Pca.whiten]] scaladoc): remove
+    * the corpus's common direction, THEN run SemDeDup's k-means +
+    * within-cell cosine over the whitened vectors as ONE plan. The
+    * common-direction argument: all-MiniLM-family embeddings share a
+    * dominant component that inflates every raw cosine, so raw-space
+    * SemDeDup (e47) both over-drops (unrelated pairs pushed past the
+    * threshold by the shared component) and mis-clusters; whitened
+    * cosines concentrate near zero unless the RESIDUAL directions
+    * agree (PcaSpec measures the shift on the fixture — the e104
+    * discipline: the law is a measurement, not prose). The threshold
+    * is re-sized for the whitened geometry (whitened cosines are
+    * lower by construction). Scale shape: e100's Gram pass + a
+    * row-local projection + e47's bounded-pair clustering — nothing
+    * new at scale; the production k-schedule is
+    * [[graft.ext.Similarity.semDedupAuto]]. */
+  val E109Threshold = 0.30
+  def e109_whitened_semdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (n, sArr, g) = Pca.gramPass(e)
+    val v1 = Pca.pc1Direction(n, sArr, g)
+    Similarity.semDedup(Pca.whiten(e, v1), k = E47K, iters = E47Iters,
+      threshold = E109Threshold, roundDecimals = 6)
+      .orderBy("vec_id")
+  }
 
   /** e107: deterministic weighted sampling
     * ([[graft.ext.Sampling.weightedSample]]) — k = 100 docs drawn
@@ -1603,6 +1632,7 @@ object Extensions {
     "e106_pca_map" -> (e106_pca_map _),
     "e107_weighted_sample" -> (e107_weighted_sample _),
     "e108_axis_drift" -> (e108_axis_drift _),
+    "e109_whitened_semdedup" -> (e109_whitened_semdedup _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1638,7 +1668,8 @@ object Extensions {
     * pipes are KEPT here; only the outermost query template calls
     * stripMargin (the e71 double-strip lesson — OracleSqlLintSpec gates
     * the class). */
-  private def cosKmeansCtes(k: Int, iters: Int): String = {
+  private def cosKmeansCtes(k: Int, iters: Int,
+      embfSelect: String = "SELECT vec_id, embedding AS cvf FROM embeddings"): String = {
     def cos(a: String, b: String) = // single-line on purpose: a piped
       // continuation inside an unstripped fragment would strip wrong
       s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)"
@@ -1655,7 +1686,7 @@ object Extensions {
          |  GROUP BY cell, pos),
          |cen$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM upd$i GROUP BY cid)"""
     }.mkString(",\n|")
-    s"""embf AS (SELECT vec_id, embedding AS cvf FROM embeddings),
+    s"""embf AS ($embfSelect),
        |emb AS (SELECT vec_id, CAST(cvf AS DOUBLE[]) AS v FROM embf),
        |nn AS (SELECT count(*) AS n FROM embf),
        |cen0 AS (SELECT vec_id AS cid, cvf AS cv FROM embf, nn
@@ -2774,15 +2805,15 @@ object Extensions {
     s"""WITH qd AS MATERIALIZED (SELECT vec_id, t.pos - 1 AS d,
        |    CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * ${Pca.QScale}.0) AS BIGINT) AS q
        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(pos)),
-       |nn AS (SELECT CAST(count(*) AS HUGEINT) AS nv FROM embeddings),
+       |nn100 AS (SELECT CAST(count(*) AS HUGEINT) AS nv FROM embeddings),
        |sums AS (SELECT d, CAST(sum(q) AS HUGEINT) AS sv FROM qd GROUP BY d),
        |gram AS (SELECT a.d AS i, b.d AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS g
        |         FROM qd a JOIN qd b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
-       |cov AS MATERIALIZED (SELECT gram.i AS i, gram.j AS j, nn.nv * gram.g - si.sv * sj.sv AS c
+       |cov AS MATERIALIZED (SELECT gram.i AS i, gram.j AS j, nn100.nv * gram.g - si.sv * sj.sv AS c
        |        FROM gram
        |        JOIN sums si ON si.d = gram.i
        |        JOIN sums sj ON sj.d = gram.j
-       |        CROSS JOIN nn),
+       |        CROSS JOIN nn100),
        |""".stripMargin + pcaRoundsSql("cov", "")
 
   private def e100OracleSql: String =
@@ -2792,19 +2823,23 @@ object Extensions {
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin
 
-  /** e105's oracle: the e100 chain's canonical direction, then the
-    * exact whitening final — w = q·(vᵀv) − (qᵀv)·v, the orthogonal
-    * rejection scaled by the positive vᵀv so NO division appears
-    * anywhere (cosine downstream is scale-invariant). */
-  private def e105OracleSql: String =
+  /** e105's oracle CORE (no trailing ORDER BY, so e109 can embed it as
+    * a nested-WITH CTE — the e101/e104 strip-once discipline): the
+    * e100 chain's canonical direction, then the exact whitening
+    * final — w = q·(vᵀv) − (qᵀv)·v, the orthogonal rejection scaled by
+    * the positive vᵀv so NO division appears anywhere (cosine
+    * downstream is scale-invariant). */
+  private def e105OracleCore: String =
     e100OracleChain + ",\n" +
       """vv105 AS (SELECT sum(v * v) AS vv FROM vf),
         |qv105 AS MATERIALIZED (SELECT vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS qv
         |  FROM qd JOIN vf USING (d) GROUP BY vec_id)
         |SELECT q.vec_id, q.d, CAST(q.q * vv.vv - qv.qv * vf.v AS BIGINT) AS w_fp
         |FROM qd q JOIN vf ON vf.d = q.d
-        |JOIN qv105 qv ON qv.vec_id = q.vec_id, vv105 vv
-        |ORDER BY q.vec_id, q.d""".stripMargin
+        |JOIN qv105 qv ON qv.vec_id = q.vec_id, vv105 vv""".stripMargin
+
+  private def e105OracleSql: String =
+    e105OracleCore + "\nORDER BY q.vec_id, q.d"
 
   /** e101's oracle: the full interpolated-KN replay — trigram events
     * by token index, the one trigram-count frame every continuation
@@ -2879,25 +2914,42 @@ object Extensions {
        |    ELSE 0.0 END AS spearman
        |FROM u104 ORDER BY scorer_a, scorer_b""".stripMargin
 
-  /** e106's oracle: the e100 chain's PC1, the exact-integer deflation
-    * (λ = vᵀCv // vᵀv truncated ONCE, D = C·vᵀv − λ·v_i·v_j — the
-    * [[graft.ext.Pca.pc2Direction]] ledger), the SAME sixteen rounds
-    * re-run over D, and both projections in one fold. */
+  /** One exact-integer deflation level over matrix CTE `mat` using
+    * direction CTE `vdir` — the [[graft.ext.Pca.pcaDirections]] step
+    * verbatim: λ = vᵀCv // vᵀv truncated ONCE, then
+    * D = (C·vᵀv − λ·v_i·v_j) // vᵀv, the trailing rescale keeping the
+    * HUGEINT ledger FLAT across levels so the replay survives any k
+    * (without it the entries grow ×vᵀv ≈ 2⁴⁶ per level and overflow at
+    * the third). The greatest(...,1) guard mirrors the engine's
+    * max(BigInt(1)) on a degenerate zero-covariance corpus (advisor,
+    * round 13). Emits CTEs `vv$sfx`, `lam$sfx`, `$out`. */
+  private def pcaDeflateSql(mat: String, vdir: String, out: String,
+      sfx: String): String =
+    s"""vv$sfx AS (SELECT greatest(CAST(sum(v * v) AS HUGEINT), 1) AS vv FROM $vdir),
+       |lam$sfx AS (SELECT vv,
+       |    (SELECT sum(a.v * m.c * b.v)
+       |     FROM $mat m JOIN $vdir a ON a.d = m.i JOIN $vdir b ON b.d = m.j)
+       |      // vv AS lam
+       |  FROM vv$sfx),
+       |$out AS MATERIALIZED (SELECT m.i AS i, m.j AS j,
+       |    (m.c * l.vv - l.lam * a.v * b.v) // l.vv AS c
+       |  FROM $mat m JOIN $vdir a ON a.d = m.i JOIN $vdir b ON b.d = m.j, lam$sfx l)"""
+      .stripMargin
+
+  /** e106's oracle: the e100 chain's PC1, then TWO deflation levels
+    * ([[pcaDeflateSql]] — λ truncated once per level, the `// vᵀv`
+    * rescale per level), each followed by the SAME sixteen unrolled
+    * rounds, and all three projections in one fold. */
   private def e106OracleSql: String =
     e100OracleChain + ",\n" +
-      """vvq AS (SELECT CAST(sum(v * v) AS HUGEINT) AS vv FROM vf),
-        |lamq AS (SELECT vv,
-        |    (SELECT sum(a.v * cov.c * b.v)
-        |     FROM cov JOIN vf a ON a.d = cov.i JOIN vf b ON b.d = cov.j)
-        |      // vv AS lam
-        |  FROM vvq),
-        |cov2 AS MATERIALIZED (SELECT cov.i AS i, cov.j AS j,
-        |    cov.c * lamq.vv - lamq.lam * a.v * b.v AS c
-        |  FROM cov JOIN vf a ON a.d = cov.i JOIN vf b ON b.d = cov.j, lamq),
-        |""".stripMargin + pcaRoundsSql("cov2", "b") + "\n" +
+      pcaDeflateSql("cov", "vf", "cov2", "b") + ",\n" +
+      pcaRoundsSql("cov2", "b") + ",\n" +
+      pcaDeflateSql("cov2", "vfb", "cov3", "c") + ",\n" +
+      pcaRoundsSql("cov3", "c") + "\n" +
       """SELECT qd.vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS pc1_fp,
-        |  CAST(sum(qd.q * vfb.v) AS BIGINT) AS pc2_fp
-        |FROM qd JOIN vf USING (d) JOIN vfb USING (d)
+        |  CAST(sum(qd.q * vfb.v) AS BIGINT) AS pc2_fp,
+        |  CAST(sum(qd.q * vfc.v) AS BIGINT) AS pc3_fp
+        |FROM qd JOIN vf USING (d) JOIN vfb USING (d) JOIN vfc USING (d)
         |GROUP BY qd.vec_id
         |ORDER BY vec_id""".stripMargin
 
@@ -4055,6 +4107,30 @@ object Extensions {
     "e105_pc1_removal" -> e105OracleSql,
     "e106_pca_map" -> e106OracleSql,
     "e108_axis_drift" -> e108OracleSql,
+    "e109_whitened_semdedup" -> {
+      // The e105 whitening nested as ONE materialized CTE (the e104
+      // composition), listed back to wide DOUBLE[] form, then the
+      // EXACT e47 replay over it: the shared pinned-Lloyd chain
+      // re-pointed at the whitened frame via cosKmeansCtes' embf
+      // source, within-cell a < b pairs, keep-first min-partner.
+      def cos(a: String, b: String) = // single-line: strip-once discipline
+        s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)"
+      // cosKmeansCtes keeps its margin pipes (strip-once); this oracle
+      // composes by CONCATENATION, so the fragment is stripped here —
+      // the one stripMargin it ever receives.
+      "WITH w109 AS MATERIALIZED (\n" + e105OracleCore + "),\n" +
+        cosKmeansCtes(E47K, E47Iters, embfSelect =
+          "SELECT vec_id, list(CAST(w_fp AS DOUBLE) ORDER BY d) AS cvf" +
+            " FROM w109 GROUP BY vec_id").stripMargin + ",\n" +
+        s"""pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    ${cos("ea.v", "eb.v")} AS sim
+           |  FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  JOIN emb ea ON ea.vec_id = a.vec_id JOIN emb eb ON eb.vec_id = b.vec_id
+           |  WHERE ${cos("ea.v", "eb.v")} >= $E109Threshold)
+           |SELECT id_b AS vec_id, id_a AS kept_by, sim FROM pairs
+           |QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY id_a) = 1
+           |ORDER BY vec_id""".stripMargin
+    },
     "e107_weighted_sample" ->
       s"""WITH t107 AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
          |  FROM documents),

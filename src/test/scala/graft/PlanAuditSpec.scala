@@ -82,6 +82,9 @@ class PlanAuditSpec extends SparkSpec {
     // e80/e95: the k-centroid broadcast under the argmax-assignment
     // cross join (the e47/e23 trained-quantizer class — bounded by k)
     "e80_cluster_sample", "e95_source_diversity",
+    // e109: e47's k-centroid broadcast argmax, run over the whitened
+    // frame (same bounded-k class; the whitening itself is row-local)
+    "e109_whitened_semdedup",
     // e82: two 1-row total broadcasts (corpus tokens, weight sum) onto
     // the group-cardinality-sized frame (the e52/e67 class)
     "e82_temperature_mix",

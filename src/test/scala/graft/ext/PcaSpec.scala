@@ -188,12 +188,117 @@ class PcaSpec extends SparkSpec {
       s"pc2 diverges from the double reference")
   }
 
-  test("pcaMap: two exact coordinates per vector, deterministic") {
+  test("pcaMap: k exact coordinates per vector, deterministic") {
     val rows = planted2(150, 16, seed = 43)
     val a = Pca.pcaMap(df(rows), dims = 16).orderBy("vec_id").collect().toSeq
     val b = Pca.pcaMap(df(rows).repartition(7), dims = 16)
       .orderBy("vec_id").collect().toSeq
     assert(a == b && a.length == 150)
+    val c = Pca.pcaMap(df(rows), k = 3, dims = 16).orderBy("vec_id").collect().toSeq
+    assert(c.length == 150 && c.head.length == 4) // vec_id + 3 axes
+  }
+
+  /** Three planted orthogonal axes with separated strengths (3.0 >
+    * 1.2 > 0.5 ≫ noise 0.02) so the first THREE components are all
+    * well-defined. */
+  private def planted3(n: Int, dims: Int, seed: Int)
+      : (Seq[(Long, Array[Float])], Seq[Array[Double]]) = {
+    val rnd = new Random(seed)
+    def unit(a: Array[Double]) = {
+      val nn = math.sqrt(a.map(x => x * x).sum); a.map(_ / nn)
+    }
+    // Gram-Schmidt three deterministic raw axes
+    val raw = Seq(
+      Array.tabulate(dims)(d => math.sin(d * 0.7) + 0.3),
+      Array.tabulate(dims)(d => math.cos(d * 1.3) - 0.1),
+      Array.tabulate(dims)(d => math.sin(d * 2.1 + 1.0) + 0.2))
+    val axes = raw.foldLeft(Seq.empty[Array[Double]]) { (acc, a) =>
+      val proj = acc.foldLeft(a.clone()) { (v, u) =>
+        val d = v.zip(u).map { case (x, y) => x * y }.sum
+        v.zip(u).map { case (x, y) => x - d * y }
+      }
+      acc :+ unit(proj)
+    }
+    val strengths = Seq(3.0, 1.2, 0.5)
+    val rows = (0 until n).map { i =>
+      val cs = strengths.map(_ * rnd.nextGaussian())
+      val v = Array.tabulate(dims) { d =>
+        axes.zip(cs).map { case (u, c) => c * u(d) }.sum + rnd.nextGaussian() * 0.02
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / nrm).toFloat))
+    }
+    (rows, axes)
+  }
+
+  test("pcaDirections(3): each axis finds its planted direction; all pairs near-orthogonal") {
+    val (rows, axes) = planted3(400, 16, seed = 61)
+    val (n, s, g) = Pca.gramPass(df(rows), dims = 16)
+    val dirs = Pca.pcaDirections(n, s, g, 3)
+    assert(dirs.length == 3)
+    dirs.zip(axes).zipWithIndex.foreach { case ((v, u), i) =>
+      val c = math.abs(cosine(v.map(_.toDouble), u))
+      assert(c >= 0.99, s"axis ${i + 1} misaligned: |cos|=$c")
+    }
+    for (i <- 0 until 3; j <- (i + 1) until 3) {
+      val c = cosine(dirs(i).map(_.toDouble), dirs(j).map(_.toDouble))
+      assert(math.abs(c) < 0.02, s"axes ${i + 1},${j + 1} not orthogonal: $c")
+    }
+    // the k=1 head IS pc1Direction (pure prefix property)
+    assert(Pca.pcaDirections(n, s, g, 1).head.toSeq ==
+      Pca.pc1Direction(n, s, g).toSeq)
+  }
+
+  test("whiten is removePc1 in wide form: same integers, cast once to double") {
+    val rows = planted(120, 16, seed = 67)
+    val (n, s, g) = Pca.gramPass(df(rows), dims = 16)
+    val v = Pca.pc1Direction(n, s, g)
+    val wide = Pca.whiten(df(rows), v)
+      .as[(Long, Array[Double])].collect().toMap
+    val long = Pca.removePc1(df(rows), v)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.toDouble)).toMap
+    assert(wide.size == 120)
+    wide.foreach { case (id, w) => assert(w.toSeq == long(id).toSeq) }
+  }
+
+  test("whitening collapses common-direction inflation: measured (the e109 rationale)") {
+    // On a corpus with a genuinely dominant direction (the MiniLM
+    // regime the whiten scaladoc cites — NOT the near-isotropic
+    // fixture), raw pairwise cosines are inflated by the shared
+    // component and whitened ones collapse toward isotropy. Measured
+    // here, e104-style, with the drop-set consequence the e109 query
+    // exists for.
+    val rows = planted(200, 16, seed = 53)
+    val raw = df(rows)
+    val (n, s, g) = Pca.gramPass(raw, dims = 16)
+    val v1 = Pca.pc1Direction(n, s, g)
+    val whitened = Pca.whiten(raw, v1)
+    def meanAbsCos(vecs: Seq[Array[Double]]): Double = {
+      val us = vecs.map { v =>
+        val nn = math.sqrt(v.map(x => x * x).sum).max(1e-300); v.map(_ / nn)
+      }
+      val cs = for (i <- us.indices; j <- (i + 1) until us.size)
+        yield math.abs(us(i).zip(us(j)).map { case (a, b) => a * b }.sum)
+      cs.sum / cs.size
+    }
+    val rawCos = meanAbsCos(rows.map(_._2.map(_.toDouble)))
+    val whitCos = meanAbsCos(whitened.orderBy("vec_id")
+      .as[(Long, Array[Double])].collect().map(_._2).toSeq)
+    assert(rawCos > 0.5, s"planted corpus should read inflated, got $rawCos")
+    assert(whitCos < 0.25, s"whitened corpus should read isotropic, got $whitCos")
+    // The consequence semDeDup sees at ONE shared threshold: raw space
+    // drops near-everything (the common direction aliases unrelated
+    // docs), whitened space keeps what only LOOKED duplicated.
+    val dropRaw = Similarity.semDedup(raw, k = 4, iters = 1,
+      threshold = 0.6, roundDecimals = 6).count()
+    val dropWhit = Similarity.semDedup(whitened, k = 4, iters = 1,
+      threshold = 0.6, roundDecimals = 6).count()
+    // measured on this corpus: raw drops 181 of 200 (the common
+    // direction aliases 90% of the corpus), whitened drops 70 (the
+    // residual-space tail) — a 2.6x gap; gate at 2x
+    assert(dropRaw > 2 * math.max(dropWhit, 1L),
+      s"expected raw-space over-dropping: raw=$dropRaw whitened=$dropWhit")
   }
 
   test("axisDrift: exact replay from pc1Scores, full partition of the corpus") {
