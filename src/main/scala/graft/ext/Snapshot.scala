@@ -42,18 +42,29 @@ object Snapshot {
     statusOf(older, newer, idCol, contentCol)
       .groupBy("status").agg(count(lit(1)).as("n_docs"))
 
+  /** The frozen older-snapshot hash index `(id, _h_old, _in_old)` —
+    * the 16-byte-per-row artifact BOTH diff faces consume: [[diff]]'s
+    * full-outer join here, and the per-micro-batch ingest classifier
+    * ([[graft.streaming.Streams.snapshotDiffFilter]]) as its static
+    * side — shared COLUMN, not parallel arithmetic, so batch and
+    * stream hashes are bit-identical by construction (the pc1Col
+    * discipline). Presence is a LITERAL flag, not hash nullness: a
+    * row whose content is NULL hashes to NULL, and classifying on the
+    * hash would read it as added/removed even though its id exists in
+    * both snapshots (advisor, round 13). */
+  def hashIndex(df: DataFrame,
+      idCol: String = "doc_id", contentCol: String = "text"): DataFrame =
+    df.select(col(idCol), md5(col(contentCol)).as("_h_old"),
+      lit(true).as("_in_old"))
+
   private def statusOf(older: DataFrame, newer: DataFrame,
       idCol: String, contentCol: String): DataFrame = {
-    // Presence is a LITERAL flag per side, not hash nullness: a row
-    // whose content is NULL hashes to NULL, and classifying on the
-    // hash would read it as added/removed even though its id exists in
-    // both snapshots (advisor, round 13). The hash compare is
-    // null-safe for the same reason — NULL content on both sides is
+    // The hash compare is null-safe for the same reason the index
+    // carries the presence flag — NULL content on both sides is
     // `unchanged`, NULL vs non-NULL is `changed`.
-    def hashed(df: DataFrame, h: String, in: String) =
-      df.select(col(idCol), md5(col(contentCol)).as(h), lit(true).as(in))
-    hashed(older, "_h_old", "_in_old")
-      .join(hashed(newer, "_h_new", "_in_new"), Seq(idCol), "full_outer")
+    hashIndex(older, idCol, contentCol)
+      .join(newer.select(col(idCol), md5(col(contentCol)).as("_h_new"),
+        lit(true).as("_in_new")), Seq(idCol), "full_outer")
       .withColumn("status",
         when(col("_in_old").isNull, lit("added"))
           .when(col("_in_new").isNull, lit("removed"))

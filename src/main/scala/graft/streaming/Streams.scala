@@ -571,6 +571,37 @@ object Streams {
       .where(col("pc1_fp").between(minFp, maxFp))
   }
 
+  /** Content-addressed snapshot diff at INGEST — the crawl monitor's
+    * face of [[graft.ext.Snapshot.diff]], in the frozen-offline-model
+    * discipline of [[mixFilter]] and the e97 index-reuse dedup: the
+    * OLDER snapshot is frozen as its 16-byte-per-row hash index
+    * ([[graft.ext.Snapshot.hashIndex]] — computed once, offline) and
+    * each arriving micro-batch row classifies against it with ONE
+    * stream-static left equi-join, stateless (no watermark, no state
+    * store; `broadcast` pins the plan so the stream side never
+    * shuffles — at an index too big for one executor, set
+    * `broadcastIndex = false` and bucket both sides on the id).
+    * Output is the re-process work-list `(id, status ∈ {added,
+    * changed})` — `removed` is UNOBSERVABLE at ingest (a stream can
+    * only ever witness rows that ARRIVE; retirement of gone ids stays
+    * the batch diff's job) and `unchanged` rows drop exactly as the
+    * batch face drops them. Batch == stream row for row on the
+    * added/changed statuses because both faces consume the SAME index
+    * frame and the same md5 column (StreamsSpec law). */
+  def snapshotDiffFilter(docs: DataFrame, olderIndex: DataFrame,
+      idCol: String = "doc_id", contentCol: String = "text",
+      broadcastIndex: Boolean = true): DataFrame = {
+    val idx = if (broadcastIndex) broadcast(olderIndex) else olderIndex
+    docs.withColumn("_h_new", md5(col(contentCol)))
+      .join(idx, Seq(idCol), "left")
+      .withColumn("status",
+        when(col("_in_old").isNull, lit("added"))
+          .when(!(col("_h_old") <=> col("_h_new")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .select(col(idCol), col("status"))
+  }
+
   /** Stream-static enrichment — the most common production streaming
     * shape: a fact stream left-joined to a STATIC dimension frame on
     * `keys`. A stream-static equi-join is STATELESS in Structured

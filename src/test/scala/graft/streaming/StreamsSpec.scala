@@ -906,6 +906,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotDiffFilter: frozen hash index, stream == batch diff minus removed") {
+    import graft.ext.Snapshot
+    implicit val sqlCtx = spark.sqlContext
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    // the e102 snapshot construction: some ids gone, some texts bumped
+    val older = d.where(col("doc_id") % 7 =!= 2)
+      .withColumn("text", when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    val newer = d.where(col("doc_id") % 13 =!= 5)
+    // the batch truth, restricted to what an ingest stream CAN see
+    val batchDiff = Snapshot.diff(older, newer)
+      .as[(Long, String)].collect().toSet
+    val want = batchDiff.filter(_._2 != "removed")
+    assert(want.exists(_._2 == "added") && want.exists(_._2 == "changed"))
+    // freeze the older index once; the batch face on the same frame
+    val idx = Snapshot.hashIndex(older)
+    val face = Streams.snapshotDiffFilter(newer, idx)
+      .as[(Long, String)].collect().toSet
+    assert(face == want)
+    // streaming parity under any micro-batch split
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.snapshotDiffFilter(mem.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("snap_diff").outputMode("append")
+      .start()
+    try {
+      val rows = newer.as[(Long, String)].collect()
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = spark.table("snap_diff").as[(Long, String)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("mixFilter: frozen profile == batch weightedMixFp, absent groups drop, stream parity") {
     import graft.ext.Sampling
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
