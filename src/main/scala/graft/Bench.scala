@@ -172,6 +172,13 @@ object Bench {
     // query already pins) plus two 1-row folds; e104 is NOT here:
     // a memo-consuming agreement harness (the e86/e91 class) whose
     // only data-sized machinery is the two-phase bucketed rank,
+    // e110: the incremental-refresh claim IS a scale claim (the e97
+    // lens applied to the dashboard family) — the delta is a FIXED id
+    // range (caps at 1100-1400), so the 8x curve directly tests that
+    // cost tracks the constant delta's feature work plus the 16-byte
+    // hash diff, never the corpus's tokenize/quality pass (the memoized
+    // base builds once in the untimed warm-up, the production shape).
+    "e110_incremental_health",
     // pinned at 8x via e69/e70. e109 is NOT here: e100's Gram pass
     // (now tiered directly) + a row-local whitening projection +
     // e47's train/assign/pair machinery, whose curve already pins the

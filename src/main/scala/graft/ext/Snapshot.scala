@@ -57,6 +57,63 @@ object Snapshot {
     df.select(col(idCol), md5(col(contentCol)).as("_h_old"),
       lit(true).as("_in_old"))
 
+  /** The e39 corpus-health rollup carried as exact MERGEABLE MASS per
+    * (source, lang): doc count, token sum, and the quality sum in
+    * DECIMAL — the form a dashboard must be FROZEN in for delta
+    * refresh to exist at all (an average can't absorb a delta; its
+    * numerator and denominator can). Same quality expression and same
+    * DECIMAL accumulation as e39, so `finish` of these sums is
+    * bit-identical to the direct rollup. */
+  def healthSums(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("_t"),
+        Text.qualityScoreCol.cast("decimal(18,6)").as("_q"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("sum_tokens"),
+        sum(col("_q")).as("sum_q"))
+
+  /** Delta-driven dashboard refresh — the q49 incremental-components
+    * discipline applied to the aggregate family (and the composition
+    * [[diff]] exists to feed): given the FROZEN base rollup of the
+    * older snapshot ([[healthSums]], computed once offline), produce
+    * the newer snapshot's rollup WITHOUT re-featurizing unchanged
+    * content. One [[statusOf]] pass yields the work-list; the
+    * removed/changed-old contributions are re-derived from `older`
+    * RESTRICTED to the delta ids (a semi join — the only rows whose
+    * features are recomputed) and SUBTRACTED, added/changed-new
+    * contributions ADDED, via one signed union + one group-grain
+    * aggregate. Every merge operand is exact (long counts, DECIMAL
+    * quality mass), so the merged rollup is bit-identical to a full
+    * recompute over `newer` — which is exactly what the e110 oracle
+    * computes. Groups whose mass cancels to zero drop (a full
+    * recompute would never show them).
+    *
+    * Scale shape (100 TB): the diff is the [[diff]] hash join (16-byte
+    * rows); feature work (tokenize + quality) runs ONLY on delta rows;
+    * the merge is group-grain (sources × langs). Cost tracks the
+    * delta, e97-style — the 8× tier row is the measurement. */
+  def refreshHealth(baseSums: DataFrame, older: DataFrame, newer: DataFrame,
+      idCol: String = "doc_id", contentCol: String = "text"): DataFrame = {
+    val delta = diff(older, newer, idCol, contentCol)
+    val subIds = delta.where(col("status").isin("removed", "changed"))
+      .select(col(idCol))
+    val addIds = delta.where(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    val sub = healthSums(older.join(subIds, Seq(idCol), "left_semi"))
+      .select(col("source"), col("lang"), (-col("n_docs")).as("n_docs"),
+        (-col("sum_tokens")).as("sum_tokens"), (-col("sum_q")).as("sum_q"))
+    val add = healthSums(newer.join(addIds, Seq(idCol), "left_semi"))
+    baseSums.unionByName(sub).unionByName(add)
+      .groupBy("source", "lang")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_tokens")).as("sum_tokens"),
+        sum(col("sum_q")).as("sum_q"))
+      .where(col("n_docs") > 0)
+      .select(col("source"), col("lang"), col("n_docs"), col("sum_tokens"),
+        (col("sum_q").cast("double") / col("n_docs").cast("double"))
+          .as("avg_quality"))
+  }
+
   private def statusOf(older: DataFrame, newer: DataFrame,
       idCol: String, contentCol: String): DataFrame = {
     // The hash compare is null-safe for the same reason the index

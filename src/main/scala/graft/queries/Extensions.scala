@@ -883,6 +883,39 @@ object Extensions {
     graft.ext.Snapshot.diff(older, newer).orderBy("doc_id")
   }
 
+  /** e110: delta-driven dashboard refresh
+    * ([[graft.ext.Snapshot.refreshHealth]]) — the e102 snapshot seam
+    * COMPOSED with its downstream consumer: the e39 corpus-health
+    * rollup is frozen as mergeable mass on the older snapshot (the
+    * memoized base — dashboards compute once, refreshes consume), a
+    * crawl lands, and the NEW dashboard is produced by subtracting the
+    * removed/changed-old contributions and adding the added/changed-new
+    * ones — re-featurizing ONLY the delta. The oracle is the FULL
+    * recompute over the newer snapshot, so the hash match IS the proof
+    * that incremental maintenance loses nothing (the q49 discipline
+    * applied to the aggregate family). The delta is BOUNDED (ids under
+    * fixed caps — the e97 fixed-batch discipline), so the 8× tier
+    * measures cost tracking the constant delta plus the 16-byte hash
+    * diff, never the corpus's feature work. */
+  val E110AddedCap = 1400L // ids absent from older, present in newer
+  val E110ChangedCap = 1100L // ids whose older text carries the bump
+  val E110RemovedCap = 1300L // ids present in older, absent from newer
+  def e110_incremental_health(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val older = d
+      .where(not((col("doc_id") % 7 === 2) && (col("doc_id") < E110AddedCap)))
+      .withColumn("text",
+        when((col("doc_id") % 11 === 0) && (col("doc_id") < E110ChangedCap),
+          concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    val newer = d
+      .where(not((col("doc_id") % 13 === 5) && (col("doc_id") < E110RemovedCap)))
+    val base = memoArtifact(s, dir, "health_base_110") {
+      graft.ext.Snapshot.healthSums(older)
+    }
+    graft.ext.Snapshot.refreshHealth(base, older, newer)
+      .orderBy("source", "lang")
+  }
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -1633,6 +1666,7 @@ object Extensions {
     "e107_weighted_sample" -> (e107_weighted_sample _),
     "e108_axis_drift" -> (e108_axis_drift _),
     "e109_whitened_semdedup" -> (e109_whitened_semdedup _),
+    "e110_incremental_health" -> (e110_incremental_health _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1657,6 +1691,29 @@ object Extensions {
        |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        |       FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i))""".stripMargin
   private val shingleCte = shingleCteFrom("documents")
+
+  /** The e39 corpus-health rollup over `src` (a relation, or a CTE
+    * defined by `extraCtes`) — shared by e39 (the full table) and e110
+    * (the newer-snapshot CTE: the engine's incremental merge must
+    * hash-equal exactly THIS full recompute). Quality expression =
+    * `Text.qualityScoreCol` verbatim; the DECIMAL(18,6) accumulation
+    * pins the mean across engines. */
+  private def healthRollupSql(src: String, extraCtes: String = ""): String =
+    s"""WITH ${extraCtes}q_hr AS (
+       |  SELECT source, lang, len(string_split(text, ' ')) AS n_tokens,
+       |    0.5 * (len(list_filter(string_split(text, ' '),
+       |            t -> t IN ('the','a','of','to','and','in','is','on','for','with')))::DOUBLE
+       |           / len(string_split(text, ' '))::DOUBLE)
+       |    + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+       |             / length(text)::DOUBLE)
+       |    + 0.2 * (CASE WHEN len(string_split(text, ' ')) >= 10
+       |                   AND len(string_split(text, ' ')) <= 100000 THEN 1.0 ELSE 0.0 END)
+       |      AS q
+       |  FROM $src)
+       |SELECT source, lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens::BIGINT) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)::DOUBLE AS avg_quality
+       |FROM q_hr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Pinned-Lloyd cosine k-means CTE chain —
     * `trainCentroids(roundDecimals = 6)` replayed verbatim in SQL (the
@@ -3738,22 +3795,7 @@ object Extensions {
          |  CAST((cum - piece_tokens) // $E38bBudget AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id, piece_idx""".stripMargin,
 
-    "e39_corpus_health" ->
-      """WITH q AS (
-        |  SELECT source, lang, len(string_split(text, ' ')) AS n_tokens,
-        |    0.5 * (len(list_filter(string_split(text, ' '),
-        |            t -> t IN ('the','a','of','to','and','in','is','on','for','with')))::DOUBLE
-        |           / len(string_split(text, ' '))::DOUBLE)
-        |    + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-        |             / length(text)::DOUBLE)
-        |    + 0.2 * (CASE WHEN len(string_split(text, ' ')) >= 10
-        |                   AND len(string_split(text, ' ')) <= 100000 THEN 1.0 ELSE 0.0 END)
-        |      AS q
-        |  FROM documents)
-        |SELECT source, lang, count(*) AS n_docs,
-        |  CAST(sum(n_tokens::BIGINT) AS BIGINT) AS sum_tokens,
-        |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)::DOUBLE AS avg_quality
-        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e39_corpus_health" -> healthRollupSql("documents"),
 
     "e36_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id,
@@ -4107,6 +4149,11 @@ object Extensions {
     "e105_pc1_removal" -> e105OracleSql,
     "e106_pca_map" -> e106OracleSql,
     "e108_axis_drift" -> e108OracleSql,
+    // e110's oracle is the FULL recompute over the newer snapshot —
+    // the engine's incremental merge must hash-equal it exactly.
+    "e110_incremental_health" -> healthRollupSql("new_110", extraCtes =
+      "new_110 AS (SELECT source, lang, text FROM documents" +
+        s" WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),\n"),
     "e109_whitened_semdedup" -> {
       // The e105 whitening nested as ONE materialized CTE (the e104
       // composition), listed back to wide DOUBLE[] form, then the

@@ -53,6 +53,33 @@ class SnapshotSpec extends SparkSpec {
       4L -> "removed", 5L -> "added"))
   }
 
+  test("refreshHealth: incremental merge equals the full recompute; dead groups drop") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // an independent construction (different moduli than e110)
+    val older = docs.where(col("doc_id") % 5 =!= 1)
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val newer = docs.where(col("doc_id") % 4 =!= 2)
+    def finish(sums: org.apache.spark.sql.DataFrame) = sums
+      .select(col("source"), col("lang"), col("n_docs"), col("sum_tokens"),
+        (col("sum_q").cast("double") / col("n_docs").cast("double"))
+          .as("avg_quality"))
+    val full = finish(Snapshot.healthSums(newer))
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    val inc = Snapshot.refreshHealth(Snapshot.healthSums(older), older, newer)
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(inc == full && inc.nonEmpty)
+    // a group whose mass cancels to zero must DROP, not read 0/0:
+    // older holds one group that newer loses entirely
+    val o2 = Seq((1L, "gone", "xx", "one two three"), (2L, "kept", "yy", "four five"))
+      .toDF("doc_id", "source", "lang", "text")
+    val n2 = Seq((2L, "kept", "yy", "four five"))
+      .toDF("doc_id", "source", "lang", "text")
+    val inc2 = Snapshot.refreshHealth(Snapshot.healthSums(o2), o2, n2)
+      .select("source").as[String].collect().toSet
+    assert(inc2 == Set("kept"))
+  }
+
   test("diff is content-addressed: metadata-only frames don't alias") {
     // same ids, one text flipped -> exactly one changed row
     val older = snap(10L -> "alpha", 11L -> "beta")
