@@ -178,6 +178,9 @@ object Bench {
     // cost tracks the constant delta's feature work plus the 16-byte
     // hash diff, never the corpus's tokenize/quality pass (the memoized
     // base builds once in the untimed warm-up, the production shape).
+    // e111 is NOT here: the same bounded delta, diff pass and signed
+    // merge as e110 with the feature projection swapped for a token
+    // unnest — e110's curve pins every data-sized term it has.
     "e110_incremental_health",
     // pinned at 8x via e69/e70. e109 is NOT here: e100's Gram pass
     // (now tiered directly) + a row-local whitening projection +

@@ -390,6 +390,20 @@ object Demo {
     println(s"DEMO weighted_sample=${ws.getLong(0)}docs/${ws.getLong(1)}tokens " +
       s"axis_drift $dr")
 
+    // 39. the round-14 seam closures: whiten THEN dedup as one plan
+    // (how many drops survive once the common direction is gone), the
+    // k-D corpus map (three exact axes per vector), and the
+    // delta-driven dashboard refresh (hash-equal to a full recompute,
+    // paying only the delta's feature work)
+    val wsd = graft.SparkEntry.queries("e109_whitened_semdedup")(spark, sfDir)
+    val kmap = graft.SparkEntry.queries("e106_pca_map")(spark, sfDir)
+      .agg(min(col("pc3_fp")), max(col("pc3_fp"))).head
+    val ih = graft.SparkEntry.queries("e110_incremental_health")(spark, sfDir)
+      .agg(count(lit(1)), sum(col("n_docs"))).head
+    println(s"DEMO whitened_dropped=${wsd.count()} " +
+      s"pc3_range=[${kmap.getLong(0)},${kmap.getLong(1)}] " +
+      s"refreshed_groups=${ih.getLong(0)}/${ih.getLong(1)}docs")
+
     spark.stop()
   }
 }

@@ -72,6 +72,54 @@ object Snapshot {
       .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("sum_tokens"),
         sum(col("_q")).as("sum_q"))
 
+  /** The two delta work-lists every incremental consumer pairs:
+    * ids whose OLD contribution must be SUBTRACTED (removed ∪ changed)
+    * and ids whose NEW contribution must be ADDED (added ∪ changed).
+    * One [[statusOf]] pass feeds both. */
+  def deltaWorkLists(older: DataFrame, newer: DataFrame,
+      idCol: String = "doc_id", contentCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val delta = diff(older, newer, idCol, contentCol)
+    (delta.where(col("status").isin("removed", "changed")).select(col(idCol)),
+      delta.where(col("status").isin("added", "changed")).select(col(idCol)))
+  }
+
+  /** Per-term token counts as mergeable mass — the frozen state behind
+    * [[refreshHeavyHitters]] (a top-k is NOT mergeable; the
+    * vocabulary-sized count frame it derives from is). Tokenization =
+    * e30's ([[Sketches.heavyHittersExact]]) verbatim. */
+  def termCounts(docs: DataFrame, contentCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(contentCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+
+  /** Delta-driven heavy-hitter refresh — the e110 discipline applied
+    * to the SKETCH family's exact anchor (e30): the frozen per-term
+    * count frame absorbs the delta's signed token counts (one signed
+    * union + one term-grain aggregate; terms whose count cancels to
+    * zero drop) and the top-k re-derives from the merged frame. Counts
+    * are exact longs, so the merged frame is bit-identical to a full
+    * [[termCounts]] over the newer snapshot and the top-k therefore
+    * hash-equal to a full [[Sketches.heavyHittersExact]] — which IS
+    * the e111 oracle. Feature work (tokenize) runs only on delta rows;
+    * the merge is vocabulary-grain; top-k is a TakeOrdered, no global
+    * sort. (The approximate twin — e18's CMS — re-derives the same way
+    * at scale: CMS sketches are linear, so add the delta's sketch and
+    * subtract the removed rows'; the exact anchor here is what any
+    * such merge is judged against.) */
+  def refreshHeavyHitters(baseCounts: DataFrame, older: DataFrame,
+      newer: DataFrame, k: Int, idCol: String = "doc_id",
+      contentCol: String = "text"): DataFrame = {
+    val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
+    val sub = termCounts(older.join(subIds, Seq(idCol), "left_semi"), contentCol)
+      .select(col("term"), (-col("freq")).as("freq"))
+    val add = termCounts(newer.join(addIds, Seq(idCol), "left_semi"), contentCol)
+    baseCounts.unionByName(sub).unionByName(add)
+      .groupBy("term").agg(sum(col("freq")).as("freq"))
+      .where(col("freq") > 0)
+      .orderBy(desc("freq"), asc("term"))
+      .limit(k)
+  }
+
   /** Delta-driven dashboard refresh — the q49 incremental-components
     * discipline applied to the aggregate family (and the composition
     * [[diff]] exists to feed): given the FROZEN base rollup of the
@@ -94,11 +142,7 @@ object Snapshot {
     * delta, e97-style — the 8× tier row is the measurement. */
   def refreshHealth(baseSums: DataFrame, older: DataFrame, newer: DataFrame,
       idCol: String = "doc_id", contentCol: String = "text"): DataFrame = {
-    val delta = diff(older, newer, idCol, contentCol)
-    val subIds = delta.where(col("status").isin("removed", "changed"))
-      .select(col(idCol))
-    val addIds = delta.where(col("status").isin("added", "changed"))
-      .select(col(idCol))
+    val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
     val sub = healthSums(older.join(subIds, Seq(idCol), "left_semi"))
       .select(col("source"), col("lang"), (-col("n_docs")).as("n_docs"),
         (-col("sum_tokens")).as("sum_tokens"), (-col("sum_q")).as("sum_q"))

@@ -900,7 +900,9 @@ object Extensions {
   val E110AddedCap = 1400L // ids absent from older, present in newer
   val E110ChangedCap = 1100L // ids whose older text carries the bump
   val E110RemovedCap = 1300L // ids present in older, absent from newer
-  def e110_incremental_health(s: SparkSession, dir: String): DataFrame = {
+  /** The bounded-delta snapshot pair shared by e110 and e111. */
+  private def e110Snapshots(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val d = docs(s, dir)
     val older = d
       .where(not((col("doc_id") % 7 === 2) && (col("doc_id") < E110AddedCap)))
@@ -909,11 +911,32 @@ object Extensions {
           concat(col("text"), lit(" v1"))).otherwise(col("text")))
     val newer = d
       .where(not((col("doc_id") % 13 === 5) && (col("doc_id") < E110RemovedCap)))
+    (older, newer)
+  }
+
+  def e110_incremental_health(s: SparkSession, dir: String): DataFrame = {
+    val (older, newer) = e110Snapshots(s, dir)
     val base = memoArtifact(s, dir, "health_base_110") {
       graft.ext.Snapshot.healthSums(older)
     }
     graft.ext.Snapshot.refreshHealth(base, older, newer)
       .orderBy("source", "lang")
+  }
+
+  /** e111: delta-driven heavy-hitter refresh
+    * ([[graft.ext.Snapshot.refreshHeavyHitters]]) — the e110 seam
+    * applied to the sketch family's exact anchor: the frozen per-term
+    * count frame (vocabulary-sized memo — a top-k is not mergeable,
+    * its source frame is) absorbs the delta's signed token counts and
+    * the top-25 re-derives. Oracle = the FULL e30 recompute over the
+    * newer snapshot, so the hash match proves the incremental merge
+    * exact. Same bounded delta as e110. */
+  def e111_incremental_hh(s: SparkSession, dir: String): DataFrame = {
+    val (older, newer) = e110Snapshots(s, dir)
+    val base = memoArtifact(s, dir, "term_counts_110") {
+      graft.ext.Snapshot.termCounts(older)
+    }
+    graft.ext.Snapshot.refreshHeavyHitters(base, older, newer, k = 25)
   }
 
   /** e94: quality-aware canonical selection
@@ -1667,6 +1690,7 @@ object Extensions {
     "e108_axis_drift" -> (e108_axis_drift _),
     "e109_whitened_semdedup" -> (e109_whitened_semdedup _),
     "e110_incremental_health" -> (e110_incremental_health _),
+    "e111_incremental_hh" -> (e111_incremental_hh _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -4154,6 +4178,15 @@ object Extensions {
     "e110_incremental_health" -> healthRollupSql("new_110", extraCtes =
       "new_110 AS (SELECT source, lang, text FROM documents" +
         s" WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),\n"),
+    // e111's oracle: the FULL e30 heavy-hitter recompute over the same
+    // newer snapshot — the engine's count-frame merge must hash-equal it.
+    "e111_incremental_hh" ->
+      (s"""WITH new_111 AS (SELECT text FROM documents
+          |  WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),
+          |toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM new_111),
+          |f AS (SELECT term, count(*) AS freq FROM toks GROUP BY term)
+          |SELECT term, freq FROM f ORDER BY freq DESC, term LIMIT 25""")
+      .stripMargin,
     "e109_whitened_semdedup" -> {
       // The e105 whitening nested as ONE materialized CTE (the e104
       // composition), listed back to wide DOUBLE[] form, then the

@@ -80,6 +80,27 @@ class SnapshotSpec extends SparkSpec {
     assert(inc2 == Set("kept"))
   }
 
+  test("refreshHeavyHitters: merged counts equal the full recompute; cancelled terms drop") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val older = docs.where(col("doc_id") % 5 =!= 1)
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val newer = docs.where(col("doc_id") % 4 =!= 2)
+    val full = graft.ext.Sketches.heavyHittersExact(newer, k = 25)
+      .as[(String, Long)].collect().toSeq
+    val inc = Snapshot.refreshHeavyHitters(
+      Snapshot.termCounts(older), older, newer, k = 25)
+      .as[(String, Long)].collect().toSeq
+    assert(inc == full && inc.size == 25)
+    // a term alive only in removed docs must CANCEL out of the frame
+    val o2 = Seq((1L, "unique_gone_term x"), (2L, "x y")).toDF("doc_id", "text")
+    val n2 = Seq((2L, "x y")).toDF("doc_id", "text")
+    val inc2 = Snapshot.refreshHeavyHitters(
+      Snapshot.termCounts(o2), o2, n2, k = 10)
+      .select("term").as[String].collect().toSet
+    assert(inc2 == Set("x", "y"))
+  }
+
   test("diff is content-addressed: metadata-only frames don't alias") {
     // same ids, one text flipped -> exactly one changed row
     val older = snap(10L -> "alpha", 11L -> "beta")
