@@ -181,6 +181,10 @@ object Bench {
     // e111 is NOT here: the same bounded delta, diff pass and signed
     // merge as e110 with the feature projection swapped for a token
     // unnest — e110's curve pins every data-sized term it has.
+    // e112 is NOT here for the same reason: e110's curve pins the
+    // diff/delta shape and the index anti-join carries k longs per row
+    // (the e01/e18 id-keyed class); the delta re-sign is e02's
+    // row-local shape over a constant batch.
     "e110_incremental_health",
     // pinned at 8x via e69/e70. e109 is NOT here: e100's Gram pass
     // (now tiered directly) + a row-local whitening projection +

@@ -120,6 +120,25 @@ object Snapshot {
       .limit(k)
   }
 
+  /** Delta-driven MinHash-index maintenance — what keeps the e97
+    * frozen signature index frozen ACROSS crawls: signatures are
+    * per-doc and row-local (no cross-doc state), so the newer index is
+    * exactly the base index MINUS the subtract work-list (one id-keyed
+    * anti join) PLUS fresh signatures over the add work-list (the only
+    * rows that ever re-shingle). Oracle-equal to a full re-sign of the
+    * newer snapshot — short documents (< shingle width) drop out of
+    * both paths identically because the signature aggregate never sees
+    * them. Feature work tracks the delta; the anti join carries the
+    * index's k longs per row, never content. */
+  def refreshSignatureIndex(baseIndex: DataFrame, older: DataFrame,
+      newer: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "text"): DataFrame = {
+    val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
+    baseIndex.join(subIds, Seq(idCol), "left_anti")
+      .unionByName(Dedup.minhashSignatures(
+        newer.join(addIds, Seq(idCol), "left_semi")))
+  }
+
   /** Delta-driven dashboard refresh — the q49 incremental-components
     * discipline applied to the aggregate family (and the composition
     * [[diff]] exists to feed): given the FROZEN base rollup of the

@@ -939,6 +939,23 @@ object Extensions {
     graft.ext.Snapshot.refreshHeavyHitters(base, older, newer, k = 25)
   }
 
+  /** e112: delta-driven MinHash-index maintenance
+    * ([[graft.ext.Snapshot.refreshSignatureIndex]]) — the composition
+    * that makes e97's frozen index SUSTAINABLE across crawls: the base
+    * signature index (memoized — built once offline) absorbs the
+    * delta by one anti join + a re-sign of only the added/changed
+    * docs. Oracle = the FULL universal-hash signature build over the
+    * newer snapshot, so the hash match proves the maintained index
+    * indistinguishable from a rebuild. Same bounded delta as e110. */
+  def e112_incremental_index(s: SparkSession, dir: String): DataFrame = {
+    val (older, newer) = e110Snapshots(s, dir)
+    val base = memoArtifact(s, dir, "sig_index_110") {
+      Dedup.minhashSignatures(older)
+    }
+    graft.ext.Snapshot.refreshSignatureIndex(base, older, newer)
+      .orderBy("doc_id")
+  }
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -1691,6 +1708,7 @@ object Extensions {
     "e109_whitened_semdedup" -> (e109_whitened_semdedup _),
     "e110_incremental_health" -> (e110_incremental_health _),
     "e111_incremental_hh" -> (e111_incremental_hh _),
+    "e112_incremental_index" -> (e112_incremental_index _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -4178,6 +4196,14 @@ object Extensions {
     "e110_incremental_health" -> healthRollupSql("new_110", extraCtes =
       "new_110 AS (SELECT source, lang, text FROM documents" +
         s" WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),\n"),
+    // e112's oracle: the FULL universal-hash signature build over the
+    // newer snapshot (the e02 replay re-pointed) — the engine's
+    // anti-join + delta re-sign must hash-equal a rebuild.
+    "e112_incremental_index" ->
+      (s"""WITH new_112 AS (SELECT doc_id, text FROM documents
+          |  WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),
+          |""".stripMargin + sigCteFrom("new_112") + "\n" +
+        "SELECT * FROM sig ORDER BY doc_id"),
     // e111's oracle: the FULL e30 heavy-hitter recompute over the same
     // newer snapshot — the engine's count-frame merge must hash-equal it.
     "e111_incremental_hh" ->

@@ -101,6 +101,28 @@ class SnapshotSpec extends SparkSpec {
     assert(inc2 == Set("x", "y"))
   }
 
+  test("refreshSignatureIndex: maintained index equals a full rebuild") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val older = docs.where(col("doc_id") % 5 =!= 1)
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val newer = docs.where(col("doc_id") % 4 =!= 2)
+    val full = Dedup.minhashSignatures(newer)
+      .orderBy("doc_id").collect().toSeq
+    val inc = Snapshot.refreshSignatureIndex(
+      Dedup.minhashSignatures(older), older, newer)
+      .orderBy("doc_id").collect().toSeq
+    assert(inc == full && inc.nonEmpty)
+    // a changed doc that collapses below the shingle width must leave
+    // the index (both paths: the signature aggregate never sees it)
+    val o2 = Seq((1L, "a b c d e"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val n2 = Seq((1L, "a b"), (2L, "p q r s t")).toDF("doc_id", "text")
+    val inc2 = Snapshot.refreshSignatureIndex(
+      Dedup.minhashSignatures(o2), o2, n2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(inc2 == Set(2L))
+  }
+
   test("diff is content-addressed: metadata-only frames don't alias") {
     // same ids, one text flipped -> exactly one changed row
     val older = snap(10L -> "alpha", 11L -> "beta")
