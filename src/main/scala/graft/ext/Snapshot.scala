@@ -166,16 +166,23 @@ object Snapshot {
       .select(col("source"), col("lang"), (-col("n_docs")).as("n_docs"),
         (-col("sum_tokens")).as("sum_tokens"), (-col("sum_q")).as("sum_q"))
     val add = healthSums(newer.join(addIds, Seq(idCol), "left_semi"))
-    baseSums.unionByName(sub).unionByName(add)
+    finishHealth(baseSums.unionByName(sub).unionByName(add)
       .groupBy("source", "lang")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_tokens")).as("sum_tokens"),
-        sum(col("sum_q")).as("sum_q"))
-      .where(col("n_docs") > 0)
+        sum(col("sum_q")).as("sum_q")))
+  }
+
+  /** The dashboard face of a [[healthSums]] mass frame: drop
+    * zero-mass groups (a recompute would never show them) and derive
+    * the mean — the ONE division, deferred to read time so the mass
+    * stays mergeable. Shared by [[refreshHealth]] and the streaming
+    * maintainer ([[graft.streaming.Streams.HealthMaintainer]]). */
+  def finishHealth(sums: DataFrame): DataFrame =
+    sums.where(col("n_docs") > 0)
       .select(col("source"), col("lang"), col("n_docs"), col("sum_tokens"),
         (col("sum_q").cast("double") / col("n_docs").cast("double"))
           .as("avg_quality"))
-  }
 
   private def statusOf(older: DataFrame, newer: DataFrame,
       idCol: String, contentCol: String): DataFrame = {

@@ -702,6 +702,56 @@ object Streams {
       }
   }
 
+  /** Live dashboard maintenance — the streaming face of
+    * [[graft.ext.Snapshot.refreshHealth]]'s merge arithmetic: health
+    * MASS ([[graft.ext.Snapshot.healthSums]] — long counts, DECIMAL
+    * quality sum, the only form a dashboard can absorb deltas in)
+    * starts from a frozen base and each arriving micro-batch folds its
+    * own group-grain sums in (one union + one aggregate per batch over
+    * the sources×langs-sized state, localCheckpointed so lineage stays
+    * flat — the ComponentsMaintainer discipline). A stream only ever
+    * ADDS: retirement of removed/changed-old mass is the batch diff's
+    * job (exactly [[snapshotDiffFilter]]'s contract — feed it this
+    * maintainer's input and the two compose into the full refresh).
+    * All merge arithmetic is exact, so after ANY micro-batch split the
+    * dashboard equals the batch rollup over everything seen
+    * (StreamsSpec law). Read `dashboard` any time. */
+  final class HealthMaintainer(base: DataFrame,
+      releaseSuperseded: Boolean = true) {
+    @volatile private var st: DataFrame = base.localCheckpoint()
+
+    /** Current mass `(source, lang, n_docs, sum_tokens, sum_q)`. */
+    def state: DataFrame = st
+
+    /** Current dashboard `(source, lang, n_docs, sum_tokens,
+      * avg_quality)` — [[graft.ext.Snapshot.finishHealth]]. */
+    def dashboard: DataFrame = graft.ext.Snapshot.finishHealth(st)
+
+    /** foreachBatch callback: fold one document micro-batch in. */
+    def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val prev = st
+        st = prev.unionByName(graft.ext.Snapshot.healthSums(batch))
+          .groupBy("source", "lang")
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_tokens")).as("sum_tokens"),
+            sum(col("sum_q")).as("sum_q"))
+          .localCheckpoint()
+        if (releaseSuperseded) graft.plans.Supersteps.release(prev)
+      }
+  }
+
+  /** Start live corpus-health maintenance over a streaming document
+    * frame; read `maintainer.dashboard` any time. */
+  def startIncrementalHealth(docs: DataFrame,
+      maintainer: HealthMaintainer,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(maintainer.sink)
+      .start()
+
   /** Start the incremental-components maintenance over a streaming
     * `(src, dst)` edge frame; read `maintainer.state` any time. */
   def startIncrementalComponents(edges: DataFrame,

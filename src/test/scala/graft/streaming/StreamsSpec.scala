@@ -906,6 +906,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HealthMaintainer: live dashboard == batch rollup over everything seen, any split") {
+    import graft.ext.Snapshot
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "lang", "text")
+    val base = docs.where(col("doc_id") % 3 === 0) // "last night's corpus"
+    val arriving = docs.where(col("doc_id") % 3 =!= 0)
+      .as[(Long, String, String, String)].collect()
+    val want = Snapshot.finishHealth(Snapshot.healthSums(docs))
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    val m = new Streams.HealthMaintainer(Snapshot.healthSums(base))
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = mem.toDF().toDF("doc_id", "source", "lang", "text").writeStream
+      .outputMode("append").foreachBatch(m.sink).start()
+    try {
+      arriving.grouped(arriving.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = m.dashboard
+        .as[(String, String, Long, Long, Double)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("snapshotDiffFilter: frozen hash index, stream == batch diff minus removed") {
     import graft.ext.Snapshot
     implicit val sqlCtx = spark.sqlContext
