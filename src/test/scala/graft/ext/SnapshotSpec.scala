@@ -123,6 +123,35 @@ class SnapshotSpec extends SparkSpec {
     assert(inc2 == Set(2L))
   }
 
+  test("skipping a crawl is sound: diff(t0,t2) is presence+content alone, no t1 state") {
+    // the property an incremental pipeline relies on when a crawl is
+    // skipped: the direct t0->t2 diff depends ONLY on the two
+    // endpoints (independent driver-side replay from presence sets +
+    // content hashes) — intermediate t1 states (including
+    // changed-then-reverted content) cannot leak into it
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val t0 = docs.where(col("doc_id") % 3 =!= 0)
+    val t2 = docs.where(col("doc_id") % 6 =!= 2)
+    val direct = Snapshot.diff(t0, t2)
+      .as[(Long, String)].collect().toMap
+    val ids0 = t0.select("doc_id").as[Long].collect().toSet
+    val ids2 = t2.select("doc_id").as[Long].collect().toSet
+    val h0 = t0.select(col("doc_id"), md5(col("text"))).as[(Long, String)]
+      .collect().toMap
+    val h2 = t2.select(col("doc_id"), md5(col("text"))).as[(Long, String)]
+      .collect().toMap
+    val composed = (ids0 ++ ids2).flatMap { id =>
+      (ids0.contains(id), ids2.contains(id)) match {
+        case (false, true) => Some(id -> "added")
+        case (true, false) => Some(id -> "removed")
+        case (true, true) =>
+          if (h0(id) != h2(id)) Some(id -> "changed") else None
+        case _ => None
+      }
+    }.toMap
+    assert(direct == composed && direct.nonEmpty)
+  }
+
   test("diff is content-addressed: metadata-only frames don't alias") {
     // same ids, one text flipped -> exactly one changed row
     val older = snap(10L -> "alpha", 11L -> "beta")
