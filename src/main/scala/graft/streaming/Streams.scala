@@ -752,6 +752,51 @@ object Streams {
       .foreachBatch(maintainer.sink)
       .start()
 
+  /** Live MinHash-index maintenance — the streaming face of
+    * [[graft.ext.Snapshot.refreshSignatureIndex]]: each arriving
+    * micro-batch UPSERTS its documents' signatures into the frozen
+    * index (anti join the batch's ids out — a re-crawled page replaces
+    * its old signature, content-addressed — then union the fresh
+    * signatures; below-shingle-width docs leave the index, exactly the
+    * batch operator's drop semantics). A stream can only ever witness
+    * arrivals, so RETIREMENT of gone ids stays the batch diff's job
+    * (the [[snapshotDiffFilter]] contract). After any split, the index
+    * equals a full re-sign of base-minus-seen-ids plus everything
+    * seen — StreamsSpec pins the upsert law including the
+    * changed-then-rearrived case. State is index-grain, k longs per
+    * row, localCheckpointed per fold (the ComponentsMaintainer
+    * discipline). The consumer is [[graft.ext.Dedup.dedupAgainstIndex]]
+    * — e97's probe side reads `state` directly. */
+  final class SignatureIndexMaintainer(base: DataFrame,
+      releaseSuperseded: Boolean = true) {
+    @volatile private var st: DataFrame = base.localCheckpoint()
+
+    /** Current index `(doc_id, h0..h{k-1})`. */
+    def state: DataFrame = st
+
+    /** foreachBatch callback: upsert one document micro-batch. */
+    def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val prev = st
+        val ids = batch.select(col(batch.columns.head).as("doc_id"))
+        st = prev.join(ids, Seq("doc_id"), "left_anti")
+          .unionByName(graft.ext.Dedup.minhashSignatures(batch.toDF()))
+          .localCheckpoint()
+        if (releaseSuperseded) graft.plans.Supersteps.release(prev)
+      }
+  }
+
+  /** Start live signature-index maintenance over a streaming
+    * `(doc_id, text)` frame; read `maintainer.state` any time. */
+  def startIndexMaintenance(docs: DataFrame,
+      maintainer: SignatureIndexMaintainer,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(maintainer.sink)
+      .start()
+
   /** Start the incremental-components maintenance over a streaming
     * `(src, dst)` edge frame; read `maintainer.state` any time. */
   def startIncrementalComponents(edges: DataFrame,

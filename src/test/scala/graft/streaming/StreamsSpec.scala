@@ -930,6 +930,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SignatureIndexMaintainer: upsert law incl. changed-then-rearrived docs") {
+    import graft.ext.{Dedup, Snapshot}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.where(col("doc_id") % 3 === 0)
+    // arriving: the other docs PLUS re-crawled edits of some base docs
+    // (the upsert case: their old signatures must be replaced)
+    val arriving = docs.where(col("doc_id") % 3 =!= 0)
+      .unionByName(docs.where(col("doc_id") % 9 === 0)
+        .withColumn("text", concat(col("text"), lit(" recrawled"))))
+      .as[(Long, String)].collect()
+    // the truth: a full re-sign of base overridden by everything seen
+    // (later arrival wins — replay last-writer-wins on the driver)
+    val finalText = docs.as[(Long, String)].collect().toMap ++
+      arriving.toMap // recrawled edits arrive last in our split order
+    val want = Dedup.minhashSignatures(
+      finalText.toSeq.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    val m = new Streams.SignatureIndexMaintainer(Dedup.minhashSignatures(base))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append").foreachBatch(m.sink).start()
+    try {
+      arriving.grouped(arriving.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = m.state.orderBy("doc_id").collect().toSeq
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("snapshotDiffFilter: frozen hash index, stream == batch diff minus removed") {
     import graft.ext.Snapshot
     implicit val sqlCtx = spark.sqlContext
