@@ -75,11 +75,16 @@ object Snapshot {
   /** The two delta work-lists every incremental consumer pairs:
     * ids whose OLD contribution must be SUBTRACTED (removed ∪ changed)
     * and ids whose NEW contribution must be ADDED (added ∪ changed).
-    * One [[statusOf]] pass feeds both. */
+    * The diff is MATERIALIZED once ([[graft.plans.Supersteps.cut]] —
+    * the e97 candidate-list discipline): it is delta-sized by
+    * construction, and without the cut each consumer branch would
+    * re-run the full-outer hash join over both snapshots (the Explain
+    * audit showed the static plan duplicating two corpus scans per
+    * branch). */
   def deltaWorkLists(older: DataFrame, newer: DataFrame,
       idCol: String = "doc_id", contentCol: String = "text")
       : (DataFrame, DataFrame) = {
-    val delta = diff(older, newer, idCol, contentCol)
+    val delta = graft.plans.Supersteps.cut(diff(older, newer, idCol, contentCol))
     (delta.where(col("status").isin("removed", "changed")).select(col(idCol)),
       delta.where(col("status").isin("added", "changed")).select(col(idCol)))
   }
