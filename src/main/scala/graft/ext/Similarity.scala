@@ -355,6 +355,13 @@ object Similarity {
     val assigned = assignCells(embeddings, cen, keepVector = true)
       .select(col("vec_id"), col("cell"), col("emb"))
     // Hoisted norms (the e20 lesson: one fold per vector, one per pair).
+    // NOT cut/materialized, deliberately: the static plan duplicates
+    // this subtree per pair side, but both sides shuffle on the same
+    // cell key so the runtime reuses the exchange (measured: a cut
+    // here is timing-neutral at sf0.1), and a checkpoint would persist
+    // a CORPUS-sized row-format copy — the wrong trade at 100 TB
+    // against re-scanning columnar parquet. Contrast deltaWorkLists,
+    // whose cut frame is delta-sized.
     val withNorm = assigned.select(col("vec_id"), col("cell"), col("emb"),
       sqrt(aggregate(col("emb"), lit(0.0),
         (acc, v) => acc + v.cast("double") * v.cast("double"))).as("nrm"))
