@@ -152,6 +152,37 @@ class SnapshotSpec extends SparkSpec {
     assert(direct == composed && direct.nonEmpty)
   }
 
+  test("co-bucketed snapshots diff with no shuffle exchange (the 100 TB claim, plan-asserted)") {
+    // the scaladoc's scale shape made checkable: both snapshots
+    // persisted bucketBy(id) -> the full-outer hash join reads
+    // pre-bucketed, no Exchange anywhere in the diff plan
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val older = docs.where(col("doc_id") % 7 =!= 2)
+    val newer = docs.where(col("doc_id") % 13 =!= 5)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      older.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("snap_old_b")
+      newer.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("snap_new_b")
+      val diffed = Snapshot.diff(spark.table("snap_old_b"),
+        spark.table("snap_new_b"))
+      // correctness unchanged by the layout
+      val want = Snapshot.diff(older, newer)
+        .as[(Long, String)].collect().toSet
+      assert(diffed.as[(Long, String)].collect().toSet == want)
+      val plan = diffed.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS snap_old_b")
+      spark.sql("DROP TABLE IF EXISTS snap_new_b")
+    }
+  }
+
   test("diff is content-addressed: metadata-only frames don't alias") {
     // same ids, one text flipped -> exactly one changed row
     val older = snap(10L -> "alpha", 11L -> "beta")
