@@ -184,7 +184,9 @@ object Bench {
     // e112 is NOT here for the same reason: e110's curve pins the
     // diff/delta shape and the index anti-join carries k longs per row
     // (the e01/e18 id-keyed class); the delta re-sign is e02's
-    // row-local shape over a constant batch.
+    // row-local shape over a constant batch. e113 is NOT here either:
+    // its delta/merge terms are e110's shape and its scoring stage is
+    // e60's (in the tier) over the maintained frames.
     "e110_incremental_health",
     // pinned at 8x via e69/e70. e109 is NOT here: e100's Gram pass
     // (now tiered directly) + a row-local whitening projection +

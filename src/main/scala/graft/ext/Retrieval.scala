@@ -68,10 +68,43 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
       excludeSelf: Boolean = false,
       idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", qTextCol: String = "q_text"): DataFrame =
+    bm25TopKFromIndex(buildBm25Index(docs, idCol, textCol), queries, k,
+      excludeSelf, idCol, qidCol, qTextCol)
+
+  /** The BM25 inverted-index artifact — the frames a search service
+    * keeps warm: per-(doc, term) postings with tf, per-doc lengths,
+    * term-grain document frequencies. All three are COUNT-MERGEABLE,
+    * which is what makes delta maintenance
+    * ([[graft.ext.Snapshot.refreshBm25Index]]) possible at all; the
+    * corpus totals (N, total tokens) derive from `dl` at scoring time
+    * (every doc tokenizes to ≥ 1 whitespace token, so `dl` covers the
+    * corpus exactly). */
+  final case class Bm25Index(postings: DataFrame, dl: DataFrame,
+      dfreq: DataFrame)
+
+  /** One tokenize pass over the corpus → the [[Bm25Index]] frames
+    * (map-side-combined counts, term/doc-keyed shuffles only). */
+  def buildBm25Index(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Bm25Index = {
+    val toks = docs.select(col(idCol).as("_id"),
+      explode(split(col(textCol), " ")).as("_t"))
+    val dl = toks.groupBy("_id").agg(count(lit(1)).as("_dl"))
+    val postings = toks.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
+    val dfreq = postings.groupBy("_t").agg(count(lit(1)).as("_df"))
+    Bm25Index(postings, dl, dfreq)
+  }
+
+  /** [[bm25TopK]] over a PREBUILT (possibly delta-maintained) index —
+    * the serving path of a search service whose index lives across
+    * crawls: identical scoring arithmetic, the corpus never
+    * re-tokenized. */
+  def bm25TopKFromIndex(index: Bm25Index, queries: DataFrame, k: Int = 10,
+      excludeSelf: Boolean = false, idCol: String = "doc_id",
       qidCol: String = "query_id", qTextCol: String = "q_text"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val byQuery = bm25Scores(docs, queries, excludeSelf,
-      idCol, textCol, qidCol, qTextCol)
+    val byQuery = bm25ScoresFromIndex(index, queries, excludeSelf,
+      qidCol, qTextCol)
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("score_fp").desc, col("_id"))
     byQuery.withColumn("rank", row_number().over(w))
@@ -86,14 +119,20 @@ object Retrieval {
     * rather than filtering a pre-cut top list. */
   private def bm25Scores(docs: DataFrame, queries: DataFrame,
       excludeSelf: Boolean, idCol: String, textCol: String,
-      qidCol: String, qTextCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("_id"),
-      explode(split(col(textCol), " ")).as("_t"))
-    val dl = toks.groupBy("_id").agg(count(lit(1)).as("_dl"))
-    val postings = toks.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
-    val dfreq = postings.groupBy("_t").agg(count(lit(1)).as("_df"))
-    val nDocs = docs.agg(count(lit(1)).as("_n"))
-    val nToks = toks.agg(count(lit(1)).as("_tt"))
+      qidCol: String, qTextCol: String): DataFrame =
+    bm25ScoresFromIndex(buildBm25Index(docs, idCol, textCol), queries,
+      excludeSelf, qidCol, qTextCol)
+
+  private def bm25ScoresFromIndex(index: Bm25Index, queries: DataFrame,
+      excludeSelf: Boolean, qidCol: String, qTextCol: String): DataFrame = {
+    val postings = index.postings
+    val dl = index.dl
+    val dfreq = index.dfreq
+    // N and total-token count derive from the doc-grain frame: every
+    // doc has >= 1 whitespace token, so dl covers the corpus exactly
+    // (docs.count == dl.count; toks.count == sum(dl)).
+    val nDocs = dl.agg(count(lit(1)).as("_n"))
+    val nToks = dl.agg(sum(col("_dl")).as("_tt"))
     val qterms = queries.select(col(qidCol).as("_qid"),
       explode(split(col(qTextCol), " ")).as("_t")).distinct()
     val scored = postings

@@ -144,6 +144,39 @@ object Snapshot {
         newer.join(addIds, Seq(idCol), "left_semi")))
   }
 
+  /** Delta-driven BM25-index maintenance — the incremental seam
+    * extended to the retrieval surface (a production search index is
+    * THE index that must survive crawls without rebuilds): postings
+    * and doc lengths are per-doc frames, so they UPSERT like the
+    * signature index (anti join the subtract ids, union the add
+    * docs' fresh rows); document frequencies are term-grain counts,
+    * so they merge SIGNED like the heavy-hitter frame (subtract the
+    * work-list docs' df contributions, add the fresh ones, drop
+    * zero-mass terms). All counts are exact longs, so every frame is
+    * bit-identical to [[Retrieval.buildBm25Index]] over the newer
+    * snapshot — and [[Retrieval.bm25TopKFromIndex]] over the
+    * maintained index therefore hash-equals a full rebuild's scoring
+    * (the e113 oracle). Tokenize work runs only on delta rows. */
+  def refreshBm25Index(base: Retrieval.Bm25Index, older: DataFrame,
+      newer: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "text"): Retrieval.Bm25Index = {
+    val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
+    val subI = subIds.select(col(idCol).as("_id"))
+    val subDf = Retrieval.buildBm25Index(
+      older.join(subIds, Seq(idCol), "left_semi"), idCol, contentCol).dfreq
+    val fresh = Retrieval.buildBm25Index(
+      newer.join(addIds, Seq(idCol), "left_semi"), idCol, contentCol)
+    Retrieval.Bm25Index(
+      base.postings.join(subI, Seq("_id"), "left_anti")
+        .unionByName(fresh.postings),
+      base.dl.join(subI, Seq("_id"), "left_anti").unionByName(fresh.dl),
+      base.dfreq
+        .unionByName(subDf.select(col("_t"), (-col("_df")).as("_df")))
+        .unionByName(fresh.dfreq)
+        .groupBy("_t").agg(sum(col("_df")).as("_df"))
+        .where(col("_df") > 0))
+  }
+
   /** Delta-driven dashboard refresh — the q49 incremental-components
     * discipline applied to the aggregate family (and the composition
     * [[diff]] exists to feed): given the FROZEN base rollup of the

@@ -956,6 +956,34 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e113: delta-driven BM25-index maintenance
+    * ([[graft.ext.Snapshot.refreshBm25Index]]) — the incremental seam
+    * on the retrieval surface: the frozen inverted index (postings /
+    * doc lengths / document frequencies, memoized — a search service's
+    * warm state) absorbs the bounded delta (per-doc frames upsert,
+    * term-grain df merges signed) and e60's scoring runs over the
+    * MAINTAINED index via [[graft.ext.Retrieval.bm25TopKFromIndex]].
+    * Oracle = e60's full replay over the newer snapshot, so the hash
+    * match proves the maintained index indistinguishable from a
+    * rebuild all the way through ranking. */
+  def e113_incremental_bm25(s: SparkSession, dir: String): DataFrame = {
+    val (older, newer) = e110Snapshots(s, dir)
+    val base = graft.ext.Retrieval.Bm25Index(
+      memoArtifact(s, dir, "bm25_post_110") {
+        graft.ext.Retrieval.buildBm25Index(older).postings
+      },
+      memoArtifact(s, dir, "bm25_dl_110") {
+        graft.ext.Retrieval.buildBm25Index(older).dl
+      },
+      memoArtifact(s, dir, "bm25_df_110") {
+        graft.ext.Retrieval.buildBm25Index(older).dfreq
+      })
+    val idx = graft.ext.Snapshot.refreshBm25Index(base, older, newer)
+    graft.ext.Retrieval.bm25TopKFromIndex(idx, bm25Queries(newer),
+      k = 10, excludeSelf = true)
+      .orderBy("query_id", "rank")
+  }
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -1709,6 +1737,7 @@ object Extensions {
     "e110_incremental_health" -> (e110_incremental_health _),
     "e111_incremental_hh" -> (e111_incremental_hh _),
     "e112_incremental_index" -> (e112_incremental_index _),
+    "e113_incremental_bm25" -> (e113_incremental_bm25 _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2300,13 +2329,13 @@ object Extensions {
     * denominator-cleared tf factor — every floor division in the same
     * order as the Spark plan. `//` == `div` (all operands positive);
     * >> mirrors shiftright. */
-  private val e60OracleCore: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def e60OracleCoreFrom(src: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |tk AS (SELECT doc_id, unnest(w) AS t FROM toks),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
        |post AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t),
        |dfq AS (SELECT t, count(*) AS df FROM post GROUP BY t),
-       |tot AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |tot AS (SELECT (SELECT count(*) FROM $src) AS n,
        |               (SELECT count(*) FROM tk) AS tt),
        |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(w[1:6]) AS t
        |       FROM toks WHERE doc_id % 101 = 7),
@@ -2332,6 +2361,8 @@ object Extensions {
        |       FROM sc)
        |SELECT query_id, rank, doc_id, score_fp FROM rk
        |WHERE rank <= 10""".stripMargin
+
+  private val e60OracleCore: String = e60OracleCoreFrom("documents")
 
   private def e60OracleSql: String =
     e60OracleCore + "\nORDER BY query_id, rank"
@@ -4196,6 +4227,17 @@ object Extensions {
     "e110_incremental_health" -> healthRollupSql("new_110", extraCtes =
       "new_110 AS (SELECT source, lang, text FROM documents" +
         s" WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),\n"),
+    // e113's oracle: e60's full BM25 replay over the newer snapshot
+    // (core re-pointed at the new_113 CTE, nested per the e74
+    // discipline) — scoring over the maintained index must hash-equal
+    // a rebuild's scoring, ranks and all.
+    "e113_incremental_bm25" ->
+      (s"""WITH new_113 AS MATERIALIZED (SELECT doc_id, text FROM documents
+          |  WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),
+          |res113 AS MATERIALIZED (
+          |""".stripMargin + e60OracleCoreFrom("new_113") + ")\n" +
+        "SELECT query_id, rank, doc_id, score_fp FROM res113" +
+        "\nORDER BY query_id, rank"),
     // e112's oracle: the FULL universal-hash signature build over the
     // newer snapshot (the e02 replay re-pointed) — the engine's
     // anti-join + delta re-sign must hash-equal a rebuild.

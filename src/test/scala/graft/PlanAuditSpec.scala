@@ -85,6 +85,9 @@ class PlanAuditSpec extends SparkSpec {
     // e109: e47's k-centroid broadcast argmax, run over the whitened
     // frame (same bounded-k class; the whitening itself is row-local)
     "e109_whitened_semdedup",
+    // e113: e60's 1-row corpus-total broadcasts (N, total tokens),
+    // computed from the maintained dl frame instead of the raw scan
+    "e113_incremental_bm25",
     // e82: two 1-row total broadcasts (corpus tokens, weight sum) onto
     // the group-cardinality-sized frame (the e52/e67 class)
     "e82_temperature_mix",

@@ -65,6 +65,16 @@ class RetrievalSpec extends SparkSpec {
     assert(none == baseline)
   }
 
+  test("bm25TopKFromIndex over the built index equals bm25TopK (serving-path law)") {
+    val qs = queriesFrom(col("doc_id") % 17 === 3)
+    val direct = Retrieval.bm25TopK(docs, qs, k = 5, excludeSelf = true)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val viaIndex = Retrieval.bm25TopKFromIndex(
+      Retrieval.buildBm25Index(docs), qs, k = 5, excludeSelf = true)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(viaIndex == direct && viaIndex.nonEmpty)
+  }
+
   test("bm25TopK ranks an exact-phrase match first") {
     // A query that IS a document's own text must retrieve a doc sharing
     // all its terms above docs sharing none; take a doc's first 6 tokens

@@ -183,6 +183,28 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("refreshBm25Index: every maintained frame equals a full rebuild's") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val older = docs.where(col("doc_id") % 5 =!= 1)
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val newer = docs.where(col("doc_id") % 4 =!= 2)
+    val full = graft.ext.Retrieval.buildBm25Index(newer)
+    val inc = Snapshot.refreshBm25Index(
+      graft.ext.Retrieval.buildBm25Index(older), older, newer)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    assert(rows(inc.postings) == rows(full.postings))
+    assert(rows(inc.dl) == rows(full.dl))
+    assert(rows(inc.dfreq) == rows(full.dfreq))
+    assert(inc.dfreq.count() > 0)
+    // a term alive only in subtracted docs cancels out of the df frame
+    val o2 = Seq((1L, "unique_df_term x"), (2L, "x y")).toDF("doc_id", "text")
+    val n2 = Seq((2L, "x y")).toDF("doc_id", "text")
+    val inc2 = Snapshot.refreshBm25Index(
+      graft.ext.Retrieval.buildBm25Index(o2), o2, n2)
+    assert(inc2.dfreq.select("_t").as[String].collect().toSet == Set("x", "y"))
+  }
+
   test("diff is content-addressed: metadata-only frames don't alias") {
     // same ids, one text flipped -> exactly one changed row
     val older = snap(10L -> "alpha", 11L -> "beta")
