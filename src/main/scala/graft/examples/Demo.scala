@@ -404,6 +404,16 @@ object Demo {
       s"pc3_range=[${kmap.getLong(0)},${kmap.getLong(1)}] " +
       s"refreshed_groups=${ih.getLong(0)}/${ih.getLong(1)}docs")
 
+    // 40. the search index survives the crawl: top-25 heavy hitters,
+    // the MinHash index and BM25 ranking all re-derived from frozen
+    // state + the delta, each hash-equal to a full rebuild
+    val hh = graft.SparkEntry.queries("e111_incremental_hh")(spark, sfDir)
+      .limit(1).collect().head
+    val sig = graft.SparkEntry.queries("e112_incremental_index")(spark, sfDir)
+    val bm = graft.SparkEntry.queries("e113_incremental_bm25")(spark, sfDir)
+    println(s"DEMO incremental top_term=${hh.getString(0)}x${hh.getLong(1)} " +
+      s"index_rows=${sig.count()} bm25_rows=${bm.count()}")
+
     spark.stop()
   }
 }
