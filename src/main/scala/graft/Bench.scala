@@ -186,7 +186,10 @@ object Bench {
     // (the e01/e18 id-keyed class); the delta re-sign is e02's
     // row-local shape over a constant batch. e113 is NOT here either:
     // its delta/merge terms are e110's shape and its scoring stage is
-    // e60's (in the tier) over the maintained frames.
+    // e60's (in the tier) over the maintained frames. e114 is NOT
+    // here: two delta-sized e100-class Gram passes + a driver-side
+    // 2144-term merge — e100's tier entry pins the only data-sized
+    // shape (and measured it at the job floor through 16x).
     "e110_incremental_health",
     // pinned at 8x via e69/e70. e109 is NOT here: e100's Gram pass
     // (now tiered directly) + a row-local whitening projection +

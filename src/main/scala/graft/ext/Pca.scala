@@ -142,6 +142,29 @@ object Pca {
     (n, s, g)
   }
 
+  /** Signed Gram-state merge — the PCA axis joining the incremental
+    * seam (e114): the Gram state is PURE integer sums (n, s_i, G_ij),
+    * so a corpus delta folds in exactly — subtract the removed rows'
+    * own Gram pass, add the added rows' — and the maintained state is
+    * bit-identical to a full pass over the new corpus (BigInt, no
+    * rounding anywhere). The delta passes run over delta-sized frames
+    * only; the merge is driver-side over the fixed 2144-long state.
+    * Downstream ([[pc1Direction]], projections) consumes the merged
+    * state unchanged, so the refreshed axis hash-equals a rebuild. */
+  def mergeGram(base: (Long, Array[BigInt], Array[Array[BigInt]]),
+      sub: (Long, Array[BigInt], Array[Array[BigInt]]),
+      add: (Long, Array[BigInt], Array[Array[BigInt]]))
+      : (Long, Array[BigInt], Array[Array[BigInt]]) = {
+    val dims = base._2.length
+    require(sub._2.length == dims && add._2.length == dims,
+      "Gram states must share dimensionality")
+    val n = base._1 - sub._1 + add._1
+    val s = Array.tabulate(dims)(i => base._2(i) - sub._2(i) + add._2(i))
+    val g = Array.tabulate(dims, dims)((i, j) =>
+      base._3(i)(j) - sub._3(i)(j) + add._3(i)(j))
+    (n, s, g)
+  }
+
   /** Fixed-point power iteration on the scaled covariance
     * C = n·G − s·sᵀ; returns the sign-canonical direction at
     * [[VScale]]. Pure integer driver-side math — microscopic (d×d)

@@ -984,6 +984,44 @@ object Extensions {
       .orderBy("query_id", "rank")
   }
 
+  /** Session-lifetime memo for DRIVER-SIDE Gram states (the
+    * [[memoArtifact]] discipline for the one trained artifact that is
+    * a tuple of integer sums rather than a DataFrame). */
+  private val gramMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), (Long, Array[BigInt], Array[Array[BigInt]])]()
+  private def memoGram(s: SparkSession, dir: String, key: String)(
+      build: => (Long, Array[BigInt], Array[Array[BigInt]]))
+      : (Long, Array[BigInt], Array[Array[BigInt]]) =
+    gramMemo.computeIfAbsent((System.identityHashCode(s), dir, key),
+      _ => build)
+
+  /** e114: delta-driven PCA-axis maintenance ([[graft.ext.Pca.mergeGram]])
+    * — the incremental seam reaching the LINEAR-ALGEBRA state: the
+    * Gram state (n, s, G) is pure integer sums, so the frozen base
+    * (memoized — computed once offline) absorbs the vector delta by
+    * two delta-sized Gram passes and a driver-side signed merge, and
+    * the axis re-derives from the merged state bit-identically to a
+    * full rebuild. Oracle = the e100 replay over the newer snapshot.
+    * Embedding rows are immutable keyed vectors, so the delta is
+    * add/remove only (a changed vector is remove+add); the bounded id
+    * caps are the e110 discipline. */
+  def e114_incremental_pca(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val older = e
+      .where(not((col("vec_id") % 7 === 2) && (col("vec_id") < E110AddedCap)))
+    val newer = e
+      .where(not((col("vec_id") % 13 === 5) && (col("vec_id") < E110RemovedCap)))
+    val base = memoGram(s, dir, "gram_base_114") { Pca.gramPass(older) }
+    val sub = Pca.gramPass(older.where(
+      (col("vec_id") % 13 === 5) && (col("vec_id") < E110RemovedCap)))
+    val add = Pca.gramPass(newer.where(
+      (col("vec_id") % 7 === 2) && (col("vec_id") < E110AddedCap)))
+    val (n, sv, g) = Pca.mergeGram(base, sub, add)
+    val v = Pca.pc1Direction(n, sv, g)
+    newer.select(col("vec_id"), Pca.pc1Col(col("embedding"), v).as("pc1_fp"))
+      .orderBy("vec_id")
+  }
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -1738,6 +1776,7 @@ object Extensions {
     "e111_incremental_hh" -> (e111_incremental_hh _),
     "e112_incremental_index" -> (e112_incremental_index _),
     "e113_incremental_bm25" -> (e113_incremental_bm25 _),
+    "e114_incremental_pca" -> (e114_incremental_pca _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2931,11 +2970,11 @@ object Extensions {
          |vf$sfx AS MATERIALIZED (SELECT d, v * sg$sfx.s AS v FROM $last, sg$sfx)""".stripMargin
   }
 
-  private def e100OracleChain: String =
+  private def e100OracleChainFrom(src: String): String =
     s"""WITH qd AS MATERIALIZED (SELECT vec_id, t.pos - 1 AS d,
        |    CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * ${Pca.QScale}.0) AS BIGINT) AS q
-       |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(pos)),
-       |nn100 AS (SELECT CAST(count(*) AS HUGEINT) AS nv FROM embeddings),
+       |  FROM $src, UNNEST(generate_series(1, 64)) AS t(pos)),
+       |nn100 AS (SELECT CAST(count(*) AS HUGEINT) AS nv FROM $src),
        |sums AS (SELECT d, CAST(sum(q) AS HUGEINT) AS sv FROM qd GROUP BY d),
        |gram AS (SELECT a.d AS i, b.d AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS g
        |         FROM qd a JOIN qd b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
@@ -2945,6 +2984,8 @@ object Extensions {
        |        JOIN sums sj ON sj.d = gram.j
        |        CROSS JOIN nn100),
        |""".stripMargin + pcaRoundsSql("cov", "")
+
+  private def e100OracleChain: String = e100OracleChainFrom("embeddings")
 
   private def e100OracleSql: String =
     e100OracleChain + "\n" +
@@ -4227,6 +4268,17 @@ object Extensions {
     "e110_incremental_health" -> healthRollupSql("new_110", extraCtes =
       "new_110 AS (SELECT source, lang, text FROM documents" +
         s" WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),\n"),
+    // e114's oracle: the e100 replay with the source re-pointed at the
+    // newer snapshot (inline subquery — the chain's WITH leads, so the
+    // filter rides as a derived table) — the axis from the merged Gram
+    // state must hash-equal a full rebuild's.
+    "e114_incremental_pca" ->
+      (e100OracleChainFrom("(SELECT * FROM embeddings WHERE NOT" +
+        s" (vec_id % 13 = 5 AND vec_id < $E110RemovedCap)) snap114") + "\n" +
+        """SELECT vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS pc1_fp
+          |FROM qd JOIN vf USING (d)
+          |GROUP BY vec_id
+          |ORDER BY vec_id""".stripMargin),
     // e113's oracle: e60's full BM25 replay over the newer snapshot
     // (core re-pointed at the new_113 CTE, nested per the e74
     // discipline) — scoring over the maintained index must hash-equal

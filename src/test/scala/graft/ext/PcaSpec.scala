@@ -321,6 +321,25 @@ class PcaSpec extends SparkSpec {
     assert(out.toSeq == expect)
   }
 
+  test("mergeGram: maintained state equals a full pass, axis and all") {
+    val rows = planted(240, 16, seed = 71)
+    val all = df(rows)
+    val older = all.where(col("vec_id") % 5 =!= 1)
+    val newer = all.where(col("vec_id") % 4 =!= 2)
+    val base = Pca.gramPass(older, dims = 16)
+    val sub = Pca.gramPass(
+      older.where(col("vec_id") % 4 === 2), dims = 16)
+    val add = Pca.gramPass(
+      newer.where(col("vec_id") % 5 === 1), dims = 16)
+    val (n, s, g) = Pca.mergeGram(base, sub, add)
+    val (nf, sf, gf) = Pca.gramPass(newer, dims = 16)
+    assert(n == nf && s.toSeq == sf.toSeq)
+    assert(g.map(_.toSeq).toSeq == gf.map(_.toSeq).toSeq)
+    // the axis re-derived from the merged state is the rebuild's axis
+    assert(Pca.pc1Direction(n, s, g).toSeq ==
+      Pca.pc1Direction(nf, sf, gf).toSeq)
+  }
+
   test("determinism: two invocations hash-identical") {
     val rows = planted(150, 16, seed = 23)
     val a = Pca.pc1Scores(df(rows), dims = 16).orderBy("vec_id").collect().toSeq
