@@ -77,23 +77,41 @@ object Retrieval {
     * term-grain document frequencies. All three are COUNT-MERGEABLE,
     * which is what makes delta maintenance
     * ([[graft.ext.Snapshot.refreshBm25Index]]) possible at all; the
-    * corpus totals (N, total tokens) derive from `dl` at scoring time
-    * (every doc tokenizes to ≥ 1 whitespace token, so `dl` covers the
-    * corpus exactly). */
+    * corpus totals (N, total tokens) derive from `dl` at scoring time;
+    * `dl` is ROW-LOCAL over the source frame (one row per document,
+    * NULL text counted as 0 tokens) so N always equals `count(*)` of
+    * the corpus — a NULL-content doc must not silently shrink every
+    * idf (advisor, round 14). */
   final case class Bm25Index(postings: DataFrame, dl: DataFrame,
       dfreq: DataFrame)
 
   /** One tokenize pass over the corpus → the [[Bm25Index]] frames
-    * (map-side-combined counts, term/doc-keyed shuffles only). */
+    * (map-side-combined counts, term/doc-keyed shuffles only). `dl` is
+    * a row-local `size(split(...))` projection — for non-NULL text it
+    * equals the explode-count exactly (split emits `[""]` for the
+    * empty string, matching explode's one row), and a NULL-text doc
+    * keeps its `(id, 0)` row instead of vanishing, so the corpus
+    * totals stay `count(*)`-exact. Cheaper too: the per-doc length
+    * needs no explode + groupBy shuffle. */
   def buildBm25Index(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Bm25Index = {
     val toks = docs.select(col(idCol).as("_id"),
       explode(split(col(textCol), " ")).as("_t"))
-    val dl = toks.groupBy("_id").agg(count(lit(1)).as("_dl"))
+    // Explicit NULL branch: size(NULL) is -1 under the default
+    // legacy.sizeOfNull flag, so coalesce alone would not cover it.
+    val dl = docs.select(col(idCol).as("_id"),
+      when(col(textCol).isNull, lit(0L))
+        .otherwise(size(split(col(textCol), " ")).cast("long")).as("_dl"))
     val postings = toks.groupBy("_id", "_t").agg(count(lit(1)).as("_tf"))
-    val dfreq = postings.groupBy("_t").agg(count(lit(1)).as("_df"))
-    Bm25Index(postings, dl, dfreq)
+    Bm25Index(postings, dl, dfreqOf(postings))
   }
+
+  /** Term-grain document frequencies derived from a (possibly already
+    * materialized) postings frame — exposed so a caller holding a
+    * checkpointed postings artifact can derive `dfreq` without a
+    * second tokenize pass over the corpus. */
+  def dfreqOf(postings: DataFrame): DataFrame =
+    postings.groupBy("_t").agg(count(lit(1)).as("_df"))
 
   /** [[bm25TopK]] over a PREBUILT (possibly delta-maintained) index —
     * the serving path of a search service whose index lives across
@@ -128,9 +146,9 @@ object Retrieval {
     val postings = index.postings
     val dl = index.dl
     val dfreq = index.dfreq
-    // N and total-token count derive from the doc-grain frame: every
-    // doc has >= 1 whitespace token, so dl covers the corpus exactly
-    // (docs.count == dl.count; toks.count == sum(dl)).
+    // N and total-token count derive from the doc-grain frame, which
+    // is row-local over the corpus (one row per doc, NULL text = 0
+    // tokens), so N == count(*) of the source even with NULL content.
     val nDocs = dl.agg(count(lit(1)).as("_n"))
     val nToks = dl.agg(sum(col("_dl")).as("_tt"))
     val qterms = queries.select(col(qidCol).as("_qid"),

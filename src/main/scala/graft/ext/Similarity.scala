@@ -336,6 +336,23 @@ object Similarity {
     * embedding through the agg (semDedup's pair stage needs it; the
     * quota rank must not pay the vector shuffle). Output:
     * (vec_id, cell, sim[, emb]). */
+  /** The IVF SERVING INDEX artifact: each vector's coarse-quantizer
+    * cell `(vec_id, cell)` under an explicit FROZEN centroid frame
+    * `(cid, cv)` — the assignment lists an ANN service keeps warm
+    * across crawls. Assignment is per-vector and row-local under
+    * frozen centroids (one broadcast-k argmax agg, nothing
+    * cross-vector), which is exactly what makes delta maintenance
+    * ([[graft.ext.Snapshot.refreshIvfAssignments]]) possible — the
+    * e112 signature-index upsert applied to the ANN surface. The
+    * quantizer itself retrains only when the corpus moves: the
+    * documented trigger is the e108 axis-drift alarm
+    * ([[graft.ext.Pca]] — a drifted principal axis means the frozen
+    * cells no longer partition the data well), at which point a full
+    * [[trainCentroids]] + reassignment replaces the index. */
+  def ivfAssignments(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(embeddings, centroids, keepVector = false)
+      .select(col("vec_id"), col("cell"))
+
   private def assignCells(embeddings: DataFrame, cen: DataFrame,
       keepVector: Boolean): DataFrame = {
     val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)

@@ -115,6 +115,18 @@ object Snapshot {
       newer: DataFrame, k: Int, idCol: String = "doc_id",
       contentCol: String = "text"): DataFrame = {
     val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
+    refreshHeavyHittersWith(baseCounts, older, newer, subIds, addIds, k,
+      idCol, contentCol)
+  }
+
+  /** [[refreshHeavyHitters]] over a SHARED, already-materialized delta
+    * (the e115 discipline: one diff pass feeds every incremental
+    * consumer — a production run maintaining all five artifacts must
+    * not pay five full-outer hash joins over both snapshots where one
+    * suffices). */
+  def refreshHeavyHittersWith(baseCounts: DataFrame, older: DataFrame,
+      newer: DataFrame, subIds: DataFrame, addIds: DataFrame, k: Int,
+      idCol: String = "doc_id", contentCol: String = "text"): DataFrame = {
     val sub = termCounts(older.join(subIds, Seq(idCol), "left_semi"), contentCol)
       .select(col("term"), (-col("freq")).as("freq"))
     val add = termCounts(newer.join(addIds, Seq(idCol), "left_semi"), contentCol)
@@ -139,10 +151,44 @@ object Snapshot {
       newer: DataFrame, idCol: String = "doc_id",
       contentCol: String = "text"): DataFrame = {
     val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
+    refreshSignatureIndexWith(baseIndex, newer, subIds, addIds, idCol)
+  }
+
+  /** [[refreshSignatureIndex]] over a shared, already-materialized
+    * delta (the e115 one-diff discipline). The older snapshot never
+    * appears: retirement is the anti join, and only add-list docs
+    * re-shingle. */
+  def refreshSignatureIndexWith(baseIndex: DataFrame, newer: DataFrame,
+      subIds: DataFrame, addIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
     baseIndex.join(subIds, Seq(idCol), "left_anti")
       .unionByName(Dedup.minhashSignatures(
         newer.join(addIds, Seq(idCol), "left_semi")))
-  }
+
+  /** Delta-driven IVF-assignment maintenance — the incremental seam
+    * reaching the ANN SERVING surface (the last frozen artifact
+    * outside it, VERDICT r14): under FROZEN coarse centroids a
+    * vector's cell is per-doc and row-local (one broadcast-k argmax —
+    * no cross-vector state, exactly like a MinHash signature), so the
+    * maintained index is the base assignment MINUS the subtract
+    * work-list (one id-keyed anti join over 2-long rows) PLUS fresh
+    * assignments over the add work-list — the only vectors that ever
+    * re-score against the centroids. Bit-identical to a full
+    * [[Similarity.ivfAssignments]] pass over the newer snapshot
+    * (rounded-sim argmax with deterministic cid ties, same expression
+    * both paths — the e116 oracle and the SimilaritySpec law).
+    * Centroids stay frozen across crawls BY DESIGN (the serving
+    * quantizer is the artifact); the retrain trigger is the e108
+    * axis-drift alarm, after which a full retrain+reassign replaces
+    * the index wholesale. */
+  def refreshIvfAssignments(baseAssign: DataFrame, newer: DataFrame,
+      centroids: DataFrame, subIds: DataFrame, addIds: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    baseAssign.join(subIds.select(col(idCol).as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .unionByName(Similarity.ivfAssignments(
+        newer.join(addIds.select(col(idCol).as("vec_id")),
+          Seq("vec_id"), "left_semi"), centroids))
 
   /** Delta-driven BM25-index maintenance — the incremental seam
     * extended to the retrieval surface (a production search index is
@@ -161,6 +207,16 @@ object Snapshot {
       newer: DataFrame, idCol: String = "doc_id",
       contentCol: String = "text"): Retrieval.Bm25Index = {
     val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
+    refreshBm25IndexWith(base, older, newer, subIds, addIds, idCol,
+      contentCol)
+  }
+
+  /** [[refreshBm25Index]] over a shared, already-materialized delta
+    * (the e115 one-diff discipline). */
+  def refreshBm25IndexWith(base: Retrieval.Bm25Index, older: DataFrame,
+      newer: DataFrame, subIds: DataFrame, addIds: DataFrame,
+      idCol: String = "doc_id",
+      contentCol: String = "text"): Retrieval.Bm25Index = {
     val subI = subIds.select(col(idCol).as("_id"))
     val subDf = Retrieval.buildBm25Index(
       older.join(subIds, Seq(idCol), "left_semi"), idCol, contentCol).dfreq
@@ -200,15 +256,26 @@ object Snapshot {
   def refreshHealth(baseSums: DataFrame, older: DataFrame, newer: DataFrame,
       idCol: String = "doc_id", contentCol: String = "text"): DataFrame = {
     val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
+    finishHealth(refreshHealthSumsWith(baseSums, older, newer, subIds,
+      addIds, idCol))
+  }
+
+  /** The MASS form of [[refreshHealth]] over a shared,
+    * already-materialized delta (the e115 one-diff discipline): the
+    * merged `(source, lang, n_docs, sum_tokens, sum_q)` state itself,
+    * still mergeable — [[finishHealth]] is the read-time face. */
+  def refreshHealthSumsWith(baseSums: DataFrame, older: DataFrame,
+      newer: DataFrame, subIds: DataFrame, addIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
     val sub = healthSums(older.join(subIds, Seq(idCol), "left_semi"))
       .select(col("source"), col("lang"), (-col("n_docs")).as("n_docs"),
         (-col("sum_tokens")).as("sum_tokens"), (-col("sum_q")).as("sum_q"))
     val add = healthSums(newer.join(addIds, Seq(idCol), "left_semi"))
-    finishHealth(baseSums.unionByName(sub).unionByName(add)
+    baseSums.unionByName(sub).unionByName(add)
       .groupBy("source", "lang")
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_tokens")).as("sum_tokens"),
-        sum(col("sum_q")).as("sum_q")))
+        sum(col("sum_q")).as("sum_q"))
   }
 
   /** The dashboard face of a [[healthSums]] mass frame: drop

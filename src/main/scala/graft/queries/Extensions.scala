@@ -968,15 +968,20 @@ object Extensions {
     * rebuild all the way through ranking. */
   def e113_incremental_bm25(s: SparkSession, dir: String): DataFrame = {
     val (older, newer) = e110Snapshots(s, dir)
+    // ONE tokenize pass over the older snapshot: postings materialize
+    // first, dfreq derives from the CHECKPOINTED postings, and dl is a
+    // row-local projection (advisor, round 14 — the previous form
+    // re-tokenized the older corpus once per memoized frame).
+    val basePostings = memoArtifact(s, dir, "bm25_post_110") {
+      graft.ext.Retrieval.buildBm25Index(older).postings
+    }
     val base = graft.ext.Retrieval.Bm25Index(
-      memoArtifact(s, dir, "bm25_post_110") {
-        graft.ext.Retrieval.buildBm25Index(older).postings
-      },
+      basePostings,
       memoArtifact(s, dir, "bm25_dl_110") {
         graft.ext.Retrieval.buildBm25Index(older).dl
       },
       memoArtifact(s, dir, "bm25_df_110") {
-        graft.ext.Retrieval.buildBm25Index(older).dfreq
+        graft.ext.Retrieval.dfreqOf(basePostings)
       })
     val idx = graft.ext.Snapshot.refreshBm25Index(base, older, newer)
     graft.ext.Retrieval.bm25TopKFromIndex(idx, bm25Queries(newer),
@@ -1019,6 +1024,144 @@ object Extensions {
     val (n, sv, g) = Pca.mergeGram(base, sub, add)
     val v = Pca.pc1Direction(n, sv, g)
     newer.select(col("vec_id"), Pca.pc1Col(col("embedding"), v).as("pc1_fp"))
+      .orderBy("vec_id")
+  }
+
+  /** e115: ONE diff, EVERY incremental consumer — the composed
+    * crawl-over-crawl maintenance pass a production pipeline actually
+    * runs (the e31 one-plan discipline applied to the incremental
+    * seam): [[graft.ext.Snapshot.deltaWorkLists]] computes the
+    * content-addressed diff ONCE (the single full-outer hash join,
+    * materialized delta-sized at cut time) and the SAME work-list pair
+    * feeds all five frozen artifacts — health mass (e110), the
+    * heavy-hitter count frame (e111), the MinHash signature index
+    * (e112), the BM25 inverted index (e113, read through its top-k
+    * serving face), and the PCA Gram state (e114: the doc work-lists
+    * drive the embeddings delta too — vec_ids ⊆ doc_ids by fixture
+    * contract, and a text-changed doc's unchanged vector enters both
+    * signed Gram passes and cancels exactly, so the merged state
+    * equals a full pass over the newer vectors set-algebraically).
+    * Output = the five maintained artifacts in one long-format frame
+    * `(artifact, k1, k2, v)`; oracle = the UNION of the five FULL
+    * recomputes over the newer snapshot, so a single hash match proves
+    * every consumer exact off the shared diff. PlanAuditSpec pins the
+    * shape: the composition's live plan contains ZERO full-outer
+    * joins — the one diff already ran, delta-sized, at cut time. */
+  def e115_incremental_all(s: SparkSession, dir: String): DataFrame = {
+    val (older, newer) = e110Snapshots(s, dir)
+    val snap = graft.ext.Snapshot
+    // Frozen bases — memoized once per session under the SAME keys as
+    // e110–e114 (they are the same offline artifacts; untimed warm-up).
+    val healthBase = memoArtifact(s, dir, "health_base_110") {
+      snap.healthSums(older)
+    }
+    val hhBase = memoArtifact(s, dir, "term_counts_110") {
+      snap.termCounts(older)
+    }
+    val sigBase = memoArtifact(s, dir, "sig_index_110") {
+      Dedup.minhashSignatures(older)
+    }
+    val basePostings = memoArtifact(s, dir, "bm25_post_110") {
+      graft.ext.Retrieval.buildBm25Index(older).postings
+    }
+    val bmBase = graft.ext.Retrieval.Bm25Index(
+      basePostings,
+      memoArtifact(s, dir, "bm25_dl_110") {
+        graft.ext.Retrieval.buildBm25Index(older).dl
+      },
+      memoArtifact(s, dir, "bm25_df_110") {
+        graft.ext.Retrieval.dfreqOf(basePostings)
+      })
+    val e = emb(s, dir)
+    val olderE = e
+      .where(not((col("vec_id") % 7 === 2) && (col("vec_id") < E110AddedCap)))
+    val newerE = e
+      .where(not((col("vec_id") % 13 === 5) && (col("vec_id") < E110RemovedCap)))
+    val gramBase = memoGram(s, dir, "gram_base_114") { Pca.gramPass(olderE) }
+
+    // THE one diff — computed once, shared by all five consumers.
+    val (subIds, addIds) = snap.deltaWorkLists(older, newer)
+
+    val health = snap.refreshHealthSumsWith(healthBase, older, newer,
+      subIds, addIds)
+    val hh = snap.refreshHeavyHittersWith(hhBase, older, newer,
+      subIds, addIds, k = 25)
+    val sig = snap.refreshSignatureIndexWith(sigBase, newer, subIds, addIds)
+    val bmIdx = snap.refreshBm25IndexWith(bmBase, older, newer,
+      subIds, addIds)
+    val bm = graft.ext.Retrieval.bm25TopKFromIndex(bmIdx, bm25Queries(newer),
+      k = 10, excludeSelf = true)
+    val subG = Pca.gramPass(
+      olderE.join(subIds, col("vec_id") === col("doc_id"), "left_semi"))
+    val addG = Pca.gramPass(
+      newerE.join(addIds, col("vec_id") === col("doc_id"), "left_semi"))
+    val (n, sv, g) = Pca.mergeGram(gramBase, subG, addG)
+    val v = Pca.pc1Direction(n, sv, g)
+    val pca = newerE.select(col("vec_id"),
+      Pca.pc1Col(col("embedding"), v).as("pc1_fp"))
+
+    def longForm(src: DataFrame, a: String, k1: org.apache.spark.sql.Column,
+        k2: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column): DataFrame =
+      src.select(lit(a).as("artifact"), k1.cast("string").as("k1"),
+        k2.cast("string").as("k2"), v.cast("long").as("v"))
+    val sigLong = sig.select(col("doc_id"),
+      explode(map((0 until Dedup.NumHashes)
+        .flatMap(j => Seq(lit(s"h$j"), col(s"h$j"))): _*)))
+    longForm(health, "health:docs", col("source"), col("lang"), col("n_docs"))
+      .unionByName(longForm(health, "health:tokens", col("source"),
+        col("lang"), col("sum_tokens")))
+      .unionByName(longForm(health, "health:q1e6", col("source"),
+        col("lang"), col("sum_q") * 1000000))
+      .unionByName(longForm(hh, "hh", col("term"), lit(""), col("freq")))
+      .unionByName(longForm(sigLong, "sig", col("doc_id"), col("key"),
+        col("value")))
+      .unionByName(longForm(bm, "bm25:doc", col("query_id"), col("rank"),
+        col("doc_id")))
+      .unionByName(longForm(bm, "bm25:score", col("query_id"), col("rank"),
+        col("score_fp")))
+      .unionByName(longForm(pca, "pca", col("vec_id"), lit(""),
+        col("pc1_fp")))
+      .orderBy("artifact", "k1", "k2")
+  }
+
+  /** e116: delta-driven IVF-assignment maintenance
+    * ([[graft.ext.Snapshot.refreshIvfAssignments]]) — the incremental
+    * seam closing over the ANN SERVING index, the one frozen artifact
+    * e112–e114 left outside it: under the FROZEN e23 coarse quantizer
+    * (centroids are the persistent serving artifact; the e108
+    * axis-drift alarm is the retrain trigger) the base assignment
+    * lists absorb the vector delta by one anti join + a broadcast-k
+    * re-assign of only the added vectors. Embedding rows are immutable
+    * keyed vectors, so the delta is add/remove only (the e114
+    * discipline, same bounded id caps). Oracle = the FULL assignment
+    * replay over the newer snapshot, so the hash match proves the
+    * maintained serving index indistinguishable from a rebuild. */
+  def e116_incremental_ann(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val older = e
+      .where(not((col("vec_id") % 7 === 2) && (col("vec_id") < E110AddedCap)))
+    val newer = e
+      .where(not((col("vec_id") % 13 === 5) && (col("vec_id") < E110RemovedCap)))
+    // The frozen quantizer + its base assignment lists (offline
+    // artifacts, memoized once per session — untimed warm-up). The e23
+    // centroid picks are all %7==0 ids, so every centroid vector
+    // exists in the older snapshot.
+    val centroids = memoArtifact(s, dir, "ivf_cen_116") {
+      older.where(col("vec_id").isin(IvfCentroidIds: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    }
+    val base = memoArtifact(s, dir, "ivf_asg_116") {
+      Similarity.ivfAssignments(older, centroids)
+    }
+    val subIds = older.where(
+      (col("vec_id") % 13 === 5) && (col("vec_id") < E110RemovedCap))
+      .select("vec_id")
+    val addIds = newer.where(
+      (col("vec_id") % 7 === 2) && (col("vec_id") < E110AddedCap))
+      .select("vec_id")
+    graft.ext.Snapshot.refreshIvfAssignments(base, newer, centroids,
+      subIds, addIds)
       .orderBy("vec_id")
   }
 
@@ -1777,6 +1920,8 @@ object Extensions {
     "e112_incremental_index" -> (e112_incremental_index _),
     "e113_incremental_bm25" -> (e113_incremental_bm25 _),
     "e114_incremental_pca" -> (e114_incremental_pca _),
+    "e115_incremental_all" -> (e115_incremental_all _),
+    "e116_incremental_ann" -> (e116_incremental_ann _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -1808,8 +1953,12 @@ object Extensions {
     * hash-equal exactly THIS full recompute). Quality expression =
     * `Text.qualityScoreCol` verbatim; the DECIMAL(18,6) accumulation
     * pins the mean across engines. */
-  private def healthRollupSql(src: String, extraCtes: String = ""): String =
-    s"""WITH ${extraCtes}q_hr AS (
+  /** The per-doc quality CTE under the health rollups — shared by the
+    * dashboard form (avg) and the MASS form (exact sums, the frozen
+    * state e110/e115's merges are proven against). Stripped here; the
+    * callers compose by concatenation (strip-once discipline). */
+  private def healthQhrSql(src: String): String =
+    s"""q_hr AS (
        |  SELECT source, lang, len(string_split(text, ' ')) AS n_tokens,
        |    0.5 * (len(list_filter(string_split(text, ' '),
        |            t -> t IN ('the','a','of','to','and','in','is','on','for','with')))::DOUBLE
@@ -1819,11 +1968,25 @@ object Extensions {
        |    + 0.2 * (CASE WHEN len(string_split(text, ' ')) >= 10
        |                   AND len(string_split(text, ' ')) <= 100000 THEN 1.0 ELSE 0.0 END)
        |      AS q
-       |  FROM $src)
-       |SELECT source, lang, count(*) AS n_docs,
-       |  CAST(sum(n_tokens::BIGINT) AS BIGINT) AS sum_tokens,
-       |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)::DOUBLE AS avg_quality
-       |FROM q_hr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |  FROM $src)""".stripMargin
+
+  private def healthRollupSql(src: String, extraCtes: String = ""): String =
+    s"WITH ${extraCtes}" + healthQhrSql(src) + "\n" +
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens::BIGINT) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)::DOUBLE AS avg_quality
+        |FROM q_hr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The MASS form of the health rollup (no division, no ORDER BY —
+    * nested-CTE-embeddable): exact doc/token counts and the
+    * DECIMAL(18,6) quality sum ×10⁶ as BIGINT — the merge-proof shape
+    * e115's oracle unions. */
+  private def healthMassSql(src: String): String =
+    "WITH " + healthQhrSql(src) + "\n" +
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens::BIGINT) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(CAST(q AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS q1e6
+        |FROM q_hr GROUP BY 1, 2""".stripMargin
 
   /** Pinned-Lloyd cosine k-means CTE chain —
     * `trainCentroids(roundDecimals = 6)` replayed verbatim in SQL (the
@@ -3256,6 +3419,59 @@ object Extensions {
     "WITH sc75 AS MATERIALIZED (\n" + e75OracleCore + ")\n" + tail
   }
 
+  /** e115's oracle: the UNION of the five FULL recomputes over the
+    * newer snapshot — health mass (the e110/e39 rollup in mass form),
+    * heavy hitters (the e111/e30 replay), the signature index (the
+    * e112/e02 re-sign), BM25 serving (the e113/e60 replay), and the
+    * PCA axis (the e114/e100 replay) — each in its own MATERIALIZED
+    * nested-WITH CTE (the e113 composition pattern, so fragment CTE
+    * names can never collide), projected to the common long format
+    * `(artifact, k1, k2, v)`. One hash match proves every consumer of
+    * the SHARED diff exact. Composed by concatenation of once-stripped
+    * fragments (strip-once discipline). */
+  private def e115OracleSql: String = {
+    val head =
+      s"""WITH new_115 AS MATERIALIZED (SELECT doc_id, source, lang, text FROM documents
+         |  WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),
+         |health115 AS MATERIALIZED (
+         |""".stripMargin
+    val hh115 =
+      """hh115 AS MATERIALIZED (
+        |  SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM new_115)
+        |  GROUP BY term ORDER BY freq DESC, term LIMIT 25),
+        |""".stripMargin
+    val sigUnions = (0 until Dedup.NumHashes).map(j =>
+      s"UNION ALL SELECT 'sig', CAST(doc_id AS VARCHAR), 'h$j', h$j FROM sig115")
+      .mkString("\n")
+    val tail =
+      """SELECT 'health:docs' AS artifact, source AS k1, lang AS k2,
+        |  CAST(n_docs AS BIGINT) AS v FROM health115
+        |UNION ALL SELECT 'health:tokens', source, lang, sum_tokens FROM health115
+        |UNION ALL SELECT 'health:q1e6', source, lang, q1e6 FROM health115
+        |UNION ALL SELECT 'hh', term, '', CAST(freq AS BIGINT) FROM hh115
+        |""".stripMargin + sigUnions + "\n" +
+        """UNION ALL SELECT 'bm25:doc', CAST(query_id AS VARCHAR),
+          |  CAST(rank AS VARCHAR), CAST(doc_id AS BIGINT) FROM bm115
+          |UNION ALL SELECT 'bm25:score', CAST(query_id AS VARCHAR),
+          |  CAST(rank AS VARCHAR), score_fp FROM bm115
+          |UNION ALL SELECT 'pca', CAST(vec_id AS VARCHAR), '', pc1_fp FROM pca115
+          |ORDER BY artifact, k1, k2""".stripMargin
+    head + healthMassSql("new_115") + "),\n" +
+      hh115 +
+      "sig115 AS MATERIALIZED (\nWITH " + sigCteFrom("new_115") +
+      "\nSELECT * FROM sig),\n" +
+      "bm115 AS MATERIALIZED (\n" + e60OracleCoreFrom("new_115") + "),\n" +
+      "pca115 AS MATERIALIZED (\n" +
+      e100OracleChainFrom("(SELECT * FROM embeddings WHERE NOT" +
+        s" (vec_id % 13 = 5 AND vec_id < $E110RemovedCap)) snap115") + "\n" +
+      """SELECT vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS pc1_fp
+        |FROM qd JOIN vf USING (d)
+        |GROUP BY vec_id)
+        |""".stripMargin +
+      tail
+  }
+
   // lazy: oracles0's declaration follows (forward reference at object init)
   lazy val oracles: Map[String, String] = oracles0 +
     ("e72_ann_recall_harness" -> e72OracleSql(oracles0))
@@ -4272,6 +4488,28 @@ object Extensions {
     // newer snapshot (inline subquery — the chain's WITH leads, so the
     // filter rides as a derived table) — the axis from the merged Gram
     // state must hash-equal a full rebuild's.
+    // e115's oracle: the five full recomputes unioned — see
+    // [[e115OracleSql]].
+    "e115_incremental_all" -> e115OracleSql,
+    // e116's oracle: the FULL IVF assignment replay over the newer
+    // snapshot under the FROZEN e23 centroid picks (centroid vectors
+    // read from the unfiltered table — they are %7==0 ids, present in
+    // both snapshots; the quantizer persists across crawls by design).
+    "e116_incremental_ann" -> {
+      val cids = IvfCentroidIds.mkString(", ")
+      s"""WITH e116 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |  WHERE NOT (vec_id % 13 = 5 AND vec_id < $E110RemovedCap)),
+         |cen116 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id IN ($cids)),
+         |sims116 AS (SELECT e.vec_id, cid,
+         |    round(list_dot_product(v, cv) /
+         |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) AS sim
+         |  FROM e116 e CROSS JOIN cen116),
+         |asg116 AS (SELECT vec_id, cid AS cell FROM sims116
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1)
+         |SELECT vec_id, cell FROM asg116 ORDER BY vec_id""".stripMargin
+    },
     "e114_incremental_pca" ->
       (e100OracleChainFrom("(SELECT * FROM embeddings WHERE NOT" +
         s" (vec_id % 13 = 5 AND vec_id < $E110RemovedCap)) snap114") + "\n" +

@@ -778,7 +778,10 @@ object Streams {
     def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
         val prev = st
-        val ids = batch.select(col(batch.columns.head).as("doc_id"))
+        // By NAME, matching minhashSignatures' (doc_id, text) contract —
+        // a mis-ordered frame must fail analysis, not silently anti-join
+        // the index on text values (advisor, round 14).
+        val ids = batch.select(col("doc_id"))
         st = prev.join(ids, Seq("doc_id"), "left_anti")
           .unionByName(graft.ext.Dedup.minhashSignatures(batch.toDF()))
           .localCheckpoint()
@@ -790,6 +793,75 @@ object Streams {
     * `(doc_id, text)` frame; read `maintainer.state` any time. */
   def startIndexMaintenance(docs: DataFrame,
       maintainer: SignatureIndexMaintainer,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(maintainer.sink)
+      .start()
+
+  /** Live BM25-index maintenance — the streaming face of
+    * [[graft.ext.Snapshot.refreshBm25Index]] (VERDICT r14 task 4): a
+    * search service whose index must absorb a crawl CONTINUOUSLY, not
+    * per-snapshot. Each arriving `(doc_id, text)` micro-batch folds in
+    * with exactly the batch seam's arithmetic — the per-doc frames
+    * (postings, dl) UPSERT (anti join the batch ids out — a re-crawled
+    * page replaces its old rows, last writer wins — then union the
+    * fresh tokenization), and the term-grain document frequencies
+    * merge SIGNED: subtract the replaced docs' df contributions
+    * (derived from the INDEX's own postings — the state carries
+    * everything retirement needs, no corpus access), add the fresh
+    * docs', drop zero-mass terms. All counts are exact longs, so after
+    * ANY micro-batch split the three frames are bit-identical to
+    * [[graft.ext.Retrieval.buildBm25Index]] over base-overridden-by-
+    * everything-seen (StreamsSpec law, landing on the e113 oracle
+    * arithmetic), and [[graft.ext.Retrieval.bm25TopKFromIndex]] serves
+    * from `state` at any moment. A stream only witnesses arrivals;
+    * retirement of GONE ids stays the batch diff's job (the
+    * [[snapshotDiffFilter]] contract). State is index-grain,
+    * localCheckpointed per fold (the ComponentsMaintainer
+    * discipline). */
+  final class Bm25Maintainer(base: graft.ext.Retrieval.Bm25Index,
+      releaseSuperseded: Boolean = true) {
+    @volatile private var post: DataFrame = base.postings.localCheckpoint()
+    @volatile private var dls: DataFrame = base.dl.localCheckpoint()
+    @volatile private var dfq: DataFrame = base.dfreq.localCheckpoint()
+
+    /** Current index frames — serve with `bm25TopKFromIndex(state, …)`. */
+    def state: graft.ext.Retrieval.Bm25Index =
+      graft.ext.Retrieval.Bm25Index(post, dls, dfq)
+
+    /** foreachBatch callback: upsert one document micro-batch. */
+    def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val (pPost, pDl, pDfq) = (post, dls, dfq)
+        // By NAME (the SignatureIndexMaintainer contract): a
+        // mis-ordered frame must fail analysis, not corrupt the index.
+        val ids = batch.select(col("doc_id").as("_id"))
+        val fresh = graft.ext.Retrieval.buildBm25Index(batch.toDF())
+        val subDf = graft.ext.Retrieval.dfreqOf(
+          pPost.join(ids, Seq("_id"), "left_semi"))
+        post = pPost.join(ids, Seq("_id"), "left_anti")
+          .unionByName(fresh.postings).localCheckpoint()
+        dls = pDl.join(ids, Seq("_id"), "left_anti")
+          .unionByName(fresh.dl).localCheckpoint()
+        dfq = pDfq
+          .unionByName(subDf.select(col("_t"), (-col("_df")).as("_df")))
+          .unionByName(fresh.dfreq)
+          .groupBy("_t").agg(sum(col("_df")).as("_df"))
+          .where(col("_df") > 0)
+          .localCheckpoint()
+        // release only after all three new checkpoints are live (dfq's
+        // signed merge reads the PREVIOUS postings via subDf)
+        if (releaseSuperseded) Seq(pPost, pDl, pDfq)
+          .foreach(graft.plans.Supersteps.release)
+      }
+  }
+
+  /** Start live BM25-index maintenance over a streaming
+    * `(doc_id, text)` frame; read `maintainer.state` any time. */
+  def startBm25Maintenance(docs: DataFrame,
+      maintainer: Bm25Maintainer,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)

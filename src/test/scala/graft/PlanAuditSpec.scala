@@ -88,6 +88,13 @@ class PlanAuditSpec extends SparkSpec {
     // e113: e60's 1-row corpus-total broadcasts (N, total tokens),
     // computed from the maintained dl frame instead of the raw scan
     "e113_incremental_bm25",
+    // e115: the composed incremental pass serves BM25 through the same
+    // maintained-index scoring stage, so it carries e113's 1-row
+    // corpus-total broadcasts
+    "e115_incremental_all",
+    // e116: the delta re-assign is the e23-class bounded k-centroid
+    // broadcast argmax (8 frozen rows against the delta vectors)
+    "e116_incremental_ann",
     // e82: two 1-row total broadcasts (corpus tokens, weight sum) onto
     // the group-cardinality-sized frame (the e52/e67 class)
     "e82_temperature_mix",
@@ -205,6 +212,18 @@ class PlanAuditSpec extends SparkSpec {
     val stale = intendedLowCardWindow.keySet -- offenders
     assert(stale.isEmpty,
       s"stale low-card-window whitelist entries (plan no longer trips): ${stale.toSeq.sorted}")
+  }
+
+  test("e115 composition carries ZERO full-outer joins (the one diff ran at cut time)") {
+    // The one-diff discipline: deltaWorkLists materializes the
+    // content-addressed full-outer hash join ONCE (Supersteps.cut), so
+    // the five incremental consumers' composed LIVE plan must contain
+    // no full-outer join at all — each consumer reads the delta-sized
+    // checkpoint, never re-running the corpus join. (The diff itself
+    // plans exactly one — asserted in SnapshotSpec.)
+    val p = plans("e115_incremental_all")
+    assert(!p.contains("FullOuter"),
+      s"e115's live plan re-runs the snapshot diff join:\n$p")
   }
 
   test("no query plans a CartesianProduct") {

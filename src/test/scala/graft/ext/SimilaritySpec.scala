@@ -92,6 +92,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("ivf assignment upsert equals a full re-assign (frozen centroids)") {
+    // the e116 law: under a FROZEN quantizer, anti-join + delta
+    // re-assign is indistinguishable from rebuilding the serving index
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val older = emb.where(col("vec_id") % 5 =!= 1)
+    val newer = emb.where(col("vec_id") % 4 =!= 2)
+    val cen = emb.where(col("vec_id").isin((0 until 8).map(_ * 63L): _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val subIds = older.join(newer, Seq("vec_id"), "left_anti")
+      .select("vec_id")
+    val addIds = newer.join(older, Seq("vec_id"), "left_anti")
+      .select("vec_id")
+    val full = Similarity.ivfAssignments(newer, cen).collect().toSet
+    val inc = graft.ext.Snapshot.refreshIvfAssignments(
+      Similarity.ivfAssignments(older, cen), newer, cen, subIds, addIds)
+      .collect().toSet
+    assert(inc == full && inc.nonEmpty)
+  }
+
   test("broadcast-kernel near-dup pairs are pair-for-pair identical to the join form") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val slow = Similarity.embeddingNearDupPairs(emb, 0.3)

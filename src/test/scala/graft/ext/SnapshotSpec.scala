@@ -205,6 +205,59 @@ class SnapshotSpec extends SparkSpec {
     assert(inc2.dfreq.select("_t").as[String].collect().toSet == Set("x", "y"))
   }
 
+  test("one shared delta feeds every consumer: *With variants equal the per-consumer paths") {
+    // the e115 discipline: deltaWorkLists computes the full-outer hash
+    // join ONCE; each refresh*With consumer must produce exactly what
+    // its own-diff form produces
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val older = docs.where(col("doc_id") % 5 =!= 1)
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val newer = docs.where(col("doc_id") % 4 =!= 2)
+    val (subIds, addIds) = Snapshot.deltaWorkLists(older, newer)
+
+    val hFull = Snapshot.refreshHealth(Snapshot.healthSums(older), older, newer)
+      .collect().toSet
+    val hWith = Snapshot.finishHealth(Snapshot.refreshHealthSumsWith(
+      Snapshot.healthSums(older), older, newer, subIds, addIds))
+      .collect().toSet
+    assert(hWith == hFull && hWith.nonEmpty)
+
+    val hhFull = Snapshot.refreshHeavyHitters(
+      Snapshot.termCounts(older), older, newer, k = 25).collect().toSeq
+    val hhWith = Snapshot.refreshHeavyHittersWith(
+      Snapshot.termCounts(older), older, newer, subIds, addIds, k = 25)
+      .collect().toSeq
+    assert(hhWith == hhFull && hhWith.size == 25)
+
+    val sFull = Snapshot.refreshSignatureIndex(
+      Dedup.minhashSignatures(older), older, newer).collect().toSet
+    val sWith = Snapshot.refreshSignatureIndexWith(
+      Dedup.minhashSignatures(older), newer, subIds, addIds).collect().toSet
+    assert(sWith == sFull && sWith.nonEmpty)
+
+    val bFull = Snapshot.refreshBm25Index(
+      graft.ext.Retrieval.buildBm25Index(older), older, newer)
+    val bWith = Snapshot.refreshBm25IndexWith(
+      graft.ext.Retrieval.buildBm25Index(older), older, newer, subIds, addIds)
+    assert(bWith.dfreq.collect().toSet == bFull.dfreq.collect().toSet)
+    assert(bWith.postings.collect().toSet == bFull.postings.collect().toSet)
+
+    // none of the consumer plans re-runs the snapshot diff: zero
+    // full-outer joins live anywhere downstream of the shared cut
+    Seq(Snapshot.refreshHealthSumsWith(Snapshot.healthSums(older), older,
+        newer, subIds, addIds),
+      Snapshot.refreshSignatureIndexWith(Dedup.minhashSignatures(older),
+        newer, subIds, addIds),
+      bWith.dfreq).foreach { df =>
+      assert(!df.queryExecution.executedPlan.toString.contains("FullOuter"))
+    }
+    // ...and the diff itself plans exactly one
+    val diffPlan = Snapshot.diff(older, newer)
+      .queryExecution.executedPlan.toString
+    assert("FullOuter".r.findAllIn(diffPlan).size == 1, diffPlan.take(800))
+  }
+
   test("diff is content-addressed: metadata-only frames don't alias") {
     // same ids, one text flipped -> exactly one changed row
     val older = snap(10L -> "alpha", 11L -> "beta")

@@ -962,6 +962,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Bm25Maintainer: live index == full rebuild over everything seen, any split") {
+    import graft.ext.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.where(col("doc_id") % 3 === 0)
+    // arriving: the other docs PLUS re-crawled edits of some base docs
+    // (their old postings/dl rows must REPLACE, their df mass retire)
+    val arriving = docs.where(col("doc_id") % 3 =!= 0)
+      .unionByName(docs.where(col("doc_id") % 9 === 0)
+        .withColumn("text", concat(col("text"), lit(" recrawled"))))
+      .as[(Long, String)].collect()
+    val finalText = docs.as[(Long, String)].collect().toMap ++ arriving.toMap
+    val want = Retrieval.buildBm25Index(finalText.toSeq.toDF("doc_id", "text"))
+    val m = new Streams.Bm25Maintainer(Retrieval.buildBm25Index(base))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append").foreachBatch(m.sink).start()
+    try {
+      arriving.grouped(arriving.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = m.state
+      assert(got.postings.collect().toSet == want.postings.collect().toSet)
+      assert(got.dl.collect().toSet == want.dl.collect().toSet)
+      assert(got.dfreq.collect().toSet == want.dfreq.collect().toSet)
+      assert(got.dfreq.count() > 0)
+      // ...and SERVING from the live index equals scoring a rebuild
+      // (the e113 oracle arithmetic, landed on the streaming face)
+      val queries = finalText.toSeq.sortBy(_._1).take(5)
+        .map { case (id, t) =>
+          (id, t.split(" ").take(6).mkString(" "))
+        }.toDF("query_id", "q_text")
+      val servedLive = Retrieval.bm25TopKFromIndex(got, queries, k = 5,
+        excludeSelf = true).collect().toSeq
+      val servedFull = Retrieval.bm25TopKFromIndex(want, queries, k = 5,
+        excludeSelf = true).collect().toSeq
+      assert(servedLive == servedFull && servedLive.nonEmpty)
+    } finally q.stop()
+  }
+
   test("snapshotDiffFilter: frozen hash index, stream == batch diff minus removed") {
     import graft.ext.Snapshot
     implicit val sqlCtx = spark.sqlContext
