@@ -114,6 +114,41 @@ object Packing {
       .drop("_excl")
   }
 
+  /** Delta-stable repack — what keeps TRAINING SHARDS valid across
+    * crawls: [[contiguousPack]]'s shard membership is a pure function
+    * of the id (`pmod(id, shards)`) and its pack window never crosses
+    * a shard, so a corpus delta can only move pack boundaries INSIDE
+    * the shards that contain delta ids. Given the frozen base packing
+    * and the delta id set (e.g. the union of
+    * [[graft.ext.Snapshot.deltaWorkLists]]'s two lists), recompute
+    * exactly those DIRTY shards from the newer corpus and pass every
+    * other shard's rows through from the base BYTE-IDENTICALLY — those
+    * shard files never rewrite (PackingSpec law; whole-result equality
+    * with a full repack is the e118 oracle). Cost: one distinct over
+    * the delta ids, a broadcast anti/semi join pair on the shard key,
+    * and the in-shard window over dirty-shard rows only — a full
+    * repack's corpus-sized window work collapses to
+    * ~|dirty shards| / shards of the corpus. */
+  def repackDirtyShards(basePacked: DataFrame, newer: DataFrame,
+      deltaIds: DataFrame, idCol: Column, tokensCol: Column,
+      budgetTokens: Long, shards: Int = 64,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val dirty = deltaIds
+      .select(pmod(idCol, lit(shards.toLong)).as("shard")).distinct()
+    // re-select: the key-equi join hoists `shard` to the front; the
+    // pass-through must keep the base frame's column order
+    val kept = basePacked.join(broadcast(dirty), Seq("shard"), "left_anti")
+      .select(basePacked.columns.map(col).toSeq: _*)
+    val toRepack = newer
+      .withColumn("shard", pmod(idCol, lit(shards.toLong)))
+      .join(broadcast(dirty), Seq("shard"), "left_semi")
+      .drop("shard")
+    kept.unionByName(contiguousPack(toRepack, idCol, tokensCol,
+      budgetTokens, shards, tieBreak))
+  }
+
   /** Fill statistics of a packed frame (`(shard, pack_id)` assigned by
     * [[contiguousPack]]): ONE row
     * `(n_packs, total_tokens, mean_fill_milli, min_fill_milli,

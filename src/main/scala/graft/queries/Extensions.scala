@@ -1165,6 +1165,54 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** e117: the PRODUCTION SemDeDup schedule under the gate (VERDICT
+    * r14 task 6): [[graft.ext.Similarity.semDedupAuto]] derives
+    * k = ⌈n / targetCell⌉ from ONE corpus count — k grows with the
+    * corpus so per-cell pair work stays O(targetCell²) and total work
+    * linear (the remedy the e47 fixed-k contract points at; e47 holds
+    * k constant BY DESIGN, which is what makes its pair stage n²/k).
+    * The oracle replays the e47 chain AT THE DERIVED k, pinned as a
+    * literal for the sf0.01 fixture the correctness gate runs on
+    * (500 vectors / targetCell 50 = 10); the Spark side keeps deriving
+    * k from the data at every SF, so the bench tier measures the
+    * production schedule itself. */
+  val E117TargetCell = 50
+  def e117_semdedup_auto(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupAuto(emb(s, dir), targetCell = E117TargetCell,
+      iters = E47Iters, threshold = E47Threshold, roundDecimals = 6)
+      .orderBy("vec_id")
+
+  /** e118: delta-stable packing
+    * ([[graft.ext.Packing.repackDirtyShards]]) — the incremental seam
+    * reaching the TRAINING-SHARD layout (VERDICT r14 task 7: e38's
+    * contiguous packing is order-dependent WITHIN a shard, so without
+    * this operator a small crawl delta would invalidate every exported
+    * shard): shard membership is id-pure, so only the shards holding
+    * delta ids re-pack from the newer snapshot; every clean shard's
+    * rows pass through from the frozen base packing byte-identically
+    * (the PackingSpec law — those shard files never rewrite). Oracle =
+    * e38's FULL repack replay over the newer snapshot, so the hash
+    * match proves the dirty-shard path indistinguishable from a
+    * rebuild. Same bounded delta as e110; the delta ids come from the
+    * content-addressed diff, so a text-changed doc (whose token count
+    * moved) correctly dirties its shard. */
+  def e118_delta_repack(s: SparkSession, dir: String): DataFrame = {
+    val (older, newer) = e110Snapshots(s, dir)
+    def toks(d: DataFrame) = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val base = memoArtifact(s, dir, "pack_base_118") {
+      graft.ext.Packing.contiguousPack(toks(older), col("doc_id"),
+          col("n_tokens"), E38Budget, E38Shards)
+        .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack_id"))
+    }
+    val (subIds, addIds) = graft.ext.Snapshot.deltaWorkLists(older, newer)
+    graft.ext.Packing.repackDirtyShards(base, toks(newer),
+        subIds.unionByName(addIds), col("doc_id"), col("n_tokens"),
+        E38Budget, E38Shards)
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -1922,6 +1970,8 @@ object Extensions {
     "e114_incremental_pca" -> (e114_incremental_pca _),
     "e115_incremental_all" -> (e115_incremental_all _),
     "e116_incremental_ann" -> (e116_incremental_ann _),
+    "e117_semdedup_auto" -> (e117_semdedup_auto _),
+    "e118_delta_repack" -> (e118_delta_repack _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -4109,6 +4159,20 @@ object Extensions {
          |  CAST((cum - n_tokens) // $E38Budget AS BIGINT) AS pack_id
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // e118's oracle: e38's FULL contiguous-pack replay over the newer
+    // snapshot — the dirty-shard repack must hash-equal a rebuild.
+    "e118_delta_repack" ->
+      s"""WITH new_118 AS (SELECT doc_id, text FROM documents
+         |  WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),
+         |t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         |  doc_id % $E38Shards AS shard FROM new_118),
+         |c AS (SELECT doc_id, n_tokens, shard,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST((cum - n_tokens) // $E38Budget AS BIGINT) AS pack_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "e38b_split_pack" ->
       s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          |  doc_id % $E38Shards AS shard FROM documents),
@@ -4226,6 +4290,27 @@ object Extensions {
         s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)"
       s"""WITH
          |${cosKmeansCtes(E47K, E47Iters)},
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cos("ea.v", "eb.v")} AS sim
+         |  FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN emb ea ON ea.vec_id = a.vec_id JOIN emb eb ON eb.vec_id = b.vec_id
+         |  WHERE ${cos("ea.v", "eb.v")} >= $E47Threshold)
+         |SELECT id_b AS vec_id, id_a AS kept_by, sim FROM pairs
+         |QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY id_a) = 1
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    "e117_semdedup_auto" -> {
+      // The e47 replay at the DERIVED k: semDedupAuto's schedule is
+      // k = ceil(n / targetCell), which on the sf0.01 gate fixture is
+      // ceil(500 / 50) = 10 — pinned here as a literal (the chain's
+      // stride init and LIMIT need a constant; the Spark side derives
+      // k from the data at every SF).
+      def cos(a: String, b: String) = // single-line: strip-once discipline
+        s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)"
+      val k117 = 10
+      s"""WITH
+         |${cosKmeansCtes(k117, E47Iters)},
          |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${cos("ea.v", "eb.v")} AS sim
          |  FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id

@@ -95,6 +95,9 @@ class PlanAuditSpec extends SparkSpec {
     // e116: the delta re-assign is the e23-class bounded k-centroid
     // broadcast argmax (8 frozen rows against the delta vectors)
     "e116_incremental_ann",
+    // e117: e47's k-centroid broadcast argmax at the DERIVED k — still
+    // the bounded trained-quantizer class (k rows against the corpus)
+    "e117_semdedup_auto",
     // e82: two 1-row total broadcasts (corpus tokens, weight sum) onto
     // the group-cardinality-sized frame (the e52/e67 class)
     "e82_temperature_mix",

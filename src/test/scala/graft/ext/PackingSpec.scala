@@ -92,6 +92,46 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("repackDirtyShards: clean shards pass through byte-identically; result equals a full repack") {
+    // the e118 delta-stability law: shard membership is id-pure, so a
+    // crawl delta re-packs ONLY the shards containing delta ids — a
+    // clean shard's exported file never rewrites
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // a delta confined to shards {3, 5, 6}: removals from shard 3,
+    // content edits in shard 5, one brand-new doc landing in shard 6
+    val older = d
+    val newer = d.where(col("doc_id") % 8 =!= 3)
+      .withColumn("text", when(col("doc_id") % 8 === 5,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(Seq((1000006L, "a brand new crawled document"))
+        .toDF("doc_id", "text"))
+    val shards = 8
+    val budget = 256L
+    val base = Packing.contiguousPack(toks(older), col("doc_id"),
+        col("n_tokens"), budget, shards)
+      .select("doc_id", "n_tokens", "shard", "pack_id").localCheckpoint()
+    val (subIds, addIds) = Snapshot.deltaWorkLists(older, newer)
+    val deltaIds = subIds.unionByName(addIds)
+    val out = Packing.repackDirtyShards(base, toks(newer), deltaIds,
+      col("doc_id"), col("n_tokens"), budget, shards)
+    val full = Packing.contiguousPack(toks(newer), col("doc_id"),
+        col("n_tokens"), budget, shards)
+      .select("doc_id", "n_tokens", "shard", "pack_id")
+    assert(out.collect().toSet == full.collect().toSet)
+    // clean shards: the output rows ARE the base rows (pass-through)
+    val dirty = deltaIds.select(pmod(col("doc_id"), lit(shards.toLong)))
+      .as[Long].collect().toSet
+    assert(dirty.size < shards, "fixture must leave at least one clean shard")
+    val cleanOut = out.where(!col("shard").isin(dirty.toSeq: _*))
+      .collect().toSet
+    val cleanBase = base.where(!col("shard").isin(dirty.toSeq: _*))
+      .collect().toSet
+    assert(cleanOut == cleanBase && cleanOut.nonEmpty)
+  }
+
   test("pack assignment is independent of physical partitioning") {
     def run(parts: Int) = Packing.contiguousPack(
         docs.repartition(parts), col("doc_id"), col("n_tokens"), 100, shards = 3)
