@@ -414,6 +414,22 @@ object Demo {
     println(s"DEMO incremental top_term=${hh.getString(0)}x${hh.getLong(1)} " +
       s"index_rows=${sig.count()} bm25_rows=${bm.count()}")
 
+    // 41. the whole maintenance pass off ONE diff: all five frozen
+    // artifacts (dashboard, heavy hitters, MinHash index, BM25
+    // serving, PCA axis) refreshed from a single materialized
+    // work-list pair; plus the ANN assignment index upsert and the
+    // dirty-shard repack that leaves clean training shards byte-equal
+    val all15 = graft.SparkEntry.queries("e115_incremental_all")(spark, sfDir)
+    val byArtifact = all15.groupBy("artifact").count()
+      .orderBy("artifact").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    val ann = graft.SparkEntry.queries("e116_incremental_ann")(spark, sfDir)
+    val rp = graft.SparkEntry.queries("e118_delta_repack")(spark, sfDir)
+      .agg(max(col("pack_id")), count(lit(1))).collect().head
+    println(s"DEMO one_diff_all_consumers $byArtifact " +
+      s"ann_assignments=${ann.count()} " +
+      s"repacked_rows=${rp.getLong(1)} max_pack=${rp.getLong(0)}")
+
     spark.stop()
   }
 }
