@@ -1082,15 +1082,22 @@ object Extensions {
     // THE one diff — computed once, shared by all five consumers.
     val (subIds, addIds) = snap.deltaWorkLists(older, newer)
 
-    val health = snap.refreshHealthSumsWith(healthBase, older, newer,
-      subIds, addIds)
+    // The two artifacts projected into MULTIPLE long-format branches
+    // below (health ×3, the BM25 top-k ×2) are cut once at their tiny
+    // final grain — group-sized mass rows, |Q|·10 ranks — so the union
+    // fan-out re-reads the materialized rows instead of re-running the
+    // merge/scoring pipelines per branch (measured: the uncut plan
+    // paid the BM25 scoring stage twice, ~2× on the whole query).
+    val health = graft.plans.Supersteps.cut(
+      snap.refreshHealthSumsWith(healthBase, older, newer, subIds, addIds))
     val hh = snap.refreshHeavyHittersWith(hhBase, older, newer,
       subIds, addIds, k = 25)
     val sig = snap.refreshSignatureIndexWith(sigBase, newer, subIds, addIds)
     val bmIdx = snap.refreshBm25IndexWith(bmBase, older, newer,
       subIds, addIds)
-    val bm = graft.ext.Retrieval.bm25TopKFromIndex(bmIdx, bm25Queries(newer),
-      k = 10, excludeSelf = true)
+    val bm = graft.plans.Supersteps.cut(
+      graft.ext.Retrieval.bm25TopKFromIndex(bmIdx, bm25Queries(newer),
+        k = 10, excludeSelf = true))
     val subG = Pca.gramPass(
       olderE.join(subIds, col("vec_id") === col("doc_id"), "left_semi"))
     val addG = Pca.gramPass(
