@@ -869,6 +869,51 @@ object Streams {
       .foreachBatch(maintainer.sink)
       .start()
 
+  /** Live IVF-assignment maintenance — the streaming face of
+    * [[graft.ext.Snapshot.refreshIvfAssignments]] (the e116 batch
+    * seam): each arriving `(vec_id, embedding)` micro-batch UPSERTS
+    * its cell assignments into the frozen serving index under the
+    * FROZEN coarse quantizer (anti join the batch ids out — a
+    * re-embedded vector replaces its old cell — then union the fresh
+    * broadcast-k argmax assignments). Retirement of GONE ids stays the
+    * batch diff's job, and the QUANTIZER retrain (the e108 axis-drift
+    * trigger) is a full offline rebuild by design — a maintainer must
+    * never retrain mid-stream or batch and stream cells would diverge.
+    * After any split the index equals a full
+    * [[graft.ext.Similarity.ivfAssignments]] pass over
+    * base-overridden-by-everything-seen (StreamsSpec law). State is
+    * 2 longs per row, localCheckpointed per fold. */
+  final class IvfAssignmentMaintainer(base: DataFrame, centroids: DataFrame,
+      releaseSuperseded: Boolean = true) {
+    @volatile private var st: DataFrame = base.localCheckpoint()
+
+    /** Current serving index `(vec_id, cell)`. */
+    def state: DataFrame = st
+
+    /** foreachBatch callback: upsert one vector micro-batch. */
+    def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val prev = st
+        val ids = batch.select(col("vec_id"))
+        st = prev.join(ids, Seq("vec_id"), "left_anti")
+          .unionByName(graft.ext.Similarity.ivfAssignments(
+            batch.toDF(), centroids))
+          .localCheckpoint()
+        if (releaseSuperseded) graft.plans.Supersteps.release(prev)
+      }
+  }
+
+  /** Start live IVF-assignment maintenance over a streaming
+    * `(vec_id, embedding)` frame; read `maintainer.state` any time. */
+  def startIvfAssignmentMaintenance(vectors: DataFrame,
+      maintainer: IvfAssignmentMaintainer,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(maintainer.sink)
+      .start()
+
   /** Start the incremental-components maintenance over a streaming
     * `(src, dst)` edge frame; read `maintainer.state` any time. */
   def startIncrementalComponents(edges: DataFrame,

@@ -1003,6 +1003,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IvfAssignmentMaintainer: live index == full re-assign over everything seen") {
+    import graft.ext.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.where(col("vec_id") % 3 === 0)
+    val arriving = emb.where(col("vec_id") % 3 =!= 0)
+      .as[(Long, Array[Float])].collect()
+    val cen = emb.where(col("vec_id").isin((0 until 8).map(_ * 63L): _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .localCheckpoint()
+    val want = Similarity.ivfAssignments(emb, cen).collect().toSet
+    val m = new Streams.IvfAssignmentMaintainer(
+      Similarity.ivfAssignments(base, cen), cen)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append").foreachBatch(m.sink).start()
+    try {
+      arriving.grouped(arriving.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = m.state.collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("snapshotDiffFilter: frozen hash index, stream == batch diff minus removed") {
     import graft.ext.Snapshot
     implicit val sqlCtx = spark.sqlContext
