@@ -194,6 +194,14 @@ object Bench {
     "e112_incremental_index", "e113_incremental_bm25",
     "e114_incremental_pca", "e115_incremental_all",
     "e116_incremental_ann",
+    // e119: the co-occurrence merge's growth term is the PAIR-grain
+    // frame (much wider than e111's vocabulary), so its signed-merge
+    // aggregate deserves its own curve; the delta's pair generation
+    // stays constant (fixed caps). e120 is NOT here: its merge terms
+    // are e111's vocabulary-grain shape and its scoring stage is
+    // e75's (in the tier) over the maintained frames — the e113
+    // rationale applied to the LM family.
+    "e119_incremental_cooc",
     // e118: the dirty-shard repack — cost is ~|dirty shards|/shards of
     // the corpus BY CONTRACT (delta ids stay in replica 0 but their
     // shards hold 1/8 of the whole replicated corpus each), so the

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Snapshot-to-snapshot corpus accounting — the primitive under every
@@ -164,6 +164,91 @@ object Snapshot {
     baseIndex.join(subIds, Seq(idCol), "left_anti")
       .unionByName(Dedup.minhashSignatures(
         newer.join(addIds, Seq(idCol), "left_semi")))
+
+  /** Delta-driven co-occurrence maintenance — the incremental seam
+    * reaching the EMBEDDING-TRAINING input (the co-occurrence matrix
+    * is the expensive frozen artifact a crawl→retrain pipeline keeps
+    * warm; GloVe trains from exactly this frame): context windows
+    * never cross documents, so the (center, context) weight mass is
+    * PER-DOC additive and merges SIGNED exactly like the heavy-hitter
+    * counts — subtract the work-list docs' pair mass, add the fresh
+    * docs', drop zero-mass pairs (weights are positive, so a pair
+    * cancels only when its last carrier leaves — a full recompute
+    * would never show it). All weights are exact fixed-point longs,
+    * so the merged frame is bit-identical to [[Text.cooccurrence]]
+    * over the newer snapshot — the e119 oracle. Pair-generation work
+    * runs only on delta rows; the merge is pair-grain. */
+  def refreshCooccurrence(baseCo: DataFrame, older: DataFrame,
+      newer: DataFrame, window: Int = 3, idCol: String = "doc_id",
+      contentCol: String = "text"): DataFrame = {
+    val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
+    refreshCooccurrenceWith(baseCo, older, newer, subIds, addIds, window,
+      idCol, contentCol)
+  }
+
+  /** [[refreshCooccurrence]] over a shared, already-materialized delta
+    * (the e115 one-diff discipline). */
+  def refreshCooccurrenceWith(baseCo: DataFrame, older: DataFrame,
+      newer: DataFrame, subIds: DataFrame, addIds: DataFrame,
+      window: Int = 3, idCol: String = "doc_id",
+      contentCol: String = "text"): DataFrame = {
+    val sub = Text.cooccurrence(
+        older.join(subIds, Seq(idCol), "left_semi"), window, contentCol)
+      .select(col("center"), col("context"),
+        (-col("weight_fp")).as("weight_fp"))
+    val add = Text.cooccurrence(
+      newer.join(addIds, Seq(idCol), "left_semi"), window, contentCol)
+    baseCo.unionByName(sub).unionByName(add)
+      .groupBy("center", "context")
+      .agg(sum(col("weight_fp")).as("weight_fp"))
+      .where(col("weight_fp") > 0)
+  }
+
+  /** Delta-driven bigram-LM maintenance — the incremental seam
+    * reaching the PERPLEXITY-FILTER model (the LM a CCNet-style
+    * curation stack scores every crawl against): the
+    * [[Text.BigramCounts]] frames are per-doc additive train-split
+    * counts, so they merge SIGNED like the heavy-hitter frame — the
+    * delta work-lists restricted to the TRAIN SPLIT (membership is
+    * id-pure, so the restriction is one filter) subtract their old
+    * counts and add their fresh ones; zero-count events drop. The
+    * scorer's derived numbers (cl, N) re-derive from the merged
+    * frames, so [[Text.bigramSurprisalFrom]] over the maintained
+    * model hash-equals a full retrain+rescore — the e120 oracle. */
+  def refreshBigramCounts(base: Text.BigramCounts, older: DataFrame,
+      newer: DataFrame, trainFilter: Column,
+      idCol: String = "doc_id", contentCol: String = "text")
+      : Text.BigramCounts = {
+    val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
+    refreshBigramCountsWith(base, older, newer, subIds, addIds,
+      trainFilter, idCol, contentCol)
+  }
+
+  /** [[refreshBigramCounts]] over a shared, already-materialized delta
+    * (the e115 one-diff discipline). */
+  def refreshBigramCountsWith(base: Text.BigramCounts, older: DataFrame,
+      newer: DataFrame, subIds: DataFrame, addIds: DataFrame,
+      trainFilter: Column, idCol: String = "doc_id",
+      contentCol: String = "text"): Text.BigramCounts = {
+    val subM = Text.buildBigramCounts(
+      older.join(subIds, Seq(idCol), "left_semi").where(trainFilter),
+      idCol, contentCol)
+    val addM = Text.buildBigramCounts(
+      newer.join(addIds, Seq(idCol), "left_semi").where(trainFilter),
+      idCol, contentCol)
+    Text.BigramCounts(
+      base.big
+        .unionByName(subM.big.select(col("w1"), col("w2"),
+          (-col("c2")).as("c2")))
+        .unionByName(addM.big)
+        .groupBy("w1", "w2").agg(sum(col("c2")).as("c2"))
+        .where(col("c2") > 0),
+      base.uni
+        .unionByName(subM.uni.select(col("w2"), (-col("c1")).as("c1")))
+        .unionByName(addM.uni)
+        .groupBy("w2").agg(sum(col("c1")).as("c1"))
+        .where(col("c1") > 0))
+  }
 
   /** Delta-driven IVF-assignment maintenance — the incremental seam
     * reaching the ANN SERVING surface (the last frozen artifact

@@ -408,16 +408,46 @@ object Text {
     * the final fold is a per-doc aggregate. Output:
     * `(doc_id, n_bigrams, surprisal8, mean_milli)`, all BIGINT. */
   def bigramSurprisal(docs: DataFrame, trainFilter: Column,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val S = Retrieval.Scale
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // The extraction runs twice (all docs / train split) instead of
     // semi-joining a corpus-sized id set: both passes are row-local
     // scans, and nothing model-sized ever shuffles by doc.
+    bigramSurprisalFrom(
+      buildBigramCounts(docs.where(trainFilter), idCol, textCol),
+      docs, idCol, textCol)
+
+  /** The frozen bigram-LM COUNT artifact — the MERGEABLE form the
+    * incremental seam maintains ([[graft.ext.Snapshot
+    * .refreshBigramCounts]]): train-split bigram counts `(w1, w2, c2)`
+    * and unigram counts `(w2, c1)`, both PER-DOC additive (a bigram
+    * never crosses documents), so a crawl delta folds in signed. The
+    * derived quantities the scorer needs — the left-context totals
+    * `cl(w1)` and the corpus total N — re-derive from these frames at
+    * serving time (one vocab-grain aggregate each), so the artifact
+    * stays minimal and every derived number is automatically
+    * consistent with the merged counts. [[bigramModel]]'s broadcast
+    * literal maps are the STREAMING projection of the same counts. */
+  final case class BigramCounts(big: DataFrame, uni: DataFrame)
+
+  /** One pass over a training split → the [[BigramCounts]] frames. */
+  def buildBigramCounts(trainDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): BigramCounts =
+    BigramCounts(
+      bigramEvents(trainDocs, idCol, textCol)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2")),
+      unigramCounts(trainDocs, textCol))
+
+  /** [[bigramSurprisal]] over a PREBUILT (possibly delta-maintained)
+    * count artifact — the serving path of a perplexity filter whose
+    * model lives across crawls: identical scoring arithmetic, the
+    * training split never re-extracted. */
+  def bigramSurprisalFrom(model: BigramCounts, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val S = Retrieval.Scale
     val pairs = bigramEvents(docs, idCol, textCol)
-    val train = bigramEvents(docs.where(trainFilter), idCol, textCol)
-    val big = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val big = model.big
     val left = big.groupBy("w1").agg(sum(col("c2")).as("cl"))
-    val uni = unigramCounts(docs.where(trainFilter), textCol)
+    val uni = model.uni
     val tot = uni.agg(sum(col("c1")).as("n_total"))
     val scored = pairs
       .join(big, Seq("w1", "w2"), "left")

@@ -1220,6 +1220,49 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** e119: delta-driven co-occurrence maintenance
+    * ([[graft.ext.Snapshot.refreshCooccurrence]]) — the incremental
+    * seam reaching the embedding-training input: the frozen
+    * (center, context) weight frame (pair-grain memo — the artifact
+    * GloVe trains from) absorbs the bounded delta's signed pair mass
+    * and the e68 top-100 re-derives from the merged frame. Oracle =
+    * the FULL e68 recompute over the newer snapshot, so the hash
+    * match proves the crawl→retrain input exact without re-windowing
+    * the corpus. Same bounded delta as e110. */
+  def e119_incremental_cooc(s: SparkSession, dir: String): DataFrame = {
+    val (older, newer) = e110Snapshots(s, dir)
+    val base = memoArtifact(s, dir, "cooc_base_110") {
+      Text.cooccurrence(older, window = 3)
+    }
+    graft.ext.Snapshot.refreshCooccurrence(base, older, newer, window = 3)
+      .orderBy(desc("weight_fp"), col("center"), col("context"))
+      .limit(100)
+  }
+
+  /** e120: delta-driven bigram-LM maintenance
+    * ([[graft.ext.Snapshot.refreshBigramCounts]]) — the incremental
+    * seam reaching the perplexity-filter model: the frozen train-split
+    * count frames (the artifact e75's scorer and the streaming
+    * [[graft.ext.Text.bigramModel]] maps derive from) absorb the
+    * bounded delta restricted to the train split, and e75's scoring
+    * runs over the NEWER corpus under the maintained model. Oracle =
+    * e75's full retrain+rescore replay over the newer snapshot, so
+    * the hash match proves model maintenance exact through scoring.
+    * Same bounded delta as e110. */
+  def e120_incremental_lm(s: SparkSession, dir: String): DataFrame = {
+    val (older, newer) = e110Snapshots(s, dir)
+    val trainF = col("doc_id") % 5 =!= 3
+    val base = Text.BigramCounts(
+      memoArtifact(s, dir, "lm_big_110") {
+        Text.buildBigramCounts(older.where(trainF)).big
+      },
+      memoArtifact(s, dir, "lm_uni_110") {
+        Text.buildBigramCounts(older.where(trainF)).uni
+      })
+    val m = graft.ext.Snapshot.refreshBigramCounts(base, older, newer, trainF)
+    Text.bigramSurprisalFrom(m, newer).orderBy("doc_id")
+  }
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -1979,6 +2022,8 @@ object Extensions {
     "e116_incremental_ann" -> (e116_incremental_ann _),
     "e117_semdedup_auto" -> (e117_semdedup_auto _),
     "e118_delta_repack" -> (e118_delta_repack _),
+    "e119_incremental_cooc" -> (e119_incremental_cooc _),
+    "e120_incremental_lm" -> (e120_incremental_lm _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2670,8 +2715,13 @@ object Extensions {
     * Jelinek-Mercer λ=3/4 interpolation in 2^20 fixed point with the
     * >= 1 unknown floor, eighth-bit integer surprisal, and the per-doc
     * fold. `//` == `div` (all operands positive). */
-  private def e75OracleCore: String =
-    s"""WITH toks_75 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def e75OracleCore: String = e75OracleCoreFrom("documents")
+
+  /** e75's replay parameterized on the source relation, so e120's
+    * oracle (the full retrain+rescore over the newer snapshot) reuses
+    * the identical chain — the e60/e100 From-helper discipline. */
+  private def e75OracleCoreFrom(src: String): String =
+    s"""WITH toks_75 AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |pr_75 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
        |       FROM toks_75, UNNEST(generate_series(1, len(w) - 1)) t(i)),
        |tr_75 AS (SELECT * FROM pr_75 WHERE doc_id % 5 <> 3),
@@ -4079,6 +4129,33 @@ object Extensions {
          |  CAST(score_fp AS BIGINT) AS score_fp
          |FROM sc WHERE score_fp >= ${Text.PhraseScale}
          |ORDER BY score_fp DESC, phrase LIMIT 100""".stripMargin,
+
+    // e120's oracle: e75's FULL retrain+rescore over the newer
+    // snapshot (core re-pointed, the e113 nesting pattern) — scoring
+    // under the maintained count frames must hash-equal it.
+    "e120_incremental_lm" ->
+      (s"""WITH new_120 AS MATERIALIZED (SELECT doc_id, text FROM documents
+          |  WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),
+          |res120 AS MATERIALIZED (
+          |""".stripMargin + e75OracleCoreFrom("new_120") + ")\n" +
+        "SELECT doc_id, n_bigrams, surprisal8, mean_milli FROM res120" +
+        "\nORDER BY doc_id"),
+
+    // e119's oracle: the FULL e68 co-occurrence recompute over the
+    // newer snapshot — the signed pair-mass merge must hash-equal it.
+    "e119_incremental_cooc" ->
+      s"""WITH new_119 AS (SELECT text FROM documents
+         |  WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),
+         |toks AS (SELECT string_split(text, ' ') AS w FROM new_119),
+         |pos AS (SELECT w, i FROM toks,
+         |        UNNEST(generate_series(1, len(w))) t(i)),
+         |pairs AS (SELECT w[i] AS center, w[i+d] AS context,
+         |            ${Text.PhraseScale} // abs(d) AS wt
+         |          FROM pos, UNNEST([-3, -2, -1, 1, 2, 3]) u(d)
+         |          WHERE i + d >= 1 AND i + d <= len(w))
+         |SELECT center, context, CAST(sum(wt) AS BIGINT) AS weight_fp
+         |FROM pairs GROUP BY center, context
+         |ORDER BY weight_fp DESC, center, context LIMIT 100""".stripMargin,
 
     "e68_cooccurrence" ->
       // GloVe co-occurrence: every in-window ordered pair weighted

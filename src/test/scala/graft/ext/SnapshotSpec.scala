@@ -205,6 +205,47 @@ class SnapshotSpec extends SparkSpec {
     assert(inc2.dfreq.select("_t").as[String].collect().toSet == Set("x", "y"))
   }
 
+  test("refreshCooccurrence: merged pair mass equals the full recompute; cancelled pairs drop") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val older = docs.where(col("doc_id") % 5 =!= 1)
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val newer = docs.where(col("doc_id") % 4 =!= 2)
+    val full = Text.cooccurrence(newer, window = 3)
+      .orderBy("center", "context").collect().toSeq
+    val inc = Snapshot.refreshCooccurrence(
+      Text.cooccurrence(older, window = 3), older, newer, window = 3)
+      .orderBy("center", "context").collect().toSeq
+    assert(inc == full && inc.nonEmpty)
+    // a pair alive only in removed docs must CANCEL out of the frame
+    val o2 = Seq((1L, "unique gone"), (2L, "x y")).toDF("doc_id", "text")
+    val n2 = Seq((2L, "x y")).toDF("doc_id", "text")
+    val inc2 = Snapshot.refreshCooccurrence(
+      Text.cooccurrence(o2, window = 3), o2, n2, window = 3)
+      .select("center", "context").as[(String, String)].collect().toSet
+    assert(inc2 == Set("x" -> "y", "y" -> "x"))
+  }
+
+  test("refreshBigramCounts: maintained model equals a full retrain, through scoring") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val older = docs.where(col("doc_id") % 5 =!= 1)
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val newer = docs.where(col("doc_id") % 4 =!= 2)
+    val trainF = col("doc_id") % 3 =!= 0 // independent of the delta moduli
+    val full = Text.buildBigramCounts(newer.where(trainF))
+    val inc = Snapshot.refreshBigramCounts(
+      Text.buildBigramCounts(older.where(trainF)), older, newer, trainF)
+    assert(inc.big.collect().toSet == full.big.collect().toSet)
+    assert(inc.uni.collect().toSet == full.uni.collect().toSet)
+    // ...and the SERVED scores equal a full retrain+rescore
+    val gotScores = Text.bigramSurprisalFrom(inc, newer)
+      .orderBy("doc_id").collect().toSeq
+    val wantScores = Text.bigramSurprisal(newer, trainF)
+      .orderBy("doc_id").collect().toSeq
+    assert(gotScores == wantScores && gotScores.nonEmpty)
+  }
+
   test("one shared delta feeds every consumer: *With variants equal the per-consumer paths") {
     // the e115 discipline: deltaWorkLists computes the full-outer hash
     // join ONCE; each refresh*With consumer must produce exactly what
