@@ -88,10 +88,16 @@ class PlanAuditSpec extends SparkSpec {
     // e113: e60's 1-row corpus-total broadcasts (N, total tokens),
     // computed from the maintained dl frame instead of the raw scan
     "e113_incremental_bm25",
-    // e115: the composed incremental pass serves BM25 through the same
-    // maintained-index scoring stage, so it carries e113's 1-row
-    // corpus-total broadcasts
-    "e115_incremental_all",
+    // (e115 is NOT here: its BM25 serving stage — the e113-class 1-row
+    // corpus-total broadcasts — executes eagerly at construction time
+    // inside the Supersteps.cut of the |Q|·10 rank frame, so the LIVE
+    // plan reads the checkpointed rows and carries no NLJ at all —
+    // the q33/q51/e63 checkpointed class.)
+    // e120: e75's 1-row corpus-total broadcast (the unigram mass N
+    // under the interpolation), computed from the maintained count
+    // frames instead of the raw train scan — the e113 class applied
+    // to the LM family
+    "e120_incremental_lm",
     // e116: the delta re-assign is the e23-class bounded k-centroid
     // broadcast argmax (8 frozen rows against the delta vectors)
     "e116_incremental_ann",
