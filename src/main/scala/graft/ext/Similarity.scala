@@ -404,9 +404,19 @@ object Similarity {
     * DESIGN to keep its oracle replayable, which makes its pair work
     * n²/k — 25.5 s at 8×, ~360 s at 16×; THIS is the path a 100-TB
     * run calls instead). The law `semDedupAuto(targetCell) ==
-    * semDedup(derived k)` is pinned by SimilaritySpec; per-cell pair
-    * work is then O(targetCell²) and total work O(n·targetCell) —
-    * linear in the corpus at fixed cell size. */
+    * semDedup(derived k)` is pinned by SimilaritySpec (and e117's
+    * oracle replays the chain at the derived k); per-cell PAIR work
+    * is then O(targetCell²) and total pair work O(n·targetCell) —
+    * linear in the corpus at fixed cell size. Honest bound on the
+    * OTHER terms: with k ∝ n, the pinned-Lloyd train and the final
+    * assignment are each O(n·k·iters) = O(n²·iters/targetCell) —
+    * fine through the fixture tiers (measured 1.49 s at sf0.1,
+    * k=40), but a true 100-TB run trains the coarse quantizer on a
+    * bounded hash-sample ([[Sampling.hashSample]]'s membership
+    * discipline) and assigns through a hierarchical (two-level)
+    * quantizer — neither of which the oracle-replayable pinned chain
+    * models; the documented beyond-scope seam, with e108's axis
+    * drift as the retrain trigger either way. */
   def semDedupAuto(embeddings: DataFrame, targetCell: Int, iters: Int,
       threshold: Double, roundDecimals: Int = -1): DataFrame = {
     require(targetCell >= 1, s"need targetCell >= 1, got $targetCell")

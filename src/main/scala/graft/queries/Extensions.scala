@@ -1046,7 +1046,12 @@ object Extensions {
     * recomputes over the newer snapshot, so a single hash match proves
     * every consumer exact off the shared diff. PlanAuditSpec pins the
     * shape: the composition's live plan contains ZERO full-outer
-    * joins — the one diff already ran, delta-sized, at cut time. */
+    * joins — the one diff already ran, delta-sized, at cut time.
+    * (The round-15 seam additions — the co-occurrence matrix (e119)
+    * and the bigram-LM counts (e120) — accept the same shared pair
+    * via their `refresh*With` forms; they stay out of this
+    * composition so its five-recompute oracle and its committed
+    * record stay stable.) */
   def e115_incremental_all(s: SparkSession, dir: String): DataFrame = {
     val (older, newer) = e110Snapshots(s, dir)
     val snap = graft.ext.Snapshot
