@@ -197,10 +197,12 @@ object Bench {
     // e119: the co-occurrence merge's growth term is the PAIR-grain
     // frame (much wider than e111's vocabulary), so its signed-merge
     // aggregate deserves its own curve; the delta's pair generation
-    // stays constant (fixed caps). e120 is NOT here: its merge terms
-    // are e111's vocabulary-grain shape and its scoring stage is
-    // e75's (in the tier) over the maintained frames — the e113
-    // rationale applied to the LM family.
+    // stays constant (fixed caps). e120/e121 are NOT here: their merge
+    // terms are e111's vocabulary-grain shape (e121's at the
+    // trigram-type grain, which e101's tier entry already grows) and
+    // their scoring stages are e75's/e101's (both in the tier) over
+    // the maintained frames — the e113 rationale applied to the LM
+    // family.
     "e119_incremental_cooc",
     // e118: the dirty-shard repack — cost is ~|dirty shards|/shards of
     // the corpus BY CONTRACT (delta ids stay in replica 0 but their

@@ -250,6 +250,41 @@ object Snapshot {
         .where(col("c1") > 0))
   }
 
+  /** Delta-driven KN-trigram maintenance — [[refreshBigramCounts]]'s
+    * discipline one model order up (the KenLM-shaped e101 filter): the
+    * ONE frozen artifact is the train-split trigram count frame
+    * ([[Text.buildTrigramCounts]] — per-doc additive), merged signed
+    * off the diff work-lists restricted to the id-pure train split;
+    * zero-count events drop, so every DISTINCT-type continuation count
+    * the scorer derives is exact over the merged frame, and
+    * [[Text.knTrigramSurprisalFrom]] over the maintained frame
+    * hash-equals a full retrain+rescore — the e121 oracle. */
+  def refreshTrigramCounts(baseC3: DataFrame, older: DataFrame,
+      newer: DataFrame, trainFilter: Column,
+      idCol: String = "doc_id", contentCol: String = "text"): DataFrame = {
+    val (subIds, addIds) = deltaWorkLists(older, newer, idCol, contentCol)
+    refreshTrigramCountsWith(baseC3, older, newer, subIds, addIds,
+      trainFilter, idCol, contentCol)
+  }
+
+  /** [[refreshTrigramCounts]] over a shared, already-materialized
+    * delta (the e115 one-diff discipline). */
+  def refreshTrigramCountsWith(baseC3: DataFrame, older: DataFrame,
+      newer: DataFrame, subIds: DataFrame, addIds: DataFrame,
+      trainFilter: Column, idCol: String = "doc_id",
+      contentCol: String = "text"): DataFrame = {
+    val sub = Text.buildTrigramCounts(
+        older.join(subIds, Seq(idCol), "left_semi").where(trainFilter),
+        idCol, contentCol)
+      .select(col("w1"), col("w2"), col("w3"), (-col("c3")).as("c3"))
+    val add = Text.buildTrigramCounts(
+      newer.join(addIds, Seq(idCol), "left_semi").where(trainFilter),
+      idCol, contentCol)
+    baseC3.unionByName(sub).unionByName(add)
+      .groupBy("w1", "w2", "w3").agg(sum(col("c3")).as("c3"))
+      .where(col("c3") > 0)
+  }
+
   /** Delta-driven IVF-assignment maintenance — the incremental seam
     * reaching the ANN SERVING surface (the last frozen artifact
     * outside it, VERDICT r14): under FROZEN coarse centroids a

@@ -513,11 +513,33 @@ object Text {
     * absent by construction. Output:
     * `(doc_id, n_trigrams, surprisal8, mean_milli)`, all BIGINT. */
   def knTrigramSurprisal(docs: DataFrame, trainFilter: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    knTrigramSurprisalFrom(
+      buildTrigramCounts(docs.where(trainFilter), idCol, textCol),
+      docs, idCol, textCol)
+
+  /** The KN model's ONE frozen artifact: the train-split trigram count
+    * frame `(w1, w2, w3, c3)` — per-doc additive (a trigram never
+    * crosses documents), so it merges SIGNED off a crawl diff
+    * ([[graft.ext.Snapshot.refreshTrigramCounts]]). EVERY derived
+    * quantity the scorer needs (context totals, all three
+    * continuation-count frames, the type total B) re-derives from this
+    * frame at serving time, so maintaining c3 maintains the whole
+    * model consistently — distinct-type counts are exact over the
+    * merged frame because zero-count events DROP in the merge exactly
+    * as a retrain would never produce them. */
+  def buildTrigramCounts(trainDocs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    trigramEvents(trainDocs, idCol, textCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+
+  /** [[knTrigramSurprisal]] over a PREBUILT (possibly
+    * delta-maintained) trigram count frame — the serving path of the
+    * KenLM-shaped filter whose model lives across crawls. */
+  def knTrigramSurprisalFrom(c3: DataFrame, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val S = Retrieval.Scale
     val events = trigramEvents(docs, idCol, textCol)
-    val c3 = trigramEvents(docs.where(trainFilter), idCol, textCol)
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
     val ctx = c3.groupBy("w1", "w2")
       .agg(sum(col("c3")).as("ctx"), count(lit(1)).as("nl3"))
     val n1r = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n1r"))

@@ -1268,6 +1268,28 @@ object Extensions {
     Text.bigramSurprisalFrom(m, newer).orderBy("doc_id")
   }
 
+  /** e121: delta-driven KN-trigram maintenance
+    * ([[graft.ext.Snapshot.refreshTrigramCounts]]) — e120's seam one
+    * model order up, closing the LM family: the frozen train-split
+    * trigram frame (the ONE artifact every continuation count derives
+    * from) absorbs the bounded delta and e101's full KN scoring runs
+    * over the NEWER corpus under the maintained model. Oracle = e101's
+    * full retrain+rescore replay over the newer snapshot. */
+  def e121_incremental_kn(s: SparkSession, dir: String): DataFrame = {
+    val (older, newer) = e110Snapshots(s, dir)
+    val trainF = col("doc_id") % 5 =!= 3
+    val base = memoArtifact(s, dir, "kn_c3_110") {
+      Text.buildTrigramCounts(older.where(trainF))
+    }
+    // The scorer derives five frames from the maintained c3 — cut the
+    // merged frame once at model grain (the e115 final-grain lesson;
+    // a production index is persisted anyway) or every derivation
+    // re-runs the signed union.
+    val c3 = graft.plans.Supersteps.cut(
+      graft.ext.Snapshot.refreshTrigramCounts(base, older, newer, trainF))
+    Text.knTrigramSurprisalFrom(c3, newer).orderBy("doc_id")
+  }
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -2029,6 +2051,7 @@ object Extensions {
     "e118_delta_repack" -> (e118_delta_repack _),
     "e119_incremental_cooc" -> (e119_incremental_cooc _),
     "e120_incremental_lm" -> (e120_incremental_lm _),
+    "e121_incremental_kn" -> (e121_incremental_kn _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -3295,9 +3318,14 @@ object Extensions {
     * p_fp ≤ 2^20 is cast to BIGINT before bin(). Core form WITHOUT
     * the trailing ORDER BY so e104 can embed it as a nested-WITH CTE
     * (the e75/e60 strip-once discipline). */
-  private def e101OracleCore: String = {
+  private def e101OracleCore: String = e101OracleCoreFrom("documents")
+
+  /** e101's replay parameterized on the source relation (the
+    * e60/e75/e100 From-helper discipline) — e121's oracle reuses the
+    * identical chain over the newer snapshot. */
+  private def e101OracleCoreFrom(src: String): String = {
     val S = graft.ext.Retrieval.Scale
-    s"""WITH toks_101 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH toks_101 AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |ev_101 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
        |           FROM toks_101, UNNEST(generate_series(1, len(w) - 2)) t(i)),
        |tr_101 AS (SELECT * FROM ev_101 WHERE doc_id % 5 <> 3),
@@ -4144,6 +4172,16 @@ object Extensions {
           |res120 AS MATERIALIZED (
           |""".stripMargin + e75OracleCoreFrom("new_120") + ")\n" +
         "SELECT doc_id, n_bigrams, surprisal8, mean_milli FROM res120" +
+        "\nORDER BY doc_id"),
+
+    // e121's oracle: e101's FULL KN retrain+rescore over the newer
+    // snapshot (core re-pointed, the e113/e120 nesting pattern).
+    "e121_incremental_kn" ->
+      (s"""WITH new_121 AS MATERIALIZED (SELECT doc_id, text FROM documents
+          |  WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),
+          |res121 AS MATERIALIZED (
+          |""".stripMargin + e101OracleCoreFrom("new_121") + ")\n" +
+        "SELECT doc_id, n_trigrams, surprisal8, mean_milli FROM res121" +
         "\nORDER BY doc_id"),
 
     // e119's oracle: the FULL e68 co-occurrence recompute over the

@@ -96,8 +96,9 @@ class PlanAuditSpec extends SparkSpec {
     // e120: e75's 1-row corpus-total broadcast (the unigram mass N
     // under the interpolation), computed from the maintained count
     // frames instead of the raw train scan — the e113 class applied
-    // to the LM family
-    "e120_incremental_lm",
+    // to the LM family; e121 the same one order up (e101's 1-row
+    // continuation-type total B)
+    "e120_incremental_lm", "e121_incremental_kn",
     // e116: the delta re-assign is the e23-class bounded k-centroid
     // broadcast argmax (8 frozen rows against the delta vectors)
     "e116_incremental_ann",

@@ -246,6 +246,24 @@ class SnapshotSpec extends SparkSpec {
     assert(gotScores == wantScores && gotScores.nonEmpty)
   }
 
+  test("refreshTrigramCounts: maintained c3 equals a full retrain, through KN scoring") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val older = docs.where(col("doc_id") % 5 =!= 1)
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val newer = docs.where(col("doc_id") % 4 =!= 2)
+    val trainF = col("doc_id") % 3 =!= 0
+    val full = Text.buildTrigramCounts(newer.where(trainF))
+    val inc = Snapshot.refreshTrigramCounts(
+      Text.buildTrigramCounts(older.where(trainF)), older, newer, trainF)
+    assert(inc.collect().toSet == full.collect().toSet)
+    val gotScores = Text.knTrigramSurprisalFrom(inc, newer)
+      .orderBy("doc_id").collect().toSeq
+    val wantScores = Text.knTrigramSurprisal(newer, trainF)
+      .orderBy("doc_id").collect().toSeq
+    assert(gotScores == wantScores && gotScores.nonEmpty)
+  }
+
   test("one shared delta feeds every consumer: *With variants equal the per-consumer paths") {
     // the e115 discipline: deltaWorkLists computes the full-outer hash
     // join ONCE; each refresh*With consumer must produce exactly what
