@@ -430,6 +430,17 @@ object Demo {
       s"ann_assignments=${ann.count()} " +
       s"repacked_rows=${rp.getLong(1)} max_pack=${rp.getLong(0)}")
 
+    // 42. the crawl→retrain inputs survive the crawl too: the
+    // co-occurrence matrix and both LM count frames maintained off
+    // the same content-addressed diff, each hash-equal to a retrain
+    val cooc = graft.SparkEntry.queries("e119_incremental_cooc")(spark, sfDir)
+      .limit(1).collect().head
+    val lm = graft.SparkEntry.queries("e120_incremental_lm")(spark, sfDir)
+    val kn = graft.SparkEntry.queries("e121_incremental_kn")(spark, sfDir)
+    println(s"DEMO retrain_inputs top_pair=${cooc.getString(0)}+" +
+      s"${cooc.getString(1)} bigram_scored=${lm.count()} " +
+      s"kn_scored=${kn.count()}")
+
     spark.stop()
   }
 }
