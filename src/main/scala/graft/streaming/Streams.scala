@@ -914,6 +914,46 @@ object Streams {
       .foreachBatch(maintainer.sink)
       .start()
 
+  /** ONE ingest stream, EVERY doc-grain live artifact — the streaming
+    * twin of the e115 one-diff composition: a production crawl lands
+    * once, and the SAME micro-batch folds into the health dashboard,
+    * the MinHash signature index, and the BM25 inverted index in one
+    * `foreachBatch` pass. The batch is localCheckpointed ONCE before
+    * the three folds (the multi-action `foreachBatch` discipline —
+    * without it each maintainer's actions would re-read the source),
+    * then released. Each artifact keeps exactly its own maintainer's
+    * law, so the composition needs no law of its own beyond "the three
+    * states equal the three standalone maintainers'" — StreamsSpec
+    * pins precisely that. The embedding-grain
+    * [[IvfAssignmentMaintainer]] rides the separate vector stream (a
+    * crawl emits docs and embeddings on different schedules). */
+  final class CrawlMaintainers(val health: HealthMaintainer,
+      val signatures: SignatureIndexMaintainer,
+      val bm25: Bm25Maintainer) {
+
+    /** foreachBatch callback: fold one `(doc_id, source, lang, text)`
+      * micro-batch into all three artifacts. */
+    def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => {
+        val b = batch.toDF().localCheckpoint()
+        try {
+          health.sink(b, id)
+          signatures.sink(b, id)
+          bm25.sink(b, id)
+        } finally graft.plans.Supersteps.release(b)
+      }
+  }
+
+  /** Start the composed crawl-ingest maintenance over a streaming
+    * `(doc_id, source, lang, text)` frame. */
+  def startCrawlIngest(docs: DataFrame, maintainers: CrawlMaintainers,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(maintainers.sink)
+      .start()
+
   /** Start the incremental-components maintenance over a streaming
     * `(src, dst)` edge frame; read `maintainer.state` any time. */
   def startIncrementalComponents(edges: DataFrame,

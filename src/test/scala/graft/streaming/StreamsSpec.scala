@@ -1029,6 +1029,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CrawlMaintainers: one ingest stream folds into all three artifacts at once") {
+    import graft.ext.{Dedup, Retrieval, Snapshot}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "lang", "text")
+    val base = docs.where(col("doc_id") % 3 === 0)
+    val arriving = docs.where(col("doc_id") % 3 =!= 0)
+      .as[(Long, String, String, String)].collect()
+    val m = new Streams.CrawlMaintainers(
+      new Streams.HealthMaintainer(Snapshot.healthSums(base)),
+      new Streams.SignatureIndexMaintainer(Dedup.minhashSignatures(base)),
+      new Streams.Bm25Maintainer(Retrieval.buildBm25Index(base)))
+    val mem = MemoryStream[(Long, String, String, String)]
+    val q = mem.toDF().toDF("doc_id", "source", "lang", "text").writeStream
+      .outputMode("append").foreachBatch(m.sink).start()
+    try {
+      arriving.grouped(arriving.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      // each artifact lands exactly where its standalone maintainer
+      // (and therefore its batch operator) would
+      val wantHealth = Snapshot.finishHealth(Snapshot.healthSums(docs))
+        .collect().toSet
+      assert(m.health.dashboard.collect().toSet == wantHealth)
+      val wantSig = Dedup.minhashSignatures(docs).collect().toSet
+      assert(m.signatures.state.collect().toSet == wantSig)
+      val wantBm = Retrieval.buildBm25Index(docs)
+      assert(m.bm25.state.postings.collect().toSet ==
+        wantBm.postings.collect().toSet)
+      assert(m.bm25.state.dfreq.collect().toSet ==
+        wantBm.dfreq.collect().toSet)
+    } finally q.stop()
+  }
+
   test("snapshotDiffFilter: frozen hash index, stream == batch diff minus removed") {
     import graft.ext.Snapshot
     implicit val sqlCtx = spark.sqlContext
