@@ -302,13 +302,32 @@ class SnapshotSpec extends SparkSpec {
     assert(bWith.dfreq.collect().toSet == bFull.dfreq.collect().toSet)
     assert(bWith.postings.collect().toSet == bFull.postings.collect().toSet)
 
+    // the retrain-input consumers accept the same shared delta
+    val trainF = col("doc_id") % 3 =!= 0
+    val coFull = Snapshot.refreshCooccurrence(
+      Text.cooccurrence(older), older, newer).collect().toSet
+    val coWithDf = Snapshot.refreshCooccurrenceWith(
+      Text.cooccurrence(older), older, newer, subIds, addIds)
+    val coWith = coWithDf.collect().toSet
+    assert(coWith == coFull && coWith.nonEmpty)
+    val lmWith = Snapshot.refreshBigramCountsWith(
+      Text.buildBigramCounts(older.where(trainF)), older, newer,
+      subIds, addIds, trainF)
+    assert(lmWith.big.collect().toSet ==
+      Text.buildBigramCounts(newer.where(trainF)).big.collect().toSet)
+    val knWith = Snapshot.refreshTrigramCountsWith(
+      Text.buildTrigramCounts(older.where(trainF)), older, newer,
+      subIds, addIds, trainF)
+    assert(knWith.collect().toSet ==
+      Text.buildTrigramCounts(newer.where(trainF)).collect().toSet)
+
     // none of the consumer plans re-runs the snapshot diff: zero
     // full-outer joins live anywhere downstream of the shared cut
     Seq(Snapshot.refreshHealthSumsWith(Snapshot.healthSums(older), older,
         newer, subIds, addIds),
       Snapshot.refreshSignatureIndexWith(Dedup.minhashSignatures(older),
         newer, subIds, addIds),
-      bWith.dfreq).foreach { df =>
+      bWith.dfreq, coWithDf, knWith).foreach { df =>
       assert(!df.queryExecution.executedPlan.toString.contains("FullOuter"))
     }
     // ...and the diff itself plans exactly one
