@@ -1290,6 +1290,68 @@ object Extensions {
     Text.knTrigramSurprisalFrom(c3, newer).orderBy("doc_id")
   }
 
+  /** e122: ONE diff, every RETRAIN input — the e115 composition
+    * applied to the round-15 seam members: the same materialized
+    * work-list pair maintains the co-occurrence matrix (e119), the
+    * bigram-LM counts (e120, served through e75's scorer) and the KN
+    * trigram frame (e121, served through e101's), in one session under
+    * one oracle (the union of the three full retrain replays over the
+    * newer snapshot, long-format like e115). The LM score frames are
+    * cut at doc grain before the union fan-out (each projects into
+    * three metric branches — the e115 final-grain lesson). */
+  def e122_incremental_retrain_inputs(s: SparkSession, dir: String): DataFrame = {
+    val (older, newer) = e110Snapshots(s, dir)
+    val snap = graft.ext.Snapshot
+    val trainF = col("doc_id") % 5 =!= 3
+    val coocBase = memoArtifact(s, dir, "cooc_base_110") {
+      Text.cooccurrence(older, window = 3)
+    }
+    val lmBase = Text.BigramCounts(
+      memoArtifact(s, dir, "lm_big_110") {
+        Text.buildBigramCounts(older.where(trainF)).big
+      },
+      memoArtifact(s, dir, "lm_uni_110") {
+        Text.buildBigramCounts(older.where(trainF)).uni
+      })
+    val knBase = memoArtifact(s, dir, "kn_c3_110") {
+      Text.buildTrigramCounts(older.where(trainF))
+    }
+
+    // THE one diff.
+    val (subIds, addIds) = snap.deltaWorkLists(older, newer)
+
+    val co = snap.refreshCooccurrenceWith(coocBase, older, newer,
+        subIds, addIds, window = 3)
+      .orderBy(desc("weight_fp"), col("center"), col("context"))
+      .limit(100)
+    val lm = graft.plans.Supersteps.cut(Text.bigramSurprisalFrom(
+      snap.refreshBigramCountsWith(lmBase, older, newer, subIds, addIds,
+        trainF), newer))
+    val kn = graft.plans.Supersteps.cut(Text.knTrigramSurprisalFrom(
+      graft.plans.Supersteps.cut(snap.refreshTrigramCountsWith(knBase,
+        older, newer, subIds, addIds, trainF)), newer))
+
+    def longForm(src: DataFrame, a: String, k1: org.apache.spark.sql.Column,
+        k2: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column): DataFrame =
+      src.select(lit(a).as("artifact"), k1.cast("string").as("k1"),
+        k2.cast("string").as("k2"), v.cast("long").as("v"))
+    longForm(co, "cooc", col("center"), col("context"), col("weight_fp"))
+      .unionByName(longForm(lm, "lm:n", col("doc_id"), lit(""),
+        col("n_bigrams")))
+      .unionByName(longForm(lm, "lm:s8", col("doc_id"), lit(""),
+        col("surprisal8")))
+      .unionByName(longForm(lm, "lm:mean", col("doc_id"), lit(""),
+        col("mean_milli")))
+      .unionByName(longForm(kn, "kn:n", col("doc_id"), lit(""),
+        col("n_trigrams")))
+      .unionByName(longForm(kn, "kn:s8", col("doc_id"), lit(""),
+        col("surprisal8")))
+      .unionByName(longForm(kn, "kn:mean", col("doc_id"), lit(""),
+        col("mean_milli")))
+      .orderBy("artifact", "k1", "k2")
+  }
+
   /** e94: quality-aware canonical selection
     * ([[graft.ext.Dedup.keepBestPerCluster]]) — every near-dup
     * cluster's survivor chosen by ARGMAX e09 quality (ties to the
@@ -2052,6 +2114,7 @@ object Extensions {
     "e119_incremental_cooc" -> (e119_incremental_cooc _),
     "e120_incremental_lm" -> (e120_incremental_lm _),
     "e121_incremental_kn" -> (e121_incremental_kn _),
+    "e122_incremental_retrain_inputs" -> (e122_incremental_retrain_inputs _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -4173,6 +4236,41 @@ object Extensions {
           |""".stripMargin + e75OracleCoreFrom("new_120") + ")\n" +
         "SELECT doc_id, n_bigrams, surprisal8, mean_milli FROM res120" +
         "\nORDER BY doc_id"),
+
+    // e122's oracle: the three full retrain replays over the newer
+    // snapshot unioned in the e115 long format — one hash match proves
+    // every retrain input exact off the shared diff.
+    "e122_incremental_retrain_inputs" -> {
+      val head =
+        s"""WITH new_122 AS MATERIALIZED (SELECT doc_id, text FROM documents
+           |  WHERE NOT (doc_id % 13 = 5 AND doc_id < $E110RemovedCap)),
+           |cooc122 AS MATERIALIZED (
+           |  WITH toksc AS (SELECT string_split(text, ' ') AS w FROM new_122),
+           |  posc AS (SELECT w, i FROM toksc,
+           |           UNNEST(generate_series(1, len(w))) t(i)),
+           |  pairsc AS (SELECT w[i] AS center, w[i+d] AS context,
+           |               ${Text.PhraseScale} // abs(d) AS wt
+           |             FROM posc, UNNEST([-3, -2, -1, 1, 2, 3]) u(d)
+           |             WHERE i + d >= 1 AND i + d <= len(w))
+           |  SELECT center, context, CAST(sum(wt) AS BIGINT) AS weight_fp
+           |  FROM pairsc GROUP BY center, context
+           |  ORDER BY weight_fp DESC, center, context LIMIT 100),
+           |lm122 AS MATERIALIZED (
+           |""".stripMargin
+      val tail =
+        """SELECT 'cooc' AS artifact, center AS k1, context AS k2,
+          |  weight_fp AS v FROM cooc122
+          |UNION ALL SELECT 'lm:n', CAST(doc_id AS VARCHAR), '', n_bigrams FROM lm122
+          |UNION ALL SELECT 'lm:s8', CAST(doc_id AS VARCHAR), '', surprisal8 FROM lm122
+          |UNION ALL SELECT 'lm:mean', CAST(doc_id AS VARCHAR), '', mean_milli FROM lm122
+          |UNION ALL SELECT 'kn:n', CAST(doc_id AS VARCHAR), '', n_trigrams FROM kn122
+          |UNION ALL SELECT 'kn:s8', CAST(doc_id AS VARCHAR), '', surprisal8 FROM kn122
+          |UNION ALL SELECT 'kn:mean', CAST(doc_id AS VARCHAR), '', mean_milli FROM kn122
+          |ORDER BY artifact, k1, k2""".stripMargin
+      head + e75OracleCoreFrom("new_122") + "),\n" +
+        "kn122 AS MATERIALIZED (\n" + e101OracleCoreFrom("new_122") + ")\n" +
+        tail
+    },
 
     // e121's oracle: e101's FULL KN retrain+rescore over the newer
     // snapshot (core re-pointed, the e113/e120 nesting pattern).

@@ -99,6 +99,11 @@ class PlanAuditSpec extends SparkSpec {
     // to the LM family; e121 the same one order up (e101's 1-row
     // continuation-type total B)
     "e120_incremental_lm", "e121_incremental_kn",
+    // (e122 is NOT here: both LM serving stages — the e120/e121-class
+    // 1-row total broadcasts — execute eagerly at construction time
+    // inside the doc-grain Supersteps.cuts, so the live plan reads
+    // the checkpointed score rows and carries no NLJ — the e115
+    // class.)
     // e116: the delta re-assign is the e23-class bounded k-centroid
     // broadcast argmax (8 frozen rows against the delta vectors)
     "e116_incremental_ann",
@@ -224,16 +229,20 @@ class PlanAuditSpec extends SparkSpec {
       s"stale low-card-window whitelist entries (plan no longer trips): ${stale.toSeq.sorted}")
   }
 
-  test("e115 composition carries ZERO full-outer joins (the one diff ran at cut time)") {
+  test("the one-diff compositions carry ZERO full-outer joins (the diff ran at cut time)") {
     // The one-diff discipline: deltaWorkLists materializes the
     // content-addressed full-outer hash join ONCE (Supersteps.cut), so
-    // the five incremental consumers' composed LIVE plan must contain
-    // no full-outer join at all — each consumer reads the delta-sized
-    // checkpoint, never re-running the corpus join. (The diff itself
-    // plans exactly one — asserted in SnapshotSpec.)
-    val p = plans("e115_incremental_all")
-    assert(!p.contains("FullOuter"),
-      s"e115's live plan re-runs the snapshot diff join:\n$p")
+    // the composed consumers' LIVE plans must contain no full-outer
+    // join at all — each consumer reads the delta-sized checkpoint,
+    // never re-running the corpus join. (The diff itself plans exactly
+    // one — asserted in SnapshotSpec.) RRF's candidate-list-sized
+    // full-outer (e74/e96) is a different, bounded shape — this gate
+    // is specifically the snapshot-diff compositions'.
+    Seq("e115_incremental_all", "e122_incremental_retrain_inputs")
+      .foreach { n =>
+        assert(!plans(n).contains("FullOuter"),
+          s"$n's live plan re-runs the snapshot diff join:\n${plans(n)}")
+      }
   }
 
   test("no query plans a CartesianProduct") {
