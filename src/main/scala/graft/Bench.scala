@@ -211,6 +211,25 @@ object Bench {
     // clean-shard pass-through as the flat term; the tier makes that
     // contract a measured number instead of a scaladoc claim.
     "e118_delta_repack",
+    // e117: the PRODUCTION SemDeDup schedule (k = ceil(n/targetCell))
+    // — promoted INTO the tier (VERDICT r15 task 2): its pair stage is
+    // O(n·targetCell) linear BY the schedule, but the pinned-Lloyd
+    // train and final assignment are O(n·k·iters) = O(n²/targetCell)
+    // at full-corpus train, the one super-linear term left on the
+    // production dedup path; the 8x curve MEASURES that term (and
+    // e123's bounded-sample train is the gate-checked escape — its
+    // curve rides here too, expected to split train growth k·|sample|
+    // from e117's k·n).
+    "e117_semdedup_auto", "e123_semdedup_sampled",
+    // e122 is NOT here: its three serving stages are e119's (in the
+    // tier) plus e120/e121's vocabulary-/type-grain merges and
+    // e75/e101-shape scorers (pinned via e75/e101's entries), all off
+    // the ONE shared diff whose growth e115's entry already measures —
+    // the e113/e120/e121 rationale applied to the composed form.
+    // e124 is NOT here: its drift leg is e100's Gram pass + e108's
+    // group aggregate (e100/e106 pin the Gram term), and its retrain
+    // leg is e47's pinned-Lloyd train + one broadcast-k assignment
+    // (e47/e117 pin both terms); the trigger compare is a 1-row fold.
     // pinned at 8x via e69/e70. e109 is NOT here: e100's Gram pass
     // (now tiered directly) + a row-local whitening projection +
     // e47's train/assign/pair machinery, whose curve already pins the

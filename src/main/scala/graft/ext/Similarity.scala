@@ -264,6 +264,46 @@ object Similarity {
     centroids
   }
 
+  /** [[trainCentroids]] over a BOUNDED deterministic sample — the
+    * production discipline for a quantizer whose k grows with the
+    * corpus (VERDICT r15 task 1): with k ∝ n, a full-corpus pinned
+    * Lloyd train is O(n·k·iters) = super-linear, but the centroids
+    * only need to SEE the corpus's density, not every row, so train
+    * on a [[Sampling.hashSample]]-membership subset (membership is a
+    * pure function of vec_id — no seed, no partitioning, no arrival
+    * order — which is exactly what keeps the full chain SQL-oracle-
+    * replayable, unlike `df.sample`). Train cost drops to
+    * O(|sample|·k·iters); the one full-corpus pass left is the
+    * broadcast-k ASSIGNMENT the caller runs afterwards ([[semDedupWith]]
+    * / [[assignCells]]) — linear, iteration-free. The stride init and
+    * every Lloyd round run over the sample's OWN count, so the chain
+    * equals [[trainCentroids]] applied verbatim to the sample frame
+    * (the SimilaritySpec law). If the sample holds fewer than k rows
+    * the init's LIMIT caps k at the sample size — the signal that the
+    * schedule has outgrown single-level training and wants the
+    * two-level quantizer documented at [[semDedupAuto]]. */
+  def trainCentroidsSampled(embeddings: DataFrame, k: Int, iters: Int,
+      roundDecimals: Int, trainFraction: Double): DataFrame = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction $trainFraction outside (0, 1]")
+    trainCentroids(
+      Sampling.hashSample(embeddings, col("vec_id"), trainFraction),
+      k, iters, roundDecimals)
+  }
+
+  /** [[semDedup]] with the quantizer trained on a bounded hash-sample
+    * ([[trainCentroidsSampled]]) and assigned over the FULL corpus —
+    * the linear-train production path [[semDedupAuto]] switches to
+    * above its corpus-size threshold, exposed directly for an explicit
+    * fraction (e123's gate-checked form). */
+  def semDedupSampled(embeddings: DataFrame, k: Int, iters: Int,
+      threshold: Double, roundDecimals: Int,
+      trainFraction: Double): DataFrame =
+    semDedupWith(embeddings,
+      trainCentroidsSampled(embeddings, k, iters, roundDecimals,
+        trainFraction),
+      threshold)
+
   /** SEMANTIC decontamination — the embedding-space face of the
     * decontamination family (exact n-gram e34, Bloom-prefiltered e51,
     * fuzzy-lexical e65): flag every corpus vector whose cosine against
@@ -367,8 +407,16 @@ object Similarity {
   }
 
   def semDedup(embeddings: DataFrame, k: Int, iters: Int,
-      threshold: Double, roundDecimals: Int = -1): DataFrame = {
-    val cen = trainCentroids(embeddings, k, iters, roundDecimals)
+      threshold: Double, roundDecimals: Int = -1): DataFrame =
+    semDedupWith(embeddings,
+      trainCentroids(embeddings, k, iters, roundDecimals), threshold)
+
+  /** [[semDedup]]'s assign+pair stage under an EXPLICIT centroid frame
+    * `(cid, cv)` — the seam that lets the quantizer train on a
+    * different (smaller) frame than the corpus it partitions
+    * ([[semDedupSampled]]), or be reused frozen across runs. */
+  def semDedupWith(embeddings: DataFrame, cen: DataFrame,
+      threshold: Double): DataFrame = {
     val assigned = assignCells(embeddings, cen, keepVector = true)
       .select(col("vec_id"), col("cell"), col("emb"))
     // Hoisted norms (the e20 lesson: one fold per vector, one per pair).
@@ -407,24 +455,43 @@ object Similarity {
     * semDedup(derived k)` is pinned by SimilaritySpec (and e117's
     * oracle replays the chain at the derived k); per-cell PAIR work
     * is then O(targetCell²) and total pair work O(n·targetCell) —
-    * linear in the corpus at fixed cell size. Honest bound on the
-    * OTHER terms: with k ∝ n, the pinned-Lloyd train and the final
-    * assignment are each O(n·k·iters) = O(n²·iters/targetCell) —
-    * fine through the fixture tiers (measured 1.49 s at sf0.1,
-    * k=40), but a true 100-TB run trains the coarse quantizer on a
-    * bounded hash-sample ([[Sampling.hashSample]]'s membership
-    * discipline) and assigns through a hierarchical (two-level)
-    * quantizer — neither of which the oracle-replayable pinned chain
-    * models; the documented beyond-scope seam, with e108's axis
-    * drift as the retrain trigger either way. */
+    * linear in the corpus at fixed cell size. The TRAIN term: with
+    * k ∝ n, a full-corpus pinned-Lloyd train is O(n·k·iters) =
+    * O(n²·iters/targetCell) — fine through the fixture tiers
+    * (measured 1.49 s at sf0.1, k=40), so below `maxTrainRows` the
+    * train runs over the whole corpus (bit-compatible with every
+    * committed e117 record); ABOVE it the quantizer trains on a
+    * bounded hash-sample of `maxTrainRows` expected rows
+    * ([[trainCentroidsSampled]] — membership deterministic, the chain
+    * still oracle-replayable, e123's gate entry), making the train
+    * term O(maxTrainRows·k·iters) — LINEAR in the corpus since
+    * k ∝ n. The one super-linear term left is the full-corpus
+    * broadcast-k ASSIGNMENT, O(n·k) in one iteration-free pass; its
+    * production escape is a hierarchical (two-level) quantizer —
+    * route each vector through √k coarse cells, assign within — the
+    * remaining documented beyond-scope seam, with e108's axis drift
+    * as the retrain trigger either way. */
   def semDedupAuto(embeddings: DataFrame, targetCell: Int, iters: Int,
-      threshold: Double, roundDecimals: Int = -1): DataFrame = {
+      threshold: Double, roundDecimals: Int = -1,
+      maxTrainRows: Long = DefaultMaxTrainRows): DataFrame = {
     require(targetCell >= 1, s"need targetCell >= 1, got $targetCell")
+    require(maxTrainRows >= 1, s"need maxTrainRows >= 1, got $maxTrainRows")
     val n = embeddings.count()
     val k = math.max(1L, (n + targetCell - 1) / targetCell.toLong)
     require(k <= Int.MaxValue, s"derived k=$k overflows Int")
-    semDedup(embeddings, k.toInt, iters, threshold, roundDecimals)
+    if (n > maxTrainRows)
+      semDedupSampled(embeddings, k.toInt, iters, threshold, roundDecimals,
+        trainFraction = maxTrainRows.toDouble / n)
+    else semDedup(embeddings, k.toInt, iters, threshold, roundDecimals)
   }
+
+  /** [[semDedupAuto]]'s default train-sample cap: 2²⁰ rows keeps a
+    * 64-dim float sample under ~300 MB on the driver-free broadcast
+    * path while staying far above every fixture tier (so the gate
+    * fixtures keep exercising the full-train chain their committed
+    * records pin; e123 lowers the cap explicitly to exercise the
+    * sampled chain under the oracle). */
+  val DefaultMaxTrainRows: Long = 1L << 20
 
   /** Cluster-balanced coreset sampling — the DIVERSITY selector of the
     * curation family (the complement of [[semDedup]]'s redundancy

@@ -1093,8 +1093,14 @@ object Extensions {
     // fan-out re-reads the materialized rows instead of re-running the
     // merge/scoring pipelines per branch (measured: the uncut plan
     // paid the BM25 scoring stage twice, ~2× on the whole query).
+    // Zero-mass groups drop (advisor, round 15): a group whose docs
+    // ALL leave in the delta cancels to an exact (0, 0, 0) mass row
+    // that the oracle's full recompute never shows — the same
+    // zero-drop finishHealth applies at read time (n_docs = 0 implies
+    // every sum is 0, so the filter IS the full-recompute law).
     val health = graft.plans.Supersteps.cut(
-      snap.refreshHealthSumsWith(healthBase, older, newer, subIds, addIds))
+      snap.refreshHealthSumsWith(healthBase, older, newer, subIds, addIds)
+        .where(col("n_docs") > 0))
     val hh = snap.refreshHeavyHittersWith(hhBase, older, newer,
       subIds, addIds, k = 25)
     val sig = snap.refreshSignatureIndexWith(sigBase, newer, subIds, addIds)
@@ -1350,6 +1356,81 @@ object Extensions {
       .unionByName(longForm(kn, "kn:mean", col("doc_id"), lit(""),
         col("mean_milli")))
       .orderBy("artifact", "k1", "k2")
+  }
+
+  /** e123: bounded-sample quantizer training under the gate (VERDICT
+    * r15 task 1) — [[graft.ext.Similarity.semDedupAuto]] with its
+    * train-sample cap LOWERED so the sf-fixture corpus crosses it:
+    * the quantizer trains on a deterministic
+    * [[graft.ext.Sampling.hashSample]] subset (expected
+    * `E123MaxTrainRows` rows), then ONE full-corpus broadcast-k
+    * assignment + e47's within-cell pair stage. This converts the
+    * production schedule's O(n·k·iters) full-train bound — the last
+    * super-linear term on the dedup path — into O(cap·k·iters),
+    * linear since k ∝ n. Membership is a pure function of vec_id, so
+    * the oracle replays the WHOLE chain: the e47 CTEs with the train
+    * side filtered by the same 60-bit md5 threshold, init stride and
+    * per-round means over the sample's own count, final assignment
+    * over the full corpus (k and the threshold pinned as literals for
+    * the 500-vector gate fixture — the e117 discipline; the Spark
+    * side derives both from the data at every SF, so the 8x tier
+    * measures the production sampled schedule itself). */
+  val E123MaxTrainRows = 250L
+  def e123_semdedup_sampled(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupAuto(emb(s, dir), targetCell = E117TargetCell,
+      iters = E47Iters, threshold = E47Threshold, roundDecimals = 6,
+      maxTrainRows = E123MaxTrainRows)
+      .orderBy("vec_id")
+
+  /** e124: drift-triggered quantizer retrain, composed end-to-end
+    * (VERDICT r15 task 7) — the prose seam between e108 and e116 made
+    * ONE gate-checked query: measure the newer snapshot's shift along
+    * the older snapshot's frozen PC1 (exact fixed-point milli means —
+    * the axisDrift arithmetic at snapshot grain), compare against
+    * `E124DriftThresholdMilli`, and EITHER fully retrain the coarse
+    * quantizer on the newer snapshot (pinned-Lloyd, e47's chain at
+    * k = `E124K`) and reassign every vector, OR keep the maintained
+    * e116 path (frozen quantizer + delta re-assign). The branch
+    * condition is exact integer arithmetic, so the oracle replays it:
+    * both paths are CTEs, each emitted under the complementary WHERE
+    * on the same drift scalar — whichever the data selects, Spark
+    * executed the same one. The two mean collects are 1-row folds
+    * (the trainCentroids count precedent); the drift rides every
+    * output row so the gate hashes the trigger arithmetic, not just
+    * the branch outcome. Threshold units are frozen-axis pc1 MILLI
+    * (the e108 scale): the sf0.01 fixture's add/remove caps move the
+    * mean by ~5.7e10, so 1e10 fires the RETRAIN leg under the gate —
+    * the leg only this query checks (the maintained leg is e116's
+    * arithmetic, green under its own entry, and was verified here too
+    * by a one-off run above the drift). */
+  val E124K = 8
+  val E124DriftThresholdMilli = 10000000000L
+  def e124_drift_retrain(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val olderE = e
+      .where(not((col("vec_id") % 7 === 2) && (col("vec_id") < E110AddedCap)))
+    val newerE = e
+      .where(not((col("vec_id") % 13 === 5) && (col("vec_id") < E110RemovedCap)))
+    // The frozen axis: PC1 of the OLDER snapshot (the same memoized
+    // Gram state e114/e115 hold — the offline artifact).
+    val (n, sv, g) = memoGram(s, dir, "gram_base_114") { Pca.gramPass(olderE) }
+    val v = Pca.pc1Direction(n, sv, g)
+    def meanMilli(snap: DataFrame): Long = snap
+      .select(Pca.pc1Col(col("embedding"), v).as("_p"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("_p").cast("decimal(38,0)")).as("_sp"))
+      .select(expr("CAST((_sp * 1000) div n_vecs AS BIGINT)").as("m"))
+      .head.getLong(0)
+    val drift = math.abs(meanMilli(newerE) - meanMilli(olderE))
+    val out =
+      if (drift >= E124DriftThresholdMilli) {
+        val cen = Similarity.trainCentroids(newerE, E124K, E47Iters,
+          roundDecimals = 6)
+        Similarity.ivfAssignments(newerE, cen)
+          .withColumn("path", lit("retrain"))
+      } else
+        e116_incremental_ann(s, dir).withColumn("path", lit("maintained"))
+    out.withColumn("drift_milli", lit(drift)).orderBy("vec_id")
   }
 
   /** e94: quality-aware canonical selection
@@ -2115,6 +2196,8 @@ object Extensions {
     "e120_incremental_lm" -> (e120_incremental_lm _),
     "e121_incremental_kn" -> (e121_incremental_kn _),
     "e122_incremental_retrain_inputs" -> (e122_incremental_retrain_inputs _),
+    "e123_semdedup_sampled" -> (e123_semdedup_sampled _),
+    "e124_drift_retrain" -> (e124_drift_retrain _),
     "e28_stratified_sample" -> (e28_stratified_sample _),
     "e29_dedup_clusters" -> (e29_dedup_clusters _),
     "e30_heavy_hitters" -> (e30_heavy_hitters _),
@@ -2192,7 +2275,8 @@ object Extensions {
     * stripMargin (the e71 double-strip lesson — OracleSqlLintSpec gates
     * the class). */
   private def cosKmeansCtes(k: Int, iters: Int,
-      embfSelect: String = "SELECT vec_id, embedding AS cvf FROM embeddings"): String = {
+      embfSelect: String = "SELECT vec_id, embedding AS cvf FROM embeddings",
+      trainPred: String = "TRUE"): String = {
     def cos(a: String, b: String) = // single-line on purpose: a piped
       // continuation inside an unstripped fragment would strip wrong
       s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)"
@@ -2201,7 +2285,7 @@ object Extensions {
       s"""asg$i AS (
          |  SELECT vec_id, cid AS cell, v FROM (
          |    SELECT e.vec_id, c.cid, e.v, ${cos("e.v", "CAST(c.cv AS DOUBLE[])")} AS sim
-         |    FROM emb e CROSS JOIN cen${i - 1} c)
+         |    FROM tremb e CROSS JOIN cen${i - 1} c)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
          |upd$i AS (
          |  SELECT cell AS cid, pos, CAST(round(avg(v[pos]), 6) AS FLOAT) AS m
@@ -2209,10 +2293,16 @@ object Extensions {
          |  GROUP BY cell, pos),
          |cen$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM upd$i GROUP BY cid)"""
     }.mkString(",\n|")
+    // trainPred splits the TRAIN side (stride init + every Lloyd round
+    // + its own count) from the full corpus the final assignment runs
+    // over — trainCentroidsSampled's chain (e123); TRUE (the default)
+    // keeps train == corpus, trainCentroids verbatim.
     s"""embf AS ($embfSelect),
        |emb AS (SELECT vec_id, CAST(cvf AS DOUBLE[]) AS v FROM embf),
-       |nn AS (SELECT count(*) AS n FROM embf),
-       |cen0 AS (SELECT vec_id AS cid, cvf AS cv FROM embf, nn
+       |trf AS (SELECT * FROM embf WHERE $trainPred),
+       |tremb AS (SELECT vec_id, CAST(cvf AS DOUBLE[]) AS v FROM trf),
+       |nn AS (SELECT count(*) AS n FROM trf),
+       |cen0 AS (SELECT vec_id AS cid, cvf AS cv FROM trf, nn
        |         WHERE vec_id % greatest(1, n // $k) = 0
        |         ORDER BY vec_id LIMIT $k),
        |$rounds,
@@ -4544,6 +4634,77 @@ object Extensions {
          |SELECT id_b AS vec_id, id_a AS kept_by, sim FROM pairs
          |QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY id_a) = 1
          |ORDER BY vec_id""".stripMargin
+    },
+
+    "e123_semdedup_sampled" -> {
+      // The e117 replay with the TRAIN side filtered to the
+      // deterministic hash sample: k and the 60-bit md5 threshold
+      // pinned as literals for the 500-vector gate fixture
+      // (k = ceil(500/50) = 10; threshold = hashThreshold(250/500) —
+      // the SAME function the Spark filter inlines, so the two
+      // literals cannot diverge). Init stride and per-round means run
+      // over the sample's own count; the final assignment and the
+      // pair stage run over the full corpus.
+      def cos(a: String, b: String) = // single-line: strip-once discipline
+        s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 9)"
+      val k123 = 10
+      val thr = Sampling.hashThreshold(E123MaxTrainRows.toDouble / 500)
+      s"""WITH
+         |${cosKmeansCtes(k123, E47Iters, trainPred =
+           s"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) < $thr")},
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cos("ea.v", "eb.v")} AS sim
+         |  FROM fasg a JOIN fasg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN emb ea ON ea.vec_id = a.vec_id JOIN emb eb ON eb.vec_id = b.vec_id
+         |  WHERE ${cos("ea.v", "eb.v")} >= $E47Threshold)
+         |SELECT id_b AS vec_id, id_a AS kept_by, sim FROM pairs
+         |QUALIFY row_number() OVER (PARTITION BY id_b ORDER BY id_a) = 1
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    "e124_drift_retrain" -> {
+      // Drift leg: the e100 chain trained on the OLDER snapshot (qd/vf),
+      // the newer snapshot's quantized projections against the SAME
+      // frozen direction, both exact milli means (the e108 HUGEINT
+      // arithmetic), drift = |mean_new - mean_old|. Branch leg: BOTH
+      // paths as CTEs — the pinned-Lloyd retrain over the newer
+      // snapshot (cosKmeansCtes re-pointed, k = E124K) and the e116
+      // full-assignment replay under the frozen IvfCentroidIds
+      // quantizer — each emitted under the complementary WHERE on the
+      // one drift scalar, so exactly one side produces rows.
+      val cids = IvfCentroidIds.mkString(", ")
+      val newSel = "SELECT vec_id, embedding AS cvf FROM embeddings" +
+        s" WHERE NOT (vec_id % 13 = 5 AND vec_id < $E110RemovedCap)"
+      e100OracleChainFrom("(SELECT * FROM embeddings WHERE NOT" +
+        s" (vec_id % 7 = 2 AND vec_id < $E110AddedCap)) old124") + ",\n" +
+        cosKmeansCtes(E124K, E47Iters, embfSelect = newSel).stripMargin +
+        ",\n" +
+        s"""qdn124 AS (SELECT vec_id, t.pos - 1 AS d,
+           |    CAST(floor(CAST(cvf[t.pos] AS DOUBLE) * ${Pca.QScale}.0) AS BIGINT) AS q
+           |  FROM embf, UNNEST(generate_series(1, 64)) AS t(pos)),
+           |po124 AS (SELECT vec_id, CAST(sum(qd.q * vf.v) AS BIGINT) AS p
+           |  FROM qd JOIN vf USING (d) GROUP BY vec_id),
+           |pn124 AS (SELECT vec_id, CAST(sum(qdn124.q * vf.v) AS BIGINT) AS p
+           |  FROM qdn124 JOIN vf USING (d) GROUP BY vec_id),
+           |mo124 AS (SELECT CAST((sum(CAST(p AS HUGEINT)) * 1000) // count(*) AS BIGINT) AS m FROM po124),
+           |mn124 AS (SELECT CAST((sum(CAST(p AS HUGEINT)) * 1000) // count(*) AS BIGINT) AS m FROM pn124),
+           |dr124 AS MATERIALIZED (SELECT abs(mn124.m - mo124.m) AS drift FROM mo124, mn124),
+           |cenm124 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           |  FROM embeddings WHERE vec_id IN ($cids)),
+           |simsm124 AS (SELECT e.vec_id, cid,
+           |    round(list_dot_product(v, cv) /
+           |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 9) AS sim
+           |  FROM emb e CROSS JOIN cenm124),
+           |asgm124 AS (SELECT vec_id, cid AS cell FROM simsm124
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1)
+           |SELECT vec_id, cell, 'retrain' AS path,
+           |  (SELECT drift FROM dr124) AS drift_milli
+           |FROM fasg WHERE (SELECT drift FROM dr124) >= $E124DriftThresholdMilli
+           |UNION ALL
+           |SELECT vec_id, cell, 'maintained' AS path,
+           |  (SELECT drift FROM dr124) AS drift_milli
+           |FROM asgm124 WHERE (SELECT drift FROM dr124) < $E124DriftThresholdMilli
+           |ORDER BY vec_id""".stripMargin
     },
 
     "e80_cluster_sample" -> {

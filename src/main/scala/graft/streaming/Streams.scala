@@ -766,7 +766,15 @@ object Streams {
     * changed-then-rearrived case. State is index-grain, k longs per
     * row, localCheckpointed per fold (the ComponentsMaintainer
     * discipline). The consumer is [[graft.ext.Dedup.dedupAgainstIndex]]
-    * — e97's probe side reads `state` directly. */
+    * — e97's probe side reads `state` directly.
+    *
+    * Id contract: each `doc_id` appears at most once per micro-batch
+    * (the Bm25Maintainer contract made explicit — advisor, round 15).
+    * Byte-identical duplicate rows happen to be harmless HERE (the
+    * signature aggregate groups by doc_id, and min over a repeated
+    * shingle set is idempotent), but two DIFFERENT texts for one id in
+    * one batch would sign the UNION of both shingle sets — a signature
+    * neither document has. */
   final class SignatureIndexMaintainer(base: DataFrame,
       releaseSuperseded: Boolean = true) {
     @volatile private var st: DataFrame = base.localCheckpoint()
@@ -820,40 +828,60 @@ object Streams {
     * retirement of GONE ids stays the batch diff's job (the
     * [[snapshotDiffFilter]] contract). State is index-grain,
     * localCheckpointed per fold (the ComponentsMaintainer
-    * discipline). */
+    * discipline).
+    *
+    * Atomicity: all three frames live behind ONE `@volatile` reference
+    * swapped once per fold AFTER every checkpoint is live (the
+    * SignatureIndexMaintainer single-reference shape), so a serving
+    * thread reading `state` mid-fold always sees a CONSISTENT index —
+    * never new postings with stale dfreq (advisor, round 15).
+    *
+    * Id contract: each `doc_id` appears at most once per micro-batch
+    * (the same contract SignatureIndexMaintainer relies on — an id's
+    * OLD rows retire via one anti join, so two same-id rows in one
+    * batch would both survive the union and permanently inflate N/df).
+    * Byte-identical duplicate rows — the same update coalesced twice
+    * into one trigger — are deduplicated defensively here (full-row
+    * distinct: deterministic, a no-op on contract-honoring batches);
+    * two DIFFERENT texts for one id in one batch have no defined
+    * winner and stay a caller error. */
   final class Bm25Maintainer(base: graft.ext.Retrieval.Bm25Index,
       releaseSuperseded: Boolean = true) {
-    @volatile private var post: DataFrame = base.postings.localCheckpoint()
-    @volatile private var dls: DataFrame = base.dl.localCheckpoint()
-    @volatile private var dfq: DataFrame = base.dfreq.localCheckpoint()
+    @volatile private var st: graft.ext.Retrieval.Bm25Index =
+      graft.ext.Retrieval.Bm25Index(base.postings.localCheckpoint(),
+        base.dl.localCheckpoint(), base.dfreq.localCheckpoint())
 
-    /** Current index frames — serve with `bm25TopKFromIndex(state, …)`. */
-    def state: graft.ext.Retrieval.Bm25Index =
-      graft.ext.Retrieval.Bm25Index(post, dls, dfq)
+    /** Current index frames — serve with `bm25TopKFromIndex(state, …)`.
+      * One volatile read: the three frames are always mutually
+      * consistent (the same fold's output). */
+    def state: graft.ext.Retrieval.Bm25Index = st
 
     /** foreachBatch callback: upsert one document micro-batch. */
     def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
-        val (pPost, pDl, pDfq) = (post, dls, dfq)
+        val prev = st
+        val b = batch.toDF().dropDuplicates()
         // By NAME (the SignatureIndexMaintainer contract): a
         // mis-ordered frame must fail analysis, not corrupt the index.
-        val ids = batch.select(col("doc_id").as("_id"))
-        val fresh = graft.ext.Retrieval.buildBm25Index(batch.toDF())
+        val ids = b.select(col("doc_id").as("_id"))
+        val fresh = graft.ext.Retrieval.buildBm25Index(b)
         val subDf = graft.ext.Retrieval.dfreqOf(
-          pPost.join(ids, Seq("_id"), "left_semi"))
-        post = pPost.join(ids, Seq("_id"), "left_anti")
+          prev.postings.join(ids, Seq("_id"), "left_semi"))
+        val post = prev.postings.join(ids, Seq("_id"), "left_anti")
           .unionByName(fresh.postings).localCheckpoint()
-        dls = pDl.join(ids, Seq("_id"), "left_anti")
+        val dls = prev.dl.join(ids, Seq("_id"), "left_anti")
           .unionByName(fresh.dl).localCheckpoint()
-        dfq = pDfq
+        val dfq = prev.dfreq
           .unionByName(subDf.select(col("_t"), (-col("_df")).as("_df")))
           .unionByName(fresh.dfreq)
           .groupBy("_t").agg(sum(col("_df")).as("_df"))
           .where(col("_df") > 0)
           .localCheckpoint()
-        // release only after all three new checkpoints are live (dfq's
-        // signed merge reads the PREVIOUS postings via subDf)
-        if (releaseSuperseded) Seq(pPost, pDl, pDfq)
+        // ONE reference swap, only after all three new checkpoints are
+        // live (dfq's signed merge reads the previous postings via
+        // subDf; a reader mid-fold keeps the previous consistent index)
+        st = graft.ext.Retrieval.Bm25Index(post, dls, dfq)
+        if (releaseSuperseded) Seq(prev.postings, prev.dl, prev.dfreq)
           .foreach(graft.plans.Supersteps.release)
       }
   }
@@ -914,6 +942,161 @@ object Streams {
       .foreachBatch(maintainer.sink)
       .start()
 
+  /** Live co-occurrence-matrix maintenance — the streaming face of
+    * [[graft.ext.Snapshot.refreshCooccurrence]]'s ADD side (VERDICT
+    * r15 task 5): the embedding-training input a continuously
+    * ingesting crawl keeps warm. Context windows never cross
+    * documents, so each arriving `(doc_id, text)` micro-batch's
+    * (center, context) weight mass is per-doc ADDITIVE — one union +
+    * one pair-grain aggregate folds it into the frozen matrix, and
+    * because the stream only ever adds positive mass, no zero-drop
+    * filter is needed (zeros exist only on the batch seam's SUBTRACT
+    * side). All weights are exact fixed-point longs, so after any
+    * micro-batch split the state is bit-identical to
+    * [[graft.ext.Text.cooccurrence]] over base-plus-everything-seen
+    * (StreamsSpec law, landing on the e119 oracle arithmetic).
+    *
+    * Id contract: the additive family's (HealthMaintainer's) — each
+    * doc_id AT MOST ONCE across the stream's lifetime; a re-crawled
+    * doc must route through the batch seam, which owns the signed
+    * subtract-then-add merge a replacement needs. State is
+    * pair-grain, localCheckpointed per fold. */
+  final class CooccurrenceMaintainer(base: DataFrame, window: Int = 3,
+      releaseSuperseded: Boolean = true) {
+    @volatile private var st: DataFrame = base.localCheckpoint()
+
+    /** Current matrix `(center, context, weight_fp)`. */
+    def state: DataFrame = st
+
+    /** foreachBatch callback: fold one `(doc_id, text)` micro-batch in. */
+    def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val prev = st
+        st = prev
+          .unionByName(graft.ext.Text.cooccurrence(batch.toDF(), window))
+          .groupBy("center", "context")
+          .agg(sum(col("weight_fp")).as("weight_fp"))
+          .localCheckpoint()
+        if (releaseSuperseded) graft.plans.Supersteps.release(prev)
+      }
+  }
+
+  /** Live bigram-LM count maintenance — the streaming face of
+    * [[graft.ext.Snapshot.refreshBigramCounts]]'s ADD side: the
+    * perplexity-filter model's train counts absorb each micro-batch's
+    * TRAIN-SPLIT rows (`trainFilter` is id-pure, so membership is one
+    * row-local filter per batch) by one union + one count-grain
+    * aggregate per frame. Counts are exact longs, so the maintained
+    * [[graft.ext.Text.BigramCounts]] equals
+    * [[graft.ext.Text.buildBigramCounts]] over
+    * base-plus-everything-seen, and
+    * [[graft.ext.Text.bigramSurprisalFrom]] over it therefore
+    * hash-equals a full retrain+rescore (the e120 arithmetic,
+    * StreamsSpec law). Both frames live behind ONE `@volatile`
+    * reference swapped after both checkpoints are live (the
+    * Bm25Maintainer atomicity contract — a scorer mid-fold never sees
+    * new bigrams with stale unigrams). Id contract: the additive
+    * family's — each doc_id at most once across the stream. */
+  final class BigramCountsMaintainer(base: graft.ext.Text.BigramCounts,
+      trainFilter: org.apache.spark.sql.Column,
+      releaseSuperseded: Boolean = true) {
+    @volatile private var st: graft.ext.Text.BigramCounts =
+      graft.ext.Text.BigramCounts(base.big.localCheckpoint(),
+        base.uni.localCheckpoint())
+
+    /** Current train counts — score with `bigramSurprisalFrom(state, …)`. */
+    def state: graft.ext.Text.BigramCounts = st
+
+    /** foreachBatch callback: fold one `(doc_id, text)` micro-batch in. */
+    def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val prev = st
+        val fresh = graft.ext.Text.buildBigramCounts(
+          batch.toDF().where(trainFilter))
+        val big = prev.big.unionByName(fresh.big)
+          .groupBy("w1", "w2").agg(sum(col("c2")).as("c2"))
+          .localCheckpoint()
+        val uni = prev.uni.unionByName(fresh.uni)
+          .groupBy("w2").agg(sum(col("c1")).as("c1"))
+          .localCheckpoint()
+        st = graft.ext.Text.BigramCounts(big, uni)
+        if (releaseSuperseded) Seq(prev.big, prev.uni)
+          .foreach(graft.plans.Supersteps.release)
+      }
+  }
+
+  /** Live KN-trigram count maintenance — [[BigramCountsMaintainer]]'s
+    * discipline one model order up: the ONE frozen artifact is the
+    * train-split trigram count frame (every DISTINCT-type continuation
+    * count the KN scorer uses derives from it), folded additively per
+    * micro-batch; [[graft.ext.Text.knTrigramSurprisalFrom]] over the
+    * maintained frame hash-equals a full retrain+rescore (the e121
+    * arithmetic, StreamsSpec law). Id contract: the additive
+    * family's — each doc_id at most once across the stream. */
+  final class TrigramCountsMaintainer(base: DataFrame,
+      trainFilter: org.apache.spark.sql.Column,
+      releaseSuperseded: Boolean = true) {
+    @volatile private var st: DataFrame = base.localCheckpoint()
+
+    /** Current counts `(w1, w2, w3, c3)` — score with
+      * `knTrigramSurprisalFrom(state, …)`. */
+    def state: DataFrame = st
+
+    /** foreachBatch callback: fold one `(doc_id, text)` micro-batch in. */
+    def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val prev = st
+        st = prev
+          .unionByName(graft.ext.Text.buildTrigramCounts(
+            batch.toDF().where(trainFilter)))
+          .groupBy("w1", "w2", "w3").agg(sum(col("c3")).as("c3"))
+          .localCheckpoint()
+        if (releaseSuperseded) graft.plans.Supersteps.release(prev)
+      }
+  }
+
+  /** ONE ingest stream, EVERY retrain-input artifact — the streaming
+    * twin of the e122 composition (the [[CrawlMaintainers]] discipline
+    * applied to the LM/embedding-input family): the same `(doc_id,
+    * text)` micro-batch folds into the co-occurrence matrix, the
+    * bigram-LM counts, and the KN-trigram counts in one `foreachBatch`
+    * pass, localCheckpointed ONCE before the three folds. Every
+    * member is per-doc ADDITIVE, so the composition inherits the
+    * additive family's id contract: each doc_id at most once across
+    * the stream's lifetime (pre-filter through [[snapshotDiffFilter]];
+    * re-crawls route through the batch seam's signed merges). Each
+    * artifact keeps exactly its standalone maintainer's law —
+    * StreamsSpec pins that the three states equal the standalone
+    * maintainers', and that scoring from the live LM frames equals a
+    * full retrain+rescore. */
+  final class RetrainInputMaintainers(val cooccurrence: CooccurrenceMaintainer,
+      val bigrams: BigramCountsMaintainer,
+      val trigrams: TrigramCountsMaintainer) {
+
+    /** foreachBatch callback: fold one `(doc_id, text)` micro-batch
+      * into all three artifacts. */
+    def sink: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, id) => {
+        val b = batch.toDF().localCheckpoint()
+        try {
+          cooccurrence.sink(b, id)
+          bigrams.sink(b, id)
+          trigrams.sink(b, id)
+        } finally graft.plans.Supersteps.release(b)
+      }
+  }
+
+  /** Start the composed retrain-input maintenance over a streaming
+    * `(doc_id, text)` frame. */
+  def startRetrainInputIngest(docs: DataFrame,
+      maintainers: RetrainInputMaintainers,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch(maintainers.sink)
+      .start()
+
   /** ONE ingest stream, EVERY doc-grain live artifact — the streaming
     * twin of the e115 one-diff composition: a production crawl lands
     * once, and the SAME micro-batch folds into the health dashboard,
@@ -926,7 +1109,21 @@ object Streams {
     * states equal the three standalone maintainers'" — StreamsSpec
     * pins precisely that. The embedding-grain
     * [[IvfAssignmentMaintainer]] rides the separate vector stream (a
-    * crawl emits docs and embeddings on different schedules). */
+    * crawl emits docs and embeddings on different schedules).
+    *
+    * Id contract (advisor, round 15): the three artifacts have
+    * DIVERGENT re-arrival semantics — signatures and BM25 UPSERT (a
+    * re-crawled doc_id replaces its old rows) while health mass is
+    * purely ADDITIVE (retirement is the batch diff's job) — so a
+    * doc_id re-arriving on THIS composed stream would replace in two
+    * indexes but double-count in the health mass. The composed ingest
+    * must therefore carry each doc_id AT MOST ONCE across the stream's
+    * lifetime: in production, pre-filter the crawl through
+    * [[snapshotDiffFilter]] against a frozen hash index (its `added`
+    * class is at-most-once by construction) and route `changed` docs
+    * through the batch refresh seam
+    * ([[graft.ext.Snapshot.refreshHealthSumsWith]]), which owns the
+    * subtract-then-add arithmetic a replacement needs. */
   final class CrawlMaintainers(val health: HealthMaintainer,
       val signatures: SignatureIndexMaintainer,
       val bm25: Bm25Maintainer) {

@@ -110,6 +110,17 @@ class PlanAuditSpec extends SparkSpec {
     // e117: e47's k-centroid broadcast argmax at the DERIVED k — still
     // the bounded trained-quantizer class (k rows against the corpus)
     "e117_semdedup_auto",
+    // e123: the same bounded trained-quantizer class — the quantizer
+    // trains on the hash SAMPLE (Lloyd rounds broadcast k centroids
+    // against sample rows only) and the one full-corpus stage is the
+    // final k-centroid broadcast argmax assignment
+    "e123_semdedup_sampled",
+    // e124: whichever branch the drift selects is a bounded-broadcast
+    // class already on this list — the retrain leg is e47/e117's
+    // k-centroid Lloyd + assignment argmax, the maintained leg is
+    // e116's 8-frozen-centroid delta re-assign; the drift legs are
+    // two 1-row mean folds collected before the plan is built
+    "e124_drift_retrain",
     // e82: two 1-row total broadcasts (corpus tokens, weight sum) onto
     // the group-cardinality-sized frame (the e52/e67 class)
     "e82_temperature_mix",

@@ -229,6 +229,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sampled train == trainCentroids on the hash sample; semDedupAuto switches above the cap") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = emb.count()
+    val (iters, thr) = (1, 0.35)
+
+    // Law 1 (the VERDICT r15 wording): the sampled trainer IS the
+    // fixed-k trainer applied to the deterministic hash sample —
+    // bit-identical centroids, cid for cid.
+    val f = 0.5
+    val sampled = Similarity.trainCentroidsSampled(emb, k = 4, iters,
+      roundDecimals = 6, trainFraction = f)
+      .select(col("cid"), col("cv")).as[(Long, Array[Float])].collect()
+      .map { case (c, v) => (c, v.toSeq) }.toSet
+    val direct = Similarity.trainCentroids(
+      Sampling.hashSample(emb, col("vec_id"), f), k = 4, iters,
+      roundDecimals = 6)
+      .select(col("cid"), col("cv")).as[(Long, Array[Float])].collect()
+      .map { case (c, v) => (c, v.toSeq) }.toSet
+    assert(sampled == direct)
+    assert(sampled.nonEmpty)
+    // The sample is a strict, non-empty subset — the law is not
+    // vacuously comparing full-corpus trains.
+    val sn = Sampling.hashSample(emb, col("vec_id"), f).count()
+    assert(sn > 0 && sn < n)
+
+    // Law 2: above the cap, semDedupAuto routes through the sampled
+    // chain at its derived k and fraction cap/n — same drops, pair
+    // for pair; below the cap (the default), it is the full-train
+    // path the earlier law pins.
+    val cap = n / 2
+    val targetCell = 25
+    val k = ((n + targetCell - 1) / targetCell).toInt
+    val auto = Similarity.semDedupAuto(emb, targetCell, iters, thr,
+      roundDecimals = 6, maxTrainRows = cap)
+      .as[(Long, Long, Double)].collect().toSet
+    val explicit = Similarity.semDedupSampled(emb, k, iters, thr,
+      roundDecimals = 6, trainFraction = cap.toDouble / n)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == explicit)
+    assert(auto.nonEmpty)
+  }
+
   test("clusterSample keeps each cell's top-perCell prototypes, window-reference-exact") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val (k, iters, per) = (4, 1, 3)

@@ -1063,6 +1063,129 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CooccurrenceMaintainer: live matrix == batch cooccurrence over everything seen, any split") {
+    import graft.ext.Text
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val base = docs.where(col("doc_id") % 3 === 0)
+    val arriving = docs.where(col("doc_id") % 3 =!= 0)
+      .as[(Long, String)].collect()
+    val want = Text.cooccurrence(docs, window = 3)
+      .as[(String, String, Long)].collect().toSet
+    val m = new Streams.CooccurrenceMaintainer(
+      Text.cooccurrence(base, window = 3), window = 3)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append").foreachBatch(m.sink).start()
+    try {
+      arriving.grouped(arriving.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = m.state.as[(String, String, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("BigramCountsMaintainer: live counts == full train, and scoring == full retrain+rescore") {
+    import graft.ext.Text
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val trainF = col("doc_id") % 5 =!= 3
+    val base = docs.where(col("doc_id") % 3 === 0)
+    val arriving = docs.where(col("doc_id") % 3 =!= 0)
+      .as[(Long, String)].collect()
+    val want = Text.buildBigramCounts(docs.where(trainF))
+    val m = new Streams.BigramCountsMaintainer(
+      Text.buildBigramCounts(base.where(trainF)), trainF)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append").foreachBatch(m.sink).start()
+    try {
+      arriving.grouped(arriving.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val got = m.state
+      assert(got.big.collect().toSet == want.big.collect().toSet)
+      assert(got.uni.collect().toSet == want.uni.collect().toSet)
+      assert(got.big.count() > 0)
+      // ...and SCORING from the live model equals a full
+      // retrain+rescore (the e120 arithmetic on the streaming face)
+      val scoredLive = Text.bigramSurprisalFrom(got, docs)
+        .orderBy("doc_id").collect().toSeq
+      val scoredFull = Text.bigramSurprisalFrom(want, docs)
+        .orderBy("doc_id").collect().toSeq
+      assert(scoredLive == scoredFull && scoredLive.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("TrigramCountsMaintainer: live counts == full train, and KN scoring == full retrain+rescore") {
+    import graft.ext.Text
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val trainF = col("doc_id") % 5 =!= 3
+    val base = docs.where(col("doc_id") % 3 === 0)
+    val arriving = docs.where(col("doc_id") % 3 =!= 0)
+      .as[(Long, String)].collect()
+    val want = Text.buildTrigramCounts(docs.where(trainF))
+    val m = new Streams.TrigramCountsMaintainer(
+      Text.buildTrigramCounts(base.where(trainF)), trainF)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append").foreachBatch(m.sink).start()
+    try {
+      arriving.grouped(arriving.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      assert(m.state.collect().toSet == want.collect().toSet)
+      assert(m.state.count() > 0)
+      val scoredLive = Text.knTrigramSurprisalFrom(m.state, docs)
+        .orderBy("doc_id").collect().toSeq
+      val scoredFull = Text.knTrigramSurprisalFrom(want, docs)
+        .orderBy("doc_id").collect().toSeq
+      assert(scoredLive == scoredFull && scoredLive.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("RetrainInputMaintainers: one ingest stream folds into all three retrain inputs at once") {
+    import graft.ext.Text
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val trainF = col("doc_id") % 5 =!= 3
+    val base = docs.where(col("doc_id") % 3 === 0)
+    val arriving = docs.where(col("doc_id") % 3 =!= 0)
+      .as[(Long, String)].collect()
+    val m = new Streams.RetrainInputMaintainers(
+      new Streams.CooccurrenceMaintainer(
+        Text.cooccurrence(base, window = 3), window = 3),
+      new Streams.BigramCountsMaintainer(
+        Text.buildBigramCounts(base.where(trainF)), trainF),
+      new Streams.TrigramCountsMaintainer(
+        Text.buildTrigramCounts(base.where(trainF)), trainF))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append").foreachBatch(m.sink).start()
+    try {
+      arriving.grouped(arriving.length / 3 + 1).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      // each artifact lands exactly where its standalone maintainer
+      // (and therefore its batch operator) would — the e122 seam live
+      assert(m.cooccurrence.state.collect().toSet ==
+        Text.cooccurrence(docs, window = 3).collect().toSet)
+      val wantLm = Text.buildBigramCounts(docs.where(trainF))
+      assert(m.bigrams.state.big.collect().toSet ==
+        wantLm.big.collect().toSet)
+      assert(m.bigrams.state.uni.collect().toSet ==
+        wantLm.uni.collect().toSet)
+      assert(m.trigrams.state.collect().toSet ==
+        Text.buildTrigramCounts(docs.where(trainF)).collect().toSet)
+    } finally q.stop()
+  }
+
   test("snapshotDiffFilter: frozen hash index, stream == batch diff minus removed") {
     import graft.ext.Snapshot
     implicit val sqlCtx = spark.sqlContext
