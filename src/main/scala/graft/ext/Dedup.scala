@@ -239,6 +239,14 @@ object Dedup {
       .select(col("doc_id").as("left_id"), col("band"), col("bh"))
     val rb = bandBuckets(minhashSignatures(right), maxBucket, "fuzzy_right")
       .select(col("doc_id").as("right_id"), col("band"), col("bh"))
+    // (Candidate-routing the left shingle pass through the band
+    // collisions — the [[dedupAgainstIndex]] shape — was tried here and
+    // REVERTED: on this operator's declared inputs the candidate set
+    // covers most of the left side, so the extra semi-join plus the
+    // candidate materialization cost ~1.4x at sf0.1 and saved nothing;
+    // the index-reuse form that DOES pay off at corpus scale is
+    // [[dedupAgainstIndex]], which restricts the corpus side before
+    // shingling against a persisted signature index.)
     val cands = la.join(rb, Seq("band", "bh"))
       .select("left_id", "right_id").distinct()
     val tl = shingles(left).distinct().select(col("id").as("left_id"), col("s"))
@@ -313,8 +321,14 @@ object Dedup {
     * pairs — at scale, run it only on LSH candidates (compose with
     * [[minhashCandidatePairs]]); kept standalone here so the oracle can
     * verify the exact result. Output: (doc_a, doc_b, jaccard). */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val t = shingles(docs).distinct()
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardPairsFrom(shingles(docs).distinct(), threshold)
+
+  /** [[ngramJaccardPairs]] over an explicit DISTINCT `(id, s)` shingle
+    * frame — the seam that lets a harness share one materialized
+    * tokenize pass between the truth's self-join and other consumers
+    * ([[dedupScoreboard]]). */
+  private def ngramJaccardPairsFrom(t: DataFrame, threshold: Double): DataFrame = {
     val n = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = t.alias("ta")
     val b = t.alias("tb")
@@ -340,8 +354,16 @@ object Dedup {
     * fixture's measured LSH recall of 1.0 it equals the exhaustive
     * result). */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val cands = minhashCandidatePairs(docs)
-    val t = shingles(docs).distinct()
+    // ONE tokenize+shingle+distinct pass, materialized, feeds the
+    // MinHash signatures (min over a multiset == min over its distinct
+    // set — bit-identical to [[minhashSignatures]]), the verify
+    // intersection spine, and the per-doc size aggregate — previously
+    // the candidate leg and the verify leg each re-ran the corpus
+    // md5-per-shingle pipeline from the text scan (the e83 scoreboard
+    // lesson applied to the production pipeline shape).
+    val t = shingles(docs).distinct().localCheckpoint()
+    val cands = candidatePairsFromSignatures(
+      signaturesFromShingles(t), Skew.DefaultBucketCap, "minhash_band")
     val n = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val ta = t.select(col("id").as("doc_a"), col("s"))
     val tb = t.select(col("id").as("doc_b"), col("s"))
@@ -588,9 +610,18 @@ object Dedup {
     * suite — thousands of docs, not corpus-scale — so Spark broadcasts
     * it; the training side streams map-side. Output: (doc_id, n_hits). */
   def contaminationReport(train: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
-    val t = ngrams(train, n).distinct()
+    // Join BEFORE the distinct (guide §2.3/§3.2 — filter the big side
+    // before it shuffles): the benchmark gram set is broadcast-small by
+    // definition, so the inner join drops non-matching train grams
+    // MAP-SIDE and only the (rare) contaminated grams pay the
+    // distinct's exchange. Previously EVERY distinct train gram crossed
+    // a corpus-wide shuffle first. join-then-distinct equals
+    // distinct-then-join here because the bench side is distinct on the
+    // join key, so duplicates only ever multiply map-side rows that the
+    // (id, s) distinct collapses again.
     val b = ngrams(benchmark, n).select(col("s")).distinct()
-    t.join(b, "s")
+    ngrams(train, n).join(broadcast(b), "s")
+      .select(col("id"), col("s")).distinct()
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }
@@ -752,7 +783,16 @@ object Dedup {
     * as exact int/int doubles and empty sides scoring 0.0. */
   def dedupScoreboard(docs: DataFrame, threshold: Double = 0.5,
       maxDist: Int = 3): DataFrame = {
-    val truth = ngramJaccardPairs(docs, threshold)
+    // ONE tokenize+shingle+distinct pass, materialized, feeds both the
+    // exact-Jaccard truth (whose self-join and size aggregate read it
+    // three times) and the MinHash detector's signatures (min over a
+    // multiset equals min over its distinct set, so signatures built
+    // from the distinct frame are bit-identical to
+    // [[minhashSignatures]]) — previously each leg re-ran the corpus
+    // md5-per-shingle pipeline from the text scan. Calibration-sized
+    // by the harness contract, so the materialized copy is bounded.
+    val sh = shingles(docs).distinct().localCheckpoint()
+    val truth = ngramJaccardPairsFrom(sh, threshold)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     def score(method: String, det: DataFrame): DataFrame = {
@@ -770,7 +810,8 @@ object Dedup {
             col("tp").cast("double") / col("n_truth").cast("double"))
             .otherwise(lit(0.0)).as("recall"))
     }
-    score("minhash_lsh", minhashCandidatePairs(docs))
+    score("minhash_lsh", candidatePairsFromSignatures(
+        signaturesFromShingles(sh), Skew.DefaultBucketCap, "minhash_band"))
       .unionAll(score(s"simhash_h$maxDist", simhashNearPairs(docs, maxDist)))
   }
 

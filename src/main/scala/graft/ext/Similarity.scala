@@ -673,11 +673,22 @@ object Similarity {
       kc: Int = 8, nprobe: Int = 2, m: Int = 4, ks: Int = 4, iters: Int = 2,
       dims: Int = 64, roundDecimals: Int = -1): DataFrame = {
     val subLen = dims / m
-    val coarse = pqCodebooks(embeddings, 1, kc, iters, dims, roundDecimals)
+    // The coarse and fine codebook trainers are INDEPENDENT (both read
+    // only the corpus) but each runs one eager localCheckpoint per
+    // pinned-Lloyd round — overlapped on driver threads so the serial
+    // action floors coincide instead of adding (guide §2.6; the
+    // e72/sccAssignments pattern). Results are rounded/deterministic,
+    // identical under any job scheduling.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration.Inf
+    val coarseF = Future(pqCodebooks(embeddings, 1, kc, iters, dims, roundDecimals))
+    val cbF = Future(pqCodebooks(embeddings, m, ks, iters, dims, roundDecimals))
+    val coarse = Await.result(coarseF, Inf)
     val baseFull = subVectors(embeddings, 1, dims)
     val cells = pqAssign(baseFull, coarse)
       .select(col("vec_id"), col("cid").as("cell"))
-    val cb = pqCodebooks(embeddings, m, ks, iters, dims, roundDecimals)
+    val cb = Await.result(cbF, Inf)
     val base = subVectors(embeddings, m, subLen)
     val codes = pqAssign(base, cb).select(col("sub"), col("vec_id"), col("cid"))
     val d = round(dotProduct(col("v"), col("v"))
@@ -760,16 +771,54 @@ object Similarity {
     * SimilaritySpec, recall measured in the e72 scoreboard. */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       bands: Int = 8, bitsPerBand: Int = 4,
-      maxBucket: Long = Skew.DefaultBucketCap, probes: Int = 0): DataFrame = {
-    require(probes >= 0 && probes <= bitsPerBand,
-      s"probes must be in [0, $bitsPerBand], got $probes")
-    val planes = bands * bitsPerBand
-    val bucketed = lshBuckets(embeddings, planes)
+      maxBucket: Long = Skew.DefaultBucketCap, probes: Int = 0): DataFrame =
+    lshTopKWith(embeddings,
+      lshCandidateIndex(embeddings, bands, bitsPerBand, maxBucket),
+      queryIds, k, bands, bitsPerBand, probes)
+
+  /** The CORPUS-SIDE banded LSH index `(neighbor_id, cv, band, bh)` —
+    * every vector exploded into its `bands` capped band buckets. This
+    * frame is BYTE-IDENTICAL between the plain and multi-probe forms
+    * (probing is query-side only), so one built index serves any
+    * `probes` setting: build it once per corpus and probe it many
+    * times (the e72 scoreboard materializes it once for both LSH
+    * entries; at 100 TB this is the persisted artifact the e97
+    * index-reuse ingest shape keeps warm). Candidate-side band buckets
+    * above `maxBucket` members are dropped (a degenerate band — e.g.
+    * all-zero embeddings — would otherwise route the whole corpus into
+    * one bucket); drops observed + logged. */
+  def lshCandidateIndex(embeddings: DataFrame, bands: Int = 8,
+      bitsPerBand: Int = 4,
+      maxBucket: Long = Skew.DefaultBucketCap): DataFrame = {
+    val bucketed = lshBuckets(embeddings, bands * bitsPerBand)
     def bandCols(bucket: Column): Column = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(bucket, b * bitsPerBand)
           .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bh"))
     }: _*)
+    Skew.capBuckets(
+      bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        explode(bandCols(col("bucket"))).as("cb"))
+        .select(col("neighbor_id"), col("cv"),
+          col("cb.band").as("band"), col("cb.bh").as("bh")),
+      Seq("band", "bh"), maxBucket, "lsh_band")
+  }
+
+  /** [[lshTopK]] over a PREBUILT [[lshCandidateIndex]] — the seam that
+    * lets one corpus-side index serve several probe configurations.
+    * `bands`/`bitsPerBand` must match the index's build parameters
+    * (they shape the query-side band hashes). */
+  def lshTopKWith(embeddings: DataFrame, cands: DataFrame,
+      queryIds: Seq[Long], k: Int,
+      bands: Int = 8, bitsPerBand: Int = 4, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= bitsPerBand,
+      s"probes must be in [0, $bitsPerBand], got $probes")
+    val planes = bands * bitsPerBand
+    // Query-side bucketing only: the sign code is row-local, so
+    // bucketing the filtered query rows equals filtering the bucketed
+    // corpus (what the fused form computed).
+    val bucketedQ = lshBuckets(
+      embeddings.where(col("vec_id").isin(queryIds: _*)), planes)
     // Multi-probe (Lv et al., VLDB'07, the sign-LSH form): each query
     // band ALSO probes the buckets at Hamming distance 1 — `probes`
     // single-bit flips of its band hash — so near-misses on one
@@ -784,18 +833,9 @@ object Similarity {
       shiftrightunsigned(bucket, b * bitsPerBand)
         .bitwiseAND(lit((1L << bitsPerBand) - 1))
         .bitwiseXOR(lit(f)).as("bh"))): _*)
-    val queries = bucketed.where(col("vec_id").isin(queryIds: _*))
+    val queries = bucketedQ
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         explode(probeBandCols(col("bucket"))).as("qb"))
-    // Candidate-side band buckets above maxBucket members are dropped
-    // (a degenerate band — e.g. all-zero embeddings — would otherwise
-    // route the whole corpus into one bucket); drops observed + logged.
-    val cands = Skew.capBuckets(
-      bucketed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        explode(bandCols(col("bucket"))).as("cb"))
-        .select(col("neighbor_id"), col("cv"),
-          col("cb.band").as("band"), col("cb.bh").as("bh")),
-      Seq("band", "bh"), maxBucket, "lsh_band")
     val pairs = cands.join(broadcast(queries),
         col("qb.band") === col("band") && col("qb.bh") === col("bh") &&
         col("query_id") =!= col("neighbor_id"))

@@ -302,13 +302,24 @@ object GraphLoader {
     * edges by `_src`/`_dst` would co-locate repeated hop joins
     * (SURVEY.md §4). */
   def persist(g: PropertyGraph, path: String): Unit = {
-    g.vertexFrames.foreach { case (label, df) =>
-      df.write.mode("overwrite").parquet(s"$path/vertices/label=$label")
-    }
-    g.edgeFrames.foreach { case (spec, df) =>
-      df.write.mode("overwrite").parquet(
-        s"$path/edges/label=${spec.label}/src_label=${spec.srcLabel}/dst_label=${spec.dstLabel}")
-    }
+    // Each frame writes to its OWN directory, so the per-frame write
+    // jobs are independent — submit them from driver threads and let
+    // later jobs back-fill executors freed by the current job's tail
+    // (optimization-guide §2.6) instead of paying ~a dozen serial
+    // write-job launches. Output is byte-identical (no cross-frame
+    // ordering contract; commit protocol is per-directory).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration.Inf
+    val writes =
+      g.vertexFrames.toSeq.map { case (label, df) => Future {
+        df.write.mode("overwrite").parquet(s"$path/vertices/label=$label")
+      }} ++
+      g.edgeFrames.toSeq.map { case (spec, df) => Future {
+        df.write.mode("overwrite").parquet(
+          s"$path/edges/label=${spec.label}/src_label=${spec.srcLabel}/dst_label=${spec.dstLabel}")
+      }}
+    Await.result(Future.sequence(writes), Inf)
     writeVariables(g, path)
   }
 

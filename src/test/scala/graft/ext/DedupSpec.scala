@@ -187,6 +187,25 @@ class DedupSpec extends SparkSpec {
     assert(clean == Set(4L))
   }
 
+  test("contaminationReport join-before-distinct equals the naive form") {
+    // The r16 rewrite drops non-matching train grams map-side BEFORE
+    // the distinct's shuffle; the law is exact equality with the
+    // distinct-then-join formulation on a corpus slice with repeated
+    // grams on both sides.
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bench = corpus.where($"doc_id" % 7 === 1)
+    val train = corpus.where($"doc_id" % 7 =!= 1)
+    for (n <- Seq(2, 4)) {
+      val naive = Dedup.ngrams(train, n).distinct()
+        .join(Dedup.ngrams(bench, n).select($"s").distinct(), "s")
+        .groupBy($"id".as("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .as[(Long, Long)].collect().toMap
+      val got = Dedup.contaminationReport(train, bench, n)
+        .as[(Long, Long)].collect().toMap
+      assert(got == naive, s"n=$n")
+    }
+  }
+
   test("leakageSafeSplits: no near-dup cluster straddles splits; total partition") {
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

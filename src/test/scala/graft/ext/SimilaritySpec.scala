@@ -73,6 +73,24 @@ class SimilaritySpec extends SparkSpec {
       s"full Hamming-1 probing gained no recall on the fixture: $r")
   }
 
+  test("lshTopKWith over a prebuilt index equals lshTopK, any probe setting") {
+    // The r16 seam: one materialized corpus-side band index serves the
+    // plain AND multi-probe forms (the e72 scoreboard builds it once) —
+    // the law is exact row equality with the fused form, both settings.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qids = (0L until 10L).toSeq
+    val idx = Similarity.lshCandidateIndex(emb).localCheckpoint()
+    for (probes <- Seq(0, 4)) {
+      val fused = Similarity.lshTopK(emb, qids, 10, probes = probes)
+        .select("query_id", "neighbor_id", "sim")
+        .as[(Long, Long, Double)].collect().toSet
+      val split = Similarity.lshTopKWith(emb, idx, qids, 10, probes = probes)
+        .select("query_id", "neighbor_id", "sim")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(split == fused, s"probes=$probes")
+    }
+  }
+
   test("ivf top-k: every cell assignment is the true nearest centroid and recall is usable") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val qids = (0L until 10L).toSeq
