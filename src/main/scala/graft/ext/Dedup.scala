@@ -354,16 +354,18 @@ object Dedup {
     * fixture's measured LSH recall of 1.0 it equals the exhaustive
     * result). */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // ONE tokenize+shingle+distinct pass, materialized, feeds the
-    // MinHash signatures (min over a multiset == min over its distinct
-    // set — bit-identical to [[minhashSignatures]]), the verify
-    // intersection spine, and the per-doc size aggregate — previously
-    // the candidate leg and the verify leg each re-ran the corpus
-    // md5-per-shingle pipeline from the text scan (the e83 scoreboard
-    // lesson applied to the production pipeline shape).
-    val t = shingles(docs).distinct().localCheckpoint()
-    val cands = candidatePairsFromSignatures(
-      signaturesFromShingles(t), Skew.DefaultBucketCap, "minhash_band")
+    // (Sharing ONE materialized shingle+distinct frame between the
+    // candidate and verify legs — the [[dedupScoreboard]] shape — was
+    // tried here and REVERTED: the r16 8x tier read e17 at ~2x its
+    // recorded ratio while untouched tier queries tracked the window,
+    // i.e. persisting a corpus-sized row-format shingle copy costs
+    // more at scale than re-scanning columnar parquet per leg — the
+    // same trade [[Similarity.semDedup]]'s hoisted-norm scaladoc
+    // documents. The scoreboard keeps the shared frame because its
+    // harness contract is calibration-sized; the production pipeline
+    // streams.)
+    val cands = minhashCandidatePairs(docs)
+    val t = shingles(docs).distinct()
     val n = t.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val ta = t.select(col("id").as("doc_a"), col("s"))
     val tb = t.select(col("id").as("doc_b"), col("s"))
