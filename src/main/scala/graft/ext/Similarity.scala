@@ -188,21 +188,31 @@ object Similarity {
     * trained by [[trainCentroids]]. */
   def ivfTopKWith(embeddings: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
       k: Int, nprobe: Int = 2): DataFrame = {
-    // Cell assignment: argmax centroid by (rounded sim desc, cid asc).
-    // max(struct(sim, -cid)) is that argmax as a partial-aggregable agg.
-    val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
-    val assigned = embeddings.join(broadcast(centroids))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best"),
-        first(col("embedding")).as("cv2"))
-      .select(col("vec_id"), (-col("best.ncid")).as("cell"), col("cv2"))
+    // Cell assignment: argmax centroid by (rounded sim desc, cid asc) —
+    // the row-local literal form (bestCellStruct; value-identical to the
+    // former broadcast-join + max(struct) agg, zero shuffle).
+    val grid = collectCentroidGrid(centroids)
+    require(grid._1.nonEmpty, "ivfTopKWith needs a non-empty centroid frame")
+    val best = bestCellStruct(col("embedding"), grid)
+    val assigned = embeddings
+      .select(col("vec_id"), (-best.getField("ncid")).as("cell"),
+        col("embedding").as("cv2"))
     val queries = assigned.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("cv2").as("qv"))
+    // The (tiny) query-side probe join reads the centroids back from the
+    // collected grid instead of re-executing the centroid plan (double
+    // upcasts of float centroids are exact, so the probe-side cosine
+    // arithmetic is value-identical).
+    val cenLocal = {
+      val sp = embeddings.sparkSession
+      import sp.implicits._
+      grid._1.zip(grid._2).toSeq.toDF("cid", "cv")
+    }
     // Probe list: each query's nprobe nearest centroids (the query's own
     // cell is its rank-1 probe by construction).
     val qsim = round(cosineSimilarity(col("qv"), col("cv")), 9).as("psim")
     val probeW = Window.partitionBy("query_id").orderBy(desc("psim"), asc("cid"))
-    val probes = queries.join(broadcast(centroids))
+    val probes = queries.join(broadcast(cenLocal))
       .select(col("query_id"), col("qv"), col("cid"), qsim)
       .withColumn("pr", row_number().over(probeW))
       .where(col("pr") <= nprobe)
@@ -218,34 +228,103 @@ object Similarity {
       .drop("rn")
   }
 
+  /** The model frame as a DRIVER-LOCAL relation: collect (bounded —
+    * model frames are k × dims by contract) and rebuild on the collected
+    * rows. Downstream consumers read an in-memory leaf instead of
+    * re-running the producing plan; [[centroidLits]] over the result is
+    * free (no job). The k-means/PQ twin of the vocab-sized frozen-model
+    * collects the scoreboard harnesses already use. */
+  private def materializeLocal(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** The centroid frame collected into a driver-side (cids, matrix)
+    * grid, sorted by cid — the streaming faces' "inlined constants"
+    * discipline ([[graft.streaming.Streams.streamingSemanticDedup]])
+    * applied to the batch assign/train paths. Float elements upcast to
+    * double EXACTLY (the same per-element upcast the joined dot-product
+    * fold performed), so downstream arithmetic is bit-identical. */
+  private def collectCentroidGrid(cen: DataFrame)
+      : (Array[Long], Array[Array[Double]]) = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val elem = cen.schema("cv").dataType.asInstanceOf[ArrayType].elementType
+    val rows = cen.select(col("cid").cast("bigint"), col("cv")).collect().map { r =>
+      val cv = elem match {
+        case FloatType  => r.getSeq[Float](1).map(_.toDouble).toArray
+        case DoubleType => r.getSeq[Double](1).toArray
+        case t => throw new IllegalArgumentException(
+          s"centroid cv element type $t (need float or double)")
+      }
+      (r.getLong(0), cv)
+    }.sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** ROW-LOCAL argmax cell assignment: per row, max of
+    * `struct(round(cos(emb, cv_i), 9), -cid_i)` over the k collected
+    * centroids — value-identical to the broadcast-join + map-side-argmax
+    * agg it replaces (same rounded sim, same smaller-cid tie-break, same
+    * null/NaN ordering — [[graft.functions.BestCellExpr]]'s contract),
+    * but with ZERO shuffle: the corpus row never leaves its scan
+    * partition (guide §2.4 — the per-round/per-assignment corpus
+    * exchange was the k-means family's only data-sized shuffle), and
+    * generated code whose size is independent of k. */
+  private def bestCellStruct(emb: Column,
+      grid: (Array[Long], Array[Array[Double]]),
+      carryInput: Boolean = false): Column = {
+    import org.apache.spark.sql.GraftSqlShims.{column, expression}
+    column(graft.functions.BestCellExpr(expression(emb), grid._1, grid._2,
+      l2 = false, carryInput = carryInput))
+  }
+
+  /** [[bestCellStruct]] routed through a one-element `explode(array(…))`
+    * generate barrier: the generator evaluates the carry struct EXACTLY
+    * once per row, so downstream references to (sim, ncid, emb) extract
+    * fields from a materialized attribute instead of letting the
+    * scan-side alias substitution duplicate the assignment — and, worse,
+    * a non-cheap embedding expression below it (the e109 whitening) —
+    * per reference (measured 2× per training round before the barrier).
+    * Output columns: `_sim`, `_ncid`, `_emb` appended to `keep`. */
+  private def assignedBarrier(embeddings: DataFrame, keep: Seq[String],
+      grid: (Array[Long], Array[Array[Double]])): DataFrame =
+    embeddings
+      .select(keep.map(col) :+ explode(array(bestCellStruct(col("embedding"),
+        grid, carryInput = true))).as("_b"): _*)
+      .select(keep.map(col) ++ Seq(
+        col("_b").getField("sim").as("_sim"),
+        col("_b").getField("ncid").as("_ncid"),
+        col("_b").getField("emb").as("_emb")): _*)
+
   /** K-means (Lloyd's) centroid training for IVF, DataFrame-native:
     * deterministic spread init (every `n/k`-th id — no RNG state, no
     * global sort), then `iters` rounds of [assign to nearest centroid by
-    * cosine] -> [element-wise mean per cell]. Assignment is the same
-    * map-side-combinable argmax agg as [[ivfTopKWith]]; the mean is a
-    * posexplode + per-(cell, dim) avg — both shuffle only (cell, dim)
-    * keys, never vector pairs, so each round is linear in the corpus. A
+    * cosine] -> [element-wise mean per cell]. Assignment is ROW-LOCAL
+    * ([[bestCellStruct]] over the round's collected centroid literals —
+    * the argmax values are identical to the former broadcast-join +
+    * map-side argmax agg, but the round no longer shuffles the corpus);
+    * the mean is a posexplode + per-(cell, dim) avg whose partial
+    * aggregation shuffles only (cell, dim) keys, never vectors. Each
+    * round runs ONE job (the mean collect — k × dims values, the bounded
+    * frozen-model class) in place of the former per-round checkpoint. A
     * cell that loses all members drops out (k shrinks), standard for
-    * Lloyd's without reseeding. Returns `(cid, cv)` for
-    * [[ivfTopKWith]]. Cosine assignment is scale-invariant, so the
-    * unnormalized mean is a valid spherical-k-means update. */
+    * Lloyd's without reseeding. Returns `(cid, cv)` (a driver-local
+    * frame) for [[ivfTopKWith]]. Cosine assignment is scale-invariant,
+    * so the unnormalized mean is a valid spherical-k-means update. */
   def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 5,
       roundDecimals: Int = -1): DataFrame = {
     val n = embeddings.count()
     require(k > 0 && n > 0, s"need k > 0 and a non-empty corpus, got k=$k n=$n")
     val stride = math.max(1L, n / k)
-    var centroids = embeddings
+    var centroids = materializeLocal(embeddings
       .where(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      .localCheckpoint()
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
     for (_ <- 1 to iters) {
-      val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
-      val assigned = embeddings.join(broadcast(centroids))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best"),
-          first(col("embedding")).as("emb"))
-        .select((-col("best.ncid")).as("cid"), col("emb"))
+      val assigned = assignedBarrier(embeddings, Seq.empty,
+        collectCentroidGrid(centroids))
+        .select((-col("_ncid")).as("cid"), col("_emb").as("emb"))
       // roundDecimals >= 0 rounds each mean component before the float
       // cast: double summation order varies with partitioning, and the
       // rounding pins every round's centroids to engine-portable values
@@ -253,13 +332,12 @@ object Similarity {
       // default) keeps full precision.
       def mean(x: Column): Column =
         if (roundDecimals >= 0) round(x, roundDecimals) else x
-      centroids = assigned
+      centroids = materializeLocal(assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg("v").as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), x => mean(x("m")).cast("float")).as("cv"))
-        .localCheckpoint() // short lineage: each round is one materialized frame
+        .select(col("cid"), transform(col("pm"), x => mean(x("m")).cast("float")).as("cv")))
     }
     centroids
   }
@@ -350,8 +428,8 @@ object Similarity {
     * cosine threshold.
     *
     * Scale shape — this is [[embeddingNearDupPairs]]' scale path: the
-    * clustering bounds the quadratic. Assignment is the broadcast-k +
-    * map-side argmax agg (linear, one shuffle on vec_id); pair work is
+    * clustering bounds the quadratic. Assignment is the row-local
+    * literal-k argmax ([[bestCellStruct]] — linear, zero shuffle); pair work is
     * sum of per-cell squares, controlled by choosing k ~ n/targetCell
     * (FAISS-style sqrt(n) clusters at web scale); the pair join is an
     * equi-join on the cell key, so AQE's skew split covers an
@@ -366,16 +444,15 @@ object Similarity {
     * the smallest such partner (deterministic), ordered by the caller.
     * `roundDecimals` pins the k-means means for oracle portability
     * (e32's discipline; -1 = full precision). */
-  /** Broadcast-k argmax cell assignment shared by [[semDedup]] and
-    * [[clusterSample]]: every vector joins the k centroids, the
-    * winning cell is max(sim rounded to 9, ties to the smaller cid)
-    * via ONE map-side-combinable struct agg. The rounding and
-    * tie-break are LOAD-BEARING for oracle parity — the shared
-    * cosKmeansCtes SQL chain replays exactly this expression, so they
-    * must change together. `keepVector` additionally carries the
-    * embedding through the agg (semDedup's pair stage needs it; the
-    * quota rank must not pay the vector shuffle). Output:
-    * (vec_id, cell, sim[, emb]). */
+  /** Literal-k argmax cell assignment shared by [[semDedup]] and
+    * [[clusterSample]]: every vector scores the k collected centroid
+    * literals row-locally, the winning cell is max(sim rounded to 9,
+    * ties to the smaller cid) via ONE [[bestCellStruct]] expression —
+    * no join, no shuffle. The rounding and tie-break are LOAD-BEARING
+    * for oracle parity — the shared cosKmeansCtes SQL chain replays
+    * exactly this expression, so they must change together.
+    * `keepVector` additionally carries the embedding (semDedup's pair
+    * stage needs it). Output: (vec_id, cell, sim[, emb]). */
   /** The IVF SERVING INDEX artifact: each vector's coarse-quantizer
     * cell `(vec_id, cell)` under an explicit FROZEN centroid frame
     * `(cid, cv)` — the assignment lists an ANN service keeps warm
@@ -395,15 +472,22 @@ object Similarity {
 
   private def assignCells(embeddings: DataFrame, cen: DataFrame,
       keepVector: Boolean): DataFrame = {
-    val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
-    val grouped = embeddings.join(broadcast(cen)).groupBy(col("vec_id"))
-    val best = max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best")
-    val agged =
-      if (keepVector) grouped.agg(best, first(col("embedding")).as("emb"))
-      else grouped.agg(best)
-    val core = Seq(col("vec_id"), (-col("best.ncid")).as("cell"),
-      col("best.sim").as("sim"))
-    agged.select((if (keepVector) core :+ col("emb") else core): _*)
+    // Row-local form of the broadcast-k argmax (value-identical — see
+    // bestCellStruct): no shuffle, no broadcast build; the centroid
+    // grid rides the plan as one collected constant, and the generate
+    // barrier guarantees one evaluation per row. An empty centroid
+    // frame keeps the former inner-join semantics (empty result, not an
+    // error).
+    val grid = collectCentroidGrid(cen)
+    if (grid._1.isEmpty) {
+      val core = Seq(col("vec_id"), lit(0L).as("cell"), lit(0.0).as("sim"))
+      return embeddings.where(lit(false)).select(
+        (if (keepVector) core :+ col("embedding").as("emb") else core): _*)
+    }
+    val core = Seq(col("vec_id"), (-col("_ncid")).as("cell"),
+      col("_sim").as("sim"))
+    assignedBarrier(embeddings, Seq("vec_id"), grid).select(
+      (if (keepVector) core :+ col("_emb").as("emb") else core): _*)
   }
 
   def semDedup(embeddings: DataFrame, k: Int, iters: Int,
@@ -585,20 +669,22 @@ object Similarity {
     val base = subVectors(embeddings, m, subLen)
     val picks = embeddings.where(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy("vec_id").limit(ks).select("vec_id")
-    var cb = base.join(picks, "vec_id")
-      .select(col("sub"), col("vec_id").as("cid"), col("v").as("cv"))
-      .localCheckpoint()
+    var cb = materializeLocal(base.join(picks, "vec_id")
+      .select(col("sub"), col("vec_id").as("cid"), col("v").as("cv")))
     def mean(x: Column): Column =
       if (roundDecimals >= 0) round(x, roundDecimals) else x
     for (_ <- 1 to iters) {
-      cb = pqAssign(base, cb)
+      // One collect per round (m × ks × subLen values — the bounded
+      // model class) in place of the former checkpoint; the assign
+      // inside pqAssign is row-local, so the round never shuffles the
+      // corpus (guide §2.4).
+      cb = materializeLocal(pqAssign(base, cb)
         .select(col("sub"), col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("sub", "cid", "pos").agg(avg("x").as("mx"))
         .groupBy("sub", "cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pm"))
         .select(col("sub"), col("cid"),
-          transform(col("pm"), x => mean(x("mx")).cast("float")).as("cv"))
-        .localCheckpoint()
+          transform(col("pm"), x => mean(x("mx")).cast("float")).as("cv")))
     }
     cb
   }
@@ -611,18 +697,42 @@ object Similarity {
       .select(col("vec_id"), col("s.sub").as("sub"), col("s.v").as("v"))
 
   /** Nearest codebook entry per (vec_id, sub) by rounded L2, ties to the
-    * smallest cid — the argmin as a map-side-combinable max-of-struct
-    * agg (the [[ivfTopKWith]] trick). Keeps the subvector for training
-    * rounds. */
+    * smallest cid — the argmin computed ROW-LOCALLY against the collected
+    * codebook literals (the [[bestCellStruct]] discipline for the PQ
+    * metric): per row, `array_max` of `struct(-d_i, -cid_i)` over the
+    * row's OWN subspace's entries, selected by a `when` chain on the
+    * bounded `sub` index. The distance expression is tree-identical to
+    * the former broadcast-join form (`round(v·v + cv·cv − 2·v·cv, 9)`,
+    * with `cv·cv` constant-folding), so values — and the oracle replay —
+    * are unchanged; the per-round/per-encode corpus shuffle is gone.
+    * Keeps the subvector for training rounds. */
   private def pqAssign(base: DataFrame, cb: DataFrame): DataFrame = {
-    val d = round(dotProduct(col("v"), col("v"))
-      + dotProduct(col("cv"), col("cv"))
-      - lit(2.0) * dotProduct(col("v"), col("cv")), 9)
-    base.join(broadcast(cb), Seq("sub"))
-      .groupBy(col("sub"), col("vec_id"))
-      .agg(max(struct((-d).as("nd"), (-col("cid")).as("ncid"))).as("best"),
-        first(col("v")).as("v"))
-      .select(col("sub"), col("vec_id"), (-col("best.ncid")).as("cid"), col("v"))
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    import org.apache.spark.sql.GraftSqlShims.{column, expression}
+    val elem = cb.schema("cv").dataType.asInstanceOf[ArrayType].elementType
+    val entries = cb.select(col("sub").cast("int"), col("cid").cast("bigint"),
+        col("cv")).collect()
+      .map { r =>
+        val cv = elem match {
+          case FloatType  => r.getSeq[Float](2).map(_.toDouble).toArray
+          case DoubleType => r.getSeq[Double](2).toArray
+          case t => throw new IllegalArgumentException(
+            s"codebook cv element type $t (need float or double)")
+        }
+        (r.getInt(0), r.getLong(1), cv)
+      }.sortBy(t => (t._1, t._2))
+    require(entries.nonEmpty, "pqAssign needs a non-empty codebook")
+    val bySub = entries.groupBy(_._1).toSeq.sortBy(_._1)
+    def subBest(es: Array[(Int, Long, Array[Double])]): Column =
+      column(graft.functions.BestCellExpr(expression(col("v")),
+        es.map(_._2), es.map(_._3), l2 = true))
+    val best = bySub.tail.foldLeft(
+      when(col("sub") === lit(bySub.head._1), subBest(bySub.head._2))) {
+      case (acc, (s, es)) => acc.when(col("sub") === lit(s), subBest(es))
+    }
+    base.withColumn("_best", best)
+      .select(col("sub"), col("vec_id"),
+        (-col("_best").getField("ncid")).as("cid"), col("v"))
   }
 
   /** PQ ANN top-k via ADC. Approximate distance = exact sum (DECIMAL

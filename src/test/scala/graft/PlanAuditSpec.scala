@@ -63,7 +63,12 @@ class PlanAuditSpec extends SparkSpec {
     "e64_unigram_tokenize", "e66_classifier_eval", "e67_phrases",
     "e69_skipgram_pairs", "e70_skipgram_weighted", "e72_ann_recall_harness",
     "e73_glove_knn",
-    "e43_ann_recall", "e47_semdedup", "e52_dsir_select", "e53_knn_sq8",
+    // (e47 left this list in round 16: the k-centroid argmax assignment
+    // is now ROW-LOCAL — Similarity.bestCellStruct scores collected
+    // centroid literals, so no broadcast join of any kind remains; the
+    // same change removed the NLJs from e80/e95/e109/e116/e117/e123/
+    // e124, the whole trained-quantizer class.)
+    "e43_ann_recall", "e52_dsir_select", "e53_knn_sq8",
     "e54_surprisal", "e57_hard_triplets", "q25_snb_fof", "q27_bothe",
     // e74's dense side is the e06 shape (tiny query set broadcast onto
     // the candidate scan under a non-equi self-exclusion predicate);
@@ -79,12 +84,8 @@ class PlanAuditSpec extends SparkSpec {
     // e79: the bounded benchmark side broadcast under the non-equi
     // cosine-threshold predicate (the e06/e20 class)
     "e79_semantic_decontaminate",
-    // e80/e95: the k-centroid broadcast under the argmax-assignment
-    // cross join (the e47/e23 trained-quantizer class — bounded by k)
-    "e80_cluster_sample", "e95_source_diversity",
-    // e109: e47's k-centroid broadcast argmax, run over the whitened
-    // frame (same bounded-k class; the whitening itself is row-local)
-    "e109_whitened_semdedup",
+    // (e80/e95/e109: the k-centroid argmax went row-local in round 16 —
+    // no NLJ remains; see the e47 note above.)
     // e113: e60's 1-row corpus-total broadcasts (N, total tokens),
     // computed from the maintained dl frame instead of the raw scan
     "e113_incremental_bm25",
@@ -104,23 +105,8 @@ class PlanAuditSpec extends SparkSpec {
     // inside the doc-grain Supersteps.cuts, so the live plan reads
     // the checkpointed score rows and carries no NLJ — the e115
     // class.)
-    // e116: the delta re-assign is the e23-class bounded k-centroid
-    // broadcast argmax (8 frozen rows against the delta vectors)
-    "e116_incremental_ann",
-    // e117: e47's k-centroid broadcast argmax at the DERIVED k — still
-    // the bounded trained-quantizer class (k rows against the corpus)
-    "e117_semdedup_auto",
-    // e123: the same bounded trained-quantizer class — the quantizer
-    // trains on the hash SAMPLE (Lloyd rounds broadcast k centroids
-    // against sample rows only) and the one full-corpus stage is the
-    // final k-centroid broadcast argmax assignment
-    "e123_semdedup_sampled",
-    // e124: whichever branch the drift selects is a bounded-broadcast
-    // class already on this list — the retrain leg is e47/e117's
-    // k-centroid Lloyd + assignment argmax, the maintained leg is
-    // e116's 8-frozen-centroid delta re-assign; the drift legs are
-    // two 1-row mean folds collected before the plan is built
-    "e124_drift_retrain",
+    // (e116/e117/e123/e124: the frozen/trained-quantizer argmax went
+    // row-local in round 16 — no NLJ remains; see the e47 note above.)
     // e82: two 1-row total broadcasts (corpus tokens, weight sum) onto
     // the group-cardinality-sized frame (the e52/e67 class)
     "e82_temperature_mix",

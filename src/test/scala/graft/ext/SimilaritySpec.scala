@@ -247,6 +247,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("row-local literal argmax == broadcast-join argmax agg (the round-16 assignment law)") {
+    // The round-16 optimization replaced the k-centroid broadcast join +
+    // map-side max(struct) agg with a row-local array_max over collected
+    // centroid literals (Similarity.bestCellStruct). This law pins
+    // value-identity against the former form, rebuilt inline: same
+    // rounded sim, same smaller-cid tie-break, cell for cell.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cen = Similarity.trainCentroids(emb, k = 4, iters = 2, roundDecimals = 6)
+    val rowLocal = Similarity.ivfAssignments(emb, cen)
+      .as[(Long, Long)].collect().toSet
+    val csim = round(cosineSimilarity(col("embedding"), col("cv")), 9)
+    val joined = emb.join(broadcast(cen)).groupBy(col("vec_id"))
+      .agg(max(struct(csim.as("sim"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cell"))
+      .as[(Long, Long)].collect().toSet
+    assert(rowLocal == joined)
+    assert(rowLocal.nonEmpty)
+  }
+
   test("sampled train == trainCentroids on the hash sample; semDedupAuto switches above the cap") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val n = emb.count()
