@@ -35,10 +35,13 @@ object Extensions {
       ck
     })
 
+  // Memoized fixture reads (graft.sources.Tables) — each bare
+  // spark.read.parquet re-ran listing + schema inference (~84 ms of
+  // driver metadata work per call, the dominant per-query floor term).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.sources.Tables.read(s, s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.sources.Tables.read(s, s"$dir/embeddings.parquet")
   /** Normalizes `events.ts` to session-timezone TIMESTAMP regardless of
     * how the fixture stored it. Earlier generations wrote
     * TIMESTAMP(NANOS), which Spark's vectorized Parquet reader rejects —
@@ -51,7 +54,7 @@ object Extensions {
     * encoders and watermark arithmetic working unchanged). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = graft.sources.Tables.read(s, s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -1669,7 +1672,7 @@ object Extensions {
     * oracle is pure bit arithmetic: the sign-flip + 64-term interleave
     * replayed in HUGEINT SQL. */
   def e49_zorder_key(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/lineitem.parquet")
+    graft.sources.Tables.read(s, s"$dir/lineitem.parquet")
       .where(col("l_orderkey") % 37 === 0)
       .select(col("l_orderkey"), col("l_linenumber"),
         graft.functions.interleaveBits(
@@ -1753,7 +1756,7 @@ object Extensions {
     * StreamsSpec) and aggregated per (segment, event_type). Decimal
     * accumulation + final double cast on both sides (the q15 rule). */
   def e33_stream_enrich(s: SparkSession, dir: String): DataFrame = {
-    val dim = s.read.parquet(s"$dir/customer.parquet")
+    val dim = graft.sources.Tables.read(s, s"$dir/customer.parquet")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
     Streams.enrichWithDim(events(s, dir), dim, Seq("user_id"))
       .groupBy("segment", "event_type")

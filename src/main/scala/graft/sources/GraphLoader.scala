@@ -34,7 +34,10 @@ object GraphLoader {
     * queries treat line number as part of the edge identity.
     */
   def tpch(spark: SparkSession, dir: String): PropertyGraph = {
-    def tbl(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+    // Memoized fixture reads (Tables.read): a tpch build re-ran file
+    // listing + footer schema inference six times per call — ~450 ms of
+    // pure driver metadata work per query construction.
+    def tbl(name: String): DataFrame = Tables.read(spark, s"$dir/$name.parquet")
 
     def vertex(df: DataFrame, key: String): DataFrame =
       df.withColumn(GC.Id, col(key).cast("bigint"))
@@ -158,9 +161,9 @@ object GraphLoader {
   def snb(spark: SparkSession, dir: String,
       materializeComments: Boolean = false): PropertyGraph =
     snbFromTables(spark,
-      spark.read.parquet(s"$dir/customer.parquet"),
-      spark.read.parquet(s"$dir/orders.parquet"),
-      spark.read.parquet(s"$dir/lineitem.parquet"),
+      Tables.read(spark, s"$dir/customer.parquet"),
+      Tables.read(spark, s"$dir/orders.parquet"),
+      Tables.read(spark, s"$dir/lineitem.parquet"),
       materializeComments)
 
   /** Contiguous-keyspace k-times replica of the SNB source frames — the
