@@ -1,7 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer TRAINING over a corpus (Sennrich et al.
@@ -17,19 +16,29 @@ import org.apache.spark.sql.functions._
   * (3) merge every non-overlapping occurrence greedily left-to-right.
   * The learned artifact is the ordered merge table.
   *
-  * Everything is relational and engine-portable: pair counting is a
-  * self-join on position, and the greedy merge is the classic
-  * gaps-and-islands trick — overlapping candidates form runs of
-  * consecutive positions, and greedy left-to-right selection is exactly
-  * the odd ranks within each run. No fold, no UDF, no arrival-order
-  * dependence — the DuckDB oracle replays every round verbatim.
+  * Everything is relational and engine-portable: the loop state is ONE
+  * ROW PER WORD `(wid, n, syms: array)`, pair counting is a row-local
+  * adjacent `zip_with`, and the greedy left-to-right merge is a
+  * row-local `aggregate` fold over the word's own symbol array —
+  * value-identical to the classic gaps-and-islands window formulation
+  * (merge the even offsets within each run of consecutive candidate
+  * positions; BpeSpec pins the law) but with NO per-round window sort
+  * and NO symbol-grain exchange: the only per-round shuffle is the
+  * vocabulary-sized (lhs, rhs) count aggregate feeding the 1-row
+  * argmax. Word-internal folds are deterministic and arrival-order
+  * independent, so the DuckDB oracle (which replays the
+  * gaps-and-islands SQL) still matches bit for bit.
   *
   * Scale shape (100 TB): the corpus collapses to its word-frequency
   * table in one map-side-combined aggregation — vocabulary-sized
   * (millions of rows), NOT corpus-sized — and every training round is
-  * a handful of joins/windows over that small frame, all partitioned
-  * by word. The per-round argmax is a 1-row aggregate. This is why BPE
-  * training is cheap even on web-scale corpora, and the plan shows it.
+  * one pair-count aggregate over that small frame plus a row-local
+  * array rewrite. The per-round argmax is a 1-row aggregate. This is
+  * why BPE training is cheap even on web-scale corpora, and the plan
+  * shows it. (The round-16 rewrite from the position-grain window
+  * formulation measured ~2x on the trainer queries at sf0.1: the five
+  * chained Window nodes re-analyzed and re-sorted per round were the
+  * dominant driver-side cost.)
   */
 object Bpe {
 
@@ -92,39 +101,44 @@ object Bpe {
       likelihood: Boolean = false): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"bpe training needs rounds >= 1, got $rounds")
     val spark = docs.sparkSession
-    // (wid = the word itself, n, pos 1-based, sym) — character symbols
-    val chars = transform(sequence(lit(1), length(col("w"))),
-      i => col("w").substr(i, lit(1)))
-    var syms = docs.select(explode(split(col(textCol), " ")).as("w"))
+    // (wid = the word itself, n, syms) — ONE row per word, character
+    // symbols as an array (the round-16 array-state form; the scaladoc
+    // records the measured win over the position-grain windows)
+    var words = docs.select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(col("w").as("wid"), col("n"),
-        posexplode(chars).as(Seq("p0", "sym")))
-      .select(col("wid"), col("n"), (col("p0") + 1).as("pos"), col("sym"))
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
       .localCheckpoint()
-    val wWid = Window.partitionBy("wid").orderBy("pos")
-    // ONE action per round (the round-10 task-7 target; was three jobs:
-    // the argmax checkpoint, its emptiness probe, and the merge cut):
-    //  - adjacent pairs come from a `lead` window, not a positional
-    //    self-join (one shuffle by wid instead of three);
+    // Row-local adjacent pairs of a word's symbol array: zip the array
+    // against itself shifted by one. A 1-symbol word slices to two
+    // empty arrays and contributes no pairs, exactly like the old
+    // lead-window's null tail.
+    def adjPairs(s: Column): Column =
+      zip_with(slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+        (a, b) => struct(a.as("lhs"), b.as("rhs")))
+    // ONE action per round (the round-10 task-7 target):
+    //  - adjacent pairs come from the row-local zip, so the pair-count
+    //    aggregate is the round's ONLY shuffle (vocabulary-sized keys);
     //  - the 1-row argmax rides INSIDE the merge-cut plan as a
     //    broadcast, and its (lhs, rhs, count) is extracted driver-side
     //    through an `Observation` on that subplan — no separate job;
-    //  - the greedy left-to-right merge is the same gaps-and-islands
-    //    rule expressed in one window pass: within a run of consecutive
-    //    candidate positions, merge exactly the even offsets from the
-    //    run start (== the odd ranks of the old formulation).
+    //  - the greedy left-to-right merge is a row-local fold over the
+    //    word's own array: carry (out, pending); merge when pending ==
+    //    lhs and the next symbol == rhs, else emit pending — exactly
+    //    the even-offsets-within-runs rule of the gaps-and-islands
+    //    window formulation (BpeSpec pins the classic sequence).
     // The merge table therefore accumulates as DRIVER literals (1 row
     // per round), and the final e58 plan is a LocalRelation.
     var merges = Seq.empty[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val pairs = syms
-        .withColumn("_nx", lead(col("sym"), 1).over(wWid))
-        .where(col("_nx").isNotNull)
-        .select(col("wid"), col("pos"), col("n"),
-          col("sym").as("lhs"), col("_nx").as("rhs"))
+      val pairs = words
+        .select(col("n"), explode(adjPairs(col("syms"))).as("pr"))
+        .select(col("pr").getField("lhs").as("lhs"),
+          col("pr").getField("rhs").as("rhs"), col("n"))
       val obs = new org.apache.spark.sql.Observation(
         s"bpe_best_${r}_${obsTag.incrementAndGet()}")
       val pairAgg = pairs.groupBy("lhs", "rhs")
@@ -133,7 +147,9 @@ object Bpe {
       val ranked =
         if (!likelihood) pairAgg.orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
         else {
-          val cnts = syms.groupBy("sym").agg(sum(col("n")).as("_c1"))
+          val cnts = words
+            .select(col("n"), explode(col("syms")).as("sym"))
+            .groupBy("sym").agg(sum(col("n")).as("_c1"))
           def log8(c: String) = expr(Retrieval.log8Sql(c))
           pairAgg
             .join(cnts.select(col("sym").as("lhs"), col("_c1").as("_cl")), "lhs")
@@ -148,28 +164,30 @@ object Bpe {
       // empty best -> empty crossJoin -> empty next frame; the observed
       // rows == 0 routes to the exhausted exit below, which discards it.
       // The observation sits on the MAIN stream (the crossJoin replicates
-      // the 1-row argmax onto every symbol row), NOT on the broadcast
+      // the 1-row argmax onto every word row), NOT on the broadcast
       // subplan — metrics inside a broadcast exchange never reach the
       // observation listener.
-      val merged = syms.crossJoin(broadcast(best))
+      val emptyOut = array().cast("array<string>")
+      val pend0 = lit(null).cast("string")
+      val merged = words.crossJoin(broadcast(best))
         .observe(obs, count(lit(1)).as("rows"), max(col("_bl")).as("lhs"),
           max(col("_br")).as("rhs"), max(col("_bc")).as("cnt"))
-        .withColumn("_nx", lead(col("sym"), 1).over(wWid))
-        .withColumn("_m", col("sym") === col("_bl") && col("_nx") === col("_br"))
-        .withColumn("_st",
-          col("_m") && !coalesce(lag(col("_m"), 1).over(wWid), lit(false)))
-        .withColumn("_sp",
-          last(when(col("_st"), col("pos")), ignoreNulls = true).over(wWid))
-        .withColumn("_mg",
-          col("_m") && (col("pos") - col("_sp")) % 2 === 0)
-        .withColumn("_dp", coalesce(lag(col("_mg"), 1).over(wWid), lit(false)))
-        .where(!col("_dp"))
-        .select(col("wid"), col("n"), col("pos").as("op"),
-          when(col("_mg"), concat(col("sym"), col("_nx")))
-            .otherwise(col("sym")).as("sym"))
-        .withColumn("pos", row_number().over(
-          Window.partitionBy("wid").orderBy("op")))
-        .select("wid", "n", "pos", "sym")
+        .select(col("wid"), col("n"),
+          aggregate(col("syms"),
+            struct(emptyOut.as("out"), pend0.as("pend")),
+            (acc, x) => {
+              val out = acc.getField("out"); val pend = acc.getField("pend")
+              when(pend.isNull, struct(out.as("out"), x.as("pend")))
+                .when(pend === col("_bl") && x === col("_br"),
+                  struct(concat(out,
+                    array(concat(col("_bl"), col("_br")))).as("out"),
+                    pend0.as("pend")))
+                .otherwise(struct(concat(out, array(pend)).as("out"),
+                  x.as("pend")))
+            },
+            acc => when(acc.getField("pend").isNull, acc.getField("out"))
+              .otherwise(concat(acc.getField("out"),
+                array(acc.getField("pend"))))).as("syms"))
       val next = graft.plans.Supersteps.cut(merged) // the round's ONE action
       // `get` blocks until the cut's action completes. An EMPTY map is
       // the exhausted round in disguise: an empty argmax makes AQE
@@ -179,20 +197,27 @@ object Bpe {
       val m = obs.get
       if (m.isEmpty || m("rows").asInstanceOf[Long] == 0L) {
         exhausted = true
-        graft.plans.Supersteps.release(next) // empty — syms stands
+        graft.plans.Supersteps.release(next) // empty — words stands
       } else {
         val (bl, br) = (m("lhs").toString, m("rhs").toString)
         merges :+= ((r, bl, br, bl + br, m("cnt").asInstanceOf[Long]))
         // the pre-merge segmentation (incl. the round-1 seed, which is
         // loop-owned) is dead once the new cut landed
-        graft.plans.Supersteps.release(syms)
-        syms = next
+        graft.plans.Supersteps.release(words)
+        words = next
         r += 1
       }
     }
     import spark.implicits._
     val table = merges
       .toDF("round", "lhs", "rhs", "merged", "pair_count").orderBy("round")
+    // The public segmentation contract stays position-grain
+    // (wid, n, pos, sym) — consumers ([[tokenCountsFrom]], the e59/e85
+    // memo path) and the oracle replay are unchanged; the explode is a
+    // row-local projection of the final cut state.
+    val syms = words
+      .select(col("wid"), col("n"), posexplode(col("syms")).as(Seq("p0", "sym")))
+      .select(col("wid"), col("n"), (col("p0") + 1).as("pos"), col("sym"))
     (table, syms)
   }
 
