@@ -30,6 +30,247 @@ object Iterative {
     * one session (the incremental merge runs the loop once per batch). */
   private val obsTag = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Row cap under which an iterative fixpoint collects its BOUNDED
+    * inputs and resolves the loop on the driver instead of running
+    * serial distributed supersteps — the [[mergeComponentsBatch]]
+    * size-adaptive discipline generalized to the whole fixpoint family.
+    *
+    * Why: a superstep round costs ~200-300 ms of driver/scheduler
+    * machinery (measured r17: one join + agg + cut on a 2 000-row state
+    * = ~250 ms regardless of AQE/partition config — the per-round
+    * EXCHANGES are already 1-task under AQE coalescing, so the cost is
+    * stage-materialization jobs and plan analysis, not task width), so
+    * a 10-30-round loop over KB-sized state pays seconds for
+    * microseconds of arithmetic, and MORE cores make it WORSE (the r16
+    * scaling block: ratios 0.49-0.74 across the family). Below the cap
+    * the loop's inputs are collected ONCE (bounded — 200k rows ≈ 3 MB,
+    * the broadcast-dimension footprint class) and the fixpoint is
+    * replayed in exact integer arithmetic on the driver; above it the
+    * distributed superstep path runs UNCHANGED — the 100-TB shape is
+    * untouched, exactly like the union-find escape in
+    * [[mergeComponentsBatch]]. Every driver twin replays the operator's
+    * declared arithmetic verbatim (same integer ops, same tie-breaks),
+    * pinned by IterativeSpec laws against the distributed form. */
+  val DefaultSmallGraphRows: Long = 200000L // == DefaultSmallBatchEdges (a literal: that val initializes later in this object)
+
+  private def boundedRows(df: DataFrame, cap: Long) =
+    graft.plans.Supersteps.boundedRows(df, cap)
+
+  /** Driver twin of [[minLabelLoop]]: exact min-label fixpoint by
+    * worklist relaxation over the collected (bounded) edge and init
+    * sets. Propagation is restricted to vertices PRESENT in `init` —
+    * precisely the distributed loop's semantics (labels only exist for
+    * init's vertex set; an edge endpoint outside it contributes
+    * nothing). The fixpoint (lbl(v) = min init label over v's forward
+    * reachability closure) is unique, so the result is independent of
+    * relaxation order and identical to the superstep loop's converged
+    * state. */
+  private def minLabelDriver(edges: Array[(Long, Long)],
+      init: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val lbl = scala.collection.mutable.LongMap.empty[Long]
+    init.foreach { case (v, l) =>
+      if (l < lbl.getOrElse(v, Long.MaxValue)) lbl(v) = l
+    }
+    // labels flow d -> s along each edge (s, d): inNbrs(d) lists the s's
+    val inNbrs = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (s, d) =>
+      if (lbl.contains(s) && lbl.contains(d))
+        inNbrs.getOrElseUpdate(d,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += s
+    }
+    val queue = new java.util.ArrayDeque[Long]()
+    lbl.foreachKey(queue.add(_))
+    while (!queue.isEmpty) {
+      val d = queue.poll()
+      val ld = lbl(d)
+      inNbrs.get(d) match {
+        case Some(ss) => ss.foreach { s =>
+          if (ld < lbl(s)) { lbl(s) = ld; queue.add(s) }
+        }
+        case None =>
+      }
+    }
+    lbl.toArray.sortBy(_._1)
+  }
+
+  /** `(_v, _lbl)` pairs as a driver-local frame (the twins' shared
+    * output shape — downstream consumers see a tiny LocalRelation). */
+  private def localPairs(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(Long, Long)], c1: String, c2: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2)): _*),
+      StructType(Seq(StructField(c1, LongType, nullable = false),
+        StructField(c2, LongType, nullable = false))))
+  }
+
+  /** Driver twin of [[kCore]]'s bounded peel: same survival rule
+    * (degree over the surviving undirected edge multiset >= k, parallel
+    * stored directions counted separately), same round budget, same
+    * early exit when a round drops nothing. Returns survivors with
+    * their final in-core degree. */
+  private def kCoreDriver(edges: Array[(Long, Long)], verts: Array[Long],
+      k: Int, maxRounds: Int): Array[(Long, Long)] = {
+    var surv = scala.collection.mutable.LongMap.empty[Boolean]
+    verts.foreach(v => surv(v) = true)
+    def degrees(): scala.collection.mutable.LongMap[Long] = {
+      val deg = scala.collection.mutable.LongMap.empty[Long]
+      edges.foreach { case (s, d) =>
+        if (surv.contains(s) && surv.contains(d))
+          deg(s) = deg.getOrElse(s, 0L) + 1L
+      }
+      deg
+    }
+    var size = surv.size.toLong
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val deg = degrees()
+      val next = scala.collection.mutable.LongMap.empty[Boolean]
+      surv.foreachKey(v => if (deg.getOrElse(v, 0L) >= k) next(v) = true)
+      done = next.size.toLong == size
+      size = next.size.toLong
+      surv = next
+      round += 1
+    }
+    val deg = degrees()
+    surv.keys.toArray.sorted.map(v => (v, deg.getOrElse(v, 0L)))
+  }
+
+  /** Driver twin of [[labelPropagation]]'s synchronous rounds: per
+    * round every vertex adopts the most frequent label among its
+    * (stored-direction multiset) neighbors, ties to the SMALLEST label
+    * — the same total order the distributed row_number window applies. */
+  private def lpaDriver(edges: Array[(Long, Long)], verts: Array[Long],
+      iters: Int): Array[(Long, Long)] = {
+    val lbl = scala.collection.mutable.LongMap.empty[Long]
+    verts.foreach(v => lbl(v) = v)
+    for (_ <- 1 to iters) {
+      val cnt = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      edges.foreach { case (s, d) =>
+        lbl.get(d).foreach { ld =>
+          val key = (s, ld); cnt(key) = cnt.getOrElse(key, 0L) + 1L
+        }
+      }
+      val best = scala.collection.mutable.LongMap.empty[(Long, Long)] // s -> (n, lbl)
+      cnt.foreach { case ((s, l), n) =>
+        best.get(s) match {
+          case Some((bn, bl)) if bn > n || (bn == n && bl < l) =>
+          case _ => best(s) = (n, l)
+        }
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      lbl.foreach { case (v, old) =>
+        next(v) = best.get(v).map(_._2).getOrElse(old)
+      }
+      lbl.clear(); next.foreach { case (v, l) => lbl(v) = l }
+    }
+    verts.sorted.map(v => (v, lbl(v)))
+  }
+
+  /** Driver twin of [[hitsFixedPoint]]'s L1-renormalized integer power
+    * iteration: exact Long gathers and the same
+    * `raw * scale div max(sum, 1)` renormalization each half-round. */
+  private def hitsDriver(edges: Array[(Long, Long)], verts: Array[Long],
+      iters: Int, scale: Long): Array[(Long, Long, Long)] = {
+    val h = scala.collection.mutable.LongMap.empty[Long]
+    val a = scala.collection.mutable.LongMap.empty[Long]
+    verts.foreach { v => h(v) = scale; a(v) = scale }
+    def renorm(raw: scala.collection.mutable.LongMap[Long],
+        into: scala.collection.mutable.LongMap[Long]): Unit = {
+      var tot = 0L
+      verts.foreach(v => tot += raw.getOrElse(v, 0L))
+      if (tot < 1L) tot = 1L
+      verts.foreach(v => into(v) = raw.getOrElse(v, 0L) * scale / tot)
+    }
+    for (_ <- 1 to iters) {
+      val rawA = scala.collection.mutable.LongMap.empty[Long]
+      edges.foreach { case (s, d) =>
+        h.get(s).foreach(x => rawA(d) = rawA.getOrElse(d, 0L) + x)
+      }
+      renorm(rawA, a)
+      val rawH = scala.collection.mutable.LongMap.empty[Long]
+      edges.foreach { case (s, d) =>
+        a.get(d).foreach(x => rawH(s) = rawH.getOrElse(s, 0L) + x)
+      }
+      renorm(rawH, h)
+    }
+    verts.sorted.map(v => (v, h(v), a(v)))
+  }
+
+  /** Driver twin of [[maximalIndependentSet]]'s Luby rounds: identical
+    * per-round hash priorities (md5 of "round:packed_id", first 15 hex
+    * chars as a base-16 long — Spark's conv/substring/md5 chain
+    * verbatim) and the same (priority, id) total order. Returns MIS
+    * members with their admitting round, or None if the round budget
+    * is exhausted (caller throws the same contract error). */
+  private def misDriver(edges: Array[(Long, Long)], verts: Array[Long],
+      maxRounds: Int): Option[Array[(Long, Int)]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pri(round: Int, v: Long): Long = {
+      val hex = md.digest(s"$round:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val active = scala.collection.mutable.LongMap.empty[Boolean]
+    verts.foreach(v => active(v) = true)
+    val mis = Array.newBuilder[(Long, Int)]
+    var round = 0
+    while (active.nonEmpty && round < maxRounds) {
+      round += 1
+      val p = scala.collection.mutable.LongMap.empty[Long]
+      active.foreachKey(v => p(v) = pri(round, v))
+      val losers = scala.collection.mutable.LongMap.empty[Boolean]
+      edges.foreach { case (s, d) =>
+        if (active.contains(s) && active.contains(d)) {
+          val ps = p(s); val pd = p(d)
+          if (pd < ps || (pd == ps && d < s)) losers(s) = true
+        }
+      }
+      val win = scala.collection.mutable.LongMap.empty[Boolean]
+      active.foreachKey(v => if (!losers.contains(v)) win(v) = true)
+      win.keys.toArray.sorted.foreach(v => mis += ((v, round)))
+      val removed = scala.collection.mutable.LongMap.empty[Boolean]
+      win.foreachKey(v => removed(v) = true)
+      edges.foreach { case (s, d) =>
+        if (active.contains(s) && active.contains(d) && win.contains(s))
+          removed(d) = true
+      }
+      removed.foreachKey(active.remove(_))
+    }
+    if (active.nonEmpty) None else Some(mis.result())
+  }
+
+  /** Driver twin of the fixed-point power iterations ([[pageRankFixedPoint]]
+    * / [[personalizedPageRankFixedPoint]]): the same integer recurrence
+    * — `rank' = reset + (85 * Σ (rank div outDeg)) div 100` with Long
+    * floor-division and exact Long sums — over the collected (bounded)
+    * edge set. Integer addition is commutative, so the driver sum equals
+    * any distributed partial-aggregation order bit for bit. `reset` maps
+    * a vertex to its per-round reset mass. */
+  private def fixedPointPowerDriver(edges: Array[(Long, Long)],
+      verts: Array[Long], iters: Int,
+      init: Long => Long, reset: Long => Long): Array[(Long, Long)] = {
+    val outDeg = scala.collection.mutable.LongMap.empty[Long]
+    edges.foreach { case (s, _) => outDeg(s) = outDeg.getOrElse(s, 0L) + 1L }
+    var rank = scala.collection.mutable.LongMap.empty[Long]
+    verts.foreach(v => rank(v) = init(v))
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.LongMap.empty[Long]
+      edges.foreach { case (s, d) =>
+        rank.get(s).foreach { r => in(d) = in.getOrElse(d, 0L) + r / outDeg(s) }
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      verts.foreach { v =>
+        next(v) = reset(v) + (85L * in.getOrElse(v, 0L)) / 100L
+      }
+      rank = next
+    }
+    verts.map(v => (v, rank(v)))
+  }
+
   /** Packed-id expression for a STATICALLY-known label — pure literal
     * arithmetic (`labelId << 48 | key`), codegen'd, no when-chain: the
     * label of every frame fed to the loops is known from its
@@ -114,7 +355,24 @@ object Iterative {
   // action count while doubling per-action shuffles loses to the
   // coarser convergence granularity. One observed step per cut stands.)
   private[analytics] def minLabelLoop(edges: DataFrame, init: DataFrame,
-      maxIter: Int): DataFrame = {
+      maxIter: Int,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
+    // SIZE-ADAPTIVE escape (see DefaultSmallGraphRows): a bounded graph
+    // resolves its fixpoint on the driver in exact arithmetic — the
+    // distributed superstep path below is the 100-TB shape, unchanged.
+    val small =
+      boundedRows(edges.select(col("_s"), col("_d")), smallGraphRows)
+        .flatMap { eRows =>
+          boundedRows(init.select(col("_v"), col("_lbl")), smallGraphRows)
+            .map { iRows =>
+              localPairs(edges.sparkSession,
+                minLabelDriver(
+                  eRows.map(r => (r.getLong(0), r.getLong(1))),
+                  iRows.map(r => (r.getLong(0), r.getLong(1)))),
+                "_v", "_lbl")
+            }
+        }
+    if (small.isDefined) return small.get
     var labels = init
     var iter = 0
     var done = false
@@ -157,13 +415,17 @@ object Iterative {
   }
 
   def connectedComponents(g: PropertyGraph,
-      edgeLabels: Set[String] = Set.empty, maxIter: Int = 30): DataFrame = {
+      edgeLabels: Set[String] = Set.empty, maxIter: Int = 30,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
+    // the escape collects the raw frames; only the distributed loop
+    // needs them checkpointed, and minLabelLoop's probe is a bounded
+    // LIMIT collect either way
     val edges = packedEdges(g, edgeLabels, undirected = true).localCheckpoint()
     val touched = incidentLabels(g, edgeLabels)
     var labels = minLabelLoop(edges,
       packedVertices(g, touched)
         .select(col("_v"), col("_v").as("_lbl")).localCheckpoint(),
-      maxIter)
+      maxIter, smallGraphRows)
     val untouched = g.vertexLabels.toSet -- touched
     if (untouched.nonEmpty)
       labels = labels.unionByName(
@@ -209,67 +471,65 @@ object Iterative {
   def mergeComponentsBatch(state: DataFrame, batch: DataFrame,
       maxIter: Int = 30,
       smallBatchEdges: Long = DefaultSmallBatchEdges): DataFrame = {
-    val mappedObs = new org.apache.spark.sql.Observation(
-      s"merge_mapped_${obsTag.incrementAndGet()}")
-    val mapped = batch
+    val mappedPlan = batch
       .join(state.select(col("_v").as("_s"), col("_lbl").as("_sl")),
         Seq("_s"), "left")
       .join(state.select(col("_v").as("_d"), col("_lbl").as("_dl")),
         Seq("_d"), "left")
       .select(coalesce(col("_sl"), col("_s")).as("_s"),
         coalesce(col("_dl"), col("_d")).as("_d"))
-      .observe(mappedObs, count(lit(1)).as("n"))
-      .localCheckpoint()
-    val mappedCount = mappedObs.get("n").asInstanceOf[Long]
     // SIZE-ADAPTIVE merge of the contracted graph. Per-batch work is
     // batch-sized BY CONSTRUCTION (contracted nodes <= 2|batch|), so a
     // bounded batch — every streaming micro-batch, most incremental
     // folds — resolves its representatives with a driver union-find
     // over ONE bounded collect (min-rep semantics, exactly the
     // minLabelLoop fixpoint) instead of ~5 serial distributed rounds
-    // at the per-action job floor. Above the bound the distributed
-    // fixpoint runs as before — the 100-TB path is unchanged, and the
-    // collect is bounded by `smallBatchEdges`, never corpus-sized.
-    val reps =
-      if (mappedCount <= smallBatchEdges) {
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) {
-            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+    // at the per-action job floor; the bounded probe collects the
+    // contracted rows DIRECTLY (no intermediate checkpoint — r17: the
+    // per-batch checkpoint+collect pair was two serial actions where
+    // one suffices). Above the bound the distributed fixpoint runs as
+    // before — the 100-TB path is unchanged, and the collect is bounded
+    // by `smallBatchEdges`, never corpus-sized.
+    val (mapped, reps) =
+      graft.plans.Supersteps.boundedRows(mappedPlan, smallBatchEdges) match {
+        case Some(rows) =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+            }
+            r
           }
-          r
-        }
-        def union(a: Long, b: Long): Unit = {
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) {
-            // min-rep rule: the SMALLER label roots the tree, exactly
-            // the min-label fixpoint's representative choice
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          def union(a: Long, b: Long): Unit = {
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) {
+              // min-rep rule: the SMALLER label roots the tree, exactly
+              // the min-label fixpoint's representative choice
+              if (ra < rb) parent(rb) = ra else parent(ra) = rb
+            }
           }
-        }
-        val rows = mapped.collect()
-        rows.foreach(r => union(r.getLong(0), r.getLong(1)))
-        val nodes = rows.iterator
-          .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
-          .toArray.distinct.sorted
-        val spark = mapped.sparkSession
-        import spark.implicits._
-        nodes.toSeq.map(v => (v, find(v))).toDF("_v", "_lbl")
-      } else {
-        // nodes/doubled stay LAZY over the checkpointed `mapped`: each
-        // re-evaluation is one narrow map over persisted blocks, cheaper
-        // than the eager checkpoint actions they'd otherwise cost (the
-        // per-action job floor dominates this whole fold locally)
-        val nodes = mapped.select(col("_s").as("_v"))
-          .unionByName(mapped.select(col("_d").as("_v")))
-          .dropDuplicates("_v")
-        val doubled = mapped.unionByName(
-          mapped.select(col("_d").as("_s"), col("_s").as("_d")))
-        minLabelLoop(doubled,
-          nodes.select(col("_v"), col("_v").as("_lbl")), maxIter)
+          rows.foreach(r => union(r.getLong(0), r.getLong(1)))
+          val nodes = rows.iterator
+            .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+            .toArray.distinct.sorted
+          (None, localPairs(batch.sparkSession,
+            nodes.map(v => (v, find(v))), "_v", "_lbl"))
+        case None =>
+          val mappedCk = mappedPlan.localCheckpoint()
+          // nodes/doubled stay LAZY over the checkpointed rows: each
+          // re-evaluation is one narrow map over persisted blocks,
+          // cheaper than the eager checkpoint actions they'd otherwise
+          // cost (the per-action job floor dominates this fold locally)
+          val nodes = mappedCk.select(col("_s").as("_v"))
+            .unionByName(mappedCk.select(col("_d").as("_v")))
+            .dropDuplicates("_v")
+          val doubled = mappedCk.unionByName(
+            mappedCk.select(col("_d").as("_s"), col("_s").as("_d")))
+          (Some(mappedCk), minLabelLoop(doubled,
+            nodes.select(col("_v"), col("_v").as("_lbl")), maxIter))
       }
     // grow the state by the batch's brand-new vertices (they entered
     // the contracted graph as themselves), then relabel every vertex
@@ -282,15 +542,16 @@ object Iterative {
       newVerts.select(col("_v"), col("_v").as("_lbl")))
     // loop-carried across batches (and across an UNBOUNDED stream in
     // ComponentsMaintainer): stats must be cut or they compound per fold.
-    // `mapped` (the contracted batch) and `reps` (the loop's final
-    // state) have no consumer once this cut lands — released here, or
-    // an unbounded stream strands two block sets per micro-batch. The
-    // caller's `state` is NOT touched (ownership stays with the fold).
+    // `mapped` (the contracted batch, when checkpointed) and `reps`
+    // (the loop's final state) have no consumer once this cut lands —
+    // released here, or an unbounded stream strands two block sets per
+    // micro-batch. The caller's `state` is NOT touched (ownership
+    // stays with the fold).
     graft.plans.Supersteps.cut(
       grown.join(reps.select(col("_v").as("_old"), col("_lbl").as("_new")),
           grown("_lbl") === col("_old"), "left")
         .select(grown("_v"), coalesce(col("_new"), grown("_lbl")).as("_lbl")),
-      superseded = Seq(mapped, reps))
+      superseded = mapped.toSeq :+ reps)
   }
 
   /** Connected components by FOLDING edge batches through
@@ -303,7 +564,68 @@ object Iterative {
     * the whole-graph pass. Frames are raw bigint `(src, dst)` /
     * `(id)`; multi-label callers pack first. */
   def incrementalComponents(vertices: DataFrame, batches: Seq[DataFrame],
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
+    // SIZE-ADAPTIVE escape (DefaultSmallGraphRows): when the seed set
+    // and EVERY batch are bounded, the same per-batch fold — contract
+    // endpoints through the current state, resolve representatives by
+    // the min-rep rule, grow by brand-new vertices, relabel — runs on
+    // driver maps, batch by batch in arrival order, preserving the
+    // min-representative invariant exactly as [[mergeComponentsBatch]]
+    // does (StreamsSpec pins the streaming twin to the same fixpoint).
+    // Above the cap the distributed fold below is unchanged.
+    val smallAll = for {
+      v <- boundedRows(vertices
+        .select(col(vertices.columns.head).cast("bigint").as("_v")),
+        smallGraphRows)
+      bs <- batches.foldLeft(
+        Option(Seq.empty[Array[org.apache.spark.sql.Row]])) { (acc, b) =>
+        acc.flatMap { seqs =>
+          val cols = b.columns
+          boundedRows(b.select(col(cols(0)).cast("bigint").as("_s"),
+            col(cols(1)).cast("bigint").as("_d")), smallGraphRows)
+            .map(seqs :+ _)
+        }
+      }
+    } yield {
+      val state = scala.collection.mutable.LongMap.empty[Long]
+      v.foreach(r => state(r.getLong(0)) = r.getLong(0))
+      bs.foreach { batch =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        batch.foreach { r =>
+          val (s, d) = (r.getLong(0), r.getLong(1))
+          // contract through the current state (unseen endpoints stand
+          // for themselves), then union under the min-rep rule
+          val (cs, cd) = (state.getOrElse(s, s), state.getOrElse(d, d))
+          val (ra, rb) = (find(cs), find(cd))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // grow by the batch's brand-new vertices, then relabel through
+        // the resolved representatives (identity for untouched labels)
+        batch.foreach { r =>
+          Seq(r.getLong(0), r.getLong(1)).foreach { x =>
+            if (!state.contains(x)) state(x) = x
+          }
+        }
+        val relabeled = state.toArray.map { case (vv, l) => (vv, find(l)) }
+        relabeled.foreach { case (vv, l) => state(vv) = l }
+      }
+      localPairs(vertices.sparkSession,
+        state.toArray.sortBy(_._1), "id", "component")
+    }
+    smallAll match {
+      case Some(res) => return res
+      case None =>
+    }
     val state0 = vertices.select(col(vertices.columns.head).cast("bigint").as("_v"))
       .dropDuplicates("_v")
       .select(col("_v"), col("_v").as("_lbl")).localCheckpoint()
@@ -332,12 +654,31 @@ object Iterative {
     * as `(label, _vid, degree)`, degree measured within the final
     * surviving subgraph. */
   def kCore(g: PropertyGraph, k: Int,
-      edgeLabels: Set[String] = Set.empty, maxRounds: Int = 20): DataFrame = {
+      edgeLabels: Set[String] = Set.empty, maxRounds: Int = 20,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
-    val edges = packedEdges(g, edgeLabels, undirected = true).localCheckpoint()
+    val edgesRaw = packedEdges(g, edgeLabels, undirected = true)
+    val vertsRaw = packedVertices(g, incidentLabels(g, edgeLabels))
+    // SIZE-ADAPTIVE escape (DefaultSmallGraphRows): the bounded peel
+    // replays on the driver — same survival rule, budget, early exit.
+    val small = for {
+      e <- boundedRows(edgesRaw.select(col("_s"), col("_d")),
+        smallGraphRows)
+      v <- boundedRows(vertsRaw.select(col("_v")), smallGraphRows)
+    } yield localPairs(vertsRaw.sparkSession,
+      kCoreDriver(e.map(r => (r.getLong(0), r.getLong(1))),
+        v.map(_.getLong(0)), k, maxRounds), "_v", "_deg")
+    small match {
+      case Some(res) => return res.select(
+        unpackLabelStr(g, col("_v")).as("label"),
+        unpackKey(col("_v")).as(GC.Id),
+        col("_deg").as("degree"))
+      case None =>
+    }
+    val edges = edgesRaw.localCheckpoint()
     val obs0 = new org.apache.spark.sql.Observation(
       s"kcore_init_${obsTag.incrementAndGet()}")
-    var surv = packedVertices(g, incidentLabels(g, edgeLabels))
+    var surv = vertsRaw
       .observe(obs0, count(lit(1)).as("n"))
       .localCheckpoint()
     // one action per round: the observed checkpoint (the e29 lesson) —
@@ -389,11 +730,37 @@ object Iterative {
     * row_number window (partitioned by vertex — never a global sort).
     * Output: `(label, _vid, community_label, community_id)`. */
   def labelPropagation(g: PropertyGraph, iters: Int = 5,
-      edgeLabels: Set[String] = Set.empty): DataFrame = {
+      edgeLabels: Set[String] = Set.empty,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
     require(iters >= 1, s"labelPropagation needs iters >= 1, got $iters")
-    val edges = packedEdges(g, edgeLabels, undirected = true).localCheckpoint()
+    val edgesRaw = packedEdges(g, edgeLabels, undirected = true)
     val touched = incidentLabels(g, edgeLabels)
-    var labels = packedVertices(g, touched)
+    val vertsRaw = packedVertices(g, touched)
+    // SIZE-ADAPTIVE escape (DefaultSmallGraphRows): the synchronous
+    // rounds replay on the driver — same frequency rule and tie order.
+    val small = for {
+      e <- boundedRows(edgesRaw.select(col("_s"), col("_d")),
+        smallGraphRows)
+      v <- boundedRows(vertsRaw.select(col("_v")), smallGraphRows)
+    } yield localPairs(vertsRaw.sparkSession,
+      lpaDriver(e.map(r => (r.getLong(0), r.getLong(1))),
+        v.map(_.getLong(0)), iters), "_v", "_lbl")
+    small match {
+      case Some(res) =>
+        var out = res
+        val untouchedS = g.vertexLabels.toSet -- touched
+        if (untouchedS.nonEmpty)
+          out = out.unionByName(packedVertices(g, untouchedS)
+            .select(col("_v"), col("_v").as("_lbl")))
+        return out.select(
+          unpackLabelStr(g, col("_v")).as("label"),
+          unpackKey(col("_v")).as(GC.Id),
+          unpackLabelStr(g, col("_lbl")).as("community_label"),
+          unpackKey(col("_lbl")).as("community_id"))
+      case None =>
+    }
+    val edges = edgesRaw.localCheckpoint()
+    var labels = vertsRaw
       .select(col("_v"), col("_v").as("_lbl")).localCheckpoint()
     for (_ <- 1 to iters) {
       val freq = edges.join(labels, edges("_d") === labels("_v"))
@@ -548,11 +915,10 @@ object Iterative {
     * Output: `(label, _vid, rank_fp)` with rank_fp the scaled long. */
   def pageRankFixedPoint(g: PropertyGraph, iters: Int = 10,
       edgeLabels: Set[String] = Set.empty,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
     require(iters >= 1, s"pageRankFixedPoint needs iters >= 1, got $iters")
     val edges = packedEdges(g, edgeLabels, undirected = false)
-    val outDeg = edges.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
-    val degreed = edges.join(outDeg, "_s").localCheckpoint()
     val touched = incidentLabels(g, edgeLabels)
     val verts = packedVertices(g, touched).localCheckpoint()
     val nVerts = verts.count()
@@ -579,18 +945,36 @@ object Iterative {
         s"of 1/$workScale")
       g.variables.set("graft.pagerank.work_scale", workScale.toString)
     }
-    var ranks = verts.withColumn("_r", lit(workScale))
-    val init = ranks // round-1 state sits on `verts` — never release it
-    for (_ <- 1 to iters) {
-      val contrib = degreed.join(ranks, degreed("_s") === ranks("_v"))
-        .groupBy(col("_d"))
-        .agg(sum(expr("_r div _deg")).as("_in"))
-      ranks = graft.plans.Supersteps.cut(
-        verts.join(contrib, verts("_v") === contrib("_d"), "left")
-          .select(verts("_v"),
-            (expr(s"(15 * ${workScale}L) div 100")
-              + expr("(85 * coalesce(_in, 0L)) div 100")).as("_r")),
-        superseded = if (ranks eq init) Nil else Seq(ranks))
+    // SIZE-ADAPTIVE escape (DefaultSmallGraphRows): a bounded graph
+    // replays the integer recurrence on the driver — exact Long sums
+    // commute, so the result is bit-identical to the superstep loop.
+    val small = for {
+      e <- boundedRows(edges.select(col("_s"), col("_d")),
+        smallGraphRows)
+      v <- boundedRows(verts.select(col("_v")), smallGraphRows)
+    } yield localPairs(verts.sparkSession,
+      fixedPointPowerDriver(e.map(r => (r.getLong(0), r.getLong(1))),
+        v.map(_.getLong(0)), iters,
+        init = _ => workScale,
+        reset = _ => (15L * workScale) / 100L),
+      "_v", "_r")
+    var ranks = small.getOrElse {
+      val outDeg = edges.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+      val degreed = edges.join(outDeg, "_s").localCheckpoint()
+      var rk = verts.withColumn("_r", lit(workScale))
+      val init = rk // round-1 state sits on `verts` — never release it
+      for (_ <- 1 to iters) {
+        val contrib = degreed.join(rk, degreed("_s") === rk("_v"))
+          .groupBy(col("_d"))
+          .agg(sum(expr("_r div _deg")).as("_in"))
+        rk = graft.plans.Supersteps.cut(
+          verts.join(contrib, verts("_v") === contrib("_d"), "left")
+            .select(verts("_v"),
+              (expr(s"(15 * ${workScale}L) div 100")
+                + expr("(85 * coalesce(_in, 0L)) div 100")).as("_r")),
+          superseded = if (rk eq init) Nil else Seq(rk))
+      }
+      rk
     }
     val untouched = g.vertexLabels.toSet -- touched
     if (untouched.nonEmpty)
@@ -616,12 +1000,11 @@ object Iterative {
   def personalizedPageRankFixedPoint(g: PropertyGraph, seedLabel: String,
       seedIds: Seq[Long], iters: Int = 10,
       edgeLabels: Set[String] = Set.empty,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
     require(iters >= 1, s"personalizedPageRank needs iters >= 1, got $iters")
     require(seedIds.nonEmpty, "personalizedPageRank needs at least one seed")
     val edges = packedEdges(g, edgeLabels, undirected = false)
-    val outDeg = edges.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
-    val degreed = edges.join(outDeg, "_s").localCheckpoint()
     val touched = incidentLabels(g, edgeLabels)
     val verts = packedVertices(g, touched).localCheckpoint()
     val nVerts = verts.count()
@@ -632,17 +1015,34 @@ object Iterative {
     val resetPerSeed = 15L * scale / 100L * nVerts / seedIds.size
     val reset = when(col("_v").isin(seedSet: _*), lit(resetPerSeed))
       .otherwise(lit(0L))
-    var ranks = verts.withColumn("_r", reset)
-    val init = ranks // round-1 state sits on `verts` — never release it
-    for (_ <- 1 to iters) {
-      val contrib = degreed.join(ranks, degreed("_s") === ranks("_v"))
-        .groupBy(col("_d"))
-        .agg(sum(expr("_r div _deg")).as("_in"))
-      ranks = graft.plans.Supersteps.cut(
-        verts.join(contrib, verts("_v") === contrib("_d"), "left")
-          .select(verts("_v"),
-            (reset + expr("(85 * coalesce(_in, 0L)) div 100")).as("_r")),
-        superseded = if (ranks eq init) Nil else Seq(ranks))
+    // SIZE-ADAPTIVE escape (DefaultSmallGraphRows): same integer
+    // recurrence replayed on the driver — init IS the reset vector here.
+    val seedLongs = seedSet.toSet
+    val resetFn = (v: Long) => if (seedLongs.contains(v)) resetPerSeed else 0L
+    val small = for {
+      e <- boundedRows(edges.select(col("_s"), col("_d")),
+        smallGraphRows)
+      v <- boundedRows(verts.select(col("_v")), smallGraphRows)
+    } yield localPairs(verts.sparkSession,
+      fixedPointPowerDriver(e.map(r => (r.getLong(0), r.getLong(1))),
+        v.map(_.getLong(0)), iters, init = resetFn, reset = resetFn),
+      "_v", "_r")
+    val ranks = small.getOrElse {
+      val outDeg = edges.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+      val degreed = edges.join(outDeg, "_s").localCheckpoint()
+      var rk = verts.withColumn("_r", reset)
+      val init = rk // round-1 state sits on `verts` — never release it
+      for (_ <- 1 to iters) {
+        val contrib = degreed.join(rk, degreed("_s") === rk("_v"))
+          .groupBy(col("_d"))
+          .agg(sum(expr("_r div _deg")).as("_in"))
+        rk = graft.plans.Supersteps.cut(
+          verts.join(contrib, verts("_v") === contrib("_d"), "left")
+            .select(verts("_v"),
+              (reset + expr("(85 * coalesce(_in, 0L)) div 100")).as("_r")),
+          superseded = if (rk eq init) Nil else Seq(rk))
+      }
+      rk
     }
     ranks.select(
       unpackLabelStr(g, col("_v")).as("label"),
@@ -669,11 +1069,42 @@ object Iterative {
     * Output: (label, id, hub_fp, auth_fp). */
   def hitsFixedPoint(g: PropertyGraph, iters: Int = 5,
       edgeLabels: Set[String] = Set.empty,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
     require(iters >= 1, s"hitsFixedPoint needs iters >= 1, got $iters")
-    val edges = packedEdges(g, edgeLabels, undirected = false).localCheckpoint()
+    val edgesRaw = packedEdges(g, edgeLabels, undirected = false)
     val touched = incidentLabels(g, edgeLabels)
-    val verts = packedVertices(g, touched).localCheckpoint()
+    val vertsRaw = packedVertices(g, touched)
+    // SIZE-ADAPTIVE escape (DefaultSmallGraphRows): exact Long gathers
+    // and renormalizations replayed on the driver.
+    val smallHits = for {
+      e <- boundedRows(edgesRaw.select(col("_s"), col("_d")),
+        smallGraphRows)
+      v <- boundedRows(vertsRaw.select(col("_v")), smallGraphRows)
+    } yield {
+      val b = math.max(e.length.toLong, v.length.toLong)
+      require(BigInt(b) * scale * scale < BigInt(Long.MaxValue),
+        s"fixed-point overflow: bound=$b scale=$scale")
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      vertsRaw.sparkSession.createDataFrame(
+        java.util.Arrays.asList(
+          hitsDriver(e.map(r => (r.getLong(0), r.getLong(1))),
+            v.map(_.getLong(0)), iters, scale)
+            .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)): _*),
+        StructType(Seq(StructField("_v", LongType, nullable = false),
+          StructField("_h", LongType, nullable = false),
+          StructField("_a", LongType, nullable = false))))
+    }
+    smallHits match {
+      case Some(res) => return res.select(
+        unpackLabelStr(g, col("_v")).as("label"),
+        unpackKey(col("_v")).as(GC.Id),
+        col("_h").as("hub_fp"),
+        col("_a").as("auth_fp"))
+      case None =>
+    }
+    val edges = edgesRaw.localCheckpoint()
+    val verts = vertsRaw.localCheckpoint()
     val bound = math.max(edges.count(), verts.count())
     // round-1 worst case: an unnormalized raw sum (<= bound * scale)
     // times the renormalization factor `scale` must stay in a long
@@ -735,8 +1166,10 @@ object Iterative {
     * the representative being the packed-smallest member. */
   def stronglyConnectedComponents(g: PropertyGraph,
       edgeLabels: Set[String] = Set.empty, maxOuter: Int = 20,
-      maxIter: Int = 60): DataFrame = {
-    val resolved = sccAssignments(g, edgeLabels, maxOuter, maxIter)
+      maxIter: Int = 60,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
+    val resolved = sccAssignments(g, edgeLabels, maxOuter, maxIter,
+      smallGraphRows)
     resolved.select(
       unpackLabelStr(g, col("_v")).as("label"),
       unpackKey(col("_v")).as(GC.Id),
@@ -755,7 +1188,8 @@ object Iterative {
     * (~40 driver actions), and re-running it per consumer was the
     * main bench noise of the q59 family (round-10 verdict task 5). */
   def sccAssignments(g: PropertyGraph, edgeLabels: Set[String],
-      maxOuter: Int = 20, maxIter: Int = 60): DataFrame = {
+      maxOuter: Int = 20, maxIter: Int = 60,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
     val edges0 = packedEdges(g, edgeLabels, undirected = false)
       .distinct().localCheckpoint()
     val touched = incidentLabels(g, edgeLabels)
@@ -777,10 +1211,12 @@ object Iterative {
       // are exact integer fixpoints, identical under any scheduling.
       // The q54-family cost is almost entirely this serial action
       // floor, so the overlap is worth a ~2x on the whole peel.)
-      val fwdF = scala.concurrent.Future(minLabelLoop(edges, init, maxIter))(
+      val fwdF = scala.concurrent.Future(
+        minLabelLoop(edges, init, maxIter, smallGraphRows))(
         scala.concurrent.ExecutionContext.global)
       val bwd = minLabelLoop(
-        edges.select(col("_d").as("_s"), col("_s").as("_d")), init, maxIter)
+        edges.select(col("_d").as("_s"), col("_s").as("_d")), init, maxIter,
+        smallGraphRows)
         .select(col("_v").as("_bv"), col("_lbl").as("_bl"))
       val fwd = scala.concurrent.Await.result(fwdF,
         scala.concurrent.duration.Duration.Inf)
@@ -1086,11 +1522,39 @@ object Iterative {
     * than the edge frame. Output: `(label, _vid id, mis_round)` — MIS
     * members only, with the round that admitted them. */
   def maximalIndependentSet(g: PropertyGraph,
-      edgeLabels: Set[String] = Set.empty, maxRounds: Int = 15): DataFrame = {
-    var edges = packedEdges(g, edgeLabels, undirected = true)
-      .distinct().localCheckpoint()
+      edgeLabels: Set[String] = Set.empty, maxRounds: Int = 15,
+      smallGraphRows: Long = DefaultSmallGraphRows): DataFrame = {
+    val edgesRaw = packedEdges(g, edgeLabels, undirected = true).distinct()
     val touched = incidentLabels(g, edgeLabels)
-    var active = packedVertices(g, touched).localCheckpoint()
+    val vertsRaw = packedVertices(g, touched)
+    // SIZE-ADAPTIVE escape (DefaultSmallGraphRows): Luby rounds with the
+    // identical md5 priorities replayed on the driver; a blown round
+    // budget throws the same contract error as the distributed peel.
+    val smallMis = for {
+      e <- boundedRows(edgesRaw.select(col("_s"), col("_d")),
+        smallGraphRows)
+      v <- boundedRows(vertsRaw.select(col("_v")), smallGraphRows)
+    } yield {
+      val got = misDriver(e.map(r => (r.getLong(0), r.getLong(1))),
+        v.map(_.getLong(0)), maxRounds)
+      require(got.isDefined,
+        s"MIS did not converge in $maxRounds rounds (driver peel)")
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      vertsRaw.sparkSession.createDataFrame(
+        java.util.Arrays.asList(got.get.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2)): _*),
+        StructType(Seq(StructField("_v", LongType, nullable = false),
+          StructField("_round", IntegerType, nullable = false))))
+    }
+    smallMis match {
+      case Some(res) => return res.select(
+        unpackLabelStr(g, col("_v")).as("label"),
+        unpackKey(col("_v")).as(GC.Id),
+        col("_round").as("mis_round"))
+      case None =>
+    }
+    var edges = edgesRaw.localCheckpoint()
+    var active = vertsRaw.localCheckpoint()
     var nActive = active.count()
     val mis = Seq.newBuilder[DataFrame]
     var round = 0

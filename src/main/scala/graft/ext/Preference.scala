@@ -95,16 +95,86 @@ object Preference {
     * superstep-cut. Players appearing only as never-winners floor to
     * 1; a player's games and wins are loop constants, checkpointed
     * once. */
-  def bradleyTerryStates(games: DataFrame, rounds: Int): Seq[DataFrame] =
-    mmLoop(games, rounds, keepAll = true)
+  def bradleyTerryStates(games: DataFrame, rounds: Int,
+      smallGamesRows: Long =
+        graft.analytics.Iterative.DefaultSmallGraphRows): Seq[DataFrame] =
+    mmLoop(games, rounds, keepAll = true, smallGamesRows)
+
+  /** Driver twin of the MM loop for a BOUNDED comparison log (the
+    * [[graft.analytics.Iterative.DefaultSmallGraphRows]] size-adaptive
+    * escape): the identical integer recurrence — per-game reciprocal
+    * `S² div (wa + wb)` in Long, per-player denominator summed as
+    * BigInteger (the DECIMAL(38,0) twin; addition commutes, so any
+    * distributed partial-agg order lands on the same value), and the
+    * same clamp — replayed in milliseconds instead of `rounds` serial
+    * superstep rounds. Returns each round's state (element 0 = init). */
+  private def mmDriver(games: Array[(Long, Long, Long)],
+      rounds: Int): Seq[Array[(Long, Long)]] = {
+    val wins = scala.collection.mutable.LongMap.empty[Long]
+    games.foreach { case (a, b, wa) =>
+      wins(a) = wins.getOrElse(a, 0L) + wa
+      wins(b) = wins.getOrElse(b, 0L) + (1L - wa)
+    }
+    val players = wins.keys.toArray.sorted
+    var w = scala.collection.mutable.LongMap.empty[Long]
+    players.foreach(t => w(t) = Scale)
+    val out = Seq.newBuilder[Array[(Long, Long)]]
+    out += players.map(t => (t, Scale))
+    val s2 = BigInt(Scale) * Scale
+    for (_ <- 1 to rounds) {
+      val denom = scala.collection.mutable.LongMap.empty[BigInt]
+      games.foreach { case (a, b, _) =>
+        val r = BigInt((Scale * Scale) / (w(a) + w(b)))
+        denom(a) = denom.getOrElse(a, BigInt(0)) + r
+        denom(b) = denom.getOrElse(b, BigInt(0)) + r
+      }
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      players.foreach { t =>
+        next(t) = denom.get(t) match {
+          case Some(d) if d.signum > 0 =>
+            ((BigInt(wins(t)) * s2) / d).max(BigInt(1)).min(BigInt(WCap))
+              .toLong
+          case _ => w(t)
+        }
+      }
+      w = next
+      out += players.map(t => (t, w(t)))
+    }
+    out.result()
+  }
+
+  private def localState(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2)): _*),
+      StructType(Seq(StructField("t", LongType, nullable = false),
+        StructField("w", LongType, nullable = false))))
+  }
 
   /** The MM loop. `keepAll = true` keeps every round's blocks live (the
     * spec / inspection path); `false` releases each superseded round
     * once its successor materializes (the [[Glove]]-verdict unpersist
     * discipline — the query path only needs the last state). */
   private def mmLoop(games: DataFrame, rounds: Int,
-      keepAll: Boolean): Seq[DataFrame] = {
+      keepAll: Boolean,
+      smallGamesRows: Long =
+        graft.analytics.Iterative.DefaultSmallGraphRows): Seq[DataFrame] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // SIZE-ADAPTIVE escape: a bounded game log resolves all rounds on
+    // the driver (see mmDriver); the superstep path below is the
+    // billions-of-comparisons shape, unchanged.
+    graft.plans.Supersteps.boundedRows(
+        games.select(col("a"), col("b"), col("win_a")),
+        smallGamesRows) match {
+      case Some(rows) =>
+        val spark = games.sparkSession
+        return mmDriver(
+          rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+          rounds).map(localState(spark, _))
+      case None =>
+    }
     val g = games.select(col("a"), col("b"), col("win_a"))
       .localCheckpoint()
     val players = g.select(col("a").as("t"))
@@ -144,13 +214,15 @@ object Preference {
 
   /** Final ratings joined back to the game record:
     * `(t, n_games, wins, w_fp)`. */
-  def bradleyTerry(games: DataFrame, rounds: Int = 6): DataFrame = {
+  def bradleyTerry(games: DataFrame, rounds: Int = 6,
+      smallGamesRows: Long =
+        graft.analytics.Iterative.DefaultSmallGraphRows): DataFrame = {
     val g = games.select(col("a"), col("b"), col("win_a"))
     val inc = g.select(col("a").as("t"), col("win_a").as("_w"))
       .unionByName(g.select(col("b").as("t"), (lit(1L) - col("win_a")).as("_w")))
       .groupBy("t")
       .agg(count(lit(1)).as("n_games"), sum(col("_w")).as("wins"))
-    mmLoop(games, rounds, keepAll = false).last
+    mmLoop(games, rounds, keepAll = false, smallGamesRows).last
       .join(inc, Seq("t"))
       .select(col("t"), col("n_games"), col("wins"), col("w").as("w_fp"))
   }

@@ -99,4 +99,17 @@ object Supersteps {
 
   /** Whether an RDD id is exempt from block-cleanup sweeps. */
   def isPinned(rddId: Int): Boolean = pinned.contains(rddId)
+
+  /** Collect up to `cap` rows of a frame, or None when it is larger —
+    * the probe behind the fixpoint family's SIZE-ADAPTIVE driver
+    * escapes ([[graft.analytics.Iterative.DefaultSmallGraphRows]]): one
+    * bounded job (LIMIT cap+1 stops the scan early, so the probe is
+    * cheap even on a corpus-sized frame), never a corpus-sized
+    * collect. */
+  def boundedRows(df: DataFrame,
+      cap: Long): Option[Array[org.apache.spark.sql.Row]] = {
+    if (cap <= 0 || cap >= Int.MaxValue) return None
+    val rows = df.limit(cap.toInt + 1).collect()
+    if (rows.length > cap) None else Some(rows)
+  }
 }

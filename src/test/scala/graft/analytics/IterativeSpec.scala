@@ -576,6 +576,52 @@ class IterativeSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_ == 0L))
   }
 
+  test("driver-escape twins equal the distributed superstep loops exactly") {
+    // The r17 size-adaptive escapes (DefaultSmallGraphRows) replay each
+    // loop's declared integer arithmetic on the driver. This law runs
+    // every escaped operator BOTH ways on the same graph —
+    // smallGraphRows = 0 forces the distributed superstep path — and
+    // demands exact frame equality, which is precisely the claim the
+    // escape makes (same arithmetic, same tie-breaks, same rounds).
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def both(f: Long => org.apache.spark.sql.DataFrame): Unit =
+      assert(canon(f(Iterative.DefaultSmallGraphRows)) == canon(f(0L)))
+    both(s => Iterative.kCore(g, 5, Set("KNOWS"), maxRounds = 4,
+      smallGraphRows = s))
+    both(s => Iterative.labelPropagation(g, 5, Set("KNOWS"),
+      smallGraphRows = s))
+    both(s => Iterative.pageRankFixedPoint(g, iters = 5,
+      edgeLabels = Set("KNOWS"), smallGraphRows = s))
+    both(s => Iterative.personalizedPageRankFixedPoint(g, "Person",
+      Seq(0L, 1L, 2L), iters = 5, edgeLabels = Set("KNOWS"),
+      smallGraphRows = s))
+    both(s => Iterative.hitsFixedPoint(g, iters = 3,
+      edgeLabels = Set("KNOWS"), smallGraphRows = s))
+    both(s => Iterative.maximalIndependentSet(g, Set("KNOWS"),
+      smallGraphRows = s))
+    // minLabelLoop (q42/q54's inner fixpoints) through its public faces:
+    // undirected via connectedComponents, directed via the SCC peel of
+    // the q54-style thinned graph
+    both(s => Iterative.connectedComponents(g, Set("KNOWS"),
+      smallGraphRows = s))
+    val spec = graft.model.EdgeSpec("KNOWS", "Person", "Person")
+    val thinned = new graft.graph.PropertyGraph(spark, g.vertexFrames,
+      g.edgeFrames.updated(spec, g.edgeFrames(spec)
+        .where((col(GC.Src) * 7 + col(GC.Dst) * 13) % 5 < 3)))
+    both(s => Iterative.stronglyConnectedComponents(thinned, Set("KNOWS"),
+      smallGraphRows = s))
+    // incrementalComponents' whole-fold escape vs the distributed fold
+    val knows = g.edgeFrames(spec)
+      .select(col(GC.Src).cast("bigint").as("src"),
+        col(GC.Dst).cast("bigint").as("dst"))
+    val batches = (0 until 3).map(i =>
+      knows.where(pmod(col("src") + col("dst"), lit(3)) === i))
+    val verts = g.vertexFrames("Person").select(col(GC.Id))
+    both(s => Iterative.incrementalComponents(verts, batches,
+      smallGraphRows = s))
+  }
+
   test("step modulators annotate the frontier") {
     val G0 = graft.dsl.G(g)
     val c = G0.V("Person", 0L, 1L).componentId("KNOWS").toDF

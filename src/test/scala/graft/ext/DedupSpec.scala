@@ -477,4 +477,17 @@ class DedupSpec extends SparkSpec {
     val block = (for (l <- 100L until 108L; r <- 200L until 208L) yield (l, r)).toSet
     assert(uncapped == block + ((1L, 2L)))
   }
+
+  test("dedupClusters driver union-find escape equals the superstep loop") {
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "alpha beta gamma delta theta eta"),
+      (10L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(Dedup.dedupClusters(chain)) ==
+      canon(Dedup.dedupClusters(chain, smallGraphRows = 0L)))
+  }
 }

@@ -112,4 +112,21 @@ class PreferenceSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("bradleyTerry driver escape equals the distributed MM loop exactly") {
+    // the r17 size-adaptive escape: smallGamesRows = 0 forces the
+    // superstep path; the two runs must agree bit for bit
+    val docs = (0L until 60L).map(i =>
+      (i, s"g${i % 3}", (i * 37 % 11).toDouble)).toDF("doc_id", "_g", "_q")
+    val games = Preference.ringGames(docs, col("_g"), col("_q"))
+      .localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(Preference.bradleyTerry(games, rounds = 4)) ==
+      canon(Preference.bradleyTerry(games, rounds = 4, smallGamesRows = 0L)))
+    val a = Preference.bradleyTerryStates(games, 3)
+    val b = Preference.bradleyTerryStates(games, 3, smallGamesRows = 0L)
+    assert(a.size == b.size &&
+      a.zip(b).forall { case (x, y) => canon(x) == canon(y) })
+  }
 }

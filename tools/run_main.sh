@@ -22,4 +22,5 @@ exec java \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx${JVM_MEM:-8g} \
+  ${JVM_EXTRA:-} \
   -cp "$CP" "$MAIN" "$@"
