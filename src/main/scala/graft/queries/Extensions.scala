@@ -42,6 +42,18 @@ object Extensions {
     graft.sources.Tables.read(s, s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     graft.sources.Tables.read(s, s"$dir/embeddings.parquet")
+  // WIDE variants (Tables.readWide): a scale-adaptive round-robin
+  // fan-out below per-row-expensive single-chain passes (64-dim vector
+  // folds, tokenize/gram explodes) — the single-row-group fixture files
+  // cap a scan at ONE task, so without it those passes run on one core.
+  // Applied PER QUERY and only where measured faster: a query whose
+  // plan re-scans the table many times (e72's trainer chains, e87's
+  // n-gram legs) pays one added exchange per scan and got SLOWER with
+  // a blanket fan-out (r17 A/B), so the default readers stay narrow.
+  private def docsWide(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.readWide(s, s"$dir/documents.parquet")
+  private def embWide(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.readWide(s, s"$dir/embeddings.parquet")
   /** Normalizes `events.ts` to session-timezone TIMESTAMP regardless of
     * how the fixture stored it. Earlier generations wrote
     * TIMESTAMP(NANOS), which Spark's vectorized Parquet reader rejects —
@@ -841,7 +853,10 @@ object Extensions {
     * [[graft.ext.Similarity.semDedupAuto]]. */
   val E109Threshold = 0.30
   def e109_whitened_semdedup(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+    // wide input: the Gram fold, the whiten projection and each Lloyd
+    // round are full-corpus single-chain passes (measured 4 x ~900 ms
+    // single-task jobs on the narrow scan; 2.9 s -> wide ~1.6 s)
+    val e = embWide(s, dir)
     val (n, sArr, g) = Pca.gramPass(e)
     val v1 = Pca.pc1Direction(n, sArr, g)
     Similarity.semDedup(Pca.whiten(e, v1), k = E47K, iters = E47Iters,

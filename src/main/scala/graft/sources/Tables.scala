@@ -32,4 +32,33 @@ object Tables {
     * (session, path). */
   def read(spark: SparkSession, path: String): DataFrame =
     cache.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+
+  /** Scan parallelism below which [[readWide]] fans the frame out —
+    * a small single-row-group parquet file can never scan wider than
+    * one task (splits are row-group-bounded), so every compute-heavy
+    * expression ABOVE the scan (vector math, tokenize/gram explodes,
+    * md5 hashing) runs on one core of the machine. */
+  val WideFloor = 16
+
+  private val wideCache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** [[read]] plus a SCALE-ADAPTIVE scan fan-out for compute-heavy
+    * consumers: when the planned scan parallelism is under
+    * min([[WideFloor]], cores) — the unsplittable-input case the
+    * optimization guide's skew section names ("one huge unsplittable
+    * file … repartition immediately after the read") — the frame is
+    * round-robin repartitioned to the session's default parallelism so
+    * per-row work above the scan uses the whole machine. A corpus-scale
+    * input already scans at thousands of partitions and passes through
+    * UNTOUCHED — the added exchange exists only where the scan could
+    * not parallelize anyway, and it carries the one-file input once.
+    * The partition-count probe plans the scan (driver-only, no job) and
+    * is memoized with the frame. */
+  def readWide(spark: SparkSession, path: String): DataFrame =
+    wideCache.computeIfAbsent((spark, path), _ => {
+      val df = read(spark, path)
+      val target = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= math.min(WideFloor, target)) df
+      else df.repartition(target)
+    })
 }
